@@ -1,0 +1,219 @@
+package graft.ops
+
+import graft.Q
+import graft.Q.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational queries over the TESTDATA star schema.
+  *
+  * Design notes for 100 TB scale:
+  *   - aggregates are expressed declaratively so Catalyst plans partial
+  *     (map-side) aggregation before the shuffle;
+  *   - joins put the big fact table (lineitem/orders) on the streaming side
+  *     and broadcast the dimensions;
+  *   - money arithmetic is done in DECIMAL with explicit casts at every
+  *     step (exact, engine-independent), then cast to DOUBLE only at the
+  *     final output so both engines emit the same float64 bit pattern —
+  *     the unscaled decimal stays < 2^53 so the decimal→double rounding
+  *     is exact-correct on both sides.
+  */
+object Relational {
+  private val d182 = DecimalType(18, 2)
+  private val d184 = DecimalType(18, 4)
+
+  /** Exact decimal revenue term: extendedprice * (1 - discount). */
+  private def revTerm =
+    (col("l_extendedprice").cast(d182) *
+      (lit(1).cast(d182) - col("l_discount").cast(d182))).cast(d184)
+
+  private val revTermSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+
+  /** The events table carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects by default; read nanos as long and convert to a
+    * microsecond timestamp (session timezone is UTC on both engines).
+    */
+  private[ops] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    // ---- pricing summary (TPC-H Q1 shape): scan + partial agg + final agg
+    Q(
+      "q1_pricing_summary",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        li.filter(col("l_shipdate") < lit("1997-09-01"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(d182)).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(d182)).cast("double").as("sum_base_price"),
+            sum(revTerm).cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM($revTermSql) AS DOUBLE) AS sum_disc_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1997-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 shape)
+    Q(
+      "q3_top_revenue",
+      (s, dir) => {
+        val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = table(s, dir, "orders")
+        val li = table(s, dir, "lineitem")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(sum(revTerm).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey, o_orderpriority,
+             |  CAST(SUM($revTermSql) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, o_orderpriority
+             |ORDER BY revenue DESC, o_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // ---- 5-way star join (TPC-H Q5 shape): revenue per nation
+    Q(
+      "q5_nation_revenue",
+      (s, dir) => {
+        val region = table(s, dir, "region")
+        val nation = table(s, dir, "nation")
+        val cust = table(s, dir, "customer")
+        val ord = table(s, dir, "orders")
+        val li = table(s, dir, "lineitem")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum(revTerm).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name,
+             |  CAST(SUM($revTermSql) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- window function: top-2 orders per customer by total price
+    Q(
+      "q_window_top_orders",
+      (s, dir) => {
+        val ord = table(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 2
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---- semi join: customers with a recent order, counted per segment
+    Q(
+      "q_semi_join",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val recent = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+        cust.join(recent, cust("c_custkey") === recent("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey
+             |                AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- anti join: customers with no recent order
+    Q(
+      "q_anti_join",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val recent = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+        cust.join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- events: per-day per-type rollup (time-series agg on the stream table)
+    Q(
+      "q_events_daily",
+      (s, dir) => {
+        events(s, dir)
+          .groupBy(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(d182)).cast("double").as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- JSON extraction from the events.props payload column
+    Q(
+      "q_events_json",
+      (s, dir) => {
+        events(s, dir)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+          .filter(col("k") > 50)
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+             |ORDER BY event_id""".stripMargin))
+  )
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Self-check harness mimicking the driver's DuckDB-oracle comparison.
+
+Usage: python3 tools/selfcheck.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet dir written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB against the sf parquet tables,
+and compares: row count, column names (sorted), and values (rows sorted,
+columns sorted by name, floats compared exactly and at 1e-9 tolerance).
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: decimals -> float via str to preserve exactness check
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: str(v) if v is not None else "NULL")
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        qdir = out_dir / name
+        if not qdir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            spark_df = pd.concat(
+                [pd.read_parquet(f) for f in sorted(qdir.glob("*.parquet"))],
+                ignore_index=True)
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        a, b = normalize(spark_df), normalize(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+            n_fail += 1
+            continue
+        if not a.equals(b):
+            diff = (a != b).any(axis=1)
+            print(f"FAIL {name}: {int(diff.sum())}/{len(a)} rows differ; first:")
+            idx = diff.idxmax()
+            print("  spark:", a.iloc[idx].to_dict())
+            print("  duck :", b.iloc[idx].to_dict())
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(a)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
