@@ -11,11 +11,14 @@ object SparkEntry {
 
   /** Every registered, verifiable query. */
   def all: Seq[Q] =
-    ops.Relational.queries
+    ops.Relational.queries ++ ops.DslQueries.queries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the README-quickstart DSL pipeline (nested docs → users+posts
+    * with a link) — the engine's core operator end-to-end.
+    */
   def entry(spark: SparkSession): DataFrame =
-    ops.Relational.queries.head.run(spark, "/root/testdata/sf0.001")
+    ops.DslQueries.flagship(spark)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

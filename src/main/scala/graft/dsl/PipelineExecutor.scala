@@ -1,0 +1,302 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.immutable.ListMap
+
+/** Internal per-table compile state. `df` retains temp fields and the
+  * hidden row-ordinal column until relationships are bound; the public
+  * accessor projects them away.
+  */
+private[dsl] final case class TableState(
+    df: DataFrame,
+    visible: Seq[String],
+    temps: Seq[String]) {
+  def ordered: DataFrame =
+    df.orderBy(col(PipelineExecutor.RowOrd)).select(visible.map(col): _*)
+}
+
+private[dsl] object PipelineExecutor {
+  val RowOrd = "__g_row_ord"
+  private[dsl] def presCol(f: String) = s"__g_p_$f"
+}
+
+/** Compiles the recorded pipeline into DataFrame plans and materializes
+  * per-table results (reference lifecycle: SURVEY §3.1 steps 3-5).
+  *
+  * Scale notes: each emission is a narrow explode chain over its root; the
+  * keyed merge is the single shuffle per table (hash aggregate with
+  * map-side partials); `link_to` compiles to an equi-join Catalyst can
+  * broadcast; `build_index` is collected on the driver exactly like the
+  * reference's dict index, but consumed as a broadcast map literal.
+  */
+private[dsl] final class PipelineExecutor(
+    roots: Seq[DataFrame],
+    emissions: Seq[EmissionSpec],
+    links: Seq[LinkSpec],
+    backlinks: Seq[BacklinkSpec],
+    indexes: Seq[IndexSpec],
+    deterministicIds: Boolean) {
+  import PipelineExecutor._
+
+  def execute(): PipelineResult = {
+    val lookupMaps = buildIndexes()
+
+    // ---- compile emissions, grouped per table in declaration order ----
+    val byTable = ListMap(emissions.zipWithIndex.groupBy(_._1.table).toSeq
+      .sortBy(_._2.head._2): _*)
+
+    val tableStates = byTable.map { case (table, specs) =>
+      table -> mergeTable(table, specs, lookupMaps)
+    }
+
+    // ---- relationships ----
+    var states = tableStates
+    links.foreach { l => states = bindLink(states, l) }
+    backlinks.foreach { b => states = bindBacklink(states, b) }
+
+    // child -> parents dependency graph (links + backlinks both make the
+    // child depend on the parent existing first; for backlink the parent
+    // table holds the references, so the CHILD must flush first)
+    val deps: Map[String, Set[String]] =
+      (links.map(l => l.childTable -> l.parentTable) ++
+        backlinks.map(b => b.parentTable -> b.childTable))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+    new PipelineResult(states, deps)
+  }
+
+  // ---------------------------------------------------------------- emit
+
+  /** Compile one emission into its row DataFrame: one row per surviving
+    * traversal position, columns = every field + presence flag + full
+    * ordinal (emission index, root index, traversal ord — so cross-
+    * traversal and cross-root arrival order is total, fluent.py:1339-1371).
+    */
+  private def compileEmission(
+      spec: EmissionSpec, emissionIdx: Int,
+      lookupMaps: Map[String, Column]): DataFrame = {
+    val (tdf, env0) = TraversalCompiler.compile(roots(spec.rootIndex), spec.levels)
+    val env = env0.copy(lookupIndexes = lookupMaps)
+
+    val fieldCols = spec.fields.flatMap { f =>
+      Seq(
+        TransformCompiler.compile(f.transform, env).as(f.name),
+        lit(true).as(presCol(f.name)))
+    }
+    val ord = concat(
+      lpad(lit(emissionIdx.toString), 6, "0"),
+      lpad(lit(spec.rootIndex.toString), 4, "0"),
+      col(TraversalCompiler.OrdCol)).as(RowOrd)
+
+    var out = tdf.select(fieldCols :+ ord: _*)
+
+    // null/"" in any join-key part drops the row (executor.py:189-190)
+    spec.joinOn.foreach { k =>
+      require(spec.fields.exists(_.name == k),
+        s"joinOn('$k') is not a field of emission into '${spec.table}'")
+      val c = col(k)
+      out = out.filter(c.isNotNull && c.cast(StringType) =!= "")
+    }
+    out
+  }
+
+  /** Union all emissions for a table and apply the keyed merge. */
+  private def mergeTable(
+      table: String,
+      specs: Seq[(EmissionSpec, Int)],
+      lookupMaps: Map[String, Column]): TableState = {
+    val compiled = specs.map { case (s, i) => (s, compileEmission(s, i, lookupMaps)) }
+
+    // field universe in first-declaration order; first definer fixes type
+    val fieldOrder = specs.flatMap(_._1.fields.map(_.name)).distinct
+    val fieldType: Map[String, DataType] = fieldOrder.map { f =>
+      val t = compiled.collectFirst {
+        case (s, df) if s.fields.exists(_.name == f) =>
+          df.schema(f).dataType
+      }.get
+      f -> t
+    }.toMap
+    // temp only if every emission defining the field marks it temp — a
+    // real Field in one traversal keeps the column visible even when
+    // another traversal uses it purely as a join key (fluent.py:1190-1198)
+    val tempNames = fieldOrder.filter { f =>
+      specs.flatMap(_._1.fields).filter(_.name == f).forall(_.temp)
+    }
+    val policies: Map[String, MergePolicy] = fieldOrder.map { f =>
+      f -> specs.flatMap(_._1.fields).find(_.name == f).map(_.policy)
+        .getOrElse(MergePolicy.LastWrite)
+    }.toMap
+
+    val aligned = compiled.map { case (s, df) =>
+      val defined = s.fields.map(_.name).toSet
+      val cols = fieldOrder.flatMap { f =>
+        if (defined(f))
+          Seq(col(f).cast(fieldType(f)).as(f), col(presCol(f)))
+        else
+          Seq(lit(null).cast(fieldType(f)).as(f), lit(false).as(presCol(f)))
+      } :+ col(RowOrd)
+      df.select(cols: _*)
+    }
+    val unioned = aligned.reduce(_.unionByName(_))
+
+    val joinOn = specs.head._1.joinOn
+    require(specs.forall(_._1.joinOn == joinOn),
+      s"emissions into '$table' disagree on joinOn")
+
+    val merged =
+      if (joinOn.isEmpty) unioned
+      else {
+        val aggs = fieldOrder.filterNot(joinOn.contains).map { f =>
+          policies(f).agg(col(f), col(presCol(f)), col(RowOrd)).as(f)
+        } :+ min(col(RowOrd)).as(RowOrd)
+        unioned.groupBy(joinOn.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+
+    // single-key tables get `id` injected from the key (executor.py:363-370)
+    val (withId, visibleExtra) =
+      if (joinOn.size == 1 && joinOn.head != "id" && !fieldOrder.contains("id"))
+        (merged.withColumn("id", col(joinOn.head)), Seq("id"))
+      else (merged, Nil)
+
+    val visible = (fieldOrder ++ visibleExtra).filterNot(tempNames.contains)
+    TableState(withId, visible, tempNames)
+  }
+
+  // --------------------------------------------------------------- links
+
+  /** Many-to-one binding: left join child→parent, embed the parent row as
+    * a struct column. The parent side is the reference's secondary dict
+    * index (executor.py:408-422) — a broadcast hash join IS that index.
+    */
+  private def bindLink(
+      states: ListMap[String, TableState], l: LinkSpec): ListMap[String, TableState] = {
+    val child = states.getOrElse(l.childTable,
+      throw new IllegalArgumentException(s"linkTo: unknown child table '${l.childTable}'"))
+    val parent = states.getOrElse(l.parentTable,
+      throw new IllegalArgumentException(s"linkTo: unknown parent table '${l.parentTable}'"))
+
+    val pKeyAliases = l.by.values.toSeq.distinct.map(p => p -> s"__g_pk_$p").toMap
+    val pSel = parent.df.select(
+      pKeyAliases.map { case (p, a) => col(p).as(a) }.toSeq :+
+        struct(parent.visible.map(col): _*).as(l.as): _*)
+
+    val cond = l.by.map { case (cf, pf) =>
+      child.df(cf) === pSel(pKeyAliases(pf))
+    }.reduce(_ && _)
+
+    val joined = child.df.join(pSel, cond, "left")
+      .drop(pKeyAliases.values.toSeq: _*)
+    states.updated(l.childTable,
+      child.copy(df = joined, visible = child.visible :+ l.as))
+  }
+
+  /** Many-to-many backlink: explode the parent's key list (scalar coerced
+    * to 1-list), join children, regroup preserving the LIST order (not
+    * child order), attach as array-of-struct; unmatched ids are skipped
+    * (relationships.py:368-458).
+    */
+  private def bindBacklink(
+      states: ListMap[String, TableState], b: BacklinkSpec): ListMap[String, TableState] = {
+    val parent = states.getOrElse(b.parentTable,
+      throw new IllegalArgumentException(s"backlink: unknown parent '${b.parentTable}'"))
+    val child = states.getOrElse(b.childTable,
+      throw new IllegalArgumentException(s"backlink: unknown child '${b.childTable}'"))
+
+    val listCol0 = parent.df(b.parentListField)
+    val listCol = parent.df.schema(b.parentListField).dataType match {
+      case _: ArrayType => listCol0
+      case _ => when(listCol0.isNotNull, array(listCol0)) // scalar → 1-list
+    }
+
+    val exploded = parent.df.select(
+      col(RowOrd).as("__g_bk_pid"),
+      posexplode(listCol).as(Seq("__g_bk_pos", "__g_bk_key")))
+
+    val cSel = child.df.select(
+      col(b.childField).as("__g_bk_ckey"),
+      struct(child.visible.map(col): _*).as("__g_bk_row"))
+
+    val matched = exploded.join(cSel,
+      col("__g_bk_key") === col("__g_bk_ckey"), "inner")
+
+    val agg = matched.groupBy(col("__g_bk_pid")).agg(
+      transform(
+        array_sort(collect_list(struct(
+          col("__g_bk_pos").as("p"), col("__g_bk_row").as("r")))),
+        x => x.getField("r")).as(b.attr))
+
+    val joined = parent.df
+      .join(agg, parent.df(RowOrd) === agg("__g_bk_pid"), "left")
+      .drop("__g_bk_pid") // attr stays null when no children matched
+    states.updated(b.parentTable,
+      parent.copy(df = joined, visible = parent.visible :+ b.attr))
+  }
+
+  // ------------------------------------------------------------- indexes
+
+  /** Build lookup indexes: seeded maps stay literal; traversal-built ones
+    * run a tiny collect (exactly the reference's driver-side dict,
+    * fluent.py:1710-1747) and ship as a broadcast map literal — at scale
+    * this is the "small dimension" pattern, not a data-sized collect.
+    */
+  private def buildIndexes(): Map[String, Column] = {
+    indexes.map {
+      case SeededIndex(name, entries) =>
+        name -> mapLiteral(entries.toSeq)
+      case TraversalIndex(name, rootIdx, levels, keyT, valueT) =>
+        val (tdf, env) = TraversalCompiler.compile(roots(rootIdx), levels)
+        val rows = tdf.select(
+          TransformCompiler.compile(keyT, env).cast(StringType).as("k"),
+          TransformCompiler.compile(valueT, env).as("v"),
+          col(TraversalCompiler.OrdCol).as("o"))
+          .filter(col("k").isNotNull)
+          .collect()
+        // last write per key wins
+        val entries = rows.sortBy(_.getString(2)).map(r => r.getString(0) -> r.get(1))
+        name -> mapLiteral(ListMap(entries: _*).toSeq)
+    }.toMap
+  }
+
+  private def mapLiteral(entries: Seq[(String, Any)]): Column =
+    if (entries.isEmpty) lit(null).cast(MapType(StringType, StringType))
+    else map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+}
+
+/** Materialized pipeline output (reference: PipelineResult,
+  * fluent.py:164-281): per-table DataFrames in traversal arrival order,
+  * plus the dependency graph for topologically-ordered loading.
+  */
+final class PipelineResult private[dsl] (
+    states: ListMap[String, TableState],
+    val deps: Map[String, Set[String]]) {
+
+  def tableNames: Seq[String] = states.keys.toSeq
+
+  /** Final table: visible fields only, rows in traversal arrival order. */
+  def table(name: String): DataFrame = states.getOrElse(name,
+    throw new IllegalArgumentException(
+      s"unknown table '$name'; have: ${tableNames.mkString(", ")}")).ordered
+
+  /** Table including temp fields and the hidden ordinal (for tests/links). */
+  private[dsl] def raw(name: String): TableState = states(name)
+
+  /** Per-table mapped-row counts (triggers actions). */
+  def stats: Map[String, Long] =
+    states.map { case (n, s) => n -> s.df.count() }.toMap
+
+  /** Parent-first flush order (reference: topological flush,
+    * fluent.py:1584-1708 + utils.py:6-54). */
+  def topoOrder: Seq[String] =
+    GraphUtils.topologicalSort(states.keySet.toSet, deps)
+
+  def components: Seq[Set[String]] =
+    GraphUtils.weaklyConnectedComponents(states.keySet.toSet, deps)
+
+  /** Write every table parent-first through `writer` — the JDBC/Delta sink
+    * seam (`(table, df) => df.write.jdbc(...)`). */
+  def write(writer: (String, DataFrame) => Unit): Unit =
+    topoOrder.foreach(t => writer(t, table(t)))
+}

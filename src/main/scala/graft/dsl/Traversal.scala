@@ -1,0 +1,135 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** How one `each()` level iterates its container (reference:
+  * core.py:176-231 modes auto/items/single; executor.py:24-103 for the
+  * container dispatch).
+  */
+sealed trait IterMode
+object IterMode {
+  /** list → enumerate, map → entries, scalar/struct → single row,
+    * null → no rows. */
+  case object Auto extends IterMode
+  /** map-only iteration (keys become `key()`). */
+  case object Items extends IterMode
+  /** treat the node as one row, no iteration (trailing `goto` after the
+    * last `each()`). */
+  case object Single extends IterMode
+}
+
+/** One navigation+iteration level: a dot-path relative to the previous
+  * level's node, then an iteration mode. (reference: IterationLevel,
+  * core.py:176-187; level-path diffing fluent.py:1107-1143)
+  */
+final case class IterationLevel(path: String, mode: IterMode)
+
+/** Compiles a level chain into a DataFrame of traversal positions.
+  *
+  * The reference walks JSON with nested Python generators
+  * (executor.py:24-177, one row at a time). Here each level becomes a
+  * `posexplode` (arrays and maps) or a projection (single), so the whole
+  * traversal is a narrow, codegen'd, fully parallel plan — no shuffle is
+  * introduced until a keyed merge needs one.
+  *
+  * Output columns (all prefixed `__g_` to stay clear of user fields):
+  *   - `__g_root`        the root document (struct of the source row)
+  *   - `__g_l{i}_node` / `__g_l{i}_key` / `__g_l{i}_pos`  per level
+  *   - `__g_ord`         traversal ordinal: fixed-width digit string built
+  *                       from the per-level positions, so lexicographic
+  *                       order == depth-first traversal arrival order
+  *                       (SURVEY §1.3 — Spark operators are unordered, the
+  *                       ordinal makes merge/order semantics deterministic)
+  */
+object TraversalCompiler {
+  val RootCol = "__g_root"
+  val OrdCol = "__g_ord"
+
+  private def pad(c: Column): Column = lpad(c.cast(StringType), 10, "0")
+
+  /** @param root DataFrame whose rows are root documents.
+    * @return traversal DataFrame + the environment for compiling transforms.
+    */
+  def compile(root: DataFrame, levels: Seq[IterationLevel]): (DataFrame, TraversalEnv) = {
+    val rootType = StructType(root.schema.fields)
+    // Seed the ordinal with a unique per-root-row id: a single-row root (the
+    // reference's JSON-document model) gets "0…0"; multi-row roots (our
+    // row-per-document extension) get (partition, row-in-partition) order,
+    // which keeps row identity unique and arrival order source-shaped
+    // without any shuffle or driver-side counter.
+    var df = root.select(struct(root.columns.map(col): _*).as(RootCol))
+      .withColumn(OrdCol,
+        lpad(monotonically_increasing_id().cast(StringType), 20, "0"))
+
+    var env = TraversalEnv((col(RootCol), rootType), Nil)
+    var curNode: (Column, DataType) = (col(RootCol), rootType)
+
+    levels.zipWithIndex.foreach { case (level, i) =>
+      val (target, targetType) =
+        TransformCompiler.resolvePath(curNode._1, curNode._2, level.path)
+      val nodeName = s"__g_l${i}_node"
+      val keyName = s"__g_l${i}_key"
+      val posName = s"__g_l${i}_pos"
+
+      val (df2, lc) = (level.mode, targetType) match {
+        case (_, NullType) =>
+          // statically-missing path: the reference emits nothing
+          // (executor.py:92-103); keep the schema shape but zero rows
+          val d = df.withColumn(nodeName, lit(null)).filter(lit(false))
+          (d, LevelCols(col(nodeName), NullType, None, None))
+
+        case (IterMode.Single, t) =>
+          val d = df.withColumn(nodeName, target)
+          (d, LevelCols(col(nodeName), t, None, None))
+
+        case (IterMode.Auto, a: ArrayType) =>
+          val d = df
+            .select(col("*"), posexplode(target).as(Seq(posName, nodeName)))
+            .withColumn(OrdCol, concat(col(OrdCol), pad(col(posName))))
+          (d, LevelCols(col(nodeName), a.elementType, None, Some(col(posName))))
+
+        case (m, mt: MapType) if m == IterMode.Auto || m == IterMode.Items =>
+          val d = df
+            .select(col("*"),
+              posexplode(target).as(Seq(posName, keyName, nodeName)))
+            .withColumn(OrdCol, concat(col(OrdCol), pad(col(posName))))
+          (d, LevelCols(col(nodeName), mt.valueType,
+            Some(col(keyName).cast(StringType)), Some(col(posName))))
+
+        case (IterMode.Items, s: StructType) =>
+          // dict-iteration over a struct: statically known keys; requires a
+          // common value type (JSON objects with dynamic keys should be
+          // read as MapType — FIXTURES J3)
+          val common = s.fields.map(_.dataType).distinct
+          require(common.length == 1,
+            s"items() over struct with heterogeneous field types ${common.mkString(",")}; read this JSON object as a MapType")
+          val entries = map_from_arrays(
+            array(s.fields.map(f => lit(f.name)): _*),
+            array(s.fields.map(f => target.getField(f.name)): _*))
+          val d = df
+            .select(col("*"),
+              posexplode(entries).as(Seq(posName, keyName, nodeName)))
+            .withColumn(OrdCol, concat(col(OrdCol), pad(col(posName))))
+          (d, LevelCols(col(nodeName), common.head,
+            Some(col(keyName)), Some(col(posName))))
+
+        case (IterMode.Auto, t) =>
+          // scalar / struct under auto: single row, but null emits nothing
+          // (executor.py:92-103)
+          val d = df.withColumn(nodeName, target)
+            .filter(col(nodeName).isNotNull)
+          (d, LevelCols(col(nodeName), t, None, None))
+
+        case (IterMode.Items, t) =>
+          throw new IllegalArgumentException(
+            s"items() over non-map type $t")
+      }
+      df = df2
+      env = env.copy(levels = env.levels :+ lc)
+      curNode = (env.levels.last.node, env.levels.last.nodeType)
+    }
+    (df, env)
+  }
+}

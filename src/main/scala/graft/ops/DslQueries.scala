@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.Q
+import graft.Q.table
+import graft.dsl._
+import graft.dsl.transforms._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{get => _, _}
+
+/** Driver-verifiable queries exercising the graft DSL end-to-end over the
+  * TESTDATA tables: each query builds a nested "document" DataFrame from
+  * parquet (the reference's JSON-root shape), runs an Etl pipeline over
+  * it, and is checked against plain SQL on the flat tables — a roundtrip
+  * oracle for the traversal/merge/relationship compilers.
+  *
+  * Scale note: roots are built per-entity (one row per customer/user), so
+  * nothing ever collects to the driver; the nested build is a groupBy and
+  * the DSL plan on top stays a narrow explode chain.
+  */
+object DslQueries {
+
+  /** orders nested per customer, deterministic array order. */
+  private def nestedOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))).as("orders"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    // ---- traversal compiler roundtrip: explode nested docs back to rows
+    Q(
+      "dsl_traversal_roundtrip",
+      (s, dir) => {
+        Etl(nestedOrders(s, dir))
+          .goto("orders").each()
+          .mapTo("lines")(
+            "o_custkey" -> getFromRoot("o_custkey"),
+            "o_orderkey" -> get("o_orderkey"),
+            "o_totalprice" -> get("o_totalprice"),
+            "pos" -> index())
+          .run().table("lines")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey, o_totalprice, o_orderstatus) - 1 AS INT) AS pos
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- merge policies over the events stream grouped by user
+    Q(
+      "dsl_merge_policies",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(
+            col("event_id"), col("value")))).as("events"))
+        Etl(ev)
+          .goto("events").each()
+          .mapTo("agg", joinOn = Seq("user_id"))(
+            "user_id" -> getFromRoot("user_id"),
+            Field("total",
+              applyFn(_.cast("decimal(18,2)"), transforms.get("value")),
+              policy = MergePolicy.Add),
+            Field("lo", transforms.get("value"), policy = MergePolicy.Min),
+            Field("hi", transforms.get("value"), policy = MergePolicy.Max),
+            Field("first_ev", transforms.get("event_id"), policy = MergePolicy.FirstNonNull),
+            Field("last_ev", transforms.get("event_id"), policy = MergePolicy.LastWrite),
+            Field("ev_ids", transforms.get("event_id"), policy = MergePolicy.Append))
+          .run().table("agg")
+          .select(
+            col("user_id"),
+            col("total").cast("double").as("total"),
+            col("lo"), col("hi"), col("first_ev"), col("last_ev"),
+            concat_ws(",", col("ev_ids")).as("ev_ids"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  MIN(value) AS lo, MAX(value) AS hi,
+             |  MIN(event_id) AS first_ev, MAX(event_id) AS last_ev,
+             |  STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ev_ids
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- linkTo: many-to-one binding == broadcast hash join
+    Q(
+      "dsl_linkto",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val ord = table(s, dir, "orders")
+        Etl(cust, ord)
+          .mapTo("customers", joinOn = Seq("c_custkey"))(
+            "c_custkey" -> transforms.get("c_custkey"),
+            "c_name" -> transforms.get("c_name"),
+            "c_mktsegment" -> transforms.get("c_mktsegment"))
+          .root(1)
+          .mapTo("orders", joinOn = Seq("o_orderkey"))(
+            "o_orderkey" -> transforms.get("o_orderkey"),
+            temp("o_custkey" -> transforms.get("o_custkey")),
+            "o_totalprice" -> transforms.get("o_totalprice"))
+          .linkTo("customers", by = Map("o_custkey" -> "c_custkey"), as = "customer")
+          .run().table("orders")
+          .select(
+            col("o_orderkey"), col("o_totalprice"),
+            col("customer.c_name").as("c_name"),
+            col("customer.c_mktsegment").as("c_mktsegment"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- backlink: list-of-ids → array of child rows, list order
+    Q(
+      "dsl_backlink",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val ord = table(s, dir, "orders")
+        val custWithIds = cust.join(
+          ord.groupBy(col("o_custkey"))
+            .agg(sort_array(collect_list(col("o_orderkey"))).as("order_ids")),
+          cust("c_custkey") === col("o_custkey"), "inner")
+          .select(col("c_custkey"), col("c_name"), col("order_ids"))
+        Etl(custWithIds, ord)
+          .mapTo("customers", joinOn = Seq("c_custkey"))(
+            "c_custkey" -> transforms.get("c_custkey"),
+            "c_name" -> transforms.get("c_name"),
+            temp("order_ids" -> transforms.get("order_ids")))
+          .root(1)
+          .mapTo("orders", joinOn = Seq("o_orderkey"))(
+            "o_orderkey" -> transforms.get("o_orderkey"),
+            "o_totalprice" -> transforms.get("o_totalprice"))
+          .backlink("customers", "orders", attr = "orders",
+            by = ("order_ids", "o_orderkey"))
+          .run().table("customers")
+          .select(
+            col("c_custkey"), col("c_name"),
+            size(col("orders")).as("n_orders"),
+            concat_ws(",", transform(col("orders"), o => o.getField("o_orderkey")))
+              .as("order_keys"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(COUNT(*) AS INT) AS n_orders,
+             |  STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- buildIndex/lookup: broadcast dimension dictionary
+    Q(
+      "dsl_lookup",
+      (s, dir) => {
+        val nation = table(s, dir, "nation")
+        val cust = table(s, dir, "customer")
+        Etl(nation, cust)
+          .buildIndex("nation_names",
+            key = transforms.get("n_nationkey"), value = transforms.get("n_name"))
+          .root(1)
+          .mapTo("customers", joinOn = Seq("c_custkey"))(
+            "c_custkey" -> transforms.get("c_custkey"),
+            "nation_name" -> lookup("nation_names",
+              transforms.get("c_nationkey"), default = "UNKNOWN"))
+          .run().table("customers")
+          .select(col("c_custkey"), col("nation_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, COALESCE(n_name, 'UNKNOWN') AS nation_name
+             |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY c_custkey""".stripMargin))
+  )
+
+  /** Flagship: the README-quickstart pipeline shape (users+posts) over the
+    * sf0.001 star schema — nested per-customer docs, two tables, a
+    * cross-table link, exact traversal-order output.
+    */
+  def flagship(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val root = nestedOrders(spark, dir)
+      .join(table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("orders"))
+    Etl(root)
+      .mapTo("users", joinOn = Seq("c_custkey"))(
+        "c_custkey" -> transforms.get("c_custkey"),
+        "name" -> transforms.get("c_name"))
+      .root()
+      .goto("orders").each()
+      .mapTo("posts", joinOn = Seq("o_orderkey"))(
+        "o_orderkey" -> transforms.get("o_orderkey"),
+        temp("user_key" -> getFromRoot("c_custkey")),
+        "total" -> transforms.get("o_totalprice"))
+      .linkTo("users", by = Map("user_key" -> "c_custkey"), as = "user")
+      .run().table("posts")
+  }
+}

@@ -1,0 +1,178 @@
+package graft.dsl
+
+import graft.SparkTestBase
+import org.apache.spark.sql.types._
+
+/** End-to-end pipeline tests over the canonical fixture shapes J1-J7
+  * (FIXTURES.md), asserting exact output rows like the reference's
+  * test_fluent.py does.
+  */
+class EtlSpec extends SparkTestBase {
+  import transforms._
+
+  // ---- J1: nested one-to-many (README quickstart shape) ----
+  private val j1 =
+    """{"users": [
+      |  {"id": "u1", "name": "Alice",
+      |   "posts": [{"id": "p1", "title": "Hello"}, {"id": "p2", "title": "World"}]},
+      |  {"id": "u2", "name": "Bob", "posts": []}
+      |]}""".stripMargin
+
+  test("J1: users and posts from nested JSON, parent access") {
+    val result = Etl.json(spark, j1)
+      .goto("users").each()
+      .mapTo("users", joinOn = Seq("id"))(
+        "id" -> get("id"), "name" -> get("name"))
+      .root()
+      .goto("users").each().goto("posts").each()
+      .mapTo("posts", joinOn = Seq("id"))(
+        "id" -> get("id"),
+        "user_id" -> getFromParent("id"),
+        "title" -> get("title"))
+      .run()
+
+    assert(rows(result.table("users")) ===
+      Seq(Seq("u1", "Alice"), Seq("u2", "Bob")))
+    assert(rows(result.table("posts")) ===
+      Seq(Seq("p1", "u1", "Hello"), Seq("p2", "u1", "World")))
+  }
+
+  test("J1: index() and node() transforms") {
+    val result = Etl.json(spark, j1)
+      .goto("users").each()
+      .mapTo("users_idx")(
+        "pos" -> index(), "name" -> get("name"))
+      .run()
+    assert(rows(result.table("users_idx")) ===
+      Seq(Seq(0, "Alice"), Seq(1, "Bob")))
+  }
+
+  // ---- J2: multi-path merge by join key ----
+  test("J2: field-wise merge across traversals, TempField dropped") {
+    val j2 =
+      """{"users":    [{"id": "u1", "name": "Alice"}],
+        |  "profiles": [{"user_id": "u1", "email": "alice@example.com"}]}""".stripMargin
+    val result = Etl.json(spark, j2)
+      .goto("users").each()
+      .mapTo("users", joinOn = Seq("id"))(
+        "id" -> get("id"), "name" -> get("name"))
+      .root()
+      .goto("profiles").each()
+      .mapTo("users", joinOn = Seq("id"))(
+        temp("id" -> get("user_id")),
+        "email" -> get("email"))
+      .run()
+    // id is temp in the 2nd emission but a real field in the 1st → visible
+    assert(rows(result.table("users")) ===
+      Seq(Seq("u1", "Alice", "alice@example.com")))
+  }
+
+  test("J2: later traversal overwrites field-wise (last-write-wins)") {
+    val j =
+      """{"a": [{"id": "x", "v": "old", "w": "keep"}],
+        |  "b": [{"id": "x", "v": "new"}]}""".stripMargin
+    val result = Etl.json(spark, j)
+      .goto("a").each()
+      .mapTo("t", joinOn = Seq("id"))(
+        "id" -> get("id"), "v" -> get("v"), "w" -> get("w"))
+      .root().goto("b").each()
+      .mapTo("t", joinOn = Seq("id"))(
+        "id" -> get("id"), "v" -> get("v"))
+      .run()
+    assert(rows(result.table("t")) === Seq(Seq("x", "new", "keep")))
+  }
+
+  // ---- J3: dict-of-lists with dynamic keys (MapType) ----
+  test("J3: .each().each() over map-of-lists yields junction rows") {
+    val schema = StructType(Seq(StructField("question_choices",
+      MapType(StringType, ArrayType(StringType)))))
+    val result = Etl.json(spark,
+      """{"question_choices": {"Q1": ["c1", "c2"], "Q2": ["c2", "c3"]}}""",
+      schema)
+      .goto("question_choices").each().each()
+      .mapTo("junction")(
+        "question_id" -> parentKey(),
+        "choice_id" -> node())
+      .run()
+    assert(rows(result.table("junction")) === Seq(
+      Seq("Q1", "c1"), Seq("Q1", "c2"), Seq("Q2", "c2"), Seq("Q2", "c3")))
+  }
+
+  // ---- J4: list-of-lists ----
+  test("J4: 2-D grid with parent_index") {
+    val result = Etl.json(spark, """{"rows": [[1, 2], [3, 4]]}""")
+      .goto("rows").each().each()
+      .mapTo("cells")(
+        "row_num" -> parentIndex(), "col" -> index(), "value" -> node())
+      .run()
+    assert(rows(result.table("cells")) === Seq(
+      Seq(0, 0, 1L), Seq(0, 1, 2L), Seq(1, 0, 3L), Seq(1, 1, 4L)))
+  }
+
+  // ---- J5: deep nesting, multi-depth parent access ----
+  test("J5: get_from_parent at depth 1 and 2") {
+    val j5 =
+      """{"servers": [{"id": "s1", "channels": [{"id": "ch1",
+        |  "messages": [{"id": "m1", "text": "hi"}]}]}]}""".stripMargin
+    val result = Etl.json(spark, j5)
+      .goto("servers").each().goto("channels").each().goto("messages").each()
+      .mapTo("messages", joinOn = Seq("id"))(
+        "id" -> get("id"),
+        "channel_id" -> getFromParent("id", 1),
+        "server_id" -> getFromParent("id", 2),
+        "text" -> get("text"))
+      .run()
+    assert(rows(result.table("messages")) ===
+      Seq(Seq("m1", "ch1", "s1", "hi")))
+  }
+
+  // ---- J7: null/edge-case matrix ----
+  test("J7: null join-key part drops the row; null collections emit nothing") {
+    val j7 =
+      """{"users": [
+        |  {"id": "u1", "name": "Alice"},
+        |  {"id": null, "name": "Bob"},
+        |  {"id": "u3", "name": "Carol", "tags": null}
+        |]}""".stripMargin
+    val result = Etl.json(spark, j7)
+      .goto("users").each()
+      .mapTo("users", joinOn = Seq("id"))(
+        "id" -> get("id"), "name" -> get("name"))
+      .root()
+      .goto("users").each().goto("tags").each()
+      .mapTo("tags")("t" -> node())
+      .run()
+    assert(rows(result.table("users")) ===
+      Seq(Seq("u1", "Alice"), Seq("u3", "Carol")))
+    assert(result.table("tags").count() === 0)
+  }
+
+  test("missing path yields null; goto missing container emits nothing") {
+    val result = Etl.json(spark, """{"users": [{"id": "u1"}]}""")
+      .goto("users").each()
+      .mapTo("users")("id" -> get("id"), "nope" -> get("does.not.exist"))
+      .root().goto("ghosts").each()
+      .mapTo("ghosts")("x" -> node())
+      .run()
+    assert(rows(result.table("users")) === Seq(Seq("u1", null)))
+    assert(result.table("ghosts").count() === 0)
+  }
+
+  // ---- scalar transforms ----
+  test("concat, format_id, coalesce, len_of semantics") {
+    val j = """{"items": [{"a": "x", "b": null, "c": "", "n": 5, "list": [1,2,3]}]}"""
+    val result = Etl.json(spark, j)
+      .goto("items").each()
+      .mapTo("out")(
+        "cc" -> concatT(get("a"), get("b"), literal("-"), get("n")),
+        "fid" -> formatId(get("a"), get("b"), get("c"), get("n")),
+        "co" -> coalesceT(get("b"), get("c"), get("a")),
+        "l1" -> lenOf(get("list")),
+        "l2" -> lenOf(get("a")),
+        "l3" -> lenOf(get("n")))
+      .run()
+    // concat: null → ""; format_id: skip null AND ""; coalesce: "" is non-null
+    assert(rows(result.table("out")) ===
+      Seq(Seq("x-5", "x_5", "", 3, 1, null)))
+  }
+}
