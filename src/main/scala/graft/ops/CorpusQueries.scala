@@ -1,0 +1,296 @@
+package graft.ops
+
+import graft.Q
+import graft.Q.table
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable queries over the documents/embeddings corpus tables:
+  * text analysis, the five dedup strategies, and ANN similarity search.
+  * The DuckDB oracle SQL is GENERATED from the same constants
+  * (hyperplane weights, markers, band layout) as the Spark side, so both
+  * engines compute the same construction, not merely similar answers.
+  */
+object CorpusQueries {
+
+  val Dim = 64
+
+  // ---- shared SQL fragments -------------------------------------------
+
+  /** ws := non-empty whitespace tokens of text (matches TextFunctions.tokens). */
+  private val toksCte =
+    "toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)"
+
+  /** distinct 3-gram shingles (matches TextFunctions.shingles(_, 3)). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      |  FROM toks WHERE len(ws) >= 3)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a[$i]::DOUBLE * $b[$i]::DOUBLE").mkString(" + ")
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Language profiles shared by the Spark and oracle sides. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "small"),
+    "db" -> Seq("table", "scan", "join", "merge", "sort", "hash", "query"),
+    "st" -> Seq("stream", "window", "batch", "row", "value"))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  // ---- queries --------------------------------------------------------
+
+  val queries: Seq[Q] = Seq(
+
+    // ======== text analysis ========
+    Q(
+      "text_token_stats",
+      (s, dir) => {
+        import TextFunctions._
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          uniqueTokenCount(col("text")).as("n_uniq"),
+          meanTokenLength(col("text")).as("mean_tok_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(ws) AS INT) AS n_tokens,
+             |  CAST(len(list_distinct(ws)) AS INT) AS n_uniq,
+             |  CASE WHEN len(ws) > 0 THEN
+             |    CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+             |  ELSE 0.0 END AS mean_tok_len
+             |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "text_quality",
+      (s, dir) => {
+        import TextFunctions._
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          punctRatio(col("text")).as("punct_ratio"),
+          stopwordRatio(col("text"), Stopwords).as("stop_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksCte
+             |SELECT doc_id,
+             |  CAST(length(text) AS INT) AS n_chars,
+             |  CASE WHEN length(text) > 0 THEN
+             |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             |  ELSE 0.0 END AS punct_ratio,
+             |  CASE WHEN len(ws) > 0 THEN
+             |    CAST(len(list_filter(ws, t -> list_contains(${sqlList(Stopwords)}, t))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+             |  ELSE 0.0 END AS stop_ratio
+             |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "text_langid",
+      (s, dir) => {
+        import TextFunctions._
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          argmaxLang(col("text"), LangProfiles).as("pred_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sorted = LangProfiles.sortBy(_._1)
+        val scores = sorted.map { case (lang, markers) =>
+          s"len(list_filter(ws, t -> list_contains(${sqlList(markers)}, t))) AS s_$lang"
+        }.mkString(", ")
+        // argmax with alphabetic tie-break == Spark's array_max over
+        // (score, prio): first alphabetical lang whose score >= all others
+        val allZero = sorted.map(l => s"s_${l._1} = 0").mkString(" AND ")
+        val chain = sorted.zipWithIndex.init.map { case ((lang, _), i) =>
+          val geAll = sorted.drop(i + 1)
+            .map(o => s"s_$lang >= s_${o._1}").mkString(" AND ")
+          s"WHEN $geAll THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH $toksCte,
+           |scored AS (SELECT doc_id, $scores FROM toks)
+           |SELECT doc_id,
+           |  CASE WHEN $allZero THEN 'und' $chain ELSE '${sorted.last._1}' END AS pred_lang
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    Q(
+      "text_fingerprint",
+      (s, dir) => {
+        import TextFunctions._
+        table(s, dir, "documents").select(
+          col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(0::BIGINT,
+             |      list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+             |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ======== dedup ========
+    Q(
+      "dedup_exact",
+      (s, dir) =>
+        Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+             |  doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "dedup_ngram_jaccard",
+      (s, dir) =>
+        Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+          .orderBy(col("d1"), col("d2")),
+      Some(s"""WITH $toksCte, $shingleCte,
+             |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+             |common AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+             |  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d1, d2,
+             |  CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+             |FROM common
+             |JOIN sizes sa ON sa.doc_id = d1
+             |JOIN sizes sb ON sb.doc_id = d2
+             |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+             |ORDER BY d1, d2""".stripMargin)),
+
+    Q(
+      "dedup_minhash_lsh",
+      (s, dir) =>
+        Dedup.minhashLsh(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 3)
+          .orderBy(col("d1"), col("d2")),
+      Some {
+        val k = 12
+        val sigs = (0 until k).map(i =>
+          s"list_min(list_transform(shingles, s -> md5('$i' || '|' || s)))")
+          .mkString("[", ", ", "]")
+        val bandRows = (0 until 4).map { b =>
+          val parts = (0 until 3).map(r => s"sig[${b * 3 + r + 1}]").mkString(" || ")
+          s"SELECT doc_id, $b AS band, $parts AS bsig FROM sigs"
+        }.mkString(" UNION ALL ")
+        s"""WITH $toksCte, $shingleCte,
+           |sigs AS (SELECT doc_id, $sigs AS sig FROM sh),
+           |banded AS ($bandRows)
+           |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+           |ORDER BY d1, d2""".stripMargin
+      }),
+
+    Q(
+      "dedup_simhash",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .filter(TextFunctions.tokenCount(col("text")) > 0)
+          .select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+          .orderBy(col("doc_id")),
+      Some {
+        // hex→int over the first 8 md5 chars, pure integer arithmetic
+        val hexVal = (1 to 8).map { i =>
+          val pow = math.pow(16, 8 - i).toLong
+          s"(strpos('0123456789abcdef', substring(left(md5(tok), 8), $i, 1)) - 1) * ${pow}::BIGINT"
+        }.mkString(" + ")
+        val bitSums = (0 until 16).map { j =>
+          s"SUM(CASE WHEN (v // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+        }.mkString(", ")
+        val shExpr = (0 until 16).map { j =>
+          s"CASE WHEN b$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH $toksCte,
+           |tv AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM toks WHERE len(ws) > 0),
+           |vals AS (SELECT doc_id, ($hexVal) % 65536 AS v FROM tv),
+           |bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id)
+           |SELECT doc_id, $shExpr AS sh FROM bits ORDER BY doc_id""".stripMargin
+      }),
+
+    Q(
+      "dedup_embedding_cosine",
+      (s, dir) =>
+        Dedup.embeddingCosine(table(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", Dim, threshold = 0.45)
+          .orderBy(col("d1"), col("d2")),
+      Some(s"""SELECT a.vec_id AS d1, b.vec_id AS d2,
+             |  ${cosSql("a.embedding", "b.embedding")} AS cos
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // ======== similarity search ========
+    Q(
+      "ann_bruteforce_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.cosineTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", Dim, k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""SELECT q_id, n_id, rank, cos FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rank,
+             |    ${cosSql("a.embedding", "b.embedding")} AS cos
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+             |  WHERE a.vec_id < 20) t
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    Q(
+      "ann_lsh_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.lshTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", Dim,
+          planes = 4, k = 3)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        def bucketSql(v: String): String =
+          (0 until 4).map { p =>
+            val proj = (0 until Dim).map(d =>
+              s"$v[${d + 1}]::DOUBLE * (${Similarity.planeWeight(d, p)})")
+              .mkString(" + ")
+            s"CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END"
+          }.mkString(" + ")
+        s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+           |SELECT q_id, n_id, rank, cos FROM (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rank,
+           |    ${cosSql("a.embedding", "b.embedding")} AS cos
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+           |  WHERE a.vec_id < 20) t
+           |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
+    // ======== multimodal plumbing (byte-level; decode is stubbed) ========
+    Q(
+      "multimodal_bytes",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text").cast("binary")).as("n_bytes"),
+            md5(col("text").cast("binary")).as("content_hash"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+             |  md5(text) AS content_hash
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+}

@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators — the LLM-training-pipeline workhorses,
+  * each designed around one shuffle on a compact key so the pattern holds
+  * at 100 TB:
+  *
+  *   - exact:        hash-groupBy on md5(text) — one shuffle of 16-byte keys
+  *   - ngramJaccard: inverted-index join on shingles (never all-pairs);
+  *                   candidate pairs are bounded by shared-shingle counts
+  *   - minhashLsh:   shingle → fixed-k minhash signature → banded buckets →
+  *                   pair join inside buckets only (classic MinHash+LSH)
+  *   - simhash:      64→16-bit projection per doc, near-dup = small
+  *                   hamming distance; signature computation is a narrow map
+  *   - embeddingCosine: blocked all-pairs within a blocking key (label,
+  *                   LSH bucket, …) — never unblocked n²
+  *
+  * Hashing uses md5 (bit-identical across engines) so every operator is
+  * verifiable against the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Canonical-id assignment by exact text hash: every row keeps the min
+    * id of its duplicate group. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
+    df.select(
+      col(idCol),
+      min(col(idCol)).over(w).as("keep_id"),
+      (col(idCol) =!= min(col(idCol)).over(w)).as("is_dup"))
+  }
+
+  /** Exact-duplicate removal (the companion action to [[exact]]). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** doc → distinct word-n-gram shingle rows (the inverted index). */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** Candidate pairs by n-gram Jaccard ≥ threshold, computed via an
+    * inverted-index self-join (docs sharing no shingle never pair up).
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n_shingles", "na"), "d1")
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n_shingles", "nb"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** md5-based minhash signature: component i = min over shingles of
+    * md5(i || "|" || shingle). String-lexicographic min of a uniform hash
+    * is a valid minwise sample and is reproducible in any engine with md5.
+    */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val sh = shingles(text, n)
+    array((0 until k).map { i =>
+      array_min(transform(sh,
+        s => md5(concat(lit(i.toString), lit("|"), s).cast("binary"))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: signatures banded `bands` × `rowsPerBand`; docs
+    * sharing any full band become a candidate pair. One shuffle on
+    * (band, bandSignature) — never all-pairs.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df
+      .filter(size(tokens(col(textCol))) >= n) // no shingles → no signature
+      .select(col(idCol).as("doc"),
+        minhashSignature(col(textCol), n, k).as("sig"))
+    val banded = sig.select(col("doc"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+      }: _*)).as(Seq("band", "bsig")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+  }
+
+  /** 16-bit simhash over distinct tokens: token weight vector is the low
+    * 16 bits of md5; bit j of the signature is the sign of the per-bit
+    * vote sum. Near-duplicate = hamming(simhash) small.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    // low 16 bits of md5(token), as exact integer arithmetic
+    val tokVal = (t: Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % 65536L
+    val bitSums = (0 until 16).map { j =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(shiftright(tokVal(t), j) % 2 === 1, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Simhash near-dup pairs with hamming distance ≤ maxHamming.
+    * This variant compares all pairs (fine ≤ ~100k docs); at larger scale
+    * block first on signature bytes (prefix buckets) exactly like
+    * minhashLsh.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val s = df.select(col(idCol).as("doc"), simhash16(col(textCol)).as("sh"))
+    s.as("a").join(s.as("b"), col("a.doc") < col("b.doc"))
+      .withColumn("hamming",
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"), col("hamming"))
+  }
+
+  /** Embedding near-dup pairs by cosine ≥ threshold within a blocking key
+    * (label, cluster id, LSH bucket, …). The block join keeps the pair
+    * count at Σ_b n_b² instead of n².
+    *
+    * The dot product is an explicit left-assoc sum over `dim` terms so the
+    * float result is bit-identical to the SQL oracle.
+    */
+  def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, dim: Int, threshold: Double): DataFrame = {
+    val e = df.select(col(idCol).as("vid"), col(vecCol).as("v"), col(blockCol).as("blk"))
+    val joined = e.as("a").join(e.as("b"),
+      col("a.blk") === col("b.blk") && col("a.vid") < col("b.vid"))
+    joined
+      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v"), dim))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vid").as("d1"), col("b.vid").as("d2"), col("cos"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *   - [[cosineTopK]] is the exact baseline: query-set × corpus cross join
+  *     (queries side is small/broadcast), windowed top-k. At cluster scale
+  *     the corpus stays partitioned, queries broadcast — linear scan, no
+  *     shuffle of the corpus.
+  *   - [[lshBuckets]]/[[lshTopK]] is the scale path: deterministic integer
+  *     random-hyperplane LSH; the corpus is bucketed once (narrow map),
+  *     lookups join on the bucket id only.
+  *
+  * Dot products are explicit left-assoc sums with per-element DOUBLE casts
+  * so results are bit-identical to the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Left-assoc Σ a[i]·b[i] with element-wise double casts. */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (sqrt(dot(a, a, dim)) * sqrt(dot(b, b, dim)))
+
+  /** Exact brute-force top-k neighbors for each query vector. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_v"), col("n_v"), dim))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight (integer in [-6, 6]):
+    * w(dim d, plane p) = ((d*31 + p*17) mod 13) - 6. Integer weights make
+    * the construction exactly reproducible in plain SQL.
+    */
+  def planeWeight(d: Int, p: Int): Int = ((d * 31 + p * 17) % 13) - 6
+
+  /** Random-hyperplane LSH bucket id: bit p set iff Σ v[d]·w(d,p) > 0. */
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = (0 until dim).map(d =>
+        element_at(vec, d + 1).cast("double") * lit(planeWeight(d, p)))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+
+  /** ANN top-k restricted to the query's LSH bucket — the linear scan
+    * becomes a bucket-partitioned join (expected corpus/2^planes
+    * candidates per query).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, planes: Int, k: Int): DataFrame = {
+    val q = lshBuckets(queries, idCol, vecCol, dim, planes)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"), col("bucket"))
+    val c = lshBuckets(corpus, idCol, vecCol, dim, planes)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_v"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_v"), col("n_v"), dim))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+  }
+}
