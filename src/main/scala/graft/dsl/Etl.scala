@@ -49,7 +49,8 @@ private[dsl] final case class EmissionSpec(
     rootIndex: Int,
     levels: Seq[IterationLevel],
     fields: Seq[Field],
-    joinOn: Seq[String])
+    joinOn: Seq[String],
+    schema: Option[StructType] = None)
 
 private[dsl] final case class LinkSpec(
     childTable: String,
@@ -156,6 +157,20 @@ final class Etl private (
     copyWith(emissions = emissions :+
       EmissionSpec(table, currentRoot, effectiveLevels, fields, joinOn))
 
+  /** Typed emission: declares the table's schema (the reference's model
+    * class). Unknown fields fail at compile time with a did-you-mean
+    * suggestion; values that don't conform are routed to the error
+    * side-channel (collect mode) or fail the run (fail-fast).
+    */
+  def mapToTyped(table: String, schema: StructType,
+      joinOn: Seq[String] = Nil)(fields: Field*): Etl = {
+    Validation.checkFields(table,
+      fields.filterNot(_.temp).map(_.name), schema)
+    copyWith(emissions = emissions :+
+      EmissionSpec(table, currentRoot, effectiveLevels, fields, joinOn,
+        Some(schema)))
+  }
+
   // ---- relationships (reference fluent.py:578-714) ----
 
   /** Many-to-one: embed the parent row as struct column `as` on the most
@@ -197,8 +212,16 @@ final class Etl private (
 
   // ---- execution ----
 
-  def run(): PipelineResult = new PipelineExecutor(
-    roots, emissions, links, backlinks, indexes, deterministicIds).execute()
+  /** Compile and materialize the pipeline.
+    * @param failFast throw on the first validation error instead of
+    *                 collecting an error side-channel (reference error
+    *                 modes, fluent.py:531-576)
+    * @param telemetry phase-event callback (reference telemetry.py)
+    */
+  def run(failFast: Boolean = false,
+      telemetry: Telemetry = Telemetry.Noop): PipelineResult =
+    new PipelineExecutor(roots, emissions, links, backlinks, indexes,
+      deterministicIds, failFast, telemetry).execute()
 }
 
 object Etl {

@@ -1,0 +1,103 @@
+package graft.dsl
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
+/** Relational sinks (reference §2.1: SQLAlchemy/Supabase flush,
+  * fluent.py:1584-1708 + adapters/supabase_adapter.py).
+  *
+  * Tables flush parent-first (topological order, driver-side); row data
+  * moves executor→DB directly via per-partition JDBC batches — the driver
+  * never materializes rows. Batch size bounds memory per task
+  * (`load(batch_size=...)` in the reference).
+  */
+object JdbcLoad {
+
+  /** Plain append of every pipeline table in topo order. */
+  def append(result: PipelineResult, url: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    result.write { (table, df) =>
+      df.write.mode("append").jdbc(url, table, props)
+    }
+
+  /** Update-else-insert upsert by per-table conflict columns (reference
+    * `load(upsert=True, upsert_on=[...])` → ON CONFLICT DO UPDATE;
+    * engine-portable two-step form, batched per partition).
+    */
+  def upsert(result: PipelineResult, url: String,
+      upsertOn: Map[String, Seq[String]], batchSize: Int = 500): Unit =
+    result.write { (table, df) =>
+      upsertOn.get(table) match {
+        case None => df.write.mode("append").jdbc(url, table, new java.util.Properties())
+        case Some(keys) => upsertTable(df, url, table, keys, batchSize)
+      }
+    }
+
+  private[dsl] def upsertTable(df: DataFrame, url: String, table: String,
+      keys: Seq[String], batchSize: Int): Unit = {
+    val cols = df.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val conn = DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val update = conn.prepareStatement(
+          s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+            s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}")
+        val insert = conn.prepareStatement(
+          s"INSERT INTO $table (${cols.mkString(", ")}) " +
+            s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+        var n = 0
+        rows.foreach { row =>
+          nonKeys.zipWithIndex.foreach { case (c, i) =>
+            update.setObject(i + 1, row.getAs[Any](c)) }
+          keys.zipWithIndex.foreach { case (c, i) =>
+            update.setObject(nonKeys.size + i + 1, row.getAs[Any](c)) }
+          if (update.executeUpdate() == 0) {
+            cols.zipWithIndex.foreach { case (c, i) =>
+              insert.setObject(i + 1, row.getAs[Any](c)) }
+            insert.executeUpdate()
+          }
+          n += 1
+          if (n % batchSize == 0) conn.commit()
+        }
+        conn.commit()
+      } finally conn.close()
+    }
+  }
+
+  /** Two-phase generated-ID capture (reference: Supabase link_to(fk=...),
+    * fluent.py:820-901): insert rows, read back each DB-generated key, and
+    * return (natural key columns, generated id) for joining onto children
+    * before their own flush. Runs on executors per partition; use for
+    * dimension-sized parents.
+    */
+  def insertReturningIds(df: DataFrame, url: String, table: String,
+      naturalKey: Seq[String], idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.columns.toSeq
+    val outSchema = StructType(
+      naturalKey.map(k => df.schema(k)) :+ StructField(idCol, LongType))
+    val outRows = df.rdd.mapPartitions { rows =>
+      val conn = DriverManager.getConnection(url)
+      val insert = conn.prepareStatement(
+        s"INSERT INTO $table (${cols.mkString(", ")}) " +
+          s"VALUES (${cols.map(_ => "?").mkString(", ")})",
+        java.sql.Statement.RETURN_GENERATED_KEYS)
+      val out = rows.map { row =>
+        cols.zipWithIndex.foreach { case (c, i) =>
+          insert.setObject(i + 1, row.getAs[Any](c)) }
+        insert.executeUpdate()
+        val rs = insert.getGeneratedKeys
+        rs.next()
+        val id = rs.getLong(1)
+        Row.fromSeq(naturalKey.map(k => row.getAs[Any](k)) :+ id)
+      }.toVector.iterator // drain before closing the connection
+      conn.close()
+      out
+    }
+    spark.createDataFrame(outRows, outSchema)
+  }
+}

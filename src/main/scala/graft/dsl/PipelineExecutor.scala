@@ -38,7 +38,9 @@ private[dsl] final class PipelineExecutor(
     links: Seq[LinkSpec],
     backlinks: Seq[BacklinkSpec],
     indexes: Seq[IndexSpec],
-    deterministicIds: Boolean) {
+    deterministicIds: Boolean,
+    failFast: Boolean = false,
+    telemetry: Telemetry = Telemetry.Noop) {
   import PipelineExecutor._
 
   def execute(): PipelineResult = {
@@ -48,8 +50,27 @@ private[dsl] final class PipelineExecutor(
     val byTable = ListMap(emissions.zipWithIndex.groupBy(_._1.table).toSeq
       .sortBy(_._2.head._2): _*)
 
+    var errorDfs = ListMap.empty[String, DataFrame]
     val tableStates = byTable.map { case (table, specs) =>
-      table -> mergeTable(table, specs, lookupMaps)
+      telemetry.safeEvent("MapStarted", table)
+      var state = mergeTable(table, specs, lookupMaps)
+      // validation (reference §2.7): declared schema → try_cast split
+      specs.flatMap(_._1.schema).headOption.foreach { schema =>
+        val keyCols =
+          if (specs.head._1.joinOn.nonEmpty) specs.head._1.joinOn
+          else Seq(RowOrd)
+        val (valid, errors) = Validation.validate(table, state.df, keyCols, schema)
+        if (failFast) {
+          val sample = errors.limit(5).collect()
+            .map(r => s"${r.getString(1)}/${r.getString(2)}: ${r.getString(3)}")
+          if (sample.nonEmpty)
+            throw Validation.ValidationFailedException(table, sample.toSeq)
+        }
+        errorDfs += table -> errors
+        state = state.copy(df = valid)
+      }
+      telemetry.safeEvent("MapCompleted", table)
+      table -> state
     }
 
     // ---- relationships ----
@@ -65,7 +86,7 @@ private[dsl] final class PipelineExecutor(
         backlinks.map(b => b.parentTable -> b.childTable))
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
 
-    new PipelineResult(states, deps)
+    new PipelineResult(states, deps, errorDfs, telemetry)
   }
 
   // ---------------------------------------------------------------- emit
@@ -271,9 +292,27 @@ private[dsl] final class PipelineExecutor(
   */
 final class PipelineResult private[dsl] (
     states: ListMap[String, TableState],
-    val deps: Map[String, Set[String]]) {
+    val deps: Map[String, Set[String]],
+    errorDfs: ListMap[String, DataFrame] = ListMap.empty,
+    telemetry: Telemetry = Telemetry.Noop) {
 
   def tableNames: Seq[String] = states.keys.toSeq
+
+  /** Validation errors for one typed table: (table, key, field, error). */
+  def errors(table: String): DataFrame = errorDfs.getOrElse(table,
+    throw new IllegalArgumentException(s"no typed schema declared for '$table'"))
+
+  /** All validation errors across typed tables. */
+  def allErrors: Option[DataFrame] = errorDfs.values.reduceOption(_.unionByName(_))
+
+  /** Per-table (mapped, errors) counts — triggers actions (reference
+    * TableStats, fluent.py:164-281). */
+  final case class TableStats(mapped: Long, errors: Long)
+  def tableStats: Map[String, TableStats] =
+    states.map { case (n, s) =>
+      n -> TableStats(s.df.count(),
+        errorDfs.get(n).map(_.count()).getOrElse(0L))
+    }.toMap
 
   /** Final table: visible fields only, rows in traversal arrival order. */
   def table(name: String): DataFrame = states.getOrElse(name,
@@ -298,5 +337,11 @@ final class PipelineResult private[dsl] (
   /** Write every table parent-first through `writer` — the JDBC/Delta sink
     * seam (`(table, df) => df.write.jdbc(...)`). */
   def write(writer: (String, DataFrame) => Unit): Unit =
-    topoOrder.foreach(t => writer(t, table(t)))
+    topoOrder.foreach { t =>
+      telemetry.safeEvent("FlushStarted", t)
+      try { writer(t, table(t)); telemetry.safeEvent("FlushCompleted", t) }
+      catch { case e: Throwable =>
+        telemetry.safeEvent("FlushFailed", t, e.getMessage); throw e
+      }
+    }
 }

@@ -1,0 +1,108 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Validation layer (reference §2.7: error modes, strict field check,
+  * incremental vs finalize validation, PipelineResult stats).
+  *
+  * The reference validates row-at-a-time through Pydantic; here validation
+  * is columnar: every declared field gets a `try_cast` — a value that
+  * fails to cast yields an error row in a side-channel DataFrame while
+  * processing continues ("collect" mode), or fails the run ("fail_fast").
+  * The strict unknown-field check runs at compile time against the
+  * declared schema, with a did-you-mean suggestion like the reference's
+  * difflib hint (executor.py:310-333).
+  */
+object Validation {
+
+  final case class UnknownFieldException(table: String, field: String,
+      suggestion: Option[String], known: Seq[String])
+    extends IllegalArgumentException(
+      s"unknown field '$field' for table '$table'" +
+        suggestion.map(s => s"; did you mean '$s'?").getOrElse("") +
+        s" (known fields: ${known.mkString(", ")})")
+
+  final case class ValidationFailedException(table: String, sampleErrors: Seq[String])
+    extends RuntimeException(
+      s"validation failed for table '$table' (fail-fast): ${sampleErrors.mkString("; ")}")
+
+  /** Closest known field by edit distance ≤ 3 (the did-you-mean hint). */
+  def closest(field: String, known: Seq[String]): Option[String] =
+    known.map(k => k -> editDistance(field.toLowerCase, k.toLowerCase))
+      .filter(_._2 <= 3).sortBy(_._2).headOption.map(_._1)
+
+  private def editDistance(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Strict-field check: every emitted field must appear in the declared
+    * schema. Runs before any job is launched (analysis-time, like a
+    * schema mismatch in `.as[T]`). */
+  def checkFields(table: String, emitted: Seq[String], schema: StructType): Unit = {
+    val known = schema.fieldNames.toSeq
+    emitted.foreach { f =>
+      if (!known.contains(f))
+        throw UnknownFieldException(table, f, closest(f, known), known)
+    }
+  }
+
+  /** Split a merged table into (validated rows, error rows).
+    *
+    * For each declared field: `try_cast` to the declared type. Cast
+    * failure (non-null in, null out) produces an error row
+    * (key, field, value, error); nullability violations likewise.
+    * Valid output carries the cast columns. One narrow pass, no shuffle.
+    */
+  def validate(table: String, df: DataFrame, keyCols: Seq[String],
+      schema: StructType): (DataFrame, DataFrame) = {
+    val declared = schema.fields.filter(f => df.columns.contains(f.name))
+
+    val errCols: Seq[Column] = declared.flatMap { f =>
+      val c = col(f.name)
+      val cast = c.try_cast(f.dataType)
+      val castErr = when(c.isNotNull && cast.isNull,
+        concat(lit(s"cannot cast to ${f.dataType.simpleString}: "), c.cast(StringType)))
+      val nullErr =
+        if (f.nullable) lit(null).cast(StringType)
+        else when(c.isNull, lit("null value for non-nullable field"))
+      Seq(
+        when(coalesce(castErr, nullErr).isNotNull,
+          struct(lit(f.name).as("field"),
+            coalesce(castErr, nullErr).as("error")))
+          .as(s"__e_${f.name}"))
+    }
+
+    val keyed = df.withColumn("__g_errs",
+      filter(array(errCols: _*), e => e.isNotNull))
+
+    val errors = keyed
+      .filter(size(col("__g_errs")) > 0)
+      .select(
+        lit(table).as("table"),
+        concat_ws("|", keyCols.map(k => col(k).cast(StringType)): _*).as("key"),
+        explode(col("__g_errs")).as("e"))
+      .select(col("table"), col("key"),
+        col("e.field").as("field"), col("e.error").as("error"))
+
+    val valid = keyed
+      .filter(size(col("__g_errs")) === 0)
+      .drop("__g_errs")
+      .select(df.columns.map { c =>
+        declared.find(_.name == c) match {
+          case Some(f) => col(c).try_cast(f.dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+
+    (valid, errors)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.dsl
+
+import graft.SparkTestBase
+
+import java.sql.DriverManager
+
+/** Relational load against embedded Derby (a real JDBC database in the
+  * Spark classpath) — flush ordering with FK constraints, upsert, and
+  * generated-ID capture (reference: tests/test_fluent_sqlalchemy.py).
+  */
+class JdbcLoadSpec extends SparkTestBase {
+  import transforms._
+
+  private val url = s"jdbc:derby:memory:graftdb;create=true"
+
+  private def exec(sql: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try { val st = c.createStatement(); st.execute(sql); st.close() }
+    finally c.close()
+  }
+  private def queryAll(sql: String): Seq[Seq[Any]] = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(sql)
+      val n = rs.getMetaData.getColumnCount
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      while (rs.next()) buf += (1 to n).map(rs.getObject)
+      buf.toSeq
+    } finally c.close()
+  }
+
+  private val j =
+    """{"users": [{"id": "u1", "name": "Alice",
+      |  "posts": [{"id": "p1", "title": "Hello"}, {"id": "p2", "title": "World"}]}]}""".stripMargin
+
+  private def result = Etl.json(spark, j)
+    .goto("users").each()
+    .mapTo("users", joinOn = Seq("id"))("id" -> get("id"), "name" -> get("name"))
+    .root().goto("users").each().goto("posts").each()
+    .mapTo("posts", joinOn = Seq("id"))(
+      "id" -> get("id"),
+      "user_id" -> getFromParent("id"),
+      "title" -> get("title"))
+    .linkTo("users", by = Map("user_id" -> "id"))
+    .run()
+
+  test("append flushes parent-first through a NOT NULL FK") {
+    exec("CREATE TABLE users (id VARCHAR(10) PRIMARY KEY, name VARCHAR(50))")
+    exec("""CREATE TABLE posts (id VARCHAR(10) PRIMARY KEY,
+           | user_id VARCHAR(10) NOT NULL REFERENCES users(id),
+           | title VARCHAR(50))""".stripMargin)
+
+    val r = result
+    // linkTo embeds a struct column; JDBC needs flat columns — project
+    r.write { (t, df) =>
+      val flat = if (t == "posts") df.select("id", "user_id", "title") else df
+      flat.write.mode("append").jdbc(url, t, new java.util.Properties())
+    }
+    assert(queryAll("SELECT id, name FROM users") === Seq(Seq("u1", "Alice")))
+    assert(queryAll("SELECT id, user_id FROM posts ORDER BY id") ===
+      Seq(Seq("p1", "u1"), Seq("p2", "u1")))
+  }
+
+  test("upsert updates on key conflict instead of duplicating") {
+    exec("CREATE TABLE dim (k VARCHAR(10) PRIMARY KEY, v VARCHAR(20))")
+    import spark.implicits._
+    val first = Seq(("a", "one"), ("b", "two")).toDF("k", "v")
+    val second = Seq(("b", "TWO"), ("c", "three")).toDF("k", "v")
+    JdbcLoad.upsertTable(first, url, "dim", Seq("k"), batchSize = 10)
+    JdbcLoad.upsertTable(second, url, "dim", Seq("k"), batchSize = 10)
+    assert(queryAll("SELECT k, v FROM dim ORDER BY k") ===
+      Seq(Seq("a", "one"), Seq("b", "TWO"), Seq("c", "three")))
+  }
+
+  test("insertReturningIds captures DB-generated keys for FK population") {
+    exec("""CREATE TABLE gen_users (
+           | id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+           | name VARCHAR(50))""".stripMargin)
+    import spark.implicits._
+    val parents = Seq(Tuple1("Alice"), Tuple1("Bob")).toDF("name")
+    val ids = JdbcLoad.insertReturningIds(parents, url, "gen_users",
+      naturalKey = Seq("name"), idCol = "id")
+    val got = ids.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.keySet === Set("Alice", "Bob"))
+    assert(got.values.toSet.size === 2) // distinct generated ids
+    // and they match what the DB holds
+    val db = queryAll("SELECT name, id FROM gen_users ORDER BY id")
+      .map(r => (r(0), r(1).asInstanceOf[Long])).toMap
+    assert(db === got)
+  }
+}

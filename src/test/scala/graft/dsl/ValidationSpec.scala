@@ -1,0 +1,81 @@
+package graft.dsl
+
+import graft.SparkTestBase
+import org.apache.spark.sql.types._
+
+/** Error modes, strict field check, typed validation, stats, telemetry
+  * (reference §2.7; tests/test_instances.py fail-fast + suggestion cases).
+  */
+class ValidationSpec extends SparkTestBase {
+  import transforms._
+
+  private val userSchema = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("age", IntegerType),
+    StructField("name", StringType)))
+
+  private val j =
+    """{"users": [
+      |  {"id": "u1", "age": "30",  "name": "Alice"},
+      |  {"id": "u2", "age": "old", "name": "Bob"},
+      |  {"id": "u3", "age": null,  "name": "Carol"}
+      |]}""".stripMargin
+
+  private def pipeline = Etl.json(spark, j)
+    .goto("users").each()
+    .mapToTyped("users", userSchema, joinOn = Seq("id"))(
+      "id" -> get("id"), "age" -> get("age"), "name" -> get("name"))
+
+  test("collect mode: bad rows go to the error side-channel, good rows pass") {
+    val result = pipeline.run()
+    assert(rows(result.table("users")) ===
+      Seq(Seq("u1", 30, "Alice"), Seq("u3", null, "Carol")))
+    val errs = result.errors("users").collect()
+    assert(errs.length === 1)
+    assert(errs(0).getString(1) === "u2")
+    assert(errs(0).getString(2) === "age")
+    assert(errs(0).getString(3).contains("cannot cast to int"))
+    val stats = result.tableStats
+    assert(stats("users").errors === 1)
+  }
+
+  test("fail-fast mode throws naming the bad value") {
+    val e = intercept[Validation.ValidationFailedException] {
+      pipeline.run(failFast = true)
+    }
+    assert(e.getMessage.contains("age"))
+    assert(e.getMessage.contains("old"))
+  }
+
+  test("unknown field fails at build time with did-you-mean") {
+    val e = intercept[Validation.UnknownFieldException] {
+      Etl.json(spark, j)
+        .goto("users").each()
+        .mapToTyped("users", userSchema)(
+          "id" -> get("id"), "nmae" -> get("name"))
+    }
+    assert(e.getMessage.contains("did you mean 'name'"))
+  }
+
+  test("non-nullable violation is an error row") {
+    val schema = StructType(Seq(StructField("id", StringType, nullable = false)))
+    val result = Etl.json(spark, """{"xs": [{"id": "a"}, {"id": null}]}""")
+      .goto("xs").each()
+      .mapToTyped("t", schema)("id" -> get("id"))
+      .run()
+    // null id row: no joinOn so it is kept in mapping, then rejected
+    assert(result.table("t").count() === 1)
+    val errs = result.errors("t").collect()
+    assert(errs.length === 1 && errs(0).getString(3).contains("non-nullable"))
+  }
+
+  test("telemetry receives map and flush events in order") {
+    val rec = new Telemetry.Recording
+    val result = pipeline.run(telemetry = rec)
+    result.write((_, df) => { df.count(); () })
+    val names = rec.events.map(e => (e._1, e._2)).toSeq
+    assert(names === Seq(
+      ("MapStarted", "users"), ("MapCompleted", "users"),
+      ("FlushStarted", "users"), ("FlushCompleted", "users")))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.dsl.{Etl, PipelineResult}
+import graft.dsl.{transforms => T}
+import graft.dsl.transforms.pairToField
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Chunked streaming semantics (reference §2.8, tests/test_issue_75/76/77):
+  * per-chunk map+flush, eager dimensions, completeness violations.
+  */
+class StreamingEtlSpec extends SparkTestBase {
+
+  test("foreachChunk maps and flushes each micro-batch independently") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val flushed = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+
+    val writer = StreamingEtl.foreachChunk(
+      input.toDF().withColumnRenamed("value", "payload"),
+      batch => Etl(batch)
+        .mapTo("records", joinOn = Seq("payload"))(
+          "payload" -> T.get("payload")),
+      new StreamingEtl.FlushStrategy {
+        def flush(result: PipelineResult, batchId: Long): Unit =
+          result.write { (t, df) =>
+            flushed.synchronized { flushed += ((batchId, t, df.count())) }
+          }
+      })
+
+    val q = writer.start()
+    input.addData("a", "b")
+    q.processAllAvailable()
+    input.addData("c")
+    q.processAllAvailable()
+    q.stop()
+
+    // per-chunk state: batch 1 sees only its own rows (eviction is free)
+    assert(flushed.toList === List((0L, "records", 2L), (1L, "records", 1L)))
+  }
+
+  test("relationship completeness: missing parent raises with key names") {
+    import spark.implicits._
+    val children = Seq(("p1", "u1"), ("p2", "zz")).toDF("id", "user_id")
+    val parents = Seq(Tuple1("u1")).toDF("id")
+    val e = intercept[StreamingEtl.RelationshipIncompleteError] {
+      StreamingEtl.checkRelationshipCompleteness(
+        children, "user_id", parents, "id", "posts", "users")
+    }
+    assert(e.getMessage.contains("zz"))
+    assert(e.getMessage.contains("posts"))
+    // complete case does not throw
+    val ok = Seq(("p1", "u1")).toDF("id", "user_id")
+    StreamingEtl.checkRelationshipCompleteness(
+      ok, "user_id", parents, "id", "posts", "users")
+  }
+
+  test("eager dimension stays resident across chunks (broadcast join)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dims = Seq(("t1", "red"), ("t2", "blue")).toDF("tag_id", "color")
+    val input = MemoryStream[String]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+    val writer = StreamingEtl.foreachChunk(
+      input.toDF().withColumnRenamed("value", "tag"),
+      batch => Etl(batch.join(broadcast(dims), batch("tag") === dims("tag_id"))
+          .select("tag", "color"))
+        .mapTo("tagged")("tag" -> T.get("tag"), "color" -> T.get("color")),
+      new StreamingEtl.FlushStrategy {
+        def flush(result: PipelineResult, batchId: Long): Unit =
+          result.table("tagged").collect().foreach(r =>
+            seen.synchronized { seen += ((r.getString(0), r.getString(1))) })
+      })
+
+    val q = writer.start()
+    input.addData("t1")
+    q.processAllAvailable()
+    input.addData("t2")
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSet === Set(("t1", "red"), ("t2", "blue")))
+  }
+}
