@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** Every registered, verifiable query. */
   def all: Seq[Q] =
-    ops.Relational.queries ++ ops.DslQueries.queries ++ ops.CorpusQueries.queries
+    ops.Relational.queries ++ ops.DslQueries.queries ++
+      ops.CorpusQueries.queries ++ ops.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the README-quickstart DSL pipeline (nested docs → users+posts

@@ -60,10 +60,16 @@ object TextFunctions {
 
   /** Rolling polynomial fingerprint over the characters:
     * h = fold(h * 31 + code(c)) mod 1e9+7 — a stable document id usable
-    * for cheap near-identity bucketing at any scale.
+    * for cheap near-identity bucketing at any scale. Implemented as a
+    * native codegen'd [[RollingHash]] expression (single byte loop, zero
+    * allocation); [[fingerprintHof]] is the composable-functions
+    * equivalent kept for cross-checking (identical for ASCII text).
     */
   val FingerprintMod = 1000000007L
   def fingerprint(text: Column): Column =
+    RollingHash.rolling_hash(text, FingerprintMod)
+
+  def fingerprintHof(text: Column): Column =
     aggregate(
       split(text, ""),
       lit(0L),

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Stream-processing queries over the events table.
+  *
+  * `stream_window_counts` genuinely runs Structured Streaming inside the
+  * correctness gate: file-source readStream over the events parquet,
+  * event-time tumbling-window aggregation, memory sink drained with
+  * processAllAvailable — then the materialized result is compared against
+  * DuckDB's batch answer (streaming/batch parity is exactly the
+  * guarantee Structured Streaming makes for complete-mode aggregation).
+  *
+  * `q_sessionize` is the batch gaps-and-islands sessionization (30-min
+  * inactivity gap) — the same construction any engine can verify;
+  * the stateful streaming variant (flatMapGroupsWithState) is exercised
+  * in StatefulStreamingSpec where late-data behavior can be asserted.
+  */
+object StreamingQueries {
+
+  /** events schema with nanos-as-long ts (Spark rejects TIMESTAMP(NANOS)
+    * otherwise; the long is converted right after the scan). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private var streamEpoch = 0
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "stream_window_counts",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val stream = s.readStream.schema(eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet") // file source lists a dir
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val agg = stream
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory").queryName(name)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name)
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      Some("""SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M') AS win_start,
+             |  event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q(
+      "q_sessionize",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapped = ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+              .otherwise(0))
+        val sess = gapped.withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        sess.groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH gapped AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM gapped)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+             |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

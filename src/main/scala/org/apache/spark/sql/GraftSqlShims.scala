@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Access shim for sql-private Column↔Expression conversion (the
+  * supported pattern for external Catalyst expression libraries: the
+  * converters live in `org.apache.spark.sql.classic` as private[sql]).
+  */
+object GraftSqlShims {
+  def toExpression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+}

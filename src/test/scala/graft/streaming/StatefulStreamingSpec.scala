@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Event-time streaming semantics: watermark late-data drop and custom
+  * state via flatMapGroupsWithState (SURVEY §2.8's Spark-native surface).
+  */
+case class Sess(user: String, start: Long, n: Int)
+
+class StatefulStreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops late events from windowed aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+
+    input.addData((ts("2024-01-01 00:05:00"), "a"))
+    q.processAllAvailable()
+    // advance the watermark far past the first window → it closes
+    input.addData((ts("2024-01-01 01:00:00"), "a"))
+    q.processAllAvailable()
+    // this event is 55 min late — behind the watermark → dropped
+    input.addData((ts("2024-01-01 00:06:00"), "a"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 02:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_out")
+      .select(date_format($"window.start", "HH:mm").as("w"), $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // first window emitted with exactly 1 event; the late one never counted
+    assert(rows("00:00") === 1L)
+  }
+
+  test("flatMapGroupsWithState sessionizes per key with custom state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)] // (user, epochSec)
+
+    val sessions = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Sess, (String, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: String, events: Iterator[(String, Long)], state: GroupState[Sess]) =>
+          var out = List.empty[(String, Long, Int)]
+          events.toSeq.sortBy(_._2).foreach { case (_, t) =>
+            state.getOption match {
+              case Some(s) if t - (s.start + s.n * 60) <= 1800 =>
+                state.update(s.copy(n = s.n + 1))
+              case Some(s) =>
+                out ::= ((user, s.start, s.n)) // close previous session
+                state.update(Sess(user, t, 1))
+              case None =>
+                state.update(Sess(user, t, 1))
+            }
+          }
+          out.reverse.iterator
+      }
+
+    val q = sessions.toDF().toDF("user", "start", "n")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+
+    input.addData(("u1", 1000L), ("u1", 1060L))   // one session, 2 events
+    q.processAllAvailable()
+    input.addData(("u1", 10000L))                 // gap > 1800 → new session
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.table("sess_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // the first session was closed when the far event arrived
+    assert(closed.toSeq === Seq(("u1", 1000L, 2)))
+  }
+}
