@@ -193,9 +193,8 @@ object CorpusQueries {
     Q(
       "dedup_simhash",
       (s, dir) =>
-        table(s, dir, "documents")
-          .filter(TextFunctions.tokenCount(col("text")) > 0)
-          .select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+        Dedup.simhashTable(table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("doc", "doc_id")
           .orderBy(col("doc_id")),
       Some {
         // hex→int over the first 8 md5 chars, pure integer arithmetic

@@ -42,9 +42,27 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** doc → distinct word-n-gram shingle rows (the inverted index). */
-  private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
+  /** doc → distinct word-n-gram shingle rows (the inverted index).
+    *
+    * Structured to defeat projection-collapse blowup: higher-order
+    * functions are interpreted (no codegen CSE), and CollapseProject
+    * inlines a `tokens(text)` expression into every `element_at`
+    * reference — re-splitting the text dozens of times per row. The
+    * token array is materialized in its own projection below a Generate
+    * barrier (Project is never merged into a generator), so the split
+    * happens exactly once per row.
+    */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__ws"))
+    val ws = col("__ws")
+    val shingleExpr =
+      when(size(ws) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))))
+        .otherwise(array().cast("array<string>"))
+    toks.select(col("doc"), explode(shingleExpr).as("shingle"))
+  }
 
   /** Candidate pairs by n-gram Jaccard ≥ threshold, computed via an
     * inverted-index self-join (docs sharing no shingle never pair up).
@@ -80,26 +98,52 @@ object Dedup {
   }
 
   /** LSH candidate pairs: signatures banded `bands` × `rowsPerBand`; docs
-    * sharing any full band become a candidate pair. One shuffle on
-    * (band, bandSignature) — never all-pairs.
+    * sharing any full band become a candidate pair.
+    *
+    * Computed over shingle ROWS: explode once, hash each shingle k times,
+    * take the k mins as grouped aggregates (map-side partials, one
+    * shuffle on doc id), band, join inside buckets. Never all-pairs, and
+    * no per-row HOF re-evaluation — the shape that holds at 100 TB.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df
-      .filter(size(tokens(col(textCol))) >= n) // no shingles → no signature
-      .select(col(idCol).as("doc"),
-        minhashSignature(col(textCol), n, k).as("sig"))
+    val hashed = shingleRows(df, idCol, textCol, n).select(
+      col("doc") +: (0 until k).map(i =>
+        md5(concat(lit(i.toString), lit("|"), col("shingle")).cast("binary"))
+          .as(s"__h$i")): _*)
+    val mins = (0 until k).map(i => min(col(s"__h$i")).as(s"__s$i"))
+    val sig = hashed.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
     val banded = sig.select(col("doc"),
       posexplode(array((0 until bands).map { b =>
-        concat_ws("", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+        concat((0 until rowsPerBand).map(r =>
+          col(s"__s${b * rowsPerBand + r}")): _*)
       }: _*)).as(Seq("band", "bsig")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
+  }
+
+  /** Per-doc 16-bit simhash as a table (explode + grouped bit votes — the
+    * scalable form of [[simhash16]]; identical values). */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"), array_distinct(tokens(col(textCol))).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+    val tv = toks.select(col("doc"), explode(col("__ts")).as("tok"))
+    val vals = tv.select(col("doc"),
+      (conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 65536L).as("v"))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(col("v"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"__b$j")
+    }
+    val bits = vals.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+    bits.select(col("doc"),
+      (0 until 16).map(j =>
+        when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh"))
   }
 
   /** 16-bit simhash over distinct tokens: token weight vector is the low
@@ -127,7 +171,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val s = df.select(col(idCol).as("doc"), simhash16(col(textCol)).as("sh"))
+    val s = simhashTable(df, idCol, textCol)
     s.as("a").join(s.as("b"), col("a.doc") < col("b.doc"))
       .withColumn("hamming",
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
