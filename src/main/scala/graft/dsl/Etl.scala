@@ -210,6 +210,18 @@ final class Etl private (
     */
   def scalableIds(): Etl = copyWith(deterministicIds = false)
 
+  /** Cache the parsed root documents before compiling emissions. The
+    * reference re-walks the whole JSON once per component
+    * (executor.py:261-262 table_filter); with several emissions over one
+    * root this trades memory for a single parse — SURVEY §4's explicit
+    * improvement. Opt-in because a single-emission pipeline gains
+    * nothing.
+    */
+  def cacheRoots(): Etl = {
+    roots.foreach(_.cache())
+    this
+  }
+
   // ---- execution ----
 
   /** Compile and materialize the pipeline.

@@ -319,6 +319,13 @@ final class PipelineResult private[dsl] (
     throw new IllegalArgumentException(
       s"unknown table '$name'; have: ${tableNames.mkString(", ")}")).ordered
 
+  /** Typed view of a table — the reference's InstanceBuilder finalize
+    * step (`Dataset[T]` with a case-class Encoder enforces the model
+    * schema at compile time; combine with `mapToTyped` for value-level
+    * validation). */
+  def typed[T: org.apache.spark.sql.Encoder](name: String): org.apache.spark.sql.Dataset[T] =
+    table(name).as[T]
+
   /** Table including temp fields and the hidden ordinal (for tests/links). */
   private[dsl] def raw(name: String): TableState = states(name)
 
