@@ -164,19 +164,30 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** Simhash near-dup pairs with hamming distance ≤ maxHamming.
-    * This variant compares all pairs (fine ≤ ~100k docs); at larger scale
-    * block first on signature bytes (prefix buckets) exactly like
-    * minhashLsh.
+  /** Simhash near-dup pairs with hamming distance ≤ maxHamming, via
+    * pigeonhole blocking: the 16 bits split into maxHamming+1 blocks —
+    * two signatures within the hamming budget MUST agree on at least one
+    * whole block, so candidates come from an equi-join on
+    * (blockIndex, blockValue) and are then verified exactly. Zero recall
+    * loss, never all-pairs — the same shape at any corpus size.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val s = simhashTable(df, idCol, textCol)
-    s.as("a").join(s.as("b"), col("a.doc") < col("b.doc"))
-      .withColumn("hamming",
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+    val nBlocks = maxHamming + 1
+    val bits = 16
+    val blockSize = math.ceil(bits.toDouble / nBlocks).toInt
+    val blocked = s.select(col("doc"), col("sh"),
+      posexplode(array((0 until nBlocks).map { b =>
+        shiftright(col("sh"), b * blockSize) % (1L << blockSize)
+      }: _*)).as(Seq("blk_i", "blk_v")))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk_i") === col("b.blk_i") && col("a.blk_v") === col("b.blk_v") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"), col("hamming"))
+      .distinct()
   }
 
   /** Embedding near-dup pairs by cosine ≥ threshold within a blocking key

@@ -200,6 +200,102 @@ object Relational {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- rollup: hierarchical subtotals (region → nation → grand total)
+    Q(
+      "q_rollup",
+      (s, dir) => {
+        val nation = table(s, dir, "nation")
+        val region = table(s, dir, "region")
+        val cust = table(s, dir, "customer")
+        cust.join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("n_customers"))
+          .orderBy(col("region"), col("nation"))
+      },
+      Some("""SELECT COALESCE(r_name, 'ALL') AS region,
+             |  COALESCE(n_name, 'ALL') AS nation,
+             |  COUNT(*) AS n_customers
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY region, nation""".stripMargin)),
+
+    // ---- correlated comparison without float division: orders above
+    //      their customer segment's average price (price*n > sum, exact)
+    Q(
+      "q_above_segment_avg",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val ord = table(s, dir, "orders")
+        val joined = ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_mktsegment"))
+        joined
+          .withColumn("seg_sum", sum(col("o_totalprice").cast(d182)).over(w))
+          .withColumn("seg_n", count(lit(1)).over(w))
+          .filter(col("o_totalprice").cast(d182) * col("seg_n") > col("seg_sum"))
+          .select(col("o_orderkey"), col("c_mktsegment"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, c_mktsegment FROM (
+             |  SELECT o_orderkey, c_mktsegment,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY c_mktsegment) AS seg_sum,
+             |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_n
+             |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+             |WHERE p * seg_n > seg_sum
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- set operations over yearly order-priority profiles
+    Q(
+      "q_setops",
+      (s, dir) => {
+        val ord = table(s, dir, "orders")
+        def prios(y: Int) = ord
+          .filter(year(col("o_orderdate")) === y)
+          .select(col("o_orderpriority")).distinct()
+        val both = prios(1995).intersect(prios(2000))
+          .withColumn("op", lit("both"))
+        val onlyEarly = prios(1995).except(prios(2000))
+          .withColumn("op", lit("only_1995"))
+        both.unionByName(onlyEarly)
+          .orderBy(col("op"), col("o_orderpriority"))
+      },
+      Some("""(SELECT o_orderpriority, 'both' AS op FROM
+             |  (SELECT DISTINCT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995
+             |   INTERSECT
+             |   SELECT DISTINCT o_orderpriority FROM orders WHERE year(o_orderdate) = 2000))
+             |UNION ALL
+             |(SELECT o_orderpriority, 'only_1995' AS op FROM
+             |  (SELECT DISTINCT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995
+             |   EXCEPT
+             |   SELECT DISTINCT o_orderpriority FROM orders WHERE year(o_orderdate) = 2000))
+             |ORDER BY op, o_orderpriority""".stripMargin)),
+
+    // ---- per-user event deltas (lag) on the stream table
+    Q(
+      "q_events_lag",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))
+        events(s, dir)
+          .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+          .filter(col("delta").isNotNull)
+          .select(col("event_id"), col("user_id"), col("delta"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, delta FROM (
+             |  SELECT event_id, user_id,
+             |    value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+             |  FROM events) t
+             |WHERE delta IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- JSON extraction from the events.props payload column
     Q(
       "q_events_json",
