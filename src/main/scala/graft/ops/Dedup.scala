@@ -199,11 +199,17 @@ object Dedup {
     */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, dim: Int, threshold: Double): DataFrame = {
-    val e = df.select(col(idCol).as("vid"), col(vecCol).as("v"), col(blockCol).as("blk"))
+    // norms precomputed per row below the join barrier: the blocked n²
+    // stage pays one dot product per pair, not three
+    val e = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      col(blockCol).as("blk"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol), dim)).as("nrm"))
     val joined = e.as("a").join(e.as("b"),
       col("a.blk") === col("b.blk") && col("a.vid") < col("b.vid"))
     joined
-      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v"), dim))
+      .withColumn("cos",
+        Similarity.dot(col("a.v"), col("b.v"), dim) /
+          (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vid").as("d1"), col("b.vid").as("d2"), col("cos"))
   }

@@ -19,22 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-assoc Σ a[i]·b[i] with element-wise double casts. */
+  /** Left-assoc Σ a[i]·b[i] in double — the native codegen'd loop
+    * ([[graft.functions.DotProduct]]); `dim` is advisory (runtime array
+    * length governs). The unrolled element_at chain it replaces produced
+    * megabyte expression trees that fell out of codegen. */
   def dot(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+    graft.functions.DotProduct.dot_product(a, b)
 
   def cosine(a: Column, b: Column, dim: Int): Column =
     dot(a, b, dim) / (sqrt(dot(a, a, dim)) * sqrt(dot(b, b, dim)))
 
+  // Norms are precomputed per row BEFORE any join (below the join
+  // barrier, so CollapseProject cannot inline them into per-pair work):
+  // the n² stage pays one dot product per pair, not three.
+
   /** Exact brute-force top-k neighbors for each query vector. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("q_nrm"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("n_nrm"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_v"), col("n_v"), dim))
+      .withColumn("cos",
+        dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -69,12 +77,15 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, planes: Int, k: Int): DataFrame = {
     val q = lshBuckets(queries, idCol, vecCol, dim, planes)
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"), col("bucket"))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"), col("bucket"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("q_nrm"))
     val c = lshBuckets(corpus, idCol, vecCol, dim, planes)
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_v"), col("bucket"))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_v"), col("bucket"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("n_nrm"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_v"), col("n_v"), dim))
+      .withColumn("cos",
+        dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
