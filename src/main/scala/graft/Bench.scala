@@ -38,8 +38,9 @@ object Bench {
     // 10-30x off, and a burst can cover consecutive runs of one query.
     // So: three full INTERLEAVED passes over all queries (samples for a
     // given query land minutes apart), min per query.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val samples = scala.collection.mutable.Map.empty[String, Double]
-    (1 to 3).foreach { _ =>
+    (1 to passes).foreach { _ =>
       qs.foreach { q =>
         val t0 = System.nanoTime()
         val ok = try { exec(q.run, sfDir); true }
