@@ -200,6 +200,40 @@ object Relational {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- part/supplier coverage: brand-level size stats
+    Q(
+      "q_part_brand_stats",
+      (s, dir) => {
+        table(s, dir, "part")
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n_parts"),
+            min(col("p_size")).as("min_size"),
+            max(col("p_size")).as("max_size"),
+            sum(col("p_retailprice").cast(d182)).cast("double").as("sum_price"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_parts,
+             |  MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+             |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---- supplier × nation dimension join with account filter
+    Q(
+      "q_supplier_nation",
+      (s, dir) => {
+        val sup = table(s, dir, "supplier")
+        val nation = table(s, dir, "nation")
+        sup.join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+          .filter(col("s_acctbal") > 0)
+          .select(col("s_suppkey"), col("s_name"), col("n_name"), col("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, n_name, s_acctbal
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_acctbal > 0
+             |ORDER BY s_suppkey""".stripMargin)),
+
     // ---- rollup: hierarchical subtotals (region → nation → grand total)
     Q(
       "q_rollup",
