@@ -149,6 +149,28 @@ object DslQueries {
              |GROUP BY c_custkey, c_name
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- items(): dict iteration over a dynamic-key JSON object
+    Q(
+      "dsl_items_map",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val ev = Relational.events(s, dir)
+          .withColumn("props_map",
+            from_json(col("props"), MapType(StringType, LongType)))
+        Etl(ev)
+          .goto("props_map").items()
+          .mapTo("kv")(
+            "event_id" -> getFromRoot("event_id"),
+            "pkey" -> transforms.key(),
+            "pval" -> node())
+          .run().table("kv")
+          .orderBy(col("event_id"), col("pkey"))
+      },
+      Some("""SELECT event_id, 'k' AS pkey,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS pval
+             |FROM events
+             |ORDER BY event_id, pkey""".stripMargin)),
+
     // ---- buildIndex/lookup: broadcast dimension dictionary
     Q(
       "dsl_lookup",
