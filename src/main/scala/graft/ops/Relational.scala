@@ -234,6 +234,33 @@ object Relational {
              |WHERE s_acctbal > 0
              |ORDER BY s_suppkey""".stripMargin)),
 
+    // ---- product-line profit (TPC-H Q9 shape): fact ⋈ part ⋈ supplier ⋈ nation
+    Q(
+      "q9_brand_profit",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val part = table(s, dir, "part")
+        val sup = table(s, dir, "supplier")
+        val nation = table(s, dir, "nation")
+        li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+          .groupBy(col("n_name"), col("p_brand"))
+          .agg(
+            sum(revTerm).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("n_name"), col("p_brand"))
+      },
+      Some(s"""SELECT n_name, p_brand,
+             |  CAST(SUM($revTermSql) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name, p_brand
+             |ORDER BY n_name, p_brand""".stripMargin)),
+
     // ---- rollup: hierarchical subtotals (region → nation → grand total)
     Q(
       "q_rollup",

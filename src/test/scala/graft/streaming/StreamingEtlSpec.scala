@@ -58,6 +58,16 @@ class StreamingEtlSpec extends SparkTestBase {
       ok, "user_id", parents, "id", "posts", "users")
   }
 
+  test("repartitionByKey co-locates whole key groups per partition") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i => (i % 5, i)).toDF("k", "v")
+    val parts = StreamingEtl.repartitionByKey(df, "k", 4)
+      .select($"k", org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    // every key lives in exactly one partition
+    assert(parts.groupBy(_._1).forall(_._2.length == 1))
+  }
+
   test("eager dimension stays resident across chunks (broadcast join)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
