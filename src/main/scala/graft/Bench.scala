@@ -5,14 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"...","value":N,"unit":"sec","queries":{name:sec,...},"sf":...}
   *
-  * Measures steady-state execution: each query is warmed once at sf0.001
-  * (JIT + whole-stage-codegen compile), then timed at the target SF with a
-  * `noop` sink so the full result is materialized (a bare count() lets
-  * Spark skip computing projected columns). Reported time per query is the
-  * min of two runs; "value" is the sum over queries.
+  * Measures steady-state execution: each query is warmed once at the
+  * TARGET SF (JIT + whole-stage-codegen compile — warming at a smaller SF
+  * is not enough, because AQE picks different physical plans at different
+  * data sizes and the generated code differs), then timed at the target SF
+  * with a `noop` sink so the full result is materialized (a bare count()
+  * lets Spark skip computing projected columns and eliminate sorts).
+  * Reported time per query is the min over SPARK_GRAFT_BENCH_PASSES
+  * (default 2) interleaved passes; "value" is the sum over queries.
   */
 object Bench {
-  private val warmDir = "/root/testdata/sf0.001"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,13 +33,14 @@ object Bench {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
     val qs = SparkEntry.all // stable registration order
-    if (new java.io.File(warmDir).isDirectory)
-      qs.foreach(q => try exec(q.run, warmDir) catch { case _: Throwable => () })
+    // warm pass at the target SF: pays codegen/JIT once, untimed
+    qs.foreach(q => try exec(q.run, sfDir) catch { case _: Throwable => () })
 
     // The host shows bursty CPU steal (noisy neighbors): one run can be
     // 10-30x off, and a burst can cover consecutive runs of one query.
-    // So: three full INTERLEAVED passes over all queries (samples for a
-    // given query land minutes apart), min per query.
+    // So: SPARK_GRAFT_BENCH_PASSES (default 2) full INTERLEAVED passes
+    // over all queries (samples for a given query land minutes apart),
+    // min per query.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val samples = scala.collection.mutable.Map.empty[String, Double]
     (1 to passes).foreach { _ =>
@@ -54,14 +57,19 @@ object Bench {
         }
       }
     }
-    val results = qs.map(q => q.name -> samples.getOrElse(q.name, -1.0))
-    emit(results, sfDir)
+    emit(qs.map(_.name), samples.toMap, sfDir)
   }
 
-  private def emit(results: Seq[(String, Double)], sfDir: String): Unit = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"steady_state_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+  /** Failed queries (no successful pass) are excluded from the total and
+    * listed in an explicit "failed" field instead of silently shrinking
+    * the sum with a sentinel. */
+  private def emit(names: Seq[String], samples: Map[String, Double],
+      sfDir: String): Unit = {
+    val ok = names.filter(samples.contains)
+    val failed = names.filterNot(samples.contains)
+    val qs = ok.map(k => "\"" + k + "\":" + samples(k)).mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(samples).sum
+    println(s"""{"metric":"steady_state_total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }

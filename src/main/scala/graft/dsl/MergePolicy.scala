@@ -20,7 +20,7 @@ sealed trait MergePolicy {
     * @param present true where the emitting traversal defines this field
     *                at all (absent fields must not overwrite — dict.update
     *                semantics, executor.py:272-281)
-    * @param ord     fixed-width ordinal string; lexicographic order ==
+    * @param ord     packed `array<long>` ordinal; lexicographic order ==
     *                arrival order
     */
   def agg(value: Column, present: Column, ord: Column): Column
@@ -60,10 +60,11 @@ object MergePolicy {
   }
 
   /** Concatenate list values in arrival order; a scalar contributes a
-    * single element (instances.py:47-55). */
+    * single element (instances.py:47-55 — scalar emissions are wrapped to
+    * 1-lists at union-alignment time in PipelineExecutor.mergeTable). */
   case object Extend extends MergePolicy {
     def agg(value: Column, present: Column, ord: Column): Column = {
-      val asArray = value // caller wraps scalars via ExtendPolicy typing
+      val asArray = value
       val pairs = collect_list(
         when(present && asArray.isNotNull, struct(ord.as("o"), asArray.as("v"))))
       flatten(transform(array_sort(pairs), p => p.getField("v")))

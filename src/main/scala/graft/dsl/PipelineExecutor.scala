@@ -8,14 +8,23 @@ import scala.collection.immutable.ListMap
 
 /** Internal per-table compile state. `df` retains temp fields and the
   * hidden row-ordinal column until relationships are bound; the public
-  * accessor projects them away.
+  * accessors project them away. `keys` is the merge key (joinOn), used to
+  * skip redundant dedup shuffles when a link targets the merge key.
   */
 private[dsl] final case class TableState(
     df: DataFrame,
     visible: Seq[String],
-    temps: Seq[String]) {
+    temps: Seq[String],
+    keys: Seq[String] = Nil) {
+  /** Rows in traversal arrival order — a global sort; opt-in via
+    * `PipelineResult.tableOrdered` (reference-parity compares only). */
   def ordered: DataFrame =
     df.orderBy(col(PipelineExecutor.RowOrd)).select(visible.map(col): _*)
+  /** Rows with no ordering promise — the default for `table()`/`write()`:
+    * at cluster scale a per-table global sort is a range-partition
+    * exchange + full sort that sinks and set-oriented consumers never
+    * need. */
+  def unordered: DataFrame = df.select(visible.map(col): _*)
 }
 
 private[dsl] object PipelineExecutor {
@@ -107,9 +116,10 @@ private[dsl] final class PipelineExecutor(
         TransformCompiler.compile(f.transform, env).as(f.name),
         lit(true).as(presCol(f.name)))
     }
+    // head element packs (emission, root) so cross-traversal and cross-root
+    // arrival order stays total; the rest is the per-level position array
     val ord = concat(
-      lpad(lit(emissionIdx.toString), 6, "0"),
-      lpad(lit(spec.rootIndex.toString), 4, "0"),
+      array(lit((emissionIdx.toLong << 16) | spec.rootIndex.toLong)),
       col(TraversalCompiler.OrdCol)).as(RowOrd)
 
     var out = tdf.select(fieldCols :+ ord: _*)
@@ -133,12 +143,21 @@ private[dsl] final class PipelineExecutor(
 
     // field universe in first-declaration order; first definer fixes type
     val fieldOrder = specs.flatMap(_._1.fields.map(_.name)).distinct
+    val policies: Map[String, MergePolicy] = fieldOrder.map { f =>
+      f -> specs.flatMap(_._1.fields).find(_.name == f).map(_.policy)
+        .getOrElse(MergePolicy.LastWrite)
+    }.toMap
     val fieldType: Map[String, DataType] = fieldOrder.map { f =>
       val t = compiled.collectFirst {
         case (s, df) if s.fields.exists(_.name == f) =>
           df.schema(f).dataType
       }.get
-      f -> t
+      // Extend concatenates lists; a scalar-typed field contributes
+      // single elements (instances.py:47-55), so its merged type is array
+      f -> (policies(f) match {
+        case MergePolicy.Extend if !t.isInstanceOf[ArrayType] => ArrayType(t)
+        case _ => t
+      })
     }.toMap
     // temp only if every emission defining the field marks it temp — a
     // real Field in one traversal keeps the column visible even when
@@ -146,17 +165,18 @@ private[dsl] final class PipelineExecutor(
     val tempNames = fieldOrder.filter { f =>
       specs.flatMap(_._1.fields).filter(_.name == f).forall(_.temp)
     }
-    val policies: Map[String, MergePolicy] = fieldOrder.map { f =>
-      f -> specs.flatMap(_._1.fields).find(_.name == f).map(_.policy)
-        .getOrElse(MergePolicy.LastWrite)
-    }.toMap
 
     val aligned = compiled.map { case (s, df) =>
       val defined = s.fields.map(_.name).toSet
       val cols = fieldOrder.flatMap { f =>
-        if (defined(f))
-          Seq(col(f).cast(fieldType(f)).as(f), col(presCol(f)))
-        else
+        if (defined(f)) {
+          val raw = df.schema(f).dataType
+          val base =
+            if (policies(f) == MergePolicy.Extend && !raw.isInstanceOf[ArrayType])
+              when(col(f).isNotNull, array(col(f))) // scalar → 1-list, null → skip
+            else col(f)
+          Seq(base.cast(fieldType(f)).as(f), col(presCol(f)))
+        } else
           Seq(lit(null).cast(fieldType(f)).as(f), lit(false).as(presCol(f)))
       } :+ col(RowOrd)
       df.select(cols: _*)
@@ -183,7 +203,7 @@ private[dsl] final class PipelineExecutor(
       else (merged, Nil)
 
     val visible = (fieldOrder ++ visibleExtra).filterNot(tempNames.contains)
-    TableState(withId, visible, tempNames)
+    TableState(withId, visible, tempNames, joinOn)
   }
 
   // --------------------------------------------------------------- links
@@ -199,10 +219,24 @@ private[dsl] final class PipelineExecutor(
     val parent = states.getOrElse(l.parentTable,
       throw new IllegalArgumentException(s"linkTo: unknown parent table '${l.parentTable}'"))
 
-    val pKeyAliases = l.by.values.toSeq.distinct.map(p => p -> s"__g_pk_$p").toMap
-    val pSel = parent.df.select(
-      pKeyAliases.map { case (p, a) => col(p).as(a) }.toSeq :+
-        struct(parent.visible.map(col): _*).as(l.as): _*)
+    val linkKeys = l.by.values.toSeq.distinct
+    val pKeyAliases = linkKeys.map(p => p -> s"__g_pk_$p").toMap
+    // The reference's secondary index is a dict: one parent per key, last
+    // write wins (relationships.py bind_relationships_via_index). When the
+    // link key IS the parent's merge key it is already unique — skip the
+    // dedup shuffle; otherwise reproduce the dict with max_by per key so a
+    // non-unique link field never fans out child rows.
+    val linkKeyIsMergeKey =
+      parent.keys.nonEmpty && linkKeys.toSet == parent.keys.toSet
+    val pSel =
+      if (linkKeyIsMergeKey)
+        parent.df.select(
+          pKeyAliases.map { case (p, a) => col(p).as(a) }.toSeq :+
+            struct(parent.visible.map(col): _*).as(l.as): _*)
+      else
+        parent.df
+          .groupBy(linkKeys.map(p => col(p).as(pKeyAliases(p))): _*)
+          .agg(max_by(struct(parent.visible.map(col): _*), col(RowOrd)).as(l.as))
 
     val cond = l.by.map { case (cf, pf) =>
       child.df(cf) === pSel(pKeyAliases(pf))
@@ -275,8 +309,10 @@ private[dsl] final class PipelineExecutor(
           col(TraversalCompiler.OrdCol).as("o"))
           .filter(col("k").isNotNull)
           .collect()
-        // last write per key wins
-        val entries = rows.sortBy(_.getString(2)).map(r => r.getString(0) -> r.get(1))
+        // last write per key wins (ordinal is array<long>, lexicographic)
+        import scala.math.Ordering.Implicits.seqOrdering
+        val entries = rows.sortBy(_.getSeq[Long](2).toSeq)
+          .map(r => r.getString(0) -> r.get(1))
         name -> mapLiteral(ListMap(entries: _*).toSeq)
     }.toMap
   }
@@ -314,10 +350,19 @@ final class PipelineResult private[dsl] (
         errorDfs.get(n).map(_.count()).getOrElse(0L))
     }.toMap
 
-  /** Final table: visible fields only, rows in traversal arrival order. */
-  def table(name: String): DataFrame = states.getOrElse(name,
+  private def state(name: String): TableState = states.getOrElse(name,
     throw new IllegalArgumentException(
-      s"unknown table '$name'; have: ${tableNames.mkString(", ")}")).ordered
+      s"unknown table '$name'; have: ${tableNames.mkString(", ")}"))
+
+  /** Final table: visible fields only, no row-order promise — like any
+    * DataFrame. Sinks and set-oriented consumers don't pay a global sort
+    * they never needed; use [[tableOrdered]] for reference-parity order. */
+  def table(name: String): DataFrame = state(name).unordered
+
+  /** Final table in traversal arrival order (the reference's dict
+    * insertion order) — a global sort; use only where order is observed,
+    * e.g. parity comparisons against the reference. */
+  def tableOrdered(name: String): DataFrame = state(name).ordered
 
   /** Typed view of a table — the reference's InstanceBuilder finalize
     * step (`Dataset[T]` with a case-class Encoder enforces the model

@@ -37,17 +37,19 @@ final case class IterationLevel(path: String, mode: IterMode)
   * Output columns (all prefixed `__g_` to stay clear of user fields):
   *   - `__g_root`        the root document (struct of the source row)
   *   - `__g_l{i}_node` / `__g_l{i}_key` / `__g_l{i}_pos`  per level
-  *   - `__g_ord`         traversal ordinal: fixed-width digit string built
-  *                       from the per-level positions, so lexicographic
-  *                       order == depth-first traversal arrival order
-  *                       (SURVEY §1.3 — Spark operators are unordered, the
-  *                       ordinal makes merge/order semantics deterministic)
+  *   - `__g_ord`         traversal ordinal: `array<long>` of per-level
+  *                       positions, so lexicographic array order ==
+  *                       depth-first traversal arrival order (SURVEY §1.3 —
+  *                       Spark operators are unordered, the ordinal makes
+  *                       merge/order semantics deterministic). Packed longs,
+  *                       not a padded digit string: the ordinal rides
+  *                       through every merge shuffle and ordered aggregate,
+  *                       so comparisons are long-compares instead of 30-60
+  *                       byte string compares.
   */
 object TraversalCompiler {
   val RootCol = "__g_root"
   val OrdCol = "__g_ord"
-
-  private def pad(c: Column): Column = lpad(c.cast(StringType), 10, "0")
 
   /** @param root DataFrame whose rows are root documents.
     * @return traversal DataFrame + the environment for compiling transforms.
@@ -55,13 +57,12 @@ object TraversalCompiler {
   def compile(root: DataFrame, levels: Seq[IterationLevel]): (DataFrame, TraversalEnv) = {
     val rootType = StructType(root.schema.fields)
     // Seed the ordinal with a unique per-root-row id: a single-row root (the
-    // reference's JSON-document model) gets "0…0"; multi-row roots (our
+    // reference's JSON-document model) gets [0]; multi-row roots (our
     // row-per-document extension) get (partition, row-in-partition) order,
     // which keeps row identity unique and arrival order source-shaped
     // without any shuffle or driver-side counter.
     var df = root.select(struct(root.columns.map(col): _*).as(RootCol))
-      .withColumn(OrdCol,
-        lpad(monotonically_increasing_id().cast(StringType), 20, "0"))
+      .withColumn(OrdCol, array(monotonically_increasing_id()))
 
     var env = TraversalEnv((col(RootCol), rootType), Nil)
     var curNode: (Column, DataType) = (col(RootCol), rootType)
@@ -87,14 +88,14 @@ object TraversalCompiler {
         case (IterMode.Auto, a: ArrayType) =>
           val d = df
             .select(col("*"), posexplode(target).as(Seq(posName, nodeName)))
-            .withColumn(OrdCol, concat(col(OrdCol), pad(col(posName))))
+            .withColumn(OrdCol, concat(col(OrdCol), array(col(posName).cast(LongType))))
           (d, LevelCols(col(nodeName), a.elementType, None, Some(col(posName))))
 
         case (m, mt: MapType) if m == IterMode.Auto || m == IterMode.Items =>
           val d = df
             .select(col("*"),
               posexplode(target).as(Seq(posName, keyName, nodeName)))
-            .withColumn(OrdCol, concat(col(OrdCol), pad(col(posName))))
+            .withColumn(OrdCol, concat(col(OrdCol), array(col(posName).cast(LongType))))
           (d, LevelCols(col(nodeName), mt.valueType,
             Some(col(keyName).cast(StringType)), Some(col(posName))))
 
@@ -111,7 +112,7 @@ object TraversalCompiler {
           val d = df
             .select(col("*"),
               posexplode(entries).as(Seq(posName, keyName, nodeName)))
-            .withColumn(OrdCol, concat(col(OrdCol), pad(col(posName))))
+            .withColumn(OrdCol, concat(col(OrdCol), array(col(posName).cast(LongType))))
           (d, LevelCols(col(nodeName), common.head,
             Some(col(keyName)), Some(col(posName))))
 

@@ -3,14 +3,17 @@ package graft.tools
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc timing harness: runs the named query N times and prints
-  * per-iteration wall time plus the formatted plan once.
-  * Usage: runMain graft.tools.DebugTiming <sfDir> <query> [n]
+/** Ad-hoc timing harness: runs the named queries N times each through the
+  * same noop sink the bench uses (a bare count() lets EliminateSorts and
+  * column pruning skip real work, hiding 2-5x of a query's cost) and
+  * prints per-iteration wall time. Set SPARK_GRAFT_EXPLAIN=1 to also dump
+  * each query's formatted plan.
+  * Usage: runMain graft.tools.DebugTiming <sfDir> <query>[,<query>...] [n]
   */
 object DebugTiming {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name = args(1)
+    val names = args(1).split(",").toSeq
     val n = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -20,15 +23,18 @@ object DebugTiming {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-      if (name == "__entry__") (s, _) => SparkEntry.entry(s)
-      else SparkEntry.queries(name)
-    (1 to n).foreach { i =>
-      val t0 = System.nanoTime()
-      val c = fn(spark, sfDir).count()
-      println(f"[timing] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
+    names.foreach { name =>
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name == "__entry__") (s, _) => SparkEntry.entry(s)
+        else SparkEntry.queries(name)
+      (1 to n).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[timing] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        fn(spark, sfDir).explain("formatted")
     }
-    fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

@@ -31,9 +31,9 @@ class EtlSpec extends SparkTestBase {
         "title" -> get("title"))
       .run()
 
-    assert(rows(result.table("users")) ===
+    assert(rows(result.tableOrdered("users")) ===
       Seq(Seq("u1", "Alice"), Seq("u2", "Bob")))
-    assert(rows(result.table("posts")) ===
+    assert(rows(result.tableOrdered("posts")) ===
       Seq(Seq("p1", "u1", "Hello"), Seq("p2", "u1", "World")))
   }
 
@@ -43,7 +43,7 @@ class EtlSpec extends SparkTestBase {
       .mapTo("users_idx")(
         "pos" -> index(), "name" -> get("name"))
       .run()
-    assert(rows(result.table("users_idx")) ===
+    assert(rows(result.tableOrdered("users_idx")) ===
       Seq(Seq(0, "Alice"), Seq(1, "Bob")))
   }
 
@@ -63,7 +63,7 @@ class EtlSpec extends SparkTestBase {
         "email" -> get("email"))
       .run()
     // id is temp in the 2nd emission but a real field in the 1st → visible
-    assert(rows(result.table("users")) ===
+    assert(rows(result.tableOrdered("users")) ===
       Seq(Seq("u1", "Alice", "alice@example.com")))
   }
 
@@ -79,7 +79,7 @@ class EtlSpec extends SparkTestBase {
       .mapTo("t", joinOn = Seq("id"))(
         "id" -> get("id"), "v" -> get("v"))
       .run()
-    assert(rows(result.table("t")) === Seq(Seq("x", "new", "keep")))
+    assert(rows(result.tableOrdered("t")) === Seq(Seq("x", "new", "keep")))
   }
 
   // ---- J3: dict-of-lists with dynamic keys (MapType) ----
@@ -94,7 +94,7 @@ class EtlSpec extends SparkTestBase {
         "question_id" -> parentKey(),
         "choice_id" -> node())
       .run()
-    assert(rows(result.table("junction")) === Seq(
+    assert(rows(result.tableOrdered("junction")) === Seq(
       Seq("Q1", "c1"), Seq("Q1", "c2"), Seq("Q2", "c2"), Seq("Q2", "c3")))
   }
 
@@ -105,7 +105,7 @@ class EtlSpec extends SparkTestBase {
       .mapTo("cells")(
         "row_num" -> parentIndex(), "col" -> index(), "value" -> node())
       .run()
-    assert(rows(result.table("cells")) === Seq(
+    assert(rows(result.tableOrdered("cells")) === Seq(
       Seq(0, 0, 1L), Seq(0, 1, 2L), Seq(1, 0, 3L), Seq(1, 1, 4L)))
   }
 
@@ -122,7 +122,7 @@ class EtlSpec extends SparkTestBase {
         "server_id" -> getFromParent("id", 2),
         "text" -> get("text"))
       .run()
-    assert(rows(result.table("messages")) ===
+    assert(rows(result.tableOrdered("messages")) ===
       Seq(Seq("m1", "ch1", "s1", "hi")))
   }
 
@@ -142,9 +142,9 @@ class EtlSpec extends SparkTestBase {
       .goto("users").each().goto("tags").each()
       .mapTo("tags")("t" -> node())
       .run()
-    assert(rows(result.table("users")) ===
+    assert(rows(result.tableOrdered("users")) ===
       Seq(Seq("u1", "Alice"), Seq("u3", "Carol")))
-    assert(result.table("tags").count() === 0)
+    assert(result.tableOrdered("tags").count() === 0)
   }
 
   test("missing path yields null; goto missing container emits nothing") {
@@ -154,8 +154,8 @@ class EtlSpec extends SparkTestBase {
       .root().goto("ghosts").each()
       .mapTo("ghosts")("x" -> node())
       .run()
-    assert(rows(result.table("users")) === Seq(Seq("u1", null)))
-    assert(result.table("ghosts").count() === 0)
+    assert(rows(result.tableOrdered("users")) === Seq(Seq("u1", null)))
+    assert(result.tableOrdered("ghosts").count() === 0)
   }
 
   // ---- scalar transforms ----
@@ -172,7 +172,7 @@ class EtlSpec extends SparkTestBase {
         "l3" -> lenOf(get("n")))
       .run()
     // concat: null → ""; format_id: skip null AND ""; coalesce: "" is non-null
-    assert(rows(result.table("out")) ===
+    assert(rows(result.tableOrdered("out")) ===
       Seq(Seq("x-5", "x_5", "", 3, 1, null)))
   }
 }

@@ -23,7 +23,7 @@ class MergePolicySpec extends SparkTestBase {
       .mapTo("t", joinOn = Seq("id"))(
         "id" -> get("id"),
         Field("v", get("v"), policy = policy))
-      .run().table("t"))
+      .run().tableOrdered("t"))
 
   test("default last-write-wins: explicit null overwrites") {
     assert(run(MergePolicy.LastWrite) ===
@@ -63,7 +63,7 @@ class MergePolicySpec extends SparkTestBase {
       .mapTo("t", joinOn = Seq("id"))(
         "id" -> get("id"),
         Field("vs", get("vs"), policy = MergePolicy.Extend))
-      .run().table("t"))
+      .run().tableOrdered("t"))
     assert(out === Seq(Seq("a", Seq(1L, 2L, 3L)), Seq("b", Seq())))
   }
 
@@ -77,7 +77,7 @@ class MergePolicySpec extends SparkTestBase {
         "id" -> get("id"),
         Field("s", get("s"), policy = MergePolicy.Fold(
           lit(""), (acc, v) => fconcat(acc, coalesce(v, lit(""))))))
-      .run().table("t"))
+      .run().tableOrdered("t"))
     assert(out === Seq(Seq("a", "xyz")))
   }
 
@@ -88,7 +88,7 @@ class MergePolicySpec extends SparkTestBase {
       .mapTo("t", joinOn = Seq("id"))(
         "id" -> get("id"),
         Field("v", get("v"), policy = MergePolicy.Add))
-      .run().table("t"))
+      .run().tableOrdered("t"))
     assert(out === Seq(Seq("a", 3L)))
   }
 }

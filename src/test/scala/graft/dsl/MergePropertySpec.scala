@@ -49,7 +49,7 @@ class MergePropertySpec extends SparkTestBase {
           Field("hi", get("v"), policy = MergePolicy.Max),
           Field("first_nn", get("v"), policy = MergePolicy.FirstNonNull),
           Field("appended", get("v"), policy = MergePolicy.Append))
-        .run().table("t").collect()
+        .run().tableOrdered("t").collect()
         .map(r => r.getString(0) -> r).toMap
 
       val expected = rows.groupBy(_._1).map { case (k, ws) =>

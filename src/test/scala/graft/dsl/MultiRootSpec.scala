@@ -33,7 +33,7 @@ class MultiRootSpec extends SparkTestBase {
         "email" -> get("email"))
       .run()
 
-    assert(rows(result.table("users")) === Seq(
+    assert(rows(result.tableOrdered("users")) === Seq(
       Seq("u1", "Alicia", "a@x.io"),
       Seq("u2", "Bob", null)))
   }
@@ -63,8 +63,8 @@ class MultiRootSpec extends SparkTestBase {
       .root().goto("xs").each()
       .mapTo("b")("v2" -> applyFn(_ * 2, get("v")))
       .run()
-    assert(rows(result.table("a")) === Seq(Seq(1L), Seq(2L)))
-    assert(rows(result.table("b")) === Seq(Seq(2L), Seq(4L)))
+    assert(rows(result.tableOrdered("a")) === Seq(Seq(1L), Seq(2L)))
+    assert(rows(result.tableOrdered("b")) === Seq(Seq(2L), Seq(4L)))
     r.unpersist()
   }
 }

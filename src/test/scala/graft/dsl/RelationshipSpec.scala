@@ -33,7 +33,7 @@ class RelationshipSpec extends SparkTestBase {
       .linkTo("users", by = Map("user_id" -> "id"))
       .run()
 
-    val out = rows(result.table("posts"))
+    val out = rows(result.tableOrdered("posts"))
     assert(out === Seq(
       Seq("p1", "Hello", Row("u1", "Alice")),
       Seq("p2", "Orphan", null)))
@@ -57,7 +57,7 @@ class RelationshipSpec extends SparkTestBase {
         by = ("choice_ids", "id"))
       .run()
 
-    val out = rows(result.table("questions"))
+    val out = rows(result.tableOrdered("questions"))
     // list order c2 before c1; unmatched "zz" skipped
     assert(out === Seq(
       Seq("q1", "Pick one", Seq(Row("c2", "B"), Row("c1", "A")))))
@@ -77,7 +77,7 @@ class RelationshipSpec extends SparkTestBase {
         "code" -> get("code"),
         "label" -> lookup("code_names", get("code"), default = "?"))
       .run()
-    assert(rows(result.table("items")) === Seq(
+    assert(rows(result.tableOrdered("items")) === Seq(
       Seq("a", "Alpha"), Seq("b", "Beta"), Seq("x", "?")))
   }
 
@@ -87,7 +87,7 @@ class RelationshipSpec extends SparkTestBase {
       .goto("items").each()
       .mapTo("t")("v" -> lookup("m", get("c")))
       .run()
-    assert(rows(result.table("t")) === Seq(Seq("X")))
+    assert(rows(result.tableOrdered("t")) === Seq(Seq("X")))
 
     val err = intercept[IllegalArgumentException] {
       Etl.json(spark, """{"items": [{"c": "x"}]}""")

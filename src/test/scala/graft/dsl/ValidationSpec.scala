@@ -28,7 +28,7 @@ class ValidationSpec extends SparkTestBase {
 
   test("collect mode: bad rows go to the error side-channel, good rows pass") {
     val result = pipeline.run()
-    assert(rows(result.table("users")) ===
+    assert(rows(result.tableOrdered("users")) ===
       Seq(Seq("u1", 30, "Alice"), Seq("u3", null, "Carol")))
     val errs = result.errors("users").collect()
     assert(errs.length === 1)
@@ -64,7 +64,7 @@ class ValidationSpec extends SparkTestBase {
       .mapToTyped("t", schema)("id" -> get("id"))
       .run()
     // null id row: no joinOn so it is kept in mapping, then rejected
-    assert(result.table("t").count() === 1)
+    assert(result.tableOrdered("t").count() === 1)
     val errs = result.errors("t").collect()
     assert(errs.length === 1 && errs(0).getString(3).contains("non-nullable"))
   }

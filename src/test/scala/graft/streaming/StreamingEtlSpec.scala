@@ -82,7 +82,7 @@ class StreamingEtlSpec extends SparkTestBase {
         .mapTo("tagged")("tag" -> T.get("tag"), "color" -> T.get("color")),
       new StreamingEtl.FlushStrategy {
         def flush(result: PipelineResult, batchId: Long): Unit =
-          result.table("tagged").collect().foreach(r =>
+          result.tableOrdered("tagged").collect().foreach(r =>
             seen.synchronized { seen += ((r.getString(0), r.getString(1))) })
       })
 
