@@ -29,6 +29,7 @@ private[dsl] final case class TableState(
 
 private[dsl] object PipelineExecutor {
   val RowOrd = "__g_row_ord"
+  val AutoKey = "__g_auto_key"
   private[dsl] def presCol(f: String) = s"__g_p_$f"
 }
 
@@ -188,8 +189,23 @@ private[dsl] final class PipelineExecutor(
       s"emissions into '$table' disagree on joinOn")
 
     val merged =
-      if (joinOn.isEmpty) unioned
-      else {
+      if (joinOn.isEmpty) {
+        // auto-key for unkeyed emits (executor.py:181-196): every row is
+        // its own instance under a sequential per-table "__auto_N__" key.
+        // Deterministic mode reproduces the reference's counter exactly
+        // via row_number over the traversal ordinal — a single-partition
+        // window, the price of exact sequential parity; scalableIds()
+        // switches to monotonically_increasing_id, which stays fully
+        // parallel and unique (the right default on a cluster, where
+        // nothing should observe the id's sequential shape).
+        val keyExpr =
+          if (deterministicIds)
+            row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(col(RowOrd))) - 1
+          else monotonically_increasing_id()
+        unioned.withColumn(AutoKey,
+          concat(lit("__auto_"), keyExpr.cast(StringType), lit("__")))
+      } else {
         val aggs = fieldOrder.filterNot(joinOn.contains).map { f =>
           policies(f).agg(col(f), col(presCol(f)), col(RowOrd)).as(f)
         } :+ min(col(RowOrd)).as(RowOrd)
@@ -363,6 +379,18 @@ final class PipelineResult private[dsl] (
     * insertion order) — a global sort; use only where order is observed,
     * e.g. parity comparisons against the reference. */
   def tableOrdered(name: String): DataFrame = state(name).ordered
+
+  /** Unkeyed table with its auto-generated row key exposed as `auto_key`
+    * (reference: "__auto_N__" instance keys, executor.py:181-196). Keyed
+    * tables carry their key in their own columns — asking for an auto key
+    * there is an error. */
+  def tableKeyed(name: String): DataFrame = {
+    val s = state(name)
+    require(s.keys.isEmpty,
+      s"table '$name' is keyed on (${s.keys.mkString(", ")}); auto keys exist only for unkeyed tables")
+    s.df.select(s.visible.map(col) :+
+      col(PipelineExecutor.AutoKey).as("auto_key"): _*)
+  }
 
   /** Typed view of a table — the reference's InstanceBuilder finalize
     * step (`Dataset[T]` with a case-class Encoder enforces the model

@@ -99,16 +99,23 @@ object TraversalCompiler {
           (d, LevelCols(col(nodeName), mt.valueType,
             Some(col(keyName).cast(StringType)), Some(col(posName))))
 
-        case (IterMode.Items, s: StructType) =>
-          // dict-iteration over a struct: statically known keys; requires a
-          // common value type (JSON objects with dynamic keys should be
-          // read as MapType — FIXTURES J3)
+        case (m, s: StructType) if m == IterMode.Items || m == IterMode.Auto =>
+          // dict-iteration over a struct: the reference's auto mode
+          // iterates any dict's items (executor.py:66-76), and JSON
+          // objects land as structs under Spark's schema inference, so
+          // Auto routes here too — a single-row fallback would silently
+          // diverge from the reference on its own quickstart shapes.
+          // Statically known keys; requires a common value type (JSON
+          // objects with dynamic keys should be read as MapType —
+          // FIXTURES J3)
           val common = s.fields.map(_.dataType).distinct
           require(common.length == 1,
-            s"items() over struct with heterogeneous field types ${common.mkString(",")}; read this JSON object as a MapType")
-          val entries = map_from_arrays(
+            s"${if (m == IterMode.Items) "items()" else "each()"} over struct with heterogeneous field types ${common.mkString(",")}; read this JSON object as a MapType")
+          // null node emits nothing (executor.py:92-103) — without the
+          // guard a null struct would still yield its static keys
+          val entries = when(target.isNotNull, map_from_arrays(
             array(s.fields.map(f => lit(f.name)): _*),
-            array(s.fields.map(f => target.getField(f.name)): _*))
+            array(s.fields.map(f => target.getField(f.name)): _*)))
           val d = df
             .select(col("*"),
               posexplode(entries).as(Seq(posName, keyName, nodeName)))

@@ -171,6 +171,54 @@ object DslQueries {
              |FROM events
              |ORDER BY event_id, pkey""".stripMargin)),
 
+    // ---- auto mode over a schema-INFERRED JSON object: each() iterates
+    //      dict items exactly like items() (executor.py:66-76) — no
+    //      hand-written MapType schema anywhere
+    Q(
+      "dsl_auto_struct",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Relational.events(s, dir)
+        val inferred = s.read.json(ev.select(col("props")).as[String]).schema
+        Etl(ev.withColumn("props_obj", from_json(col("props"), inferred)))
+          .goto("props_obj").each()
+          .mapTo("kv")(
+            "event_id" -> getFromRoot("event_id"),
+            "pkey" -> transforms.key(),
+            "pval" -> node())
+          .run().table("kv")
+          .orderBy(col("event_id"), col("pkey"))
+      },
+      Some("""SELECT event_id, 'k' AS pkey,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS pval
+             |FROM events
+             |ORDER BY event_id, pkey""".stripMargin)),
+
+    // ---- auto-key: unkeyed emits get sequential "__auto_N__" row keys
+    //      (executor.py:181-196); deterministic mode reproduces the
+    //      reference counter exactly via row_number over the ordinal
+    Q(
+      "dsl_autokey",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        // single root doc with a sorted orders array, so traversal arrival
+        // order (= auto-key order) is deterministic for the oracle
+        val root = o.agg(sort_array(collect_list(struct(
+          col("o_orderkey"), col("o_totalprice")))).as("orders"))
+        Etl(root)
+          .goto("orders").each()
+          .mapTo("seq")(
+            "o_orderkey" -> transforms.get("o_orderkey"),
+            "o_totalprice" -> transforms.get("o_totalprice"))
+          .run().tableKeyed("seq")
+          .select(col("auto_key"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT '__auto_' || CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS VARCHAR) || '__' AS auto_key,
+             |  o_orderkey, o_totalprice
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- buildIndex/lookup: broadcast dimension dictionary
     Q(
       "dsl_lookup",

@@ -98,6 +98,28 @@ class EtlSpec extends SparkTestBase {
       Seq("Q1", "c1"), Seq("Q1", "c2"), Seq("Q2", "c2"), Seq("Q2", "c3")))
   }
 
+  // ---- auto mode over a struct: each() == items() (executor.py:66-76) ----
+  test("auto mode iterates a schema-inferred JSON object's items") {
+    // no explicit MapType anywhere: the object lands as a struct
+    val result = Etl.json(spark,
+      """{"name": "day1", "counts": {"a": 1, "b": 2}}""")
+      .goto("counts").each()
+      .mapTo("kv")(
+        "day" -> getFromRoot("name"), "k" -> key(), "v" -> node())
+      .run()
+    assert(rows(result.tableOrdered("kv")) === Seq(
+      Seq("day1", "a", 1L), Seq("day1", "b", 2L)))
+  }
+
+  test("auto mode over a null struct emits nothing") {
+    val result = Etl.json(spark,
+      """[{"id": "x", "counts": {"a": 1}}, {"id": "y", "counts": null}]""")
+      .goto("counts").each()
+      .mapTo("kv")("id" -> getFromRoot("id"), "k" -> key(), "v" -> node())
+      .run()
+    assert(rows(result.tableOrdered("kv")) === Seq(Seq("x", "a", 1L)))
+  }
+
   // ---- J4: list-of-lists ----
   test("J4: 2-D grid with parent_index") {
     val result = Etl.json(spark, """{"rows": [[1, 2], [3, 4]]}""")
