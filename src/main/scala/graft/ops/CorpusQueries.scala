@@ -15,6 +15,11 @@ object CorpusQueries {
 
   val Dim = 64
 
+  /** Stop-shingle document-frequency cap for the registered Jaccard query:
+    * low enough that the cap is actually exercised on the 500-doc sf0.01
+    * corpus (a tenth of the corpus), shared with the oracle SQL. */
+  val JaccardMaxDf = 50
+
   // ---- shared SQL fragments -------------------------------------------
 
   /** ws := non-empty whitespace tokens of text (matches TextFunctions.tokens). */
@@ -149,10 +154,15 @@ object CorpusQueries {
       "dedup_ngram_jaccard",
       (s, dir) =>
         Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.5)
+          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
           .orderBy(col("d1"), col("d2")),
+      // df-capped index mirrored exactly: shingles with document
+      // frequency > maxDf leave both the join and the size counts
       Some(s"""WITH $toksCte, $shingleCte,
-             |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |shx0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |dfx AS (SELECT shingle, COUNT(*) AS df FROM shx0 GROUP BY shingle),
+             |shx AS (SELECT s.doc_id, s.shingle FROM shx0 s
+             |        JOIN dfx USING (shingle) WHERE df <= $JaccardMaxDf),
              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
              |common AS (
              |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
@@ -197,22 +207,31 @@ object CorpusQueries {
           .withColumnRenamed("doc", "doc_id")
           .orderBy(col("doc_id")),
       Some {
-        // hex→int over the first 8 md5 chars, pure integer arithmetic
-        val hexVal = (1 to 8).map { i =>
+        // 64-bit token hash from md5 hex chars 1-8 (high word) and 9-16
+        // (low word), mirroring Dedup.tokenVal64; everything stays in
+        // BIGINT by testing bits against the right half and assembling
+        // the signature in two's complement (bit 63 contributes -2^31 to
+        // the signed high word)
+        def hexVal(start: Int) = (1 to 8).map { i =>
           val pow = math.pow(16, 8 - i).toLong
-          s"(strpos('0123456789abcdef', substring(left(md5(tok), 8), $i, 1)) - 1) * ${pow}::BIGINT"
+          s"(strpos('0123456789abcdef', substring(md5(tok), ${start + i - 1}, 1)) - 1) * ${pow}::BIGINT"
         }.mkString(" + ")
-        val bitSums = (0 until 16).map { j =>
-          s"SUM(CASE WHEN (v // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+        val bitSums = (0 until 64).map { j =>
+          val (word, shift) = if (j < 32) ("lo", 1L << j) else ("hi", 1L << (j - 32))
+          s"SUM(CASE WHEN ($word // $shift) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
         }.mkString(", ")
-        val shExpr = (0 until 16).map { j =>
+        val shLo = (0 until 32).map { j =>
           s"CASE WHEN b$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END"
         }.mkString(" + ")
+        val shHiSigned = (32 until 63).map { j =>
+          s"CASE WHEN b$j > 0 THEN ${1L << (j - 32)}::BIGINT ELSE 0 END"
+        }.mkString(" + ") + " - CASE WHEN b63 > 0 THEN 2147483648 ELSE 0 END"
         s"""WITH $toksCte,
            |tv AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM toks WHERE len(ws) > 0),
-           |vals AS (SELECT doc_id, ($hexVal) % 65536 AS v FROM tv),
+           |vals AS (SELECT doc_id, (${hexVal(1)}) AS hi, (${hexVal(9)}) AS lo FROM tv),
            |bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id)
-           |SELECT doc_id, $shExpr AS sh FROM bits ORDER BY doc_id""".stripMargin
+           |SELECT doc_id, ($shHiSigned) * 4294967296 + ($shLo) AS sh
+           |FROM bits ORDER BY doc_id""".stripMargin
       }),
 
     Q(

@@ -66,10 +66,24 @@ object Dedup {
 
   /** Candidate pairs by n-gram Jaccard ≥ threshold, computed via an
     * inverted-index self-join (docs sharing no shingle never pair up).
+    *
+    * `maxDf` is the stop-shingle cap: a shingle present in d documents
+    * contributes O(d²) candidate pairs, so one piece of corpus
+    * boilerplate ("all rights reserved …") turns the index join into a
+    * skewed near-cross-product. Shingles with document frequency > maxDf
+    * are dropped from BOTH the index and the per-doc size counts, so the
+    * Jaccard is computed consistently over the surviving (discriminative)
+    * shingle universe — the standard trade: bounded work, similarity
+    * measured on informative features.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, n)
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000): DataFrame = {
+    val sh0 = shingleRows(df, idCol, textCol, n)
+    // hot shingles are by definition few — the anti-join's build side is
+    // small and AQE broadcasts it
+    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+    val sh = sh0.join(hot, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -126,60 +140,83 @@ object Dedup {
       .distinct()
   }
 
-  /** Per-doc 16-bit simhash as a table (explode + grouped bit votes — the
-    * scalable form of [[simhash16]]; identical values). */
+  /** Per-doc 64-bit simhash as a table (explode + grouped bit votes — the
+    * scalable form of [[simhash64]]; identical values).
+    *
+    * 64-bit, not a demo width: the signature space must be large enough
+    * that unrelated documents don't collide (2^16 signatures collapse on
+    * any real corpus, and the 4-bit pigeonhole blocks of a 16-bit
+    * signature have 16 distinct join values — catastrophic skew). The
+    * token value is md5's first 16 hex chars assembled from two 32-bit
+    * halves with bitwise ops, so the result is a full signed 64-bit
+    * pattern without ANSI overflow.
+    */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("doc"), array_distinct(tokens(col(textCol))).as("__ts"))
       .filter(size(col("__ts")) > 0)
     val tv = toks.select(col("doc"), explode(col("__ts")).as("tok"))
-    val vals = tv.select(col("doc"),
-      (conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
-        .cast("long") % 65536L).as("v"))
-    val bitSums = (0 until 16).map { j =>
-      sum(when(shiftright(col("v"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"__b$j")
+    val vals = tv.select(col("doc"), tokenVal64(col("tok")).as("v"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(bitTest(col("v"), j), 1L).otherwise(-1L)).as(s"__b$j")
     }
     val bits = vals.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
     bits.select(col("doc"),
-      (0 until 16).map(j =>
+      (0 until 64).map(j =>
         when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sh"))
+        .reduce(_ bitwiseOR _).as("sh"))
   }
 
-  /** 16-bit simhash over distinct tokens: token weight vector is the low
-    * 16 bits of md5; bit j of the signature is the sign of the per-bit
-    * vote sum. Near-duplicate = hamming(simhash) small.
+  /** 64-bit token hash: md5 hex chars 1-8 are the high word, 9-16 the low
+    * word; `hi << 32 | lo` stays pure bit assembly (no additive overflow
+    * under ANSI). */
+  private def tokenVal64(t: Column): Column = {
+    val h = md5(t.cast("binary"))
+    val hi = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(h, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** Bit j of a signed 64-bit value (sign-safe — no arithmetic shift). */
+  private def bitTest(v: Column, j: Int): Column =
+    v.bitwiseAND(lit(1L << j)) =!= 0L
+
+  /** 64-bit simhash over distinct tokens (HOF form — compact reference
+    * implementation; [[simhashTable]] is the grouped-aggregate form that
+    * scales). Bit j of the signature is the sign of the per-bit vote sum.
+    * Near-duplicate = hamming(simhash) small.
     */
-  def simhash16(text: Column): Column = {
+  def simhash64(text: Column): Column = {
     val toks = array_distinct(tokens(text))
-    // low 16 bits of md5(token), as exact integer arithmetic
-    val tokVal = (t: Column) =>
-      conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % 65536L
-    val bitSums = (0 until 16).map { j =>
+    val bitSums = (0 until 64).map { j =>
       aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shiftright(tokVal(t), j) % 2 === 1, 1L).otherwise(-1L))
+        acc + when(bitTest(tokenVal64(t), j), 1L).otherwise(-1L))
     }
     bitSums.zipWithIndex.map { case (s, j) =>
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    }.reduce(_ bitwiseOR _)
   }
 
   /** Simhash near-dup pairs with hamming distance ≤ maxHamming, via
-    * pigeonhole blocking: the 16 bits split into maxHamming+1 blocks —
+    * pigeonhole blocking: the 64 bits split into maxHamming+1 blocks —
     * two signatures within the hamming budget MUST agree on at least one
     * whole block, so candidates come from an equi-join on
     * (blockIndex, blockValue) and are then verified exactly. Zero recall
-    * loss, never all-pairs — the same shape at any corpus size.
+    * loss, never all-pairs, and with 16-bit blocks the join key has 2^16
+    * distinct values per block index — no skew collapse — the same shape
+    * at any corpus size.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val s = simhashTable(df, idCol, textCol)
     val nBlocks = maxHamming + 1
-    val bits = 16
+    val bits = 64
     val blockSize = math.ceil(bits.toDouble / nBlocks).toInt
+    val blockMask = (1L << blockSize) - 1
     val blocked = s.select(col("doc"), col("sh"),
       posexplode(array((0 until nBlocks).map { b =>
-        shiftright(col("sh"), b * blockSize) % (1L << blockSize)
+        // arithmetic shiftright sign-extends; the mask strips it
+        shiftright(col("sh"), b * blockSize).bitwiseAND(lit(blockMask))
       }: _*)).as(Seq("blk_i", "blk_v")))
     blocked.as("a").join(blocked.as("b"),
         col("a.blk_i") === col("b.blk_i") && col("a.blk_v") === col("b.blk_v") &&

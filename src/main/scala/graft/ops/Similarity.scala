@@ -1,18 +1,20 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   *   - [[cosineTopK]] is the exact baseline: query-set × corpus cross join
-  *     (queries side is small/broadcast), windowed top-k. At cluster scale
-  *     the corpus stays partitioned, queries broadcast — linear scan, no
-  *     shuffle of the corpus.
+  *     (queries side is small/broadcast), bounded top-k aggregation. At
+  *     cluster scale the corpus stays partitioned, queries broadcast —
+  *     linear scan, no shuffle of the corpus, and only ≤ k candidates per
+  *     (query × partition) cross the final shuffle
+  *     ([[graft.functions.TopKByScore]]).
   *   - [[lshBuckets]]/[[lshTopK]] is the scale path: deterministic integer
-  *     random-hyperplane LSH; the corpus is bucketed once (narrow map),
-  *     lookups join on the bucket id only.
+  *     random-hyperplane LSH; the corpus is bucketed once (narrow map,
+  *     native codegen'd [[graft.functions.HyperplaneBucket]]), lookups
+  *     join on the bucket id only.
   *
   * Dot products are explicit left-assoc sums with per-element DOUBLE casts
   * so results are bit-identical to the DuckDB oracle.
@@ -33,6 +35,18 @@ object Similarity {
   // barrier, so CollapseProject cannot inline them into per-pair work):
   // the n² stage pays one dot product per pair, not three.
 
+  /** Bounded top-k per query: k-capped heap aggregate (map-side partials
+    * ship ≤ k rows per query per partition) instead of a window sort over
+    * every scored row — at a 100 TB corpus the window form shuffles
+    * |Q|×|C| rows just to keep k. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("cos"), col("n_id").cast("long"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("t.score").as("cos"))
+
   /** Exact brute-force top-k neighbors for each query vector. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int): DataFrame = {
@@ -43,11 +57,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cos",
         dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+    topK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane weight (integer in [-6, 6]):
@@ -56,14 +66,13 @@ object Similarity {
     */
   def planeWeight(d: Int, p: Int): Int = ((d * 31 + p * 17) % 13) - 6
 
-  /** Random-hyperplane LSH bucket id: bit p set iff Σ v[d]·w(d,p) > 0. */
+  /** Random-hyperplane LSH bucket id: bit p set iff Σ v[d]·w(d,p) > 0.
+    * Native codegen'd loop ([[graft.functions.HyperplaneBucket]]); the
+    * dim×planes unrolled element_at chain it replaces fell out of
+    * whole-stage codegen at 256 terms. `dim` is advisory (runtime array
+    * length governs). */
   def lshBucket(vec: Column, dim: Int, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = (0 until dim).map(d =>
-        element_at(vec, d + 1).cast("double") * lit(planeWeight(d, p)))
-        .reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.HyperplaneBucket.hyperplane_bucket(vec, planes)
 
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int): DataFrame =
@@ -86,10 +95,6 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos",
         dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+    topK(scored, k)
   }
 }

@@ -39,11 +39,79 @@ class CorpusOpsSpec extends SparkTestBase {
   }
 
   test("simhash: identical docs hamming 0, near docs small, far docs large") {
-    val sh = docs.select($"doc_id", Dedup.simhash16($"text").as("sh"))
+    val sh = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) === sh(3L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(4L)))
+    // grouped-aggregate form computes the identical 64-bit signature
+    val tbl = Dedup.simhashTable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tbl === sh)
+    // the signature uses the full width — some doc sets a high bit
+    assert(sh.values.exists(v => (v >>> 48) != 0L))
+  }
+
+  test("simhashPairs: pigeonhole blocking finds near pairs exactly") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // identical → hamming 0
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccard df cap bounds candidates under a hot shingle") {
+    // 40 docs all sharing one boilerplate sentence (a hot shingle set),
+    // each with otherwise-unique text; two genuine near-dups
+    val hotDocs = ((1 to 40).map { i =>
+      (i.toLong, s"all rights reserved worldwide unique$i token$i word$i")
+    } ++ Seq((100L, "alpha beta gamma delta epsilon zeta"),
+             (101L, "alpha beta gamma delta epsilon eta"))).toDF("doc_id", "text")
+    // uncapped: boilerplate shingles pair all 40 docs in the index join
+    val uncapped = Dedup.ngramJaccard(hotDocs, "doc_id", "text",
+      n = 3, threshold = 0.0, maxDf = Int.MaxValue).count()
+    // capped at df<=10: the 40-doc shingles drop out; only genuinely
+    // similar pairs remain
+    val capped = Dedup.ngramJaccard(hotDocs, "doc_id", "text",
+      n = 3, threshold = 0.0, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped > 700) // ~40*39/2 boilerplate pairs
+    assert(capped === Set((100L, 101L)))
+  }
+
+  test("native hyperplane bucket matches the composed element_at form") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 30L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val composed = (0 until 4).map { p =>
+      val proj = (0 until 16).map(d =>
+        element_at($"embedding", d + 1).cast("double") *
+          lit(Similarity.planeWeight(d, p))).reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val out = vecs.select(
+      Similarity.lshBucket($"embedding", 16, 4).as("native"),
+      composed.as("composed")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("bounded top-k aggregate matches window row_number top-k") {
+    val rnd = new scala.util.Random(11)
+    val scored = (1 to 500).map { _ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(50) / 10.0)
+    }.toDF("q_id", "n_id", "cos").distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    val expected = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 7)
+      .select($"q_id", $"n_id", $"rank", $"cos")
+      .collect().map(_.toSeq).toSet
+    val got = scored.groupBy($"q_id")
+      .agg(graft.functions.TopKByScore.top_k_by_score($"cos", $"n_id", 7).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("r0", "t")))
+      .select($"q_id", $"t.id".as("n_id"),
+        ($"r0" + 1).cast("int").as("rank"), $"t.score".as("cos"))
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
   }
 
   test("cosineTopK ranks an identical vector first") {
