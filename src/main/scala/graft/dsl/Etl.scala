@@ -44,13 +44,25 @@ object transforms {
     Field(p._1, p._2, policy = policy)
 }
 
+/** Validation error handling for one table (reference: ErrorMode,
+  * fluent.py:531-576 — per-`map_to` override of the pipeline default).
+  */
+sealed trait ErrorMode
+object ErrorMode {
+  /** Throw on the first validation error. */
+  case object FailFast extends ErrorMode
+  /** Route bad rows to the error side-channel, keep processing. */
+  case object Collect extends ErrorMode
+}
+
 private[dsl] final case class EmissionSpec(
     table: String,
     rootIndex: Int,
     levels: Seq[IterationLevel],
     fields: Seq[Field],
     joinOn: Seq[String],
-    schema: Option[StructType] = None)
+    schema: Option[StructType] = None,
+    errors: Option[ErrorMode] = None)
 
 private[dsl] final case class LinkSpec(
     childTable: String,
@@ -161,14 +173,16 @@ final class Etl private (
     * class). Unknown fields fail at compile time with a did-you-mean
     * suggestion; values that don't conform are routed to the error
     * side-channel (collect mode) or fail the run (fail-fast).
+    * @param errors per-table override of the pipeline error mode
+    *               (fluent.py:531-576); null = inherit from `run(failFast=)`
     */
   def mapToTyped(table: String, schema: StructType,
-      joinOn: Seq[String] = Nil)(fields: Field*): Etl = {
+      joinOn: Seq[String] = Nil, errors: ErrorMode = null)(fields: Field*): Etl = {
     Validation.checkFields(table,
       fields.filterNot(_.temp).map(_.name), schema)
     copyWith(emissions = emissions :+
       EmissionSpec(table, currentRoot, effectiveLevels, fields, joinOn,
-        Some(schema)))
+        Some(schema), Option(errors)))
   }
 
   // ---- relationships (reference fluent.py:578-714) ----

@@ -35,10 +35,33 @@ object JdbcLoad {
       }
     }
 
+  /** Identifier allowlist: table/column names come from pipeline code, but
+    * they are still interpolated into SQL — refuse anything that isn't a
+    * plain identifier rather than quoting (quoting would change case
+    * folding under Derby/Postgres and break existing unquoted DDL). */
+  private[dsl] def checkIdent(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"'$name' is not a plain SQL identifier")
+    name
+  }
+
+  /** Update-else-insert for one table, batched: each chunk of `batchSize`
+    * rows issues ONE batched UPDATE round trip, the missed rows ONE
+    * batched INSERT, then a commit — 2-3 round trips per chunk instead of
+    * 1-2 per row (the reference batches its REST upserts the same way,
+    * adapters/supabase_adapter.py:14-71). Rows must be unique on `keys`
+    * within `df` (merged pipeline tables are by construction).
+    *
+    * @return number of DB statement round trips (batches executed), for
+    *         observability and tests
+    */
   private[dsl] def upsertTable(df: DataFrame, url: String, table: String,
-      keys: Seq[String], batchSize: Int): Unit = {
+      keys: Seq[String], batchSize: Int): Long = {
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
+    checkIdent(table); cols.foreach(checkIdent)
+    val roundTrips = df.sparkSession.sparkContext
+      .longAccumulator(s"graft.jdbc.$table.roundTrips")
     df.foreachPartition { (rows: Iterator[Row]) =>
       val conn = DriverManager.getConnection(url)
       try {
@@ -49,23 +72,37 @@ object JdbcLoad {
         val insert = conn.prepareStatement(
           s"INSERT INTO $table (${cols.mkString(", ")}) " +
             s"VALUES (${cols.map(_ => "?").mkString(", ")})")
-        var n = 0
-        rows.foreach { row =>
-          nonKeys.zipWithIndex.foreach { case (c, i) =>
-            update.setObject(i + 1, row.getAs[Any](c)) }
-          keys.zipWithIndex.foreach { case (c, i) =>
-            update.setObject(nonKeys.size + i + 1, row.getAs[Any](c)) }
-          if (update.executeUpdate() == 0) {
-            cols.zipWithIndex.foreach { case (c, i) =>
-              insert.setObject(i + 1, row.getAs[Any](c)) }
-            insert.executeUpdate()
+        val pending = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+        def flush(): Unit = if (pending.nonEmpty) {
+          pending.foreach { row =>
+            nonKeys.zipWithIndex.foreach { case (c, i) =>
+              update.setObject(i + 1, row.getAs[Any](c)) }
+            keys.zipWithIndex.foreach { case (c, i) =>
+              update.setObject(nonKeys.size + i + 1, row.getAs[Any](c)) }
+            update.addBatch()
           }
-          n += 1
-          if (n % batchSize == 0) conn.commit()
+          val counts = update.executeBatch(); roundTrips.add(1)
+          val misses = pending.iterator.zip(counts.iterator)
+            .collect { case (row, 0) => row }.toSeq
+          if (misses.nonEmpty) {
+            misses.foreach { row =>
+              cols.zipWithIndex.foreach { case (c, i) =>
+                insert.setObject(i + 1, row.getAs[Any](c)) }
+              insert.addBatch()
+            }
+            insert.executeBatch(); roundTrips.add(1)
+          }
+          conn.commit()
+          pending.clear()
         }
-        conn.commit()
+        rows.foreach { row =>
+          pending += row
+          if (pending.size >= batchSize) flush()
+        }
+        flush()
       } finally conn.close()
     }
+    roundTrips.value
   }
 
   /** Two-phase generated-ID capture (reference: Supabase link_to(fk=...),
@@ -78,25 +115,29 @@ object JdbcLoad {
       naturalKey: Seq[String], idCol: String): DataFrame = {
     val spark = df.sparkSession
     val cols = df.columns.toSeq
+    checkIdent(table); cols.foreach(checkIdent)
     val outSchema = StructType(
       naturalKey.map(k => df.schema(k)) :+ StructField(idCol, LongType))
     val outRows = df.rdd.mapPartitions { rows =>
       val conn = DriverManager.getConnection(url)
-      val insert = conn.prepareStatement(
-        s"INSERT INTO $table (${cols.mkString(", ")}) " +
-          s"VALUES (${cols.map(_ => "?").mkString(", ")})",
-        java.sql.Statement.RETURN_GENERATED_KEYS)
-      val out = rows.map { row =>
-        cols.zipWithIndex.foreach { case (c, i) =>
-          insert.setObject(i + 1, row.getAs[Any](c)) }
-        insert.executeUpdate()
-        val rs = insert.getGeneratedKeys
-        rs.next()
-        val id = rs.getLong(1)
-        Row.fromSeq(naturalKey.map(k => row.getAs[Any](k)) :+ id)
-      }.toVector.iterator // drain before closing the connection
-      conn.close()
-      out
+      try {
+        val insert = conn.prepareStatement(
+          s"INSERT INTO $table (${cols.mkString(", ")}) " +
+            s"VALUES (${cols.map(_ => "?").mkString(", ")})",
+          java.sql.Statement.RETURN_GENERATED_KEYS)
+        // per-row executeUpdate is deliberate here: getGeneratedKeys after
+        // executeBatch is driver-dependent (Derby returns only the last
+        // key); this path is for dimension-sized parents
+        rows.map { row =>
+          cols.zipWithIndex.foreach { case (c, i) =>
+            insert.setObject(i + 1, row.getAs[Any](c)) }
+          insert.executeUpdate()
+          val rs = insert.getGeneratedKeys
+          rs.next()
+          val id = rs.getLong(1)
+          Row.fromSeq(naturalKey.map(k => row.getAs[Any](k)) :+ id)
+        }.toVector.iterator // drain before closing the connection
+      } finally conn.close()
     }
     spark.createDataFrame(outRows, outSchema)
   }

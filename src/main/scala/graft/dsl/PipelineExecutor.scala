@@ -64,13 +64,17 @@ private[dsl] final class PipelineExecutor(
     val tableStates = byTable.map { case (table, specs) =>
       telemetry.safeEvent("MapStarted", table)
       var state = mergeTable(table, specs, lookupMaps)
-      // validation (reference §2.7): declared schema → try_cast split
+      // validation (reference §2.7): declared schema → try_cast split;
+      // error mode is per-table when declared (fluent.py:531-576), else
+      // the pipeline default
       specs.flatMap(_._1.schema).headOption.foreach { schema =>
         val keyCols =
           if (specs.head._1.joinOn.nonEmpty) specs.head._1.joinOn
           else Seq(RowOrd)
+        val mode = specs.flatMap(_._1.errors).headOption.getOrElse(
+          if (failFast) ErrorMode.FailFast else ErrorMode.Collect)
         val (valid, errors) = Validation.validate(table, state.df, keyCols, schema)
-        if (failFast) {
+        if (mode == ErrorMode.FailFast) {
           val sample = errors.limit(5).collect()
             .map(r => s"${r.getString(1)}/${r.getString(2)}: ${r.getString(3)}")
           if (sample.nonEmpty)

@@ -72,6 +72,29 @@ class JdbcLoadSpec extends SparkTestBase {
       Seq(Seq("a", "one"), Seq("b", "TWO"), Seq("c", "three")))
   }
 
+  test("upsert batches statements: >=10x fewer round trips than rows") {
+    exec("CREATE TABLE big_dim (k INT PRIMARY KEY, v VARCHAR(20))")
+    import spark.implicits._
+    val existing = (1 to 40).map(i => (i, "old")).toDF("k", "v")
+    JdbcLoad.upsertTable(existing.repartition(1), url, "big_dim", Seq("k"), batchSize = 50)
+    // 100 rows: 40 updates hit, 60 miss and insert
+    val rows = (1 to 100).map(i => (i, s"v$i")).toDF("k", "v").repartition(1)
+    val trips = JdbcLoad.upsertTable(rows, url, "big_dim", Seq("k"), batchSize = 50)
+    assert(queryAll("SELECT COUNT(*) FROM big_dim").head.head
+      .asInstanceOf[Number].intValue === 100)
+    assert(queryAll("SELECT v FROM big_dim WHERE k = 7").head.head === "v7")
+    // 2 chunks x (1 update batch + 1 insert batch) = 4 round trips vs 100 rows
+    assert(trips * 10 <= 100, s"expected batched round trips, got $trips")
+  }
+
+  test("non-identifier table/column names are refused") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      JdbcLoad.upsertTable(df, url, "dim; DROP TABLE users", Seq("k"), 10)
+    }
+  }
+
   test("insertReturningIds captures DB-generated keys for FK population") {
     exec("""CREATE TABLE gen_users (
            | id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,

@@ -47,6 +47,34 @@ class ValidationSpec extends SparkTestBase {
     assert(e.getMessage.contains("old"))
   }
 
+  test("per-emission error mode overrides the pipeline default (fail-fast wins)") {
+    // global default is collect; the 'strict' table opts into fail-fast
+    val e = intercept[Validation.ValidationFailedException] {
+      Etl.json(spark, j)
+        .goto("users").each()
+        .mapToTyped("lenient", userSchema, joinOn = Seq("id"))(
+          "id" -> get("id"), "age" -> get("age"))
+        .root()
+        .goto("users").each()
+        .mapToTyped("strict", userSchema, joinOn = Seq("id"),
+          errors = ErrorMode.FailFast)(
+          "id" -> get("id"), "age" -> get("age"))
+        .run()
+    }
+    assert(e.getMessage.contains("strict"))
+  }
+
+  test("per-emission Collect override survives a fail-fast pipeline default") {
+    val result = Etl.json(spark, j)
+      .goto("users").each()
+      .mapToTyped("users", userSchema, joinOn = Seq("id"),
+        errors = ErrorMode.Collect)(
+        "id" -> get("id"), "age" -> get("age"), "name" -> get("name"))
+      .run(failFast = true)
+    assert(result.errors("users").count() === 1)
+    assert(result.table("users").count() === 2)
+  }
+
   test("unknown field fails at build time with did-you-mean") {
     val e = intercept[Validation.UnknownFieldException] {
       Etl.json(spark, j)
