@@ -421,11 +421,25 @@ final class PipelineResult private[dsl] (
   /** Write every table parent-first through `writer` — the JDBC/Delta sink
     * seam (`(table, df) => df.write.jdbc(...)`). */
   def write(writer: (String, DataFrame) => Unit): Unit =
-    topoOrder.foreach { t =>
-      telemetry.safeEvent("FlushStarted", t)
-      try { writer(t, table(t)); telemetry.safeEvent("FlushCompleted", t) }
-      catch { case e: Throwable =>
-        telemetry.safeEvent("FlushFailed", t, e.getMessage); throw e
-      }
+    topoOrder.foreach(flushOne(writer, _))
+
+  /** Write component by component: each weakly-connected component's
+    * tables flush together (topo order inside the component) before the
+    * next component starts — the reference's per-component flush/evict
+    * cycle (fluent.py:1894-2027). Components run in the reference's
+    * deterministic smallest-member order; cross-component ordering is
+    * free because disconnected tables share no relationships by
+    * definition. */
+  def writeByComponent(writer: (String, DataFrame) => Unit): Unit =
+    components.foreach { comp =>
+      GraphUtils.topologicalSort(comp, deps).foreach(flushOne(writer, _))
     }
+
+  private def flushOne(writer: (String, DataFrame) => Unit, t: String): Unit = {
+    telemetry.safeEvent("FlushStarted", t)
+    try { writer(t, table(t)); telemetry.safeEvent("FlushCompleted", t) }
+    catch { case e: Throwable =>
+      telemetry.safeEvent("FlushFailed", t, e.getMessage); throw e
+    }
+  }
 }

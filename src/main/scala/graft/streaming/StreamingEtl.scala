@@ -57,12 +57,14 @@ object StreamingEtl {
     def flush(result: PipelineResult, batchId: Long): Unit
   }
 
-  /** Default: plain insert per micro-batch in topo order
-    * (KeyCompleteFlushStrategy, chunking.py:281-315). */
+  /** Default: plain insert per micro-batch, component by component
+    * (KeyCompleteFlushStrategy, chunking.py:281-315; the reference's
+    * streaming loop flushes each weakly-connected component as its own
+    * cycle, fluent.py:1894-2027 — topo order inside the component). */
   final case class AppendStrategy(writer: (String, DataFrame) => Unit)
       extends FlushStrategy {
     def flush(result: PipelineResult, batchId: Long): Unit =
-      result.write(writer)
+      result.writeByComponent(writer)
   }
 
   /** Upsert by conflict columns per table (UpsertFlushStrategy,
@@ -81,6 +83,12 @@ object StreamingEtl {
     * one chunk. `pipeline` receives the batch DataFrame (the chunk's
     * roots) and builds the Etl plan — closing over any eager/broadcast
     * dimension tables.
+    *
+    * This is the reference's `sequential` chunk shape (chunking.py:26-33):
+    * every record maps against pipeline root 0 with shared auto-key state
+    * (one `run()` per chunk gives exactly that). A pipeline that calls
+    * `root(i)` with i > 0 fails at build time inside the batch — use
+    * [[foreachMultiRootChunk]] so each goto_root index gets its own root.
     */
   def foreachChunk(
       stream: DataFrame,
@@ -89,6 +97,25 @@ object StreamingEtl {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val result = pipeline(batch).run()
+        strategy.flush(result, batchId)
+      }
+    }
+
+  /** Multi-root chunks (reference Chunk(sequential=False),
+    * chunking.py:26-33, fluent.py:1406-1446): each micro-batch carries
+    * rows for SEVERAL pipeline roots — `splitter` slices the batch into
+    * one DataFrame per `goto_root` index (typically by a discriminator
+    * column), and the pipeline maps root i of the chunk to root(i).
+    */
+  def foreachMultiRootChunk(
+      stream: DataFrame,
+      splitter: DataFrame => Seq[DataFrame],
+      pipeline: Seq[DataFrame] => Etl,
+      strategy: FlushStrategy): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val roots = splitter(batch)
+        val result = pipeline(roots).run()
         strategy.flush(result, batchId)
       }
     }

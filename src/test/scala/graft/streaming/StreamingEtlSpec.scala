@@ -42,6 +42,77 @@ class StreamingEtlSpec extends SparkTestBase {
     assert(flushed.toList === List((0L, "records", 2L), (1L, "records", 1L)))
   }
 
+  test("flush is component-scoped: each component flushes as one cycle") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val flushOrder = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // declaration order users, tags, posts; components {users,posts} and
+    // {tags}. A GLOBAL topo (alphabetic Kahn) would flush tags before
+    // posts; component scoping keeps users+posts contiguous.
+    val writer = StreamingEtl.foreachChunk(
+      input.toDF().withColumnRenamed("value", "v"),
+      batch => Etl(batch)
+        .mapTo("users", joinOn = Seq("v"))("v" -> T.get("v"))
+        .mapTo("tags", joinOn = Seq("v"))("v" -> T.get("v"))
+        .mapTo("posts", joinOn = Seq("v"))(
+          "v" -> T.get("v"), T.temp("uref" -> T.get("v")))
+        .linkTo("users", by = Map("uref" -> "v"), as = "user"),
+      StreamingEtl.AppendStrategy((t, df) => {
+        df.count(); flushOrder.synchronized { flushOrder += t }
+      }))
+
+    val q = writer.start()
+    input.addData("x")
+    q.processAllAvailable()
+    q.stop()
+    assert(flushOrder.toList === List("users", "posts", "tags"))
+  }
+
+  test("multi-root chunks: each goto_root index maps its own slice") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+    val writer = StreamingEtl.foreachMultiRootChunk(
+      input.toDF().toDF("kind", "payload"),
+      batch => Seq(
+        batch.filter($"kind" === "a").select("payload"),
+        batch.filter($"kind" === "b").select("payload")),
+      roots => Etl(roots: _*)
+        .mapTo("a_tab", joinOn = Seq("payload"))("payload" -> T.get("payload"))
+        .root(1)
+        .mapTo("b_tab", joinOn = Seq("payload"))("payload" -> T.get("payload")),
+      StreamingEtl.AppendStrategy((t, df) =>
+        df.collect().foreach(r => seen.synchronized { seen += ((t, r.getString(0))) })))
+
+    val q = writer.start()
+    input.addData(("a", "a1"), ("b", "b1"), ("a", "a2"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSet === Set(("a_tab", "a1"), ("a_tab", "a2"), ("b_tab", "b1")))
+  }
+
+  test("sequential chunks refuse goto_root beyond root 0") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val writer = StreamingEtl.foreachChunk(
+      input.toDF().withColumnRenamed("value", "v"),
+      batch => Etl(batch)
+        .mapTo("a", joinOn = Seq("v"))("v" -> T.get("v"))
+        .root(1) // single-root chunk; reference raises the same way
+        .mapTo("b", joinOn = Seq("v"))("v" -> T.get("v")),
+      StreamingEtl.AppendStrategy((_, df) => { df.count(); () }))
+    val q = writer.start()
+    input.addData("x")
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(e.getMessage.contains("no root 1"))
+    q.stop()
+  }
+
   test("relationship completeness: missing parent raises with key names") {
     import spark.implicits._
     val children = Seq(("p1", "u1"), ("p2", "zz")).toDF("id", "user_id")
