@@ -109,7 +109,8 @@ final class Etl private (
     links: Vector[LinkSpec],
     backlinks: Vector[BacklinkSpec],
     indexes: Vector[IndexSpec],
-    deterministicIds: Boolean) {
+    deterministicIds: Boolean,
+    eagerTables: Set[String] = Set.empty) {
 
   private def copyWith(
       currentRoot: Int = currentRoot,
@@ -119,9 +120,10 @@ final class Etl private (
       links: Vector[LinkSpec] = links,
       backlinks: Vector[BacklinkSpec] = backlinks,
       indexes: Vector[IndexSpec] = indexes,
-      deterministicIds: Boolean = deterministicIds): Etl =
+      deterministicIds: Boolean = deterministicIds,
+      eagerTables: Set[String] = eagerTables): Etl =
     new Etl(roots, currentRoot, levels, pendingPath, emissions, links,
-      backlinks, indexes, deterministicIds)
+      backlinks, indexes, deterministicIds, eagerTables)
 
   // ---- navigation (reference fluent.py:403-479) ----
 
@@ -224,6 +226,41 @@ final class Etl private (
     */
   def scalableIds(): Etl = copyWith(deterministicIds = false)
 
+  /** Mark tables as eagerly resident across streaming chunks (reference
+    * `load_eager`, fluent.py:1292-1326). In graft the residency itself is
+    * the broadcast-dimension pattern (close over a static DataFrame); the
+    * declaration buys the reference's eager-boundary validation at
+    * analysis time: eager tables must be mapped, an eager table cannot
+    * depend on a non-eager parent, and backlinks cannot cross the eager
+    * boundary.
+    */
+  def loadEager(tables: String*): Etl =
+    copyWith(eagerTables = eagerTables ++ tables)
+
+  /** Analysis-time checks for chunked streaming execution (reference
+    * `_validate_streaming_pipeline`, fluent.py:1797-1829). */
+  private[graft] def validateForStreaming(sequentialOnly: Boolean): Unit = {
+    indexes.foreach {
+      case _: TraversalIndex => throw new IllegalArgumentException(
+        "traversal-based buildIndex() is not supported in streaming mode" +
+          " — seed the index from a literal map or an eager dimension")
+      case _ => ()
+    }
+    links.foreach { l =>
+      if (l.by.size != 1) throw new IllegalArgumentException(
+        s"streaming execution requires single-field by mappings on linkTo();" +
+          s" got ${l.by.keys.mkString("(", ", ", ")")} for '${l.childTable}'")
+    }
+    if (sequentialOnly) {
+      val multiRoot = emissions.map(_.rootIndex).filter(_ > 0).distinct.sorted
+      if (multiRoot.nonEmpty) throw new IllegalArgumentException(
+        s"pipeline references root index(es) ${multiRoot.mkString(", ")}, which" +
+          " requires multi-root chunks, but this streaming source yields" +
+          " sequential-only chunks — use foreachMultiRootChunk or drop the" +
+          " root() calls")
+    }
+  }
+
   /** Cache the parsed root documents before compiling emissions. The
     * reference re-walks the whole JSON once per component
     * (executor.py:261-262 table_filter); with several emissions over one
@@ -245,9 +282,14 @@ final class Etl private (
     * @param telemetry phase-event callback (reference telemetry.py)
     */
   def run(failFast: Boolean = false,
-      telemetry: Telemetry = Telemetry.Noop): PipelineResult =
+      telemetry: Telemetry = Telemetry.Noop): PipelineResult = {
+    Validation.validateEager(eagerTables,
+      emissions.map(_.table).toSet,
+      links.map(l => l.childTable -> l.parentTable),
+      backlinks.map(b => b.parentTable -> b.childTable))
     new PipelineExecutor(roots, emissions, links, backlinks, indexes,
       deterministicIds, failFast, telemetry).execute()
+  }
 }
 
 object Etl {

@@ -44,6 +44,45 @@ object Validation {
     d(a.length)(b.length)
   }
 
+  /** Eager-boundary rules (reference `_validate_eager_tables`,
+    * fluent.py:1292-1326): eager tables must be mapped; a backlink may
+    * not cross the eager boundary; an eager table cannot depend on a
+    * non-eager parent (its parents would be gone between chunks).
+    * Analysis-time, before any job launches.
+    *
+    * @param linkDeps     (child, parent) per linkTo
+    * @param backlinkRels (parentTable, childTable) per backlink
+    */
+  def validateEager(eager: Set[String], emissionTables: Set[String],
+      linkDeps: Seq[(String, String)],
+      backlinkRels: Seq[(String, String)]): Unit = {
+    if (eager.isEmpty) return
+    eager.foreach { t =>
+      if (!emissionTables.contains(t))
+        throw new IllegalArgumentException(
+          s"loadEager('$t') requires a preceding mapTo() for that table")
+    }
+    backlinkRels.foreach { case (parent, child) =>
+      if (eager.contains(parent) != eager.contains(child))
+        throw new IllegalArgumentException(
+          "backlink() cannot cross eager/non-eager boundaries; " +
+            s"mark both '$parent' and '$child' as loadEager or neither")
+    }
+    // dependency edges: a linked child depends on its parent existing; a
+    // backlink makes the parent depend on the child flushing first
+    val deps = (linkDeps ++ backlinkRels.map { case (p, c) => (p, c) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    deps.foreach { case (child, parents) =>
+      if (eager.contains(child)) {
+        val nonEager = parents -- eager
+        if (nonEager.nonEmpty)
+          throw new IllegalArgumentException(
+            s"loadEager table '$child' cannot depend on non-eager parent(s): " +
+              nonEager.toSeq.sorted.mkString(", "))
+      }
+    }
+  }
+
   /** Strict-field check: every emitted field must appear in the declared
     * schema. Runs before any job is launched (analysis-time, like a
     * schema mismatch in `.as[T]`). */

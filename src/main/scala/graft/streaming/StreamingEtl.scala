@@ -96,8 +96,9 @@ object StreamingEtl {
       strategy: FlushStrategy): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
-        val result = pipeline(batch).run()
-        strategy.flush(result, batchId)
+        val etl = pipeline(batch)
+        etl.validateForStreaming(sequentialOnly = true)
+        strategy.flush(etl.run(), batchId)
       }
     }
 
@@ -115,8 +116,9 @@ object StreamingEtl {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val roots = splitter(batch)
-        val result = pipeline(roots).run()
-        strategy.flush(result, batchId)
+        val etl = pipeline(roots)
+        etl.validateForStreaming(sequentialOnly = false)
+        strategy.flush(etl.run(), batchId)
       }
     }
 

@@ -97,6 +97,65 @@ class ValidationSpec extends SparkTestBase {
     assert(errs.length === 1 && errs(0).getString(3).contains("non-nullable"))
   }
 
+  test("eager-boundary rules fail at analysis time (test_issue_75 cases)") {
+    val jj = """{"users": [{"id": "u1", "posts": [{"id": "p1"}], "post_ids": ["p1"]}]}"""
+    def base = Etl.json(spark, jj).goto("users").each()
+      .mapTo("users", joinOn = Seq("id"))(
+        "id" -> get("id"), temp("post_ids" -> get("post_ids")))
+      .root().goto("users").each().goto("posts").each()
+      .mapTo("posts", joinOn = Seq("id"))(
+        "id" -> get("id"), temp("uref" -> getFromParent("id")))
+
+    // eager table never mapped
+    val e1 = intercept[IllegalArgumentException] {
+      base.loadEager("ghosts").run()
+    }
+    assert(e1.getMessage.contains("preceding mapTo"))
+
+    // eager child depending on a non-eager parent (posts linkTo users)
+    val e2 = intercept[IllegalArgumentException] {
+      base.linkTo("users", by = Map("uref" -> "id"), as = "user")
+        .loadEager("posts").run()
+    }
+    assert(e2.getMessage.contains("non-eager parent"))
+
+    // backlink crossing the eager boundary
+    val e3 = intercept[IllegalArgumentException] {
+      base.backlink("users", "posts", attr = "posts", by = ("post_ids", "id"))
+        .loadEager("users").run()
+    }
+    assert(e3.getMessage.contains("cannot cross eager/non-eager"))
+
+    // both sides eager is fine
+    base.linkTo("users", by = Map("uref" -> "id"), as = "user")
+      .loadEager("users", "posts").run()
+  }
+
+  test("streaming validation rejects traversal buildIndex and multi-field by") {
+    val jj = """{"users": [{"id": "u1", "name": "A", "region": "r1"}]}"""
+    def base = Etl.json(spark, jj).goto("users").each()
+      .mapTo("users", joinOn = Seq("id"))(
+        "id" -> get("id"), "name" -> get("name"), "region" -> get("region"))
+
+    val e1 = intercept[IllegalArgumentException] {
+      base.buildIndex("names", key = get("id"), value = get("name"))
+        .validateForStreaming(sequentialOnly = true)
+    }
+    assert(e1.getMessage.contains("buildIndex"))
+    // seeded index is fine
+    base.buildIndex("m", from = Map("a" -> "b"))
+      .validateForStreaming(sequentialOnly = true)
+
+    val e2 = intercept[IllegalArgumentException] {
+      base.root().goto("users").each()
+        .mapTo("posts", joinOn = Seq("id"))(
+          "id" -> get("id"), temp("n" -> get("name")), temp("r" -> get("region")))
+        .linkTo("users", by = Map("n" -> "name", "r" -> "region"), as = "u")
+        .validateForStreaming(sequentialOnly = true)
+    }
+    assert(e2.getMessage.contains("single-field"))
+  }
+
   test("telemetry receives map and flush events in order") {
     val rec = new Telemetry.Recording
     val result = pipeline.run(telemetry = rec)
