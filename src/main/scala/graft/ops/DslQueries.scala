@@ -171,6 +171,101 @@ object DslQueries {
              |FROM events
              |ORDER BY event_id, pkey""".stripMargin)),
 
+    // ---- 3-level traversal: get_from_parent / parent_index / index over
+    //      region → nation → customer nested docs (SURVEY §2 rows 19-21)
+    Q(
+      "dsl_parent_paths",
+      (s, dir) => {
+        val nat = table(s, dir, "nation")
+        val cust = table(s, dir, "customer")
+        val reg = table(s, dir, "region")
+        val natDocs = nat.join(
+          cust.groupBy(col("c_nationkey")).agg(
+            sort_array(collect_list(struct(col("c_custkey"), col("c_name"))))
+              .as("customers")),
+          col("n_nationkey") === col("c_nationkey"))
+          .select(col("n_regionkey"),
+            struct(col("n_nationkey"), col("n_name"), col("customers")).as("nd"))
+        val root = reg.join(natDocs, col("r_regionkey") === col("n_regionkey"))
+          .groupBy(col("r_regionkey"), col("r_name"))
+          .agg(sort_array(collect_list(col("nd"))).as("nations"))
+        Etl(root)
+          .goto("nations").each().goto("customers").each()
+          .mapTo("out")(
+            "c_custkey" -> transforms.get("c_custkey"),
+            "nation_name" -> getFromParent("n_name"),
+            "region_name" -> getFromRoot("r_name"),
+            "nation_pos" -> parentIndex(),
+            "cust_pos" -> transforms.index())
+          .run().table("out")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH nats AS (
+             |  SELECT n_nationkey, n_name, n_regionkey,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS INT) AS nation_pos
+             |  FROM nation WHERE n_nationkey IN (SELECT DISTINCT c_nationkey FROM customer)),
+             |custs AS (
+             |  SELECT c_custkey, c_nationkey,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS INT) AS cust_pos
+             |  FROM customer)
+             |SELECT c_custkey, n_name AS nation_name, r_name AS region_name,
+             |  nation_pos, cust_pos
+             |FROM custs JOIN nats ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- Extend policy: list concat across traversals, scalar → 1-list
+    Q(
+      "dsl_extend_policy",
+      (s, dir) => {
+        val root = nestedOrders(s, dir)
+        Etl(root)
+          .mapTo("t", joinOn = Seq("o_custkey"))(
+            "o_custkey" -> transforms.get("o_custkey"),
+            Field("okeys",
+              applyFn(c => transform(c, o => o.getField("o_orderkey")),
+                transforms.get("orders")),
+              policy = MergePolicy.Extend))
+          .root().goto("orders").each()
+          .mapTo("t", joinOn = Seq("o_custkey"))(
+            "o_custkey" -> getFromRoot("o_custkey"),
+            // scalar contribution — wrapped to a 1-list by the policy
+            Field("okeys", transforms.get("o_orderkey"),
+              policy = MergePolicy.Extend))
+          .run().table("t")
+          .select(col("o_custkey"), concat_ws(",", col("okeys")).as("okeys"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH s AS (
+             |  SELECT o_custkey,
+             |    STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS sk
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT o_custkey, sk || ',' || sk AS okeys
+             |FROM s ORDER BY o_custkey""".stripMargin)),
+
+    // ---- typed validation: error side-channel counts match the rows that
+    //      genuinely fail the declared schema
+    Q(
+      "dsl_validation_errors",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val cust = table(s, dir, "customer").withColumn("num",
+          when(col("c_custkey") % 10 === 0, concat(lit("bad"), col("c_custkey")))
+            .otherwise(col("c_custkey").cast("string")))
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("num", IntegerType)))
+        Etl(cust)
+          .mapToTyped("cust", schema, joinOn = Seq("c_custkey"))(
+            "c_custkey" -> transforms.get("c_custkey"),
+            "num" -> transforms.get("num"))
+          .run().errors("cust")
+          .groupBy(col("table")).agg(count(lit(1)).as("n_errors"))
+          .withColumnRenamed("table", "tbl")
+      },
+      Some("""SELECT 'cust' AS tbl, COUNT(*) AS n_errors
+             |FROM customer WHERE c_custkey % 10 = 0""".stripMargin)),
+
     // ---- auto mode over a schema-INFERRED JSON object: each() iterates
     //      dict items exactly like items() (executor.py:66-76) — no
     //      hand-written MapType schema anywhere
