@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   * with a `noop` sink so the full result is materialized (a bare count()
   * lets Spark skip computing projected columns and eliminate sorts).
   * Reported time per query is the min over SPARK_GRAFT_BENCH_PASSES
-  * (default 2) interleaved passes; "value" is the sum over queries.
+  * (default 3) interleaved passes; "value" is the sum over queries.
   */
 object Bench {
 
@@ -38,10 +38,10 @@ object Bench {
 
     // The host shows bursty CPU steal (noisy neighbors): one run can be
     // 10-30x off, and a burst can cover consecutive runs of one query.
-    // So: SPARK_GRAFT_BENCH_PASSES (default 2) full INTERLEAVED passes
+    // So: SPARK_GRAFT_BENCH_PASSES (default 3) full INTERLEAVED passes
     // over all queries (samples for a given query land minutes apart),
     // min per query.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val samples = scala.collection.mutable.Map.empty[String, Double]
     (1 to passes).foreach { _ =>
       qs.foreach { q =>

@@ -29,7 +29,6 @@ private[dsl] final case class TableState(
 
 private[dsl] object PipelineExecutor {
   val RowOrd = "__g_row_ord"
-  val AutoKey = "__g_auto_key"
   private[dsl] def presCol(f: String) = s"__g_p_$f"
 }
 
@@ -100,7 +99,7 @@ private[dsl] final class PipelineExecutor(
         backlinks.map(b => b.parentTable -> b.childTable))
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
 
-    new PipelineResult(states, deps, errorDfs, telemetry)
+    new PipelineResult(states, deps, errorDfs, telemetry, deterministicIds)
   }
 
   // ---------------------------------------------------------------- emit
@@ -193,23 +192,8 @@ private[dsl] final class PipelineExecutor(
       s"emissions into '$table' disagree on joinOn")
 
     val merged =
-      if (joinOn.isEmpty) {
-        // auto-key for unkeyed emits (executor.py:181-196): every row is
-        // its own instance under a sequential per-table "__auto_N__" key.
-        // Deterministic mode reproduces the reference's counter exactly
-        // via row_number over the traversal ordinal — a single-partition
-        // window, the price of exact sequential parity; scalableIds()
-        // switches to monotonically_increasing_id, which stays fully
-        // parallel and unique (the right default on a cluster, where
-        // nothing should observe the id's sequential shape).
-        val keyExpr =
-          if (deterministicIds)
-            row_number().over(
-              org.apache.spark.sql.expressions.Window.orderBy(col(RowOrd))) - 1
-          else monotonically_increasing_id()
-        unioned.withColumn(AutoKey,
-          concat(lit("__auto_"), keyExpr.cast(StringType), lit("__")))
-      } else {
+      if (joinOn.isEmpty) unioned
+      else {
         val aggs = fieldOrder.filterNot(joinOn.contains).map { f =>
           policies(f).agg(col(f), col(presCol(f)), col(RowOrd)).as(f)
         } :+ min(col(RowOrd)).as(RowOrd)
@@ -350,7 +334,8 @@ final class PipelineResult private[dsl] (
     states: ListMap[String, TableState],
     val deps: Map[String, Set[String]],
     errorDfs: ListMap[String, DataFrame] = ListMap.empty,
-    telemetry: Telemetry = Telemetry.Noop) {
+    telemetry: Telemetry = Telemetry.Noop,
+    deterministicIds: Boolean = true) {
 
   def tableNames: Seq[String] = states.keys.toSeq
 
@@ -385,15 +370,29 @@ final class PipelineResult private[dsl] (
   def tableOrdered(name: String): DataFrame = state(name).ordered
 
   /** Unkeyed table with its auto-generated row key exposed as `auto_key`
-    * (reference: "__auto_N__" instance keys, executor.py:181-196). Keyed
-    * tables carry their key in their own columns — asking for an auto key
-    * there is an error. */
+    * (reference: "__auto_N__" sequential per-table instance keys,
+    * executor.py:181-196). Keyed tables carry their key in their own
+    * columns — asking for an auto key there is an error.
+    *
+    * The key is computed HERE, not during the pipeline run: deterministic
+    * mode is a row_number over the traversal ordinal — a single-partition
+    * window, the price of exact sequential parity — and tables that never
+    * observe their keys must not pay it. `scalableIds()` switches to
+    * monotonically_increasing_id, which stays fully parallel and unique
+    * (the right default on a cluster, where nothing should observe the
+    * id's sequential shape). */
   def tableKeyed(name: String): DataFrame = {
     val s = state(name)
     require(s.keys.isEmpty,
       s"table '$name' is keyed on (${s.keys.mkString(", ")}); auto keys exist only for unkeyed tables")
+    val keyExpr =
+      if (deterministicIds)
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(PipelineExecutor.RowOrd))) - 1
+      else monotonically_increasing_id()
     s.df.select(s.visible.map(col) :+
-      col(PipelineExecutor.AutoKey).as("auto_key"): _*)
+      concat(lit("__auto_"), keyExpr.cast(StringType), lit("__"))
+        .as("auto_key"): _*)
   }
 
   /** Typed view of a table — the reference's InstanceBuilder finalize
