@@ -293,6 +293,42 @@ object CorpusQueries {
            |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       }),
 
+    Q(
+      "ann_ivf_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", Dim,
+          centroids = 8, nProbe = 2, k = 3)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val assignRank =
+          s"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid)"
+        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |ca AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid, $assignRank AS rn
+           |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+           |qa AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid, $assignRank AS rn
+           |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 20) t WHERE rn <= 2),
+           |cand AS (
+           |  SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS n_id
+           |  FROM qa JOIN ca ON qa.cid = ca.cid
+           |  WHERE qa.vec_id != ca.vec_id)
+           |SELECT q_id, n_id, rank, cos FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, c.n_id) AS INT) AS rank,
+           |    ${cosSql("q.embedding", "n.embedding")} AS cos
+           |  FROM cand c
+           |  JOIN embeddings q ON q.vec_id = c.q_id
+           |  JOIN embeddings n ON n.vec_id = c.n_id) t
+           |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // ======== multimodal plumbing (byte-level; decode is stubbed) ========
     Q(
       "multimodal_bytes",

@@ -357,6 +357,34 @@ object Relational {
              |WHERE delta IS NOT NULL
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- skew-safe aggregation: two-stage salted groupBy. A hot group
+    //      key (the classic 100 TB skew killer) is split across `salt`
+    //      shards for the partial stage, so no single reducer owns the
+    //      hot key; the final stage combines shards. Result is identical
+    //      to the plain groupBy the oracle runs — salting is free to
+    //      verify because sum/count decompose.
+    Q(
+      "q_salted_agg",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val partial = li
+          .withColumn("__salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("__salt"))
+          .agg(
+            sum(col("l_quantity").cast(d182)).as("q1"),
+            count(lit(1)).as("c1"))
+        partial.groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("q1")).cast("double").as("sum_qty"),
+            sum(col("c1")).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ---- JSON extraction from the events.props payload column
     Q(
       "q_events_json",

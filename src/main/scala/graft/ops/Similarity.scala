@@ -97,4 +97,59 @@ object Similarity {
         dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
     topK(scored, k)
   }
+
+  /** IVF (inverted-file) ANN: the corpus is partitioned once into
+    * `centroids` cells (nearest-centroid assignment — one broadcast pass,
+    * no shuffle of the corpus beyond the cell grouping), and each query
+    * probes only its `nProbe` nearest cells. Expected candidates per
+    * query: nProbe/centroids of the corpus — the classic recall/cost dial.
+    *
+    * Centroid choice is a seam: here the first `centroids` corpus vectors
+    * serve as cell centers (deterministic, oracle-reproducible); a real
+    * deployment would feed k-means centers in via `centroidsDf` — the
+    * plumbing (assign → probe → score → bounded top-k) is identical.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      centroids: Int, nProbe: Int, k: Int,
+      centroidsDf: DataFrame = null): DataFrame = {
+    val cents0 =
+      if (centroidsDf != null) centroidsDf
+      else corpus.filter(col(idCol) < centroids)
+    val cents = cents0.select(col(idCol).cast("long").as("cid"),
+      col(vecCol).as("c_v"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("c_nrm"))
+
+    // nearest cell per corpus vector: broadcast the (small) centroid set,
+    // keep the best cell via the same k-capped aggregate (k=1)
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val v = df.select(col(id).as("a_id"), col(vecCol).as("a_v"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("a_nrm"))
+      val scored = v.join(broadcast(cents), lit(true))
+        .select(col("a_id"), col("cid"),
+          (dot(col("a_v"), col("c_v"), dim) / (col("a_nrm") * col("c_nrm")))
+            .as("c_cos"))
+      scored.groupBy(col("a_id"))
+        .agg(graft.functions.TopKByScore.top_k_by_score(
+          col("c_cos"), col("cid"), keep).as("cells"))
+        .select(col("a_id"), explode(col("cells.id")).as("cid"))
+    }
+
+    val corpusCells = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("n_nrm"))
+      .join(assign(corpus, idCol, 1).withColumnRenamed("a_id", "n_id"), "n_id")
+    val queryCells = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("q_nrm"))
+      .join(assign(queries, idCol, nProbe).withColumnRenamed("a_id", "q_id"), "q_id")
+
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
+      // a candidate can appear via several probed cells — dedup before rank
+      .select(col("q_id"), col("n_id"), col("cos")).distinct()
+    topK(scored, k)
+  }
 }

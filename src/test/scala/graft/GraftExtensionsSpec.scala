@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL-surface registration of the native expressions (the extensions
+  * entry point and registerAll share one builder table, so exercising
+  * registerAll covers the injectFunction wiring too).
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("registerAll exposes every native function to SQL") {
+    GraftExtensions.registerAll(spark)
+
+    val h = spark.sql("SELECT rolling_hash('abc') AS h").collect()(0).getLong(0)
+    assert(h === Seq("abc").toDF("t")
+      .select(functions.RollingHash.rolling_hash($"t")).collect()(0).getLong(0))
+
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d === 11.0)
+
+    val b = spark.sql(
+      "SELECT hyperplane_bucket(array(1.0D, 1.0D, 1.0D, 1.0D), 4) AS b")
+      .collect()(0).getLong(0)
+    val expected = Seq(Tuple1(Array(1.0, 1.0, 1.0, 1.0))).toDF("v")
+      .select(functions.HyperplaneBucket.hyperplane_bucket($"v", 4))
+      .collect()(0).getLong(0)
+    assert(b === expected)
+
+    val rows = Seq((1L, 0.9), (2L, 0.5), (3L, 0.7)).toDF("id", "s")
+    rows.createOrReplaceTempView("scores")
+    val top = spark.sql(
+      "SELECT top_k_by_score(s, id, 2) AS t FROM scores")
+      .selectExpr("inline(t)").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.toSeq === Seq((1L, 0.9), (3L, 0.7)))
+  }
+
+  test("non-literal k is rejected with a clear message") {
+    GraftExtensions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT hyperplane_bucket(array(1.0D), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
