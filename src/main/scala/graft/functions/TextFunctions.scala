@@ -22,6 +22,16 @@ object TextFunctions {
 
   def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** BPE-style pre-tokenization: letter runs, digit runs, and individual
+    * punctuation marks each become a subtoken (the shape GPT-2's
+    * pre-tokenizer produces before byte-pair merges). RE2-compatible
+    * pattern so the SQL oracle computes the identical split. */
+  val SubtokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def subtokens(text: Column): Column =
+    regexp_extract_all(text, lit(SubtokenPattern), lit(0))
+
+  def subtokenCount(text: Column): Column = size(subtokens(text))
+
   /** Distinct word n-gram shingles ("a b c"), 1 row per doc; empty array
     * when the doc has fewer than n tokens. */
   def shingles(text: Column, n: Int): Column = {

@@ -37,6 +37,16 @@ object CorpusQueries {
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"$a[$i]::DOUBLE * $b[$i]::DOUBLE").mkString(" + ")
 
+  /** Hyperplane LSH bucket id in SQL — same integer weights and
+    * left-assoc projection order as Similarity.lshBucket. */
+  private def bucketSql(v: String, planes: Int): String =
+    (0 until planes).map { p =>
+      val proj = (0 until Dim).map(d =>
+        s"$v[${d + 1}]::DOUBLE * (${Similarity.planeWeight(d, p)})")
+        .mkString(" + ")
+      s"CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
@@ -137,6 +147,21 @@ object CorpusQueries {
              |    list_prepend(0::BIGINT,
              |      list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
              |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "text_subtokens",
+      (s, dir) => {
+        import TextFunctions._
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          subtokenCount(col("text")).as("n_sub"),
+          size(array_distinct(subtokens(col("text")))).as("n_sub_uniq"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '${TextFunctions.SubtokenPattern}')) AS INT) AS n_sub,
+             |  CAST(len(list_distinct(regexp_extract_all(text, '${TextFunctions.SubtokenPattern}'))) AS INT) AS n_sub_uniq
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ======== dedup ========
@@ -247,6 +272,26 @@ object CorpusQueries {
              |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
              |ORDER BY d1, d2""".stripMargin)),
 
+    // embedding near-dup with SELF-DERIVED blocking: when no natural block
+    // key (label/cluster) exists, the LSH bucket IS the block — the pair
+    // join stays Σ_b n_b² with b = 2^planes buckets
+    Q(
+      "dedup_embedding_lsh",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .withColumn("blk", Similarity.lshBucket(col("embedding"), Dim, 4))
+        Dedup.embeddingCosine(e, "vec_id", "embedding", "blk", Dim,
+          threshold = 0.45)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS blk FROM embeddings)
+             |SELECT a.vec_id AS d1, b.vec_id AS d2,
+             |  ${cosSql("a.embedding", "b.embedding")} AS cos
+             |FROM bk a JOIN bk b
+             |  ON a.blk = b.blk AND a.vec_id < b.vec_id
+             |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+             |ORDER BY d1, d2""".stripMargin)),
+
     // ======== similarity search ========
     Q(
       "ann_bruteforce_topk",
@@ -275,14 +320,7 @@ object CorpusQueries {
           .orderBy(col("q_id"), col("rank"))
       },
       Some {
-        def bucketSql(v: String): String =
-          (0 until 4).map { p =>
-            val proj = (0 until Dim).map(d =>
-              s"$v[${d + 1}]::DOUBLE * (${Similarity.planeWeight(d, p)})")
-              .mkString(" + ")
-            s"CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END"
-          }.mkString(" + ")
-        s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+        s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket FROM embeddings)
            |SELECT q_id, n_id, rank, cos FROM (
            |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
            |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id

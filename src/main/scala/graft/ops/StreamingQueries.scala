@@ -67,6 +67,32 @@ object StreamingQueries {
              |FROM events
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // streaming exact dedup: dropDuplicates state + downstream aggregation
+    // — the streaming form of the dedup operator (distinct aggregates are
+    // not allowed in streaming; the dedup-then-count pipeline is)
+    Q(
+      "stream_dedup_counts",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val stream = s.readStream.schema(eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        val agg = stream
+          .dropDuplicates("event_type", "user_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_unique_users"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory").queryName(name)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q(
       "q_sessionize",
       (s, dir) => {
