@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the latest right row with
+  * `right.ts <= left.ts` in the same key group — the feature-lookup /
+  * point-in-time join every event and training-data pipeline needs and
+  * Spark lacks as a built-in.
+  *
+  * Implemented the scale-correct way: NOT a range cross-join (whose
+  * candidate count is unbounded) but union + last-observation-carried-
+  * forward — tag both sides, union, one shuffle on the key, and a running
+  * `last(payload, ignoreNulls)` over (ts, side) per key. Wall cost is one
+  * shuffle + one partition-local sort regardless of how dense the right
+  * side is; at equal timestamps the right row sorts first, so matches are
+  * inclusive (`>=`), exactly DuckDB's ASOF JOIN semantics.
+  *
+  * The right side should be unique per (key, ts) — pre-aggregate
+  * duplicates (`groupBy(key, ts).agg(...)`) or the tie is arbitrary.
+  * A skewed key concentrates its rows on one reducer like any keyed
+  * window; salt the key and as-of join within salt shards if a single
+  * key's history outgrows a partition.
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to carry onto matched left rows
+    * @param prefix  output prefix for the carried columns (null when no
+    *                right row precedes the left row — left-outer shape)
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+      key: String, ts: String, payload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val pay = struct(payload.map(col): _*)
+    val rt0 = right.select(col(key), col(ts), pay.as("__g_asof_pay"))
+      .withColumn("__g_asof_side", lit(0))
+    val extraLeft = left.columns.filterNot(c => c == key || c == ts)
+    val lt = left
+      .withColumn("__g_asof_side", lit(1))
+      .withColumn("__g_asof_pay",
+        lit(null).cast(rt0.schema("__g_asof_pay").dataType))
+    val rt = extraLeft.foldLeft(rt0)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__g_asof_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lt.unionByName(rt)
+      .withColumn("__g_asof_m",
+        last(col("__g_asof_pay"), ignoreNulls = true).over(w))
+      .filter(col("__g_asof_side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"__g_asof_m.$p").as(prefix + p)): _*)
+  }
+}

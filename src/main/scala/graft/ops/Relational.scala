@@ -385,6 +385,35 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- as-of join (point-in-time feature lookup): each click joined
+    //      to the user's latest preceding purchase. Verified against
+    //      DuckDB's NATIVE ASOF JOIN — two entirely different physical
+    //      strategies, same answer.
+    Q(
+      "q_asof_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("p_event_id"))
+        AsOfJoin.asOf(clicks, purchases, "user_id", "ts",
+          payload = Seq("p_event_id"), prefix = "")
+          .select(col("event_id"), col("user_id"), col("p_event_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, MAX(event_id) AS p_event_id
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_id, user_id, ts
+             |  FROM events WHERE event_type = 'click')
+             |SELECT c.event_id, c.user_id, p.p_event_id
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // ---- JSON extraction from the events.props payload column
     Q(
       "q_events_json",

@@ -1,0 +1,25 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** As-of join semantics: inclusive at equal ts, latest-preceding match,
+  * null when nothing precedes, keys independent.
+  */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asOf picks the latest right row with ts <= left ts per key") {
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 99L, "z"))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("v"))
+      .orderBy("lid").collect()
+      .map(r => (r.getString(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      ("l1", "a"),  // equal ts is inclusive
+      ("l2", "b"),  // latest preceding, not first
+      ("l3", null)  // nothing precedes → left-outer null
+    ))
+  }
+}
