@@ -79,11 +79,14 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000): DataFrame = {
     val sh0 = shingleRows(df, idCol, textCol, n)
-    // hot shingles are by definition few — the anti-join's build side is
-    // small and AQE broadcasts it
-    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("shingle"))
-    val sh = sh0.join(hot, Seq("shingle"), "left_anti")
+    // document frequency as a whole-partition window count: one shuffle
+    // on shingle computes df AND leaves the index clustered for it (a
+    // groupBy + anti-join spelling costs a second shingle shuffle)
+    val sh = sh0
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
