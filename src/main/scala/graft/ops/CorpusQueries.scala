@@ -50,6 +50,33 @@ object CorpusQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** 64-bit simhash CTE chain (requires `toks` in scope): yields
+    * `sims(doc_id, sh)`. Token hash from md5 hex chars 1-8 (high word)
+    * and 9-16 (low word), mirroring Dedup.tokenVal64; everything stays
+    * in BIGINT by testing bits against the right half and assembling the
+    * signature in two's complement (bit 63 contributes -2^31 to the
+    * signed high word). */
+  private val simhashCtes: String = {
+    def hexVal(start: Int) = (1 to 8).map { i =>
+      val pow = math.pow(16, 8 - i).toLong
+      s"(strpos('0123456789abcdef', substring(md5(tok), ${start + i - 1}, 1)) - 1) * ${pow}::BIGINT"
+    }.mkString(" + ")
+    val bitSums = (0 until 64).map { j =>
+      val (word, shift) = if (j < 32) ("lo", 1L << j) else ("hi", 1L << (j - 32))
+      s"SUM(CASE WHEN ($word // $shift) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val shLo = (0 until 32).map { j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END"
+    }.mkString(" + ")
+    val shHiSigned = (32 until 63).map { j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << (j - 32)}::BIGINT ELSE 0 END"
+    }.mkString(" + ") + " - CASE WHEN b63 > 0 THEN 2147483648 ELSE 0 END"
+    s"""tv AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM toks WHERE len(ws) > 0),
+       |vals AS (SELECT doc_id, (${hexVal(1)}) AS hi, (${hexVal(9)}) AS lo FROM tv),
+       |bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id),
+       |sims AS (SELECT doc_id, ($shHiSigned) * 4294967296 + ($shLo) AS sh FROM bits)""".stripMargin
+  }
+
   /** Language profiles shared by the Spark and oracle sides. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "fast", "slow", "small"),
@@ -176,6 +203,18 @@ object CorpusQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "dedup_exact_drop",
+      (s, dir) =>
+        Dedup.dropExactDuplicates(table(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "dedup_ngram_jaccard",
       (s, dir) =>
         Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
@@ -231,32 +270,33 @@ object CorpusQueries {
         Dedup.simhashTable(table(s, dir, "documents"), "doc_id", "text")
           .withColumnRenamed("doc", "doc_id")
           .orderBy(col("doc_id")),
-      Some {
-        // 64-bit token hash from md5 hex chars 1-8 (high word) and 9-16
-        // (low word), mirroring Dedup.tokenVal64; everything stays in
-        // BIGINT by testing bits against the right half and assembling
-        // the signature in two's complement (bit 63 contributes -2^31 to
-        // the signed high word)
-        def hexVal(start: Int) = (1 to 8).map { i =>
-          val pow = math.pow(16, 8 - i).toLong
-          s"(strpos('0123456789abcdef', substring(md5(tok), ${start + i - 1}, 1)) - 1) * ${pow}::BIGINT"
-        }.mkString(" + ")
-        val bitSums = (0 until 64).map { j =>
-          val (word, shift) = if (j < 32) ("lo", 1L << j) else ("hi", 1L << (j - 32))
-          s"SUM(CASE WHEN ($word // $shift) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
-        }.mkString(", ")
-        val shLo = (0 until 32).map { j =>
-          s"CASE WHEN b$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END"
-        }.mkString(" + ")
-        val shHiSigned = (32 until 63).map { j =>
-          s"CASE WHEN b$j > 0 THEN ${1L << (j - 32)}::BIGINT ELSE 0 END"
-        }.mkString(" + ") + " - CASE WHEN b63 > 0 THEN 2147483648 ELSE 0 END"
+      Some(
         s"""WITH $toksCte,
-           |tv AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM toks WHERE len(ws) > 0),
-           |vals AS (SELECT doc_id, (${hexVal(1)}) AS hi, (${hexVal(9)}) AS lo FROM tv),
-           |bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id)
-           |SELECT doc_id, ($shHiSigned) * 4294967296 + ($shLo) AS sh
-           |FROM bits ORDER BY doc_id""".stripMargin
+           |$simhashCtes
+           |SELECT doc_id, sh FROM sims ORDER BY doc_id""".stripMargin)),
+
+    // simhash near-dup pairs: pigeonhole block join + exact hamming verify
+    // over the same 64-bit signatures
+    Q(
+      "dedup_simhash_pairs",
+      (s, dir) =>
+        Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+          .orderBy(col("d1"), col("d2")),
+      Some {
+        // 4 blocks of 16 bits; >> then & 65535 is shift-mode agnostic
+        val blockRows = (0 until 4).map { b =>
+          s"SELECT doc_id, sh, $b AS blk_i, (sh >> ${b * 16}) & 65535 AS blk_v FROM sims"
+        }.mkString(" UNION ALL ")
+        s"""WITH $toksCte,
+           |$simhashCtes,
+           |blocked AS ($blockRows)
+           |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+           |FROM blocked a JOIN blocked b
+           |  ON a.blk_i = b.blk_i AND a.blk_v = b.blk_v AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+           |ORDER BY d1, d2""".stripMargin
       }),
 
     Q(
