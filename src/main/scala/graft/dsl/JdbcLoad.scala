@@ -28,10 +28,10 @@ object JdbcLoad {
     */
   def upsert(result: PipelineResult, url: String,
       upsertOn: Map[String, Seq[String]], batchSize: Int = 500): Unit =
-    result.write { (table, df) =>
+    result.writeByComponent { (table, df) =>
       upsertOn.get(table) match {
         case None => df.write.mode("append").jdbc(url, table, new java.util.Properties())
-        case Some(keys) => upsertTable(df, url, table, keys, batchSize)
+        case Some(keys) => upsertTable(df, url, table, keys, batchSize); ()
       }
     }
 
