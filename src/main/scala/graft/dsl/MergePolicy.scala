@@ -102,4 +102,24 @@ object MergePolicy {
       aggregate(ordered, zero, f)
     }
   }
+
+  /** Arbitrary Scala merge as a REAL partially-aggregating UDAF — the
+    * second half of the plugin seam. [[Fold]] collects every present
+    * value into one array before folding (fine for small groups); a
+    * `udaf(Aggregator[...])` keeps its own buffer and partially
+    * aggregates map-side, so a custom merge scales like a built-in.
+    *
+    * The aggregator's input is a two-field case class `(o: Seq[Long],
+    * v: T)` — the traversal ordinal plus the field value, passed as the
+    * two UDAF arguments — and absent emissions arrive with a null `o`
+    * (skip them in `reduce`). Order-sensitive merges compare `o`
+    * lexicographically instead of assuming arrival order, because a
+    * distributed aggregate sees values in any order.
+    */
+  final case class FromUdaf(
+      f: org.apache.spark.sql.expressions.UserDefinedFunction)
+      extends MergePolicy {
+    def agg(value: Column, present: Column, ord: Column): Column =
+      f(when(present, ord), value)
+  }
 }

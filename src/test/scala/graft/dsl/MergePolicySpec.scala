@@ -3,6 +3,30 @@ package graft.dsl
 import graft.SparkTestBase
 import org.apache.spark.sql.functions.{concat => fconcat, _}
 
+/** Input row shape for the FromUdaf seam: traversal ordinal + value
+  * (top-level so Spark can derive an Encoder). */
+case class UdafIn(o: Seq[Long], v: String)
+
+/** Pure-Scala last-write merge as an Aggregator: keeps the (ordinal,
+  * value) pair with the lexicographically largest ordinal — order-safe
+  * under partial aggregation because it compares ordinals, never assumes
+  * arrival order. Absent emissions arrive with a null ordinal and are
+  * skipped. */
+object LastWriteAgg
+    extends org.apache.spark.sql.expressions.Aggregator[UdafIn, UdafIn, String] {
+  import scala.math.Ordering.Implicits.seqOrdering
+  override def zero: UdafIn = UdafIn(null, null)
+  override def reduce(b: UdafIn, a: UdafIn): UdafIn =
+    if (a == null || a.o == null) b else if (b.o == null) a
+    else if (seqOrdering[Seq, Long].gteq(a.o, b.o)) a else b
+  override def merge(b1: UdafIn, b2: UdafIn): UdafIn = reduce(b1, b2)
+  override def finish(r: UdafIn): String = if (r.o == null) null else r.v
+  override def bufferEncoder: org.apache.spark.sql.Encoder[UdafIn] =
+    org.apache.spark.sql.Encoders.product[UdafIn]
+  override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+    org.apache.spark.sql.Encoders.STRING
+}
+
 /** Merge-policy semantics matrix (reference: tests/test_instances.py). */
 class MergePolicySpec extends SparkTestBase {
   import transforms._
@@ -79,6 +103,21 @@ class MergePolicySpec extends SparkTestBase {
           lit(""), (acc, v) => fconcat(acc, coalesce(v, lit(""))))))
       .run().tableOrdered("t"))
     assert(out === Seq(Seq("a", "xyz")))
+  }
+
+  test("FromUdaf: arbitrary Scala Aggregator merges with partial aggregation") {
+    val jj =
+      """{"rows": [{"id": "a", "s": "x"}, {"id": "a", "s": "y"}, {"id": "a", "s": "z"},
+        |          {"id": "b", "s": "q"}]}""".stripMargin
+    val policy = MergePolicy.FromUdaf(udaf(LastWriteAgg))
+    val out = rows(Etl.json(spark, jj)
+      .goto("rows").each()
+      .mapTo("t", joinOn = Seq("id"))(
+        "id" -> get("id"),
+        Field("s", get("s"), policy = policy))
+      .run().tableOrdered("t"))
+    // pure-Scala last-write equals the built-in LastWrite semantics
+    assert(out === Seq(Seq("a", "z"), Seq("b", "q")))
   }
 
   test("within-one-traversal merging also applies policies") {
