@@ -93,6 +93,47 @@ object StreamingQueries {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // stream-stream interval join: clicks joined to same-user purchases
+    // in the preceding hour. Watermarks bound the join state on both
+    // sides; inner matches emit as both sides arrive, so the drained
+    // stream equals the batch interval join the oracle runs.
+    Q(
+      "stream_stream_join",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val raw = s.readStream.schema(eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val clicks = raw.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = raw.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+            col("p_ts") <= col("c_ts"))
+        val q = joined.writeStream
+          .outputMode("append")
+          .format("memory").queryName(name)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name)
+          .select(col("c_id"), col("p_id"))
+          .orderBy(col("c_id"), col("p_id"))
+      },
+      Some("""SELECT c.event_id AS c_id, p.event_id AS p_id
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+             |ORDER BY c_id, p_id""".stripMargin)),
+
     Q(
       "q_sessionize",
       (s, dir) => {
