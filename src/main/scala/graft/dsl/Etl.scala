@@ -62,7 +62,8 @@ private[dsl] final case class EmissionSpec(
     fields: Seq[Field],
     joinOn: Seq[String],
     schema: Option[StructType] = None,
-    errors: Option[ErrorMode] = None)
+    errors: Option[ErrorMode] = None,
+    finalizeChecks: Seq[(String, Column)] = Nil)
 
 private[dsl] final case class LinkSpec(
     childTable: String,
@@ -177,14 +178,20 @@ final class Etl private (
     * side-channel (collect mode) or fail the run (fail-fast).
     * @param errors per-table override of the pipeline error mode
     *               (fluent.py:531-576); null = inherit from `run(failFast=)`
+    * @param finalizeChecks named row-level predicates evaluated on the
+    *               MERGED row (the reference's whole-model finalize
+    *               validation, instances.py:204-224 — distinct from the
+    *               per-field update-time casts); failing rows land in
+    *               the error side-channel with phase "finalize"
     */
   def mapToTyped(table: String, schema: StructType,
-      joinOn: Seq[String] = Nil, errors: ErrorMode = null)(fields: Field*): Etl = {
+      joinOn: Seq[String] = Nil, errors: ErrorMode = null,
+      finalizeChecks: Map[String, Column] = Map.empty)(fields: Field*): Etl = {
     Validation.checkFields(table,
       fields.filterNot(_.temp).map(_.name), schema)
     copyWith(emissions = emissions :+
       EmissionSpec(table, currentRoot, effectiveLevels, fields, joinOn,
-        Some(schema), Option(errors)))
+        Some(schema), Option(errors), finalizeChecks.toSeq))
   }
 
   // ---- relationships (reference fluent.py:578-714) ----

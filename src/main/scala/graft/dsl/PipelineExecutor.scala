@@ -72,14 +72,23 @@ private[dsl] final class PipelineExecutor(
           else Seq(RowOrd)
         val mode = specs.flatMap(_._1.errors).headOption.getOrElse(
           if (failFast) ErrorMode.FailFast else ErrorMode.Collect)
-        val (valid, errors) = Validation.validate(table, state.df, keyCols, schema)
+        val (castValid, updateErrors) =
+          Validation.validate(table, state.df, keyCols, schema)
+        val checks = specs.flatMap(_._1.finalizeChecks).distinct
+        val (valid, allErrors) =
+          if (checks.isEmpty) (castValid, updateErrors)
+          else {
+            val (finValid, finErrors) =
+              Validation.finalizeValidate(table, castValid, keyCols, checks)
+            (finValid, updateErrors.unionByName(finErrors))
+          }
         if (mode == ErrorMode.FailFast) {
-          val sample = errors.limit(5).collect()
+          val sample = allErrors.limit(5).collect()
             .map(r => s"${r.getString(1)}/${r.getString(2)}: ${r.getString(3)}")
           if (sample.nonEmpty)
             throw Validation.ValidationFailedException(table, sample.toSeq)
         }
-        errorDfs += table -> errors
+        errorDfs += table -> allErrors
         state = state.copy(df = valid)
       }
       telemetry.safeEvent("MapCompleted", table)

@@ -130,7 +130,8 @@ object Validation {
         concat_ws("|", keyCols.map(k => col(k).cast(StringType)): _*).as("key"),
         explode(col("__g_errs")).as("e"))
       .select(col("table"), col("key"),
-        col("e.field").as("field"), col("e.error").as("error"))
+        col("e.field").as("field"), col("e.error").as("error"),
+        lit("update").as("phase"))
 
     val valid = keyed
       .filter(size(col("__g_errs")) === 0)
@@ -142,6 +143,39 @@ object Validation {
         }
       }: _*)
 
+    (valid, errors)
+  }
+
+  /** Finalize validation (reference: whole-model `model_validate` at
+    * finalize, instances.py:204-224, executor.py:389-435): named row-level
+    * predicates over the MERGED row — the second, separate error stream.
+    * A null predicate result counts as a failure (three-valued logic must
+    * not smuggle bad rows through).
+    *
+    * @return (rows passing every check, error rows with phase "finalize")
+    */
+  def finalizeValidate(table: String, df: DataFrame, keyCols: Seq[String],
+      checks: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    if (checks.isEmpty) return (df, df.sparkSession.emptyDataFrame)
+    val passes = checks.map { case (_, c) => coalesce(c, lit(false)) }
+    val errCols = checks.map { case (name, c) =>
+      when(!coalesce(c, lit(false)),
+        struct(lit(name).as("field"),
+          lit("finalize check failed").as("error")))
+        .as(s"__f_$name")
+    }
+    val keyed = df.withColumn("__g_ferrs",
+      filter(array(errCols: _*), e => e.isNotNull))
+    val errors = keyed
+      .filter(size(col("__g_ferrs")) > 0)
+      .select(
+        lit(table).as("table"),
+        concat_ws("|", keyCols.map(k => col(k).cast(StringType)): _*).as("key"),
+        explode(col("__g_ferrs")).as("e"))
+      .select(col("table"), col("key"),
+        col("e.field").as("field"), col("e.error").as("error"),
+        lit("finalize").as("phase"))
+    val valid = df.filter(passes.reduce(_ && _))
     (valid, errors)
   }
 }

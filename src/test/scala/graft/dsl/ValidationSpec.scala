@@ -97,6 +97,26 @@ class ValidationSpec extends SparkTestBase {
     assert(errs.length === 1 && errs(0).getString(3).contains("non-nullable"))
   }
 
+  test("finalize checks are a second error stream over the merged row") {
+    import org.apache.spark.sql.functions.col
+    val result = Etl.json(spark, j)
+      .goto("users").each()
+      .mapToTyped("users", userSchema, joinOn = Seq("id"),
+        finalizeChecks = Map(
+          "age_known" -> col("age").isNotNull,
+          "age_range" -> (col("age").isNull || col("age") < 100)))(
+        "id" -> get("id"), "age" -> get("age"), "name" -> get("name"))
+      .run()
+    // u2: update-phase cast error ("old" -> int); u3: finalize age_known
+    val errs = result.errors("users").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(4))).toSet
+    assert(errs.exists { case (k, f, p) => k == "u2" && f == "age" && p == "update" })
+    assert(errs.contains(("u3", "age_known", "finalize")))
+    // u3 also fails age_known at finalize because its cast null survives
+    // update validation; only u1 passes both phases
+    assert(rows(result.tableOrdered("users")) === Seq(Seq("u1", 30, "Alice")))
+  }
+
   test("eager-boundary rules fail at analysis time (test_issue_75 cases)") {
     val jj = """{"users": [{"id": "u1", "posts": [{"id": "p1"}], "post_ids": ["p1"]}]}"""
     def base = Etl.json(spark, jj).goto("users").each()
