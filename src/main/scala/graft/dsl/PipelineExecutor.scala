@@ -335,6 +335,10 @@ private[dsl] final class PipelineExecutor(
     else map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
 }
 
+/** Per-table (mapped, errors) counts — triggers actions (reference
+  * TableStats, fluent.py:164-281). */
+final case class TableStats(mapped: Long, errors: Long)
+
 /** Materialized pipeline output (reference: PipelineResult,
   * fluent.py:164-281): per-table DataFrames in traversal arrival order,
   * plus the dependency graph for topologically-ordered loading.
@@ -355,9 +359,6 @@ final class PipelineResult private[dsl] (
   /** All validation errors across typed tables. */
   def allErrors: Option[DataFrame] = errorDfs.values.reduceOption(_.unionByName(_))
 
-  /** Per-table (mapped, errors) counts — triggers actions (reference
-    * TableStats, fluent.py:164-281). */
-  final case class TableStats(mapped: Long, errors: Long)
   def tableStats: Map[String, TableStats] =
     states.map { case (n, s) =>
       n -> TableStats(s.df.count(),
