@@ -45,6 +45,15 @@ object JdbcLoad {
     name
   }
 
+  /** Table names may be schema-qualified ("app.users"); each dot-separated
+    * segment must still be a plain identifier. */
+  private[dsl] def checkTable(name: String): String = {
+    val parts = name.split("\\.", -1)
+    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"'$name' is not a plain (optionally schema-qualified) SQL table name")
+    name
+  }
+
   /** Update-else-insert for one table, batched: each chunk of `batchSize`
     * rows issues ONE batched UPDATE round trip, the missed rows ONE
     * batched INSERT, then a commit — 2-3 round trips per chunk instead of
@@ -59,7 +68,7 @@ object JdbcLoad {
       keys: Seq[String], batchSize: Int): Long = {
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
-    checkIdent(table); cols.foreach(checkIdent)
+    checkTable(table); cols.foreach(checkIdent)
     val roundTrips = df.sparkSession.sparkContext
       .longAccumulator(s"graft.jdbc.$table.roundTrips")
     df.foreachPartition { (rows: Iterator[Row]) =>
@@ -82,8 +91,23 @@ object JdbcLoad {
             update.addBatch()
           }
           val counts = update.executeBatch(); roundTrips.add(1)
-          val misses = pending.iterator.zip(counts.iterator)
-            .collect { case (row, 0) => row }.toSeq
+          // Some drivers (Oracle always; MySQL with rewriteBatchedStatements)
+          // legally return SUCCESS_NO_INFO (-2) per element, so "count == 0"
+          // cannot identify missed rows. Fall back to per-row UPDATE for the
+          // chunk — single executeUpdate always reports a real count.
+          val misses =
+            if (counts.contains(java.sql.Statement.SUCCESS_NO_INFO)) {
+              update.clearBatch()
+              pending.filter { row =>
+                nonKeys.zipWithIndex.foreach { case (c, i) =>
+                  update.setObject(i + 1, row.getAs[Any](c)) }
+                keys.zipWithIndex.foreach { case (c, i) =>
+                  update.setObject(nonKeys.size + i + 1, row.getAs[Any](c)) }
+                val n = update.executeUpdate(); roundTrips.add(1)
+                n == 0
+              }.toSeq
+            } else pending.iterator.zip(counts.iterator)
+              .collect { case (row, 0) => row }.toSeq
           if (misses.nonEmpty) {
             misses.foreach { row =>
               cols.zipWithIndex.foreach { case (c, i) =>
@@ -115,7 +139,7 @@ object JdbcLoad {
       naturalKey: Seq[String], idCol: String): DataFrame = {
     val spark = df.sparkSession
     val cols = df.columns.toSeq
-    checkIdent(table); cols.foreach(checkIdent)
+    checkTable(table); cols.foreach(checkIdent)
     val outSchema = StructType(
       naturalKey.map(k => df.schema(k)) :+ StructField(idCol, LongType))
     val outRows = df.rdd.mapPartitions { rows =>

@@ -62,7 +62,7 @@ private[dsl] final class PipelineExecutor(
     var errorDfs = ListMap.empty[String, DataFrame]
     val tableStates = byTable.map { case (table, specs) =>
       telemetry.safeEvent("MapStarted", table)
-      var state = mergeTable(table, specs, lookupMaps)
+      var (state, unioned) = mergeTable(table, specs, lookupMaps)
       // validation (reference §2.7): declared schema → try_cast split;
       // error mode is per-table when declared (fluent.py:531-576), else
       // the pipeline default
@@ -70,10 +70,21 @@ private[dsl] final class PipelineExecutor(
         val keyCols =
           if (specs.head._1.joinOn.nonEmpty) specs.head._1.joinOn
           else Seq(RowOrd)
-        val mode = specs.flatMap(_._1.errors).headOption.getOrElse(
+        val declaredModes = specs.flatMap(_._1.errors).distinct
+        require(declaredModes.size <= 1,
+          s"emissions into '$table' declare conflicting error modes: " +
+            declaredModes.mkString(", "))
+        val mode = declaredModes.headOption.getOrElse(
           if (failFast) ErrorMode.FailFast else ErrorMode.Collect)
-        val (castValid, updateErrors) =
-          Validation.validate(table, state.df, keyCols, schema)
+        // update-phase errors run per EMISSION row, before the merge, so a
+        // bad value later overwritten by a good one still records its error
+        // (instances.py:204-214 validates every update); the merged pass
+        // only adds never-provided non-nullable nulls and the valid split
+        val (castValid, mergedErrors) =
+          Validation.validateMerged(table, state.df, keyCols, schema, presCol)
+        val updateErrors = Validation
+          .validateUpdate(table, unioned, keyCols, schema, presCol)
+          .unionByName(mergedErrors)
         val checks = specs.flatMap(_._1.finalizeChecks).distinct
         val (valid, allErrors) =
           if (checks.isEmpty) (castValid, updateErrors)
@@ -147,11 +158,15 @@ private[dsl] final class PipelineExecutor(
     out
   }
 
-  /** Union all emissions for a table and apply the keyed merge. */
+  /** Union all emissions for a table and apply the keyed merge.
+    * @return (merged table state, pre-merge union of emission rows — one
+    *         row per emission occurrence, with presence flags; the
+    *         update-phase validation input)
+    */
   private def mergeTable(
       table: String,
       specs: Seq[(EmissionSpec, Int)],
-      lookupMaps: Map[String, Column]): TableState = {
+      lookupMaps: Map[String, Column]): (TableState, DataFrame) = {
     val compiled = specs.map { case (s, i) => (s, compileEmission(s, i, lookupMaps)) }
 
     // field universe in first-declaration order; first definer fixes type
@@ -203,8 +218,12 @@ private[dsl] final class PipelineExecutor(
     val merged =
       if (joinOn.isEmpty) unioned
       else {
-        val aggs = fieldOrder.filterNot(joinOn.contains).map { f =>
-          policies(f).agg(col(f), col(presCol(f)), col(RowOrd)).as(f)
+        // presence survives the merge (bool_or) so the merged-phase null
+        // check can tell "never provided" from "provided as null" — the
+        // latter is already an update-phase error
+        val aggs = fieldOrder.filterNot(joinOn.contains).flatMap { f =>
+          Seq(policies(f).agg(col(f), col(presCol(f)), col(RowOrd)).as(f),
+            bool_or(col(presCol(f))).as(presCol(f)))
         } :+ min(col(RowOrd)).as(RowOrd)
         unioned.groupBy(joinOn.map(col): _*).agg(aggs.head, aggs.tail: _*)
       }
@@ -216,7 +235,7 @@ private[dsl] final class PipelineExecutor(
       else (merged, Nil)
 
     val visible = (fieldOrder ++ visibleExtra).filterNot(tempNames.contains)
-    TableState(withId, visible, tempNames, joinOn)
+    (TableState(withId, visible, tempNames, joinOn), unioned)
   }
 
   // --------------------------------------------------------------- links
@@ -339,6 +358,17 @@ private[dsl] final class PipelineExecutor(
   * TableStats, fluent.py:164-281). */
 final case class TableStats(mapped: Long, errors: Long)
 
+object PipelineResult {
+  private[dsl] val log = org.slf4j.LoggerFactory.getLogger(classOf[PipelineResult])
+
+  /** Deterministic sequential auto-keys cost a single-partition global
+    * window; that is acceptable exactly where everything already shares
+    * one JVM — local masters. Anywhere else the scalable unique-id path
+    * is the sane default. */
+  def deterministicKeysSafe(master: String): Boolean =
+    master.startsWith("local")
+}
+
 /** Materialized pipeline output (reference: PipelineResult,
   * fluent.py:164-281): per-table DataFrames in traversal arrival order,
   * plus the dependency graph for topologically-ordered loading.
@@ -359,11 +389,25 @@ final class PipelineResult private[dsl] (
   /** All validation errors across typed tables. */
   def allErrors: Option[DataFrame] = errorDfs.values.reduceOption(_.unionByName(_))
 
-  def tableStats: Map[String, TableStats] =
-    states.map { case (n, s) =>
-      n -> TableStats(s.df.count(),
-        errorDfs.get(n).map(_.count()).getOrElse(0L))
+  /** One Spark action for ALL tables and error streams: each side is
+    * projected to a (table, kind) tag, unioned, and counted in a single
+    * aggregate — a 20-table pipeline launches one job, not 40
+    * (the per-table `count()` form re-ran every plan). */
+  def tableStats: Map[String, TableStats] = {
+    val tagged =
+      states.toSeq.map { case (n, s) =>
+        s.df.select(lit(n).as("__g_t"), lit("rows").as("__g_k")) } ++
+      errorDfs.toSeq.map { case (n, e) =>
+        e.select(lit(n).as("__g_t"), lit("errors").as("__g_k")) }
+    val counts = tagged.reduce(_.unionByName(_))
+      .groupBy(col("__g_t"), col("__g_k")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    states.map { case (n, _) =>
+      n -> TableStats(
+        counts.getOrElse((n, "rows"), 0L),
+        counts.getOrElse((n, "errors"), 0L))
     }.toMap
+  }
 
   private def state(name: String): TableState = states.getOrElse(name,
     throw new IllegalArgumentException(
@@ -395,8 +439,17 @@ final class PipelineResult private[dsl] (
     val s = state(name)
     require(s.keys.isEmpty,
       s"table '$name' is keyed on (${s.keys.mkString(", ")}); auto keys exist only for unkeyed tables")
+    val master = s.df.sparkSession.sparkContext.master
+    val deterministic =
+      deterministicIds && PipelineResult.deterministicKeysSafe(master)
+    if (deterministicIds && !deterministic)
+      PipelineResult.log.warn(
+        s"tableKeyed('$name'): deterministic auto-keys need a global " +
+          s"single-partition window — on cluster master '$master' this is " +
+          "a scale hazard, so scalable (unique, non-sequential) ids are " +
+          "used instead; call scalableIds() to silence this warning")
     val keyExpr =
-      if (deterministicIds)
+      if (deterministic)
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col(PipelineExecutor.RowOrd))) - 1
       else monotonically_increasing_id()
@@ -415,9 +468,16 @@ final class PipelineResult private[dsl] (
   /** Table including temp fields and the hidden ordinal (for tests/links). */
   private[dsl] def raw(name: String): TableState = states(name)
 
-  /** Per-table mapped-row counts (triggers actions). */
-  def stats: Map[String, Long] =
-    states.map { case (n, s) => n -> s.df.count() }.toMap
+  /** Per-table mapped-row counts — one Spark action total (see
+    * [[tableStats]]). */
+  def stats: Map[String, Long] = {
+    val counts = states.toSeq
+      .map { case (n, s) => s.df.select(lit(n).as("__g_t")) }
+      .reduce(_.unionByName(_))
+      .groupBy(col("__g_t")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    states.map { case (n, _) => n -> counts.getOrElse(n, 0L) }.toMap
+  }
 
   /** Parent-first flush order (reference: topological flush,
     * fluent.py:1584-1708 + utils.py:6-54). */

@@ -105,22 +105,31 @@ object TraversalCompiler {
           // objects land as structs under Spark's schema inference, so
           // Auto routes here too — a single-row fallback would silently
           // diverge from the reference on its own quickstart shapes.
-          // Statically known keys; requires a common value type (JSON
-          // objects with dynamic keys should be read as MapType —
-          // FIXTURES J3)
+          // Keys are statically known. A common value type iterates
+          // as-is; heterogeneous field types (the reference iterates ANY
+          // dict) coerce each value to its JSON text — atomic values via
+          // cast, nested ones via to_json — so mixed-type objects work
+          // straight off schema inference, no hand-written MapType needed.
           val common = s.fields.map(_.dataType).distinct
-          require(common.length == 1,
-            s"${if (m == IterMode.Items) "items()" else "each()"} over struct with heterogeneous field types ${common.mkString(",")}; read this JSON object as a MapType")
+          val (valueOf, valueType): (StructField => Column, DataType) =
+            if (common.length == 1)
+              ((f: StructField) => target.getField(f.name), common.head)
+            else
+              ((f: StructField) => f.dataType match {
+                case _: StructType | _: ArrayType | _: MapType =>
+                  to_json(target.getField(f.name))
+                case _ => target.getField(f.name).cast(StringType)
+              }, StringType)
           // null node emits nothing (executor.py:92-103) — without the
           // guard a null struct would still yield its static keys
           val entries = when(target.isNotNull, map_from_arrays(
             array(s.fields.map(f => lit(f.name)): _*),
-            array(s.fields.map(f => target.getField(f.name)): _*)))
+            array(s.fields.map(valueOf): _*)))
           val d = df
             .select(col("*"),
               posexplode(entries).as(Seq(posName, keyName, nodeName)))
             .withColumn(OrdCol, concat(col(OrdCol), array(col(posName).cast(LongType))))
-          (d, LevelCols(col(nodeName), common.head,
+          (d, LevelCols(col(nodeName), valueType,
             Some(col(keyName)), Some(col(posName))))
 
         case (IterMode.Auto, t) =>

@@ -94,36 +94,23 @@ object Validation {
     }
   }
 
-  /** Split a merged table into (validated rows, error rows).
-    *
-    * For each declared field: `try_cast` to the declared type. Cast
-    * failure (non-null in, null out) produces an error row
-    * (key, field, value, error); nullability violations likewise.
-    * Valid output carries the cast columns. One narrow pass, no shuffle.
-    */
-  def validate(table: String, df: DataFrame, keyCols: Seq[String],
-      schema: StructType): (DataFrame, DataFrame) = {
-    val declared = schema.fields.filter(f => df.columns.contains(f.name))
+  /** Per-field error expression: cast failure (non-null in, null out) or
+    * non-nullable null. Null when the field passes. */
+  private def fieldError(f: StructField): Column = {
+    val c = col(f.name)
+    val cast = c.try_cast(f.dataType)
+    val castErr = when(c.isNotNull && cast.isNull,
+      concat(lit(s"cannot cast to ${f.dataType.simpleString}: "), c.cast(StringType)))
+    if (f.nullable) castErr
+    else coalesce(castErr,
+      when(c.isNull, lit("null value for non-nullable field")))
+  }
 
-    val errCols: Seq[Column] = declared.flatMap { f =>
-      val c = col(f.name)
-      val cast = c.try_cast(f.dataType)
-      val castErr = when(c.isNotNull && cast.isNull,
-        concat(lit(s"cannot cast to ${f.dataType.simpleString}: "), c.cast(StringType)))
-      val nullErr =
-        if (f.nullable) lit(null).cast(StringType)
-        else when(c.isNull, lit("null value for non-nullable field"))
-      Seq(
-        when(coalesce(castErr, nullErr).isNotNull,
-          struct(lit(f.name).as("field"),
-            coalesce(castErr, nullErr).as("error")))
-          .as(s"__e_${f.name}"))
-    }
-
-    val keyed = df.withColumn("__g_errs",
-      filter(array(errCols: _*), e => e.isNotNull))
-
-    val errors = keyed
+  /** Collapse per-field error structs into error rows
+    * (table, key, field, error, phase). */
+  private def errorRows(table: String, df: DataFrame, keyCols: Seq[String],
+      errCols: Seq[Column], phase: String): DataFrame =
+    df.withColumn("__g_errs", filter(array(errCols: _*), e => e.isNotNull))
       .filter(size(col("__g_errs")) > 0)
       .select(
         lit(table).as("table"),
@@ -131,9 +118,59 @@ object Validation {
         explode(col("__g_errs")).as("e"))
       .select(col("table"), col("key"),
         col("e.field").as("field"), col("e.error").as("error"),
-        lit("update").as("phase"))
+        lit(phase).as("phase"))
 
-    val valid = keyed
+  /** Update-phase validation over the PRE-merge emission rows: every
+    * emission occurrence validates the fields it actually provided
+    * (presence-gated), so a bad value later overwritten by a good one
+    * still records its error — the reference validates each field on
+    * every update (instances.py:204-214). One narrow pass, no shuffle.
+    *
+    * @param pres field name → presence-flag column name
+    */
+  def validateUpdate(table: String, df: DataFrame, keyCols: Seq[String],
+      schema: StructType, pres: String => String): DataFrame = {
+    val declared = schema.fields.filter(f => df.columns.contains(f.name))
+    val errCols: Seq[Column] = declared.toSeq.map { f =>
+      val provided =
+        if (df.columns.contains(pres(f.name))) col(pres(f.name)) else lit(true)
+      val err = fieldError(f)
+      when(provided && err.isNotNull,
+        struct(lit(f.name).as("field"), err.as("error"))).as(s"__e_${f.name}")
+    }
+    errorRows(table, df, keyCols, errCols, "update")
+  }
+
+  /** Split a MERGED table into (validated rows, error rows).
+    *
+    * The valid side keeps rows whose merged values all conform, with the
+    * declared casts applied. The error side emits only fields that were
+    * never provided by any emission and are non-nullable null — everything
+    * a provided value can get wrong was already recorded update-phase by
+    * [[validateUpdate]].
+    */
+  def validateMerged(table: String, df: DataFrame, keyCols: Seq[String],
+      schema: StructType, pres: String => String): (DataFrame, DataFrame) = {
+    val declared = schema.fields.filter(f => df.columns.contains(f.name))
+
+    val allErrCols: Seq[Column] = declared.toSeq.map { f =>
+      val err = fieldError(f)
+      when(err.isNotNull,
+        struct(lit(f.name).as("field"), err.as("error"))).as(s"__e_${f.name}")
+    }
+    val absentErrCols: Seq[Column] = declared.toSeq.map { f =>
+      val absent =
+        if (df.columns.contains(pres(f.name))) !coalesce(col(pres(f.name)), lit(false))
+        else lit(false) // no presence flag ⇒ field was provided (e.g. join key)
+      val err = fieldError(f)
+      when(absent && err.isNotNull,
+        struct(lit(f.name).as("field"), err.as("error"))).as(s"__e_${f.name}")
+    }
+
+    val errors = errorRows(table, df, keyCols, absentErrCols, "update")
+
+    val valid = df
+      .withColumn("__g_errs", filter(array(allErrCols: _*), e => e.isNotNull))
       .filter(size(col("__g_errs")) === 0)
       .drop("__g_errs")
       .select(df.columns.map { c =>

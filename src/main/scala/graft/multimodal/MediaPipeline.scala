@@ -71,6 +71,119 @@ object MediaPipeline {
         pixels = f.pixels.take(math.max(1, (w * h) / 64)))
   }
 
+  /** REAL image decoder for the two classic uncompressed formats whose
+    * byte layout is public and trivially parseable with zero external
+    * codec libraries:
+    *
+    *   - PPM "P6" (netpbm): ASCII header `P6 <w> <h> <maxval>` with
+    *     `#` comments, then w*h raw RGB24 triplets.
+    *   - BMP (Windows DIB, uncompressed 24bpp): little-endian header,
+    *     bottom-up rows padded to 4-byte boundaries.
+    *
+    * decode() yields one frame of packed RGB24 pixels (top-down row
+    * order for both formats); resize() is genuine nearest-neighbor
+    * resampling. Anything unrecognized yields no frames — a decode miss
+    * behaves like the reference's path-miss rule, not an exception.
+    */
+  final class ImageDecoder extends MediaDecoder {
+
+    def decode(row: MediaRow): Seq[DecodedFrame] = {
+      val b = row.bytes
+      val parsed =
+        if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(b)
+        else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+        else None
+      parsed.toSeq.map { case (w, h, px) => DecodedFrame(row.id, 0, w, h, px) }
+    }
+
+    private def decodePpm(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      var i = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < b.length) {
+          if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else if (b(i).toChar.isWhitespace) i += 1
+          else go = false
+        }
+      }
+      def int(): Option[Int] = {
+        skipWs()
+        val st = i
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i == st) None else Some(new String(b, st, i - st).toInt)
+      }
+      for {
+        w <- int(); h <- int(); maxv <- int()
+        if maxv == 255 && w > 0 && h > 0 && i < b.length
+        // exactly one whitespace byte separates the header from the raster
+        _ = { i += 1 }
+        if b.length - i >= w * h * 3
+      } yield (w, h, java.util.Arrays.copyOfRange(b, i, i + w * h * 3))
+    }
+
+    private def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      def i32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      if (b.length < 54) return None
+      val dataOff = i32(10)
+      val w = i32(18)
+      val hRaw = i32(22)
+      val bottomUp = hRaw > 0
+      val h = math.abs(hRaw)
+      val bpp = u16(28)
+      val compression = i32(30)
+      if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+      val rowSize = ((w * 3) + 3) / 4 * 4 // rows pad to 4-byte boundaries
+      if (dataOff < 0 || b.length - dataOff < rowSize.toLong * h) return None
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = dataOff + (if (bottomUp) (h - 1 - y) else y) * rowSize
+        var x = 0
+        while (x < w) {
+          val s = srcRow + x * 3
+          val d = (y * w + x) * 3
+          out(d) = b(s + 2) // BMP stores BGR; emit RGB
+          out(d + 1) = b(s + 1)
+          out(d + 2) = b(s)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+
+    /** Nearest-neighbor resample of packed RGB24. */
+    def resize(f: DecodedFrame, w: Int, h: Int): DecodedFrame = {
+      require(w > 0 && h > 0, "resize target must be positive")
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * f.height / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * f.width / w).toInt
+          val s = (sy * f.width + sx) * 3
+          val d = (y * w + x) * 3
+          out(d) = f.pixels(s); out(d + 1) = f.pixels(s + 1); out(d + 2) = f.pixels(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      f.copy(width = w, height = h, pixels = out)
+    }
+  }
+
+  /** Encode packed RGB24 as PPM P6 bytes (the inverse of
+    * [[ImageDecoder]]'s PPM path — handy for tests and for writing
+    * decoded frames back out). */
+  def encodePpm(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * 3, s"need ${w * h * 3} bytes, got ${pixels.length}")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ pixels
+  }
+
   /** Batched per-partition decode+featurize — the mapInPandas shape: the
     * decoder is constructed once per partition, rows stream through in
     * groups of `batchSize`, features come out columnar-friendly.

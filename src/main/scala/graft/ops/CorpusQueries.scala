@@ -50,6 +50,15 @@ object CorpusQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** Dot product over INTEGER-valued lists: every term and partial sum is
+    * an exact integer in double (< 2^53), so list_sum's aggregation order
+    * is irrelevant — no unrolled left-assoc chain needed. */
+  private def idotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def icosSql(a: String, b: String): String =
+    s"(${idotSql(a, b)}) / (sqrt(${idotSql(a, a)}) * sqrt(${idotSql(b, b)}))"
+
   /** 64-bit simhash CTE chain (requires `toks` in scope): yields
     * `sims(doc_id, sh)`. Token hash from md5 hex chars 1-8 (high word)
     * and 9-16 (low word), mirroring Dedup.tokenVal64; everything stays
@@ -407,6 +416,69 @@ object CorpusQueries {
            |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       }),
 
+    // IVF over REAL k-means centers: 2 Lloyd iterations on integer-
+    // quantized vectors (exact in both engines regardless of aggregation
+    // order), centers fed through ivfTopK's centroidsDf seam
+    Q(
+      "ann_ivf_kmeans",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cents = Similarity.kmeansCentroids(
+          e, "vec_id", "embedding", Dim, k = 8, iters = 2)
+          .select(col("cid").as("vec_id"), col("c_v").as("embedding"))
+        Similarity.ivfTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", Dim,
+          centroids = 8, nProbe = 2, k = 3, centroidsDf = cents)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        // one Lloyd pass: assign to max-cosine center (ties → lowest cid),
+        // then centers := element-wise integer SUM of members (cosine is
+        // scale-invariant, so sums == means for assignment purposes)
+        def lloyd(prev: String, a: String, sTbl: String, next: String) =
+          s"""$a AS (SELECT vec_id, cid, qv FROM (
+             |    SELECT q.vec_id, c.cid, q.qv,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${icosSql("q.qv", "c.cv")} DESC, c.cid) AS rn
+             |    FROM qvt q CROSS JOIN $prev c) t WHERE rn = 1),
+             |$sTbl AS (SELECT cid, i AS d, SUM(qv[i]) AS sx
+             |  FROM $a CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) dims
+             |  GROUP BY cid, i),
+             |$next AS (SELECT cid, list(CAST(sx AS DOUBLE) ORDER BY d) AS cv
+             |  FROM $sTbl GROUP BY cid)""".stripMargin
+        s"""WITH qvt AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM qvt WHERE vec_id < 8),
+           |${lloyd("c0", "a1", "s1", "c1")},
+           |${lloyd("c1", "a2", "s2", "c2")},
+           |ca AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN c2 c) t WHERE rn = 1),
+           |qa AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 20) t WHERE rn <= 2),
+           |cand AS (
+           |  SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS n_id
+           |  FROM qa JOIN ca ON qa.cid = ca.cid
+           |  WHERE qa.vec_id != ca.vec_id)
+           |SELECT q_id, n_id, rank, cos FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, c.n_id) AS INT) AS rank,
+           |    ${cosSql("q.embedding", "n.embedding")} AS cos
+           |  FROM cand c
+           |  JOIN embeddings q ON q.vec_id = c.q_id
+           |  JOIN embeddings n ON n.vec_id = c.n_id) t
+           |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // ======== multimodal plumbing (byte-level; decode is stubbed) ========
     Q(
       "multimodal_bytes",
@@ -420,7 +492,36 @@ object CorpusQueries {
       Some("""SELECT doc_id,
              |  CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
              |  md5(text) AS content_hash
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL decode through the MediaDecoder seam: each doc's first 192
+    // bytes become an 8x8 RGB24 PPM (encodePpm), ImageDecoder parses the
+    // header + raster back out, and the per-image pixel sum must equal
+    // the byte sum DuckDB computes straight off the text — an
+    // encode→decode→featurize roundtrip, not a stub
+    Q(
+      "multimodal_decode",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.{ImageDecoder, MediaRow}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 192)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 192).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          MediaRow(id, "image", MediaPipeline.encodePpm(8, 8, px), "ppm", 8, 8, 0L)
+        }
+        MediaPipeline.sampleFrames(media, new ImageDecoder, 1)(s)
+          .map(f => (f.id, f.width, f.height,
+            f.pixels.foldLeft(0L)((a, b) => a + (b & 0xff))))
+          .toDF("doc_id", "width", "height", "px_sum")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 8 AS width, 8 AS height,
+             |  CAST(list_sum(list_transform(string_split(substring(text, 1, 192), ''), c -> unicode(c))) AS BIGINT) AS px_sum
+             |FROM documents WHERE octet_length(text::BLOB) >= 192
+             |ORDER BY doc_id""".stripMargin))
   )
 
   private def sqlList(xs: Seq[String]): String =

@@ -334,7 +334,140 @@ object DslQueries {
       },
       Some("""SELECT c_custkey, COALESCE(n_name, 'UNKNOWN') AS nation_name
              |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- per-emission update-time validation: a bad value overwritten by
+    //      a later good emission still records its error row
+    //      (instances.py:204-214 validates every update), while the merged
+    //      row itself survives with the good value
+    Q(
+      "dsl_update_validation",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val cust = table(s, dir, "customer").withColumn("num",
+          when(col("c_custkey") % 10 === 0, concat(lit("bad"), col("c_custkey")))
+            .otherwise(col("c_custkey").cast("string")))
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("num", IntegerType)))
+        val r = Etl(cust)
+          .mapToTyped("cust", schema, joinOn = Seq("c_custkey"))(
+            "c_custkey" -> transforms.get("c_custkey"),
+            "num" -> transforms.get("num"))
+          .root() // second pass overwrites every num with a castable value
+          .mapToTyped("cust", schema, joinOn = Seq("c_custkey"))(
+            "c_custkey" -> transforms.get("c_custkey"),
+            "num" -> transforms.get("c_custkey"))
+          .run()
+        r.errors("cust")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("errors").as("metric"), col("n"))
+          .unionByName(r.table("cust")
+            .agg(count(lit(1)).as("n"))
+            .select(lit("rows").as("metric"), col("n")))
+          .orderBy(col("metric"))
+      },
+      Some("""SELECT 'errors' AS metric, COUNT(*) AS n
+             |FROM customer WHERE c_custkey % 10 = 0
+             |UNION ALL
+             |SELECT 'rows' AS metric, COUNT(*) AS n FROM customer
+             |ORDER BY metric""".stripMargin)),
+
+    // ---- heterogeneous-struct iteration: each() over a mixed-type JSON
+    //      object straight off schema inference — values carried as their
+    //      JSON text (executor.py:66-76 iterates any dict)
+    Q(
+      "dsl_hetero_struct",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Relational.events(s, dir).withColumn("doc",
+          to_json(struct(col("event_type").as("name"), col("user_id").as("num"))))
+        val inferred = s.read.json(ev.select(col("doc")).as[String]).schema
+        Etl(ev.withColumn("obj", from_json(col("doc"), inferred)))
+          .goto("obj").each()
+          .mapTo("kv")(
+            "event_id" -> getFromRoot("event_id"),
+            "pkey" -> transforms.key(),
+            "pval" -> node())
+          .run().table("kv")
+          .orderBy(col("event_id"), col("pkey"))
+      },
+      Some("""SELECT event_id, 'name' AS pkey, event_type AS pval FROM events
+             |UNION ALL
+             |SELECT event_id, 'num' AS pkey, CAST(user_id AS VARCHAR) AS pval FROM events
+             |ORDER BY event_id, pkey""".stripMargin)),
+
+    // ---- full sink roundtrip: pipeline → batched JDBC upsert (embedded
+    //      Derby) → read back — the SQLAlchemy-flush parity check, now in
+    //      the oracle gate instead of unit tests only. A pre-seeded stale
+    //      row proves the UPDATE arm; everything else exercises INSERT.
+    Q(
+      "dsl_jdbc_roundtrip",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val r = Etl(cust)
+          .mapTo("cust_rt", joinOn = Seq("c_custkey"))(
+            "c_custkey" -> transforms.get("c_custkey"),
+            "c_name" -> transforms.get("c_name"),
+            "c_mktsegment" -> transforms.get("c_mktsegment"))
+          .run()
+        val url = "jdbc:derby:memory:graft_rt;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try st.execute("DROP TABLE cust_rt")
+          catch { case _: java.sql.SQLException => () } // first run: no table
+          st.execute("CREATE TABLE cust_rt (c_custkey BIGINT PRIMARY KEY, " +
+            "c_name VARCHAR(100), c_mktsegment VARCHAR(100), id BIGINT)")
+          st.execute("INSERT INTO cust_rt VALUES (0, 'STALE', 'STALE', 0)")
+        } finally conn.close()
+        JdbcLoad.upsert(r, url, Map("cust_rt" -> Seq("c_custkey")))
+        s.read.jdbc(url, "cust_rt", new java.util.Properties())
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---- scalar-transform edge semantics in one row set:
+    //      literal / concat (null→"") / format_id (skip null AND "") /
+    //      coalesce / len_of (null stays null) — transforms.py:10-118
+    Q(
+      "dsl_scalar_transforms",
+      (s, dir) => {
+        val root = table(s, dir, "customer")
+          .withColumn("maybe",
+            when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+              .otherwise(col("c_mktsegment")))
+          .withColumn("emp",
+            when(col("c_custkey") % 2 === 0, lit("")).otherwise(lit("x")))
+        Etl(root)
+          .mapTo("t")(
+            "c_custkey" -> transforms.get("c_custkey"),
+            "lit_s" -> literal("X"),
+            "cat" -> concatT(transforms.get("c_name"), literal("-"),
+              transforms.get("maybe")),
+            "fid" -> formatId(transforms.get("c_custkey"),
+              transforms.get("maybe"), transforms.get("emp")),
+            "coal" -> coalesceT(transforms.get("maybe"),
+              transforms.get("c_mktsegment")),
+            "len_name" -> lenOf(transforms.get("c_name")),
+            "len_null" -> lenOf(transforms.get("maybe")))
+          .run().table("t")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH t AS (
+             |  SELECT c_custkey, c_name, c_mktsegment,
+             |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS maybe,
+             |    CASE WHEN c_custkey % 2 = 0 THEN '' ELSE 'x' END AS emp
+             |  FROM customer)
+             |SELECT c_custkey, 'X' AS lit_s,
+             |  c_name || '-' || COALESCE(maybe, '') AS cat,
+             |  concat_ws('_', CAST(c_custkey AS VARCHAR), NULLIF(maybe, ''), NULLIF(emp, '')) AS fid,
+             |  COALESCE(maybe, c_mktsegment) AS coal,
+             |  CAST(length(c_name) AS INT) AS len_name,
+             |  CAST(length(maybe) AS INT) AS len_null
+             |FROM t ORDER BY c_custkey""".stripMargin))
   )
 
   /** Flagship: the README-quickstart pipeline shape (users+posts) over the

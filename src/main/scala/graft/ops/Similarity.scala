@@ -70,9 +70,12 @@ object Similarity {
     * Native codegen'd loop ([[graft.functions.HyperplaneBucket]]); the
     * dim×planes unrolled element_at chain it replaces fell out of
     * whole-stage codegen at 256 terms. `dim` is advisory (runtime array
-    * length governs). */
+    * length governs). A null vector buckets to 0 (all signs negative) so
+    * such rows still participate in blocking, matching the composed
+    * SQL form this expression replaced. */
   def lshBucket(vec: Column, dim: Int, planes: Int): Column =
-    graft.functions.HyperplaneBucket.hyperplane_bucket(vec, planes)
+    coalesce(graft.functions.HyperplaneBucket.hyperplane_bucket(vec, planes),
+      lit(0L))
 
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int): DataFrame =
@@ -96,6 +99,55 @@ object Similarity {
       .withColumn("cos",
         dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
     topK(scored, k)
+  }
+
+  /** Quantize a float vector to integers: round(v*1000). Every later
+    * k-means aggregate then runs on exact integers — element sums are
+    * order-independent and exact in double below 2^53, so Spark and the
+    * SQL oracle agree bit-for-bit no matter how partitions combine. */
+  def quantize(vec: Column): Column =
+    transform(vec, v => round(v.cast("double") * lit(1000d)).cast("long"))
+
+  /** Distributed spherical k-means over integer-quantized vectors (Lloyd
+    * iterations: assign to the max-cosine centroid, recompute centers).
+    *
+    * Centroids are element-wise integer SUMS, not means — cosine is
+    * scale-invariant, so dividing by the member count buys nothing and
+    * would reintroduce float averaging (whose summation order varies per
+    * partitioning). Each iteration is one broadcast of the k centers plus
+    * one (cid, dim) shuffle of exploded elements — the textbook
+    * scale-out shape; nothing grows with corpus size except the narrow
+    * explode.
+    *
+    * @return (cid, c_v: array<double>) — feed straight into
+    *         [[ivfTopK]]'s `centroidsDf` seam
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int): DataFrame = {
+    val qv = corpus.select(col(idCol).cast("long").as("vid"),
+      quantize(col(vecCol)).as("qv"))
+    var cents = qv.filter(col("vid") < k)
+      .select(col("vid").as("cid"),
+        transform(col("qv"), x => x.cast("double")).as("c_v"))
+    for (_ <- 1 to iters) {
+      // nearest center per vector; ties break to the lowest cid (the
+      // oracle's ROW_NUMBER ... ORDER BY cos DESC, cid)
+      val assigned = qv.join(broadcast(cents), lit(true))
+        .withColumn("cos",
+          dot(col("qv"), col("c_v"), dim) /
+            (sqrt(dot(col("qv"), col("qv"), dim)) *
+              sqrt(dot(col("c_v"), col("c_v"), dim))))
+        .groupBy(col("vid"))
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+          first(col("qv")).as("qv")) // qv is constant within the group
+      cents = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("sx")))),
+          e => e.getField("sx").cast("double")).as("c_v"))
+    }
+    cents
   }
 
   /** IVF (inverted-file) ANN: the corpus is partitioned once into

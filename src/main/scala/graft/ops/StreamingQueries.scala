@@ -34,6 +34,18 @@ object StreamingQueries {
 
   private var streamEpoch = 0
 
+  /** Run a streaming drain with few shuffle partitions: the state-store
+    * partition count is frozen from `spark.sql.shuffle.partitions` at
+    * query START, and these queries keep tiny state (hundreds of keys) —
+    * 32+ state partitions just multiply per-batch store open/commit
+    * overhead for nothing. Restored afterwards so batch queries keep the
+    * session's parallelism. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val queries: Seq[Q] = Seq(
     Q(
       "stream_window_counts",
@@ -49,12 +61,14 @@ object StreamingQueries {
           .agg(
             count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory").queryName(name)
-          .start()
-        q.processAllAvailable()
-        q.stop()
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
         s.table(name)
           .select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
@@ -82,12 +96,14 @@ object StreamingQueries {
           .dropDuplicates("event_type", "user_id")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_unique_users"))
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory").queryName(name)
-          .start()
-        q.processAllAvailable()
-        q.stop()
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
         s.table(name).orderBy(col("event_type"))
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
@@ -117,12 +133,14 @@ object StreamingQueries {
           col("user_id") === col("p_user") &&
             col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
             col("p_ts") <= col("c_ts"))
-        val q = joined.writeStream
-          .outputMode("append")
-          .format("memory").queryName(name)
-          .start()
-        q.processAllAvailable()
-        q.stop()
+        withStreamShuffle(s, 4) {
+          val q = joined.writeStream
+            .outputMode("append")
+            .format("memory").queryName(name)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
         s.table(name)
           .select(col("c_id"), col("p_id"))
           .orderBy(col("c_id"), col("p_id"))

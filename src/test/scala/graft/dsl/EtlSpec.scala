@@ -197,4 +197,52 @@ class EtlSpec extends SparkTestBase {
     assert(rows(result.tableOrdered("out")) ===
       Seq(Seq("x-5", "x_5", "", 3, 1, null)))
   }
+
+  test("each() iterates a heterogeneous struct as JSON-text values") {
+    // mixed value types (string / number / nested object) straight off
+    // schema inference — executor.py:66-76 iterates ANY dict
+    val j = """{"doc": {"name": "ada", "size": 7, "meta": {"x": 1}}}"""
+    val result = Etl.json(spark, j)
+      .goto("doc").each()
+      .mapTo("kv")("k" -> key(), "v" -> node())
+      .run()
+    assert(rows(result.tableOrdered("kv")) === Seq(
+      Seq("meta", """{"x":1}"""), Seq("name", "ada"), Seq("size", "7")))
+  }
+
+  test("tableStats and stats run one Spark action for all tables") {
+    val j = """{"users": [{"id": "u1", "age": "x"}, {"id": "u2", "age": "2"}],
+               |"posts": [{"pid": "p1"}]}""".stripMargin
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("age", IntegerType)))
+    val result = Etl.json(spark, j)
+      .goto("users").each()
+      .mapToTyped("users", schema, joinOn = Seq("id"))(
+        "id" -> get("id"), "age" -> get("age"))
+      .root().goto("posts").each()
+      .mapTo("posts")("pid" -> get("pid"))
+      .run()
+
+    @volatile var actions = 0
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions += 1
+      def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val stats = result.tableStats
+      assert(stats("users") === TableStats(1, 1)) // u1's age fails the cast
+      assert(stats("posts") === TableStats(1, 0))
+      // listener delivery is async: wait for it to settle, then require
+      // exactly ONE action for the whole 2-table + errors stats pass
+      val deadline = System.currentTimeMillis() + 10000
+      while (actions < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(300)
+      assert(actions === 1)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -95,6 +95,16 @@ class JdbcLoadSpec extends SparkTestBase {
     }
   }
 
+  test("schema-qualified table names pass; each segment is still validated") {
+    JdbcLoad.checkTable("app.users")
+    JdbcLoad.checkTable("users")
+    intercept[IllegalArgumentException](JdbcLoad.checkTable("app.users; DROP"))
+    intercept[IllegalArgumentException](JdbcLoad.checkTable("app..users"))
+    intercept[IllegalArgumentException](JdbcLoad.checkTable(".users"))
+    // column names stay single-segment
+    intercept[IllegalArgumentException](JdbcLoad.checkIdent("a.b"))
+  }
+
   test("insertReturningIds captures DB-generated keys for FK population") {
     exec("""CREATE TABLE gen_users (
            | id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,

@@ -176,6 +176,60 @@ class ValidationSpec extends SparkTestBase {
     assert(e2.getMessage.contains("single-field"))
   }
 
+  test("update-time validation is per emission: overwritten bad values still error") {
+    // first traversal writes a bad age for u1; second overwrites with good
+    val result = Etl.json(spark, """{"users": [{"id": "u1", "bad": "nope", "good": "41"}]}""")
+      .goto("users").each()
+      .mapToTyped("users", userSchema, joinOn = Seq("id"))(
+        "id" -> get("id"), "age" -> get("bad"))
+      .root().goto("users").each()
+      .mapToTyped("users", userSchema, joinOn = Seq("id"))(
+        "id" -> get("id"), "age" -> get("good"))
+      .run()
+    // the merged row survives with the good value...
+    assert(rows(result.table("users").select("id", "age")) === Seq(Seq("u1", 41)))
+    // ...but the bad intermediate update still recorded its error
+    val errs = result.errors("users").collect()
+    assert(errs.length === 1)
+    assert(errs(0).getString(2) === "age" && errs(0).getString(3).contains("nope"))
+    assert(errs(0).getString(4) === "update")
+  }
+
+  test("conflicting per-emission error modes on one table are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Etl.json(spark, j)
+        .goto("users").each()
+        .mapToTyped("users", userSchema, joinOn = Seq("id"),
+          errors = ErrorMode.Collect)("id" -> get("id"))
+        .root().goto("users").each()
+        .mapToTyped("users", userSchema, joinOn = Seq("id"),
+          errors = ErrorMode.FailFast)("id" -> get("id"), "age" -> get("age"))
+        .run()
+    }
+    assert(e.getMessage.contains("conflicting error modes"))
+  }
+
+  test("a key whose non-nullable field no emission provided errors once, post-merge") {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("age", IntegerType, nullable = false)))
+    val result = Etl.json(spark,
+      """{"withAge": [{"id": "a", "age": 30}], "noAge": [{"id": "b"}]}""")
+      .goto("withAge").each()
+      .mapToTyped("t", schema, joinOn = Seq("id"))(
+        "id" -> get("id"), "age" -> get("age"))
+      .root().goto("noAge").each()
+      .mapToTyped("t", schema, joinOn = Seq("id"))("id" -> get("id"))
+      .run()
+    // key b never received age: exactly one post-merge error, no
+    // double-count from the update phase (which only checks provided values)
+    val errs = result.errors("t").collect()
+    assert(errs.length === 1)
+    assert(errs(0).getString(1) === "b")
+    assert(errs(0).getString(2) === "age" && errs(0).getString(3).contains("non-nullable"))
+    assert(rows(result.table("t").select("id", "age")) === Seq(Seq("a", 30)))
+  }
+
   test("telemetry receives map and flush events in order") {
     val rec = new Telemetry.Recording
     val result = pipeline.run(telemetry = rec)

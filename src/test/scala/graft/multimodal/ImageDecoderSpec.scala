@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+import graft.multimodal.MediaPipeline._
+
+/** The REAL byte-level image decoder behind the MediaDecoder seam:
+  * PPM P6 and uncompressed 24bpp BMP, plus nearest-neighbor resize.
+  */
+class ImageDecoderSpec extends SparkTestBase {
+  private val dec = new ImageDecoder
+
+  private def row(bytes: Array[Byte]) =
+    MediaRow(7L, "image", bytes, "img", 0, 0, 0L)
+
+  test("PPM encode/decode roundtrip preserves dimensions and pixels") {
+    val px = Array.tabulate(8 * 8 * 3)(i => (i % 251).toByte)
+    val frames = dec.decode(row(encodePpm(8, 8, px)))
+    assert(frames.size === 1)
+    val f = frames.head
+    assert(f.width === 8 && f.height === 8)
+    assert(f.pixels.toSeq === px.toSeq)
+  }
+
+  test("PPM header comments and flexible whitespace parse correctly") {
+    val px = Array.tabulate(2 * 2 * 3)(_.toByte)
+    val bytes = "P6\n# a comment\n2 # trailing\n2\n255\n".getBytes("US-ASCII") ++ px
+    val f = dec.decode(row(bytes))
+    assert(f.size === 1 && f.head.width === 2 && f.head.height === 2)
+    assert(f.head.pixels.toSeq === px.toSeq)
+  }
+
+  test("truncated or non-image bytes decode to zero frames, never throw") {
+    assert(dec.decode(row("P6\n8 8\n255\n".getBytes ++ Array[Byte](1, 2, 3))).isEmpty)
+    assert(dec.decode(row("not an image at all".getBytes)).isEmpty)
+    assert(dec.decode(row(Array[Byte]())).isEmpty)
+  }
+
+  /** Minimal hand-built 2x2 24bpp bottom-up BMP. Rows pad to 4 bytes
+    * (2*3=6 → 8); pixel storage is BGR. */
+  private def bmp2x2: Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val rowBottom = Array[Byte](/*B,G,R*/ 3, 2, 1, 6, 5, 4, /*pad*/ 0, 0)
+    val rowTop = Array[Byte](9, 8, 7, 12, 11, 10, 0, 0)
+    val data = rowBottom ++ rowTop // bottom-up: file starts with the LAST row
+    "BM".getBytes ++ le32(54 + data.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(data.length) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ data
+  }
+
+  test("BMP 24bpp decodes bottom-up BGR into top-down RGB") {
+    val f = dec.decode(row(bmp2x2))
+    assert(f.size === 1)
+    assert(f.head.width === 2 && f.head.height === 2)
+    // top row first, each pixel as R,G,B
+    assert(f.head.pixels.toSeq === Seq[Byte](7, 8, 9, 10, 11, 12, 1, 2, 3, 4, 5, 6))
+  }
+
+  test("nearest-neighbor resize picks the geometrically nearest source pixel") {
+    val px = Array.tabulate(4 * 4 * 3)(i => (i / 3).toByte) // pixel p has value p
+    val f = DecodedFrame(1L, 0, 4, 4, px)
+    val half = dec.resize(f, 2, 2)
+    // target (x,y) maps to source (2x, 2y): pixels 0, 2, 8, 10
+    assert(half.pixels.grouped(3).map(_.head.toInt).toSeq === Seq(0, 2, 8, 10))
+    val up = dec.resize(half, 4, 4)
+    assert(up.width === 4 && up.pixels.length === 4 * 4 * 3)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** k-means IVF path: centroid construction and recall against the exact
+  * brute-force scan (oracle-level equality is covered by ann_ivf_kmeans).
+  */
+class SimilaritySpec extends SparkTestBase {
+  private val dim = CorpusQueries.Dim
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("kmeansCentroids: <= k integer-sum centers of full dimension") {
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", dim,
+      k = 8, iters = 2).collect()
+    assert(cents.nonEmpty && cents.length <= 8)
+    assert(cents.forall(_.getSeq[Double](1).length == dim))
+    // sums of quantized integers → every component is a whole number
+    assert(cents.forall(_.getSeq[Double](1).forall(v => v == math.rint(v))))
+    // deterministic under re-partitioning (integer sums are order-free)
+    val again = Similarity.kmeansCentroids(emb.repartition(7), "vec_id",
+      "embedding", dim, k = 8, iters = 2).collect()
+    assert(cents.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap ===
+      again.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap)
+  }
+
+  test("IVF with k-means centroids recalls a usable share of exact top-k") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", dim,
+      k = 8, iters = 2)
+      .select(col("cid").as("vec_id"), col("c_v").as("embedding"))
+    val approx = Similarity.ivfTopK(q, emb, "vec_id", "embedding", dim,
+      centroids = 8, nProbe = 2, k = 5, centroidsDf = cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // nProbe/centroids = 1/4 of the corpus scanned; data is deterministic,
+    // so this is a stable floor, not a flaky statistical bound
+    assert(recall >= 0.2, s"recall was $recall")
+    // every reported neighbor must be a genuine corpus id with a sane score
+    assert(approx.forall { case (qid, nid) => qid != nid })
+  }
+}
