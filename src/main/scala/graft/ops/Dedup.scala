@@ -102,6 +102,60 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair graph (the near-dup
+    * cluster extractor): iterative min-label propagation — every node
+    * starts labeled with its own id, each round every node takes the min
+    * of its label and its neighbors' labels, fixpoint = components labeled
+    * by their min member.
+    *
+    * Scale shape: each round is ONE shuffle of the (cached) edge list
+    * joined to the current labels; the driver sees only a changed-row
+    * count per round (the convergence check), never data. Rounds needed =
+    * graph diameter — near-dup clusters are shallow (pairs come from a
+    * similarity threshold), so this converges in a handful of rounds; a
+    * deep-chain graph would want the large-star/small-star variant.
+    *
+    * @return (id, cluster) — cluster is the min id in the component
+    */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "d1", bCol: String = "d2", maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-duplicate clusters: df-capped n-gram Jaccard pairs →
+    * connected components → (id, cluster_id, is_canonical). Keeping only
+    * `is_canonical` rows is the standard "one document per near-dup
+    * cluster" training-data filter. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000): DataFrame = {
+    val pairs = ngramJaccard(df, idCol, textCol, n, threshold, maxDf)
+    connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .select(col("id").as(idCol), col("cluster").as("cluster_id"),
+        (col("id") === col("cluster")).as("is_canonical"))
+  }
+
   /** md5-based minhash signature: component i = min over shingles of
     * md5(i || "|" || shingle). String-lexicographic min of a uniform hash
     * is a valid minwise sample and is reproducible in any engine with md5.

@@ -124,15 +124,26 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    // Iterative algorithm hygiene (what MLlib's KMeans does): the
+    // quantized corpus is cached once and each iteration's k centers are
+    // COLLECTED to the driver and re-broadcast as literals — without
+    // this, iteration i's plan re-derives every previous iteration's
+    // shuffle (lineage doubles per pass) and re-reads the source.
     val qv = corpus.select(col(idCol).cast("long").as("vid"),
-      quantize(col(vecCol)).as("qv"))
-    var cents = qv.filter(col("vid") < k)
-      .select(col("vid").as("cid"),
-        transform(col("qv"), x => x.cast("double")).as("c_v"))
+      quantize(col(vecCol)).as("qv")).cache()
+    def centsDf(rows: Seq[(Long, Seq[Double])]): DataFrame = {
+      import spark.implicits._
+      rows.toDF("cid", "c_v")
+    }
+    var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vid") < k)
+      .select(col("vid"), transform(col("qv"), x => x.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to iters) {
       // nearest center per vector; ties break to the lowest cid (the
       // oracle's ROW_NUMBER ... ORDER BY cos DESC, cid)
-      val assigned = qv.join(broadcast(cents), lit(true))
+      val c = centsDf(cents)
+      val assigned = qv.join(broadcast(c), lit(true))
         .withColumn("cos",
           dot(col("qv"), col("c_v"), dim) /
             (sqrt(dot(col("qv"), col("qv"), dim)) *
@@ -146,8 +157,10 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("sx")))),
           e => e.getField("sx").cast("double")).as("c_v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     }
-    cents
+    qv.unpersist()
+    centsDf(cents)
   }
 
   /** IVF (inverted-file) ANN: the corpus is partitioned once into

@@ -59,6 +59,25 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("connected components: transitive clusters, isolated nodes self-label") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // chain 1-2-3 needs transitive propagation; 4-5 a separate component
+    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 5L)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("nearDupClusters keeps one canonical doc per near-dup group") {
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // docs 1,2,3 pair up (see the jaccard test) → one cluster rooted at 1;
+    // doc 4 is its own cluster
+    assert(out === Array((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true)))
+  }
+
   test("jaccard df cap bounds candidates under a hot shingle") {
     // 40 docs all sharing one boilerplate sentence (a hot shingle set),
     // each with otherwise-unique text; two genuine near-dups
