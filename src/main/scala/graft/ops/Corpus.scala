@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators beyond dedup: deterministic sampling, token-
+  * budget shard packing, and lexical retrieval — the remaining everyday
+  * moves of a training-data pipeline, all built on exact integer
+  * arithmetic so they verify bit-for-bit against the SQL oracle.
+  */
+object Corpus {
+
+  /** Deterministic stratified (systematic) sampling: keep every `nth` row
+    * per stratum in `orderCol` order. Unlike `sample()`, reproducible
+    * across engines and runs — the property a training-mix spec needs.
+    * One shuffle on the stratum key; each stratum sorts only its own rows.
+    */
+  def stratifiedEveryNth(df: DataFrame, stratumCol: String, orderCol: String,
+      nth: Int): DataFrame = {
+    require(nth >= 1, s"nth must be >= 1, got $nth")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % nth === 0)
+      .drop("__rn")
+  }
+
+  /** Token-budget shard packing: within each `groupCol` partition, assign
+    * docs (in `orderCol` order) to consecutive shards so each shard holds
+    * ~`budget` tokens — the pretraining "pack documents into context
+    * windows" step. `shard = floor(tokens-before-this-doc / budget)`:
+    * pure integer math over a running sum, so shard ids are exact and a
+    * doc larger than the budget still lands in exactly one shard.
+    *
+    * Scale: the window is PARTITIONED by group (source, shard-prefix, …) —
+    * never a global sort. Packing across the whole corpus would serialize;
+    * per-source packing is what a real pipeline does anyway.
+    */
+  def packByTokenBudget(df: DataFrame, groupCol: String, orderCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // DIV keeps the whole computation integral — no float rounding near
+      // shard boundaries
+      .withColumn("shard", expr(s"__cum DIV $budget"))
+      .drop("__cum")
+  }
+
+  /** Lexical top-k retrieval with integer inverse-df weighting: score(doc)
+    * = Σ over matched query terms of tf(term, doc) * (C / df(term)), with
+    * C/df an INTEGER division (C = 1_000_000). Integer weights make the
+    * score exact in any aggregation order — the ranking behaves like
+    * tf-idf without floating-point logs that differ in the last ulp
+    * across engines. Ties break to the lower doc id.
+    *
+    * Shape at scale: one narrow explode of the corpus filtered to the
+    * query's terms (the inverted-index probe), a df aggregate over that
+    * small slice, one tf aggregate, and a bounded global top-k — the
+    * corpus itself is never shuffled.
+    */
+  val LexicalWeightScale = 1000000L
+
+  def lexicalTopK(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query has no terms")
+    val hits = docs
+      .select(col(idCol).as("doc"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val tf = hits.groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("weight", (lit(LexicalWeightScale) / col("df")).cast("long"))
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .groupBy(col("doc")).agg(sum(col("tf") * col("weight")).as("score"))
+    // bounded top-k heap aggregate, not a global sort: ≤ k candidates per
+    // partition cross the final shuffle; scores are exact integers in
+    // double (< 2^53), and TopKByScore breaks score ties by smaller id
+    scored
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("score").cast("double"), col("doc").cast("long"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("t.id").as("doc"),
+        (col("r0") + 1).cast("int").as("rank"),
+        col("t.score").cast("long").as("score"))
+  }
+}

@@ -94,6 +94,10 @@ object CorpusQueries {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Fixed retrieval query shared by `text_search_topk` and its oracle:
+    * mixes rare (discriminative) and common (low-weight) corpus terms. */
+  val SearchQuery = "table stream merge the"
+
   // ---- queries --------------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -199,6 +203,61 @@ object CorpusQueries {
              |  CAST(len(regexp_extract_all(text, '${TextFunctions.SubtokenPattern}')) AS INT) AS n_sub,
              |  CAST(len(list_distinct(regexp_extract_all(text, '${TextFunctions.SubtokenPattern}'))) AS INT) AS n_sub_uniq
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ======== corpus curation: sampling / packing / retrieval ========
+    Q(
+      "corpus_stratified_sample",
+      (s, dir) =>
+        Corpus.stratifiedEveryNth(table(s, dir, "documents"), "lang", "doc_id", 5)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents) t
+             |WHERE (rn - 1) % 5 = 0 ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "corpus_token_packing",
+      (s, dir) =>
+        Corpus.packByTokenBudget(table(s, dir, "documents"),
+          "source", "doc_id", "text", budget = 500L)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, source, n_tokens,
+             |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500 AS BIGINT) AS shard
+             |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "text_search_topk",
+      (s, dir) =>
+        Corpus.lexicalTopK(table(s, dir, "documents"), "doc_id", "text",
+          SearchQuery, k = 10)
+          .orderBy(col("rank")),
+      Some {
+        val terms = SearchQuery.split("\\s+").distinct.toSeq
+        s"""WITH $toksCte,
+           |tf AS (
+           |  SELECT doc_id AS doc, tok, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)
+           |  WHERE tok IN ${terms.map(t => s"'$t'").mkString("(", ", ", ")")}
+           |  GROUP BY doc, tok),
+           |dfreq AS (
+           |  SELECT tok, ${Corpus.LexicalWeightScale} // COUNT(*) AS weight
+           |  FROM tf GROUP BY tok),
+           |scored AS (
+           |  SELECT doc, CAST(SUM(tf * weight) AS BIGINT) AS score
+           |  FROM tf JOIN dfreq USING (tok) GROUP BY doc)
+           |SELECT doc, rank, score FROM (
+           |  SELECT doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT) AS rank, score
+           |  FROM scored) t
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin
+      }),
 
     // ======== dedup ========
     Q(

@@ -59,6 +59,41 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("stratified every-nth sampling is deterministic per stratum") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("id", "g")
+    val out = Corpus.stratifiedEveryNth(df, "g", "id", 2)
+      .collect().map(_.getLong(0)).sorted
+    assert(out === Array(1L, 3L, 4L))
+  }
+
+  test("token packing fills shards to the budget in order, per group") {
+    val df = Seq(
+      (1L, "s", "a b c"), (2L, "s", "d e"), (3L, "s", "f g h i"),
+      (4L, "t", "x")).toDF("id", "src", "text")
+    val out = Corpus.packByTokenBudget(df, "src", "id", "text", budget = 5)
+      .select("id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // group s token counts 3,2,4: tokens-before = 0,3,5 → shards 0,0,1
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("lexical top-k ranks tf x inverse-df with exact integer scores") {
+    val df = Seq(
+      (1L, "rare common common"),
+      (2L, "common"),
+      (3L, "rare rare common"),
+      (4L, "nothing relevant")).toDF("doc_id", "text")
+    val out = Corpus.lexicalTopK(df, "doc_id", "text", "rare common", 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // df(rare)=2 → weight 500000; df(common)=3 → weight 333333
+    assert(out === Array(
+      (3L, 1, 2 * 500000L + 333333L),
+      (1L, 2, 500000L + 2 * 333333L),
+      (2L, 3, 333333L)))
+  }
+
   test("connected components: transitive clusters, isolated nodes self-label") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     // chain 1-2-3 needs transitive propagation; 4-5 a separate component
