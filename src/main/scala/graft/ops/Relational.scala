@@ -409,6 +409,34 @@ object Relational {
              |GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // ---- arbitrary GROUPING SETS (asymmetric — not expressible as cube
+    //      or rollup): detail, one partial, and the grand total in a
+    //      single Expand pass
+    Q(
+      "q_grouping_sets",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        li.groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(d182)).cast("double").as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("sum_qty"), col("n_rows"))
+          .orderBy(col("rf"), col("ls"))
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             |  COALESCE(l_linestatus, 'ALL') AS ls,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY rf, ls""".stripMargin)),
+
     // ---- as-of join (point-in-time feature lookup): each click joined
     //      to the user's latest preceding purchase. Verified against
     //      DuckDB's NATIVE ASOF JOIN — two entirely different physical

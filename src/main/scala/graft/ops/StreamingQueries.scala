@@ -152,6 +152,56 @@ object StreamingQueries {
              | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
              |ORDER BY c_id, p_id""".stripMargin)),
 
+    // native session_window sessionization running as a REAL stream:
+    // complete-mode session aggregation keeps all (including still-open)
+    // sessions in state, so the drained result equals the batch
+    // gaps-and-islands answer. session_window starts a NEW session when
+    // the gap is >= the 30-min window (strict overlap merge), and the
+    // oracle compares gaps at full microsecond precision to match.
+    Q(
+      "stream_sessionize",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val stream = s.readStream.schema(eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val agg = stream
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        s.table(name)
+          .select(col("user_id"),
+            date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH gapped AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM gapped)
+             |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  COUNT(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     Q(
       "q_sessionize",
       (s, dir) => {
