@@ -72,10 +72,13 @@ object Corpus {
       .select(col(idCol).as("doc"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .filter(col("tok").isin(terms: _*))
     val tf = hits.groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok"))
-      .agg(count(lit(1)).as("df"))
-      .withColumn("weight", (lit(LexicalWeightScale) / col("df")).cast("long"))
-    val scored = tf.join(broadcast(dfreq), "tok")
+    // df as a whole-partition window count over the (tiny) tf set: a
+    // groupBy + self-join spelling recomputes the corpus scan+tokenize
+    // for the df subtree — at 100 TB that is a second full pass
+    val weighted = tf.withColumn("weight",
+      (lit(LexicalWeightScale) /
+        count(lit(1)).over(Window.partitionBy(col("tok")))).cast("long"))
+    val scored = weighted
       .groupBy(col("doc")).agg(sum(col("tf") * col("weight")).as("score"))
     // bounded top-k heap aggregate, not a global sort: ≤ k candidates per
     // partition cross the final shuffle; scores are exact integers in
