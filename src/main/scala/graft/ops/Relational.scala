@@ -437,6 +437,48 @@ object Relational {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
              |ORDER BY rf, ls""".stripMargin)),
 
+    // ---- pivot: event-type counts fanned to columns (explicit value
+    //      list keeps the schema static — the scalable form; an
+    //      unlisted pivot needs a distinct-values job first)
+    Q(
+      "q_pivot",
+      (s, dir) => {
+        events(s, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  COUNT(*) FILTER (event_type = 'click') AS click,
+             |  COUNT(*) FILTER (event_type = 'error') AS error,
+             |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+             |  COUNT(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- RANGE window frame: per-user rolling 1-hour event-value sum —
+    //      time-interval frames, not row counts
+    Q(
+      "q_range_frame",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(-3600L, 0L)
+        ev.select(
+            col("event_id"), col("user_id"),
+            sum(col("value").cast(d182)).over(w).cast("double").as("rolling_sum"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- as-of join (point-in-time feature lookup): each click joined
     //      to the user's latest preceding purchase. Verified against
     //      DuckDB's NATIVE ASOF JOIN — two entirely different physical
