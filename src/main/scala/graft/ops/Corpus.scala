@@ -26,6 +26,23 @@ object Corpus {
       .drop("__rn")
   }
 
+  /** Deterministic fixed-k per-stratum sample: rank each stratum's rows
+    * by md5 of their id — a uniform, engine-reproducible hash — and keep
+    * the first k. Reservoir-sample semantics (uniform k of N) with zero
+    * randomness: the same corpus always yields the same sample, and the
+    * oracle can recompute it exactly. Complements [[stratifiedEveryNth]]
+    * (fixed RATE) with a fixed SIZE per stratum.
+    */
+  def hashSamplePerStratum(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Token-budget shard packing: within each `groupCol` partition, assign
     * docs (in `orderCol` order) to consecutive shards so each shard holds
     * ~`budget` tokens — the pretraining "pack documents into context

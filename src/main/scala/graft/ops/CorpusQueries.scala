@@ -218,6 +218,19 @@ object CorpusQueries {
              |WHERE (rn - 1) % 5 = 0 ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "corpus_hash_sample",
+      (s, dir) =>
+        Corpus.hashSamplePerStratum(table(s, dir, "documents"), "lang", "doc_id", 20)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "corpus_token_packing",
       (s, dir) =>
         Corpus.packByTokenBudget(table(s, dir, "documents"),

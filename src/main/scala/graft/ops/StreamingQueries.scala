@@ -158,6 +158,10 @@ object StreamingQueries {
     // gaps-and-islands answer. session_window starts a NEW session when
     // the gap is >= the 30-min window (strict overlap merge), and the
     // oracle compares gaps at full microsecond precision to match.
+    // Scale note: complete mode is the PARITY harness for a bounded
+    // corpus — an unbounded production stream uses append mode + a
+    // watermark (closed sessions emit, state stays bounded); that
+    // late-data path is asserted in StatefulStreamingSpec.
     Q(
       "stream_sessionize",
       (s, dir) => {

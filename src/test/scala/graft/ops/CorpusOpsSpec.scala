@@ -67,6 +67,16 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out === Array(1L, 3L, 4L))
   }
 
+  test("hash sample keeps exactly k per stratum, stable under repartitioning") {
+    val df = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
+    val s1 = Corpus.hashSamplePerStratum(df, "g", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.count(_._2 == "a") === 5 && s1.count(_._2 == "b") === 5)
+    val s2 = Corpus.hashSamplePerStratum(df.repartition(7), "g", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet === s2.toSet)
+  }
+
   test("token packing fills shards to the budget in order, per group") {
     val df = Seq(
       (1L, "s", "a b c"), (2L, "s", "d e"), (3L, "s", "f g h i"),
