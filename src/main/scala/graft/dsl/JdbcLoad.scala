@@ -82,32 +82,39 @@ object JdbcLoad {
           s"INSERT INTO $table (${cols.mkString(", ")}) " +
             s"VALUES (${cols.map(_ => "?").mkString(", ")})")
         val pending = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+        // Some drivers (Oracle always; MySQL with rewriteBatchedStatements)
+        // legally return SUCCESS_NO_INFO (-2) per batch element, so
+        // "count == 0" cannot identify missed rows there. Single
+        // executeUpdate always reports a real count, so on first detection
+        // this partition switches to per-row updates for ALL later chunks
+        // (only the detecting chunk pays the batch twice — and its batch
+        // did apply, so the per-row re-run is idempotent).
+        var perRowMode = false
+        def setParams(row: Row): Unit = {
+          nonKeys.zipWithIndex.foreach { case (c, i) =>
+            update.setObject(i + 1, row.getAs[Any](c)) }
+          keys.zipWithIndex.foreach { case (c, i) =>
+            update.setObject(nonKeys.size + i + 1, row.getAs[Any](c)) }
+        }
+        def perRowMisses(): Seq[Row] =
+          pending.filter { row =>
+            setParams(row)
+            val n = update.executeUpdate(); roundTrips.add(1)
+            n == 0
+          }.toSeq
         def flush(): Unit = if (pending.nonEmpty) {
-          pending.foreach { row =>
-            nonKeys.zipWithIndex.foreach { case (c, i) =>
-              update.setObject(i + 1, row.getAs[Any](c)) }
-            keys.zipWithIndex.foreach { case (c, i) =>
-              update.setObject(nonKeys.size + i + 1, row.getAs[Any](c)) }
-            update.addBatch()
-          }
-          val counts = update.executeBatch(); roundTrips.add(1)
-          // Some drivers (Oracle always; MySQL with rewriteBatchedStatements)
-          // legally return SUCCESS_NO_INFO (-2) per element, so "count == 0"
-          // cannot identify missed rows. Fall back to per-row UPDATE for the
-          // chunk — single executeUpdate always reports a real count.
           val misses =
-            if (counts.contains(java.sql.Statement.SUCCESS_NO_INFO)) {
-              update.clearBatch()
-              pending.filter { row =>
-                nonKeys.zipWithIndex.foreach { case (c, i) =>
-                  update.setObject(i + 1, row.getAs[Any](c)) }
-                keys.zipWithIndex.foreach { case (c, i) =>
-                  update.setObject(nonKeys.size + i + 1, row.getAs[Any](c)) }
-                val n = update.executeUpdate(); roundTrips.add(1)
-                n == 0
-              }.toSeq
-            } else pending.iterator.zip(counts.iterator)
-              .collect { case (row, 0) => row }.toSeq
+            if (perRowMode) perRowMisses()
+            else {
+              pending.foreach { row => setParams(row); update.addBatch() }
+              val counts = update.executeBatch(); roundTrips.add(1)
+              if (counts.contains(java.sql.Statement.SUCCESS_NO_INFO)) {
+                perRowMode = true
+                update.clearBatch()
+                perRowMisses()
+              } else pending.iterator.zip(counts.iterator)
+                .collect { case (row, 0) => row }.toSeq
+            }
           if (misses.nonEmpty) {
             misses.foreach { row =>
               cols.zipWithIndex.foreach { case (c, i) =>

@@ -363,10 +363,11 @@ object PipelineResult {
 
   /** Deterministic sequential auto-keys cost a single-partition global
     * window; that is acceptable exactly where everything already shares
-    * one JVM — local masters. Anywhere else the scalable unique-id path
-    * is the sane default. */
+    * one JVM — `local` / `local[...]` masters. Anywhere else (including
+    * `local-cluster`, which spawns separate executor JVMs) the scalable
+    * unique-id path is the sane default. */
   def deterministicKeysSafe(master: String): Boolean =
-    master.startsWith("local")
+    master == "local" || master.startsWith("local[")
 }
 
 /** Materialized pipeline output (reference: PipelineResult,
@@ -399,9 +400,10 @@ final class PipelineResult private[dsl] (
         s.df.select(lit(n).as("__g_t"), lit("rows").as("__g_k")) } ++
       errorDfs.toSeq.map { case (n, e) =>
         e.select(lit(n).as("__g_t"), lit("errors").as("__g_k")) }
-    val counts = tagged.reduce(_.unionByName(_))
-      .groupBy(col("__g_t"), col("__g_k")).count().collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val counts = tagged.reduceOption(_.unionByName(_))
+      .map(_.groupBy(col("__g_t"), col("__g_k")).count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+      .getOrElse(Map.empty)
     states.map { case (n, _) =>
       n -> TableStats(
         counts.getOrElse((n, "rows"), 0L),
@@ -434,7 +436,13 @@ final class PipelineResult private[dsl] (
     * observe their keys must not pay it. `scalableIds()` switches to
     * monotonically_increasing_id, which stays fully parallel and unique
     * (the right default on a cluster, where nothing should observe the
-    * id's sequential shape). */
+    * id's sequential shape).
+    *
+    * CONTRACT: sequential ids are only honored on a `local[...]` master
+    * ([[PipelineResult.deterministicKeysSafe]]). On a cluster master the
+    * keys silently become sparse unique ids (with a logged warning) —
+    * code that relies on the dense 0..n-1 shape must not ship to a
+    * cluster without calling `scalableIds()` and dropping that reliance. */
   def tableKeyed(name: String): DataFrame = {
     val s = state(name)
     require(s.keys.isEmpty,
@@ -473,9 +481,10 @@ final class PipelineResult private[dsl] (
   def stats: Map[String, Long] = {
     val counts = states.toSeq
       .map { case (n, s) => s.df.select(lit(n).as("__g_t")) }
-      .reduce(_.unionByName(_))
-      .groupBy(col("__g_t")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .reduceOption(_.unionByName(_))
+      .map(_.groupBy(col("__g_t")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
     states.map { case (n, _) => n -> counts.getOrElse(n, 0L) }.toMap
   }
 

@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The Spark-side plumbing here is real and tested — schema, typed
-  * Dataset encoders, per-partition batched processing (the JVM analogue
-  * of `mapInPandas`: decode cost is amortized over a batch, one decoder
-  * instance per partition), and partitioning controls. The DECODE STEP
-  * ITSELF IS A STUB (`StubDecoder`): the container has no image/audio
-  * codecs, so it produces a deterministic fake "frame" from the bytes.
-  * Swapping in a real codec is a one-class change behind [[MediaDecoder]].
+  * The Spark-side plumbing is real and tested — schema, typed Dataset
+  * encoders, per-partition batched processing (the JVM analogue of
+  * `mapInPandas`: decode cost is amortized over a batch, one decoder
+  * instance per partition), and partitioning controls. Two decoders sit
+  * behind the [[MediaDecoder]] seam: [[ImageDecoder]] is a REAL
+  * byte-level parser for PPM P6 and uncompressed 24bpp BMP (the two
+  * classic formats needing no codec library) with genuine
+  * nearest-neighbor resize; [[StubDecoder]] stands in for codec-backed
+  * formats (video/audio) this container cannot decode — swapping in a
+  * real codec is a one-class change behind the same seam.
   */
 object MediaPipeline {
 
@@ -106,18 +109,22 @@ object MediaPipeline {
           else go = false
         }
       }
+      // bounded digit run (never-throw contract: an absurd header is a
+      // decode miss, not a NumberFormatException mid-task)
       def int(): Option[Int] = {
         skipWs()
         val st = i
         while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
-        if (i == st) None else Some(new String(b, st, i - st).toInt)
+        if (i == st || i - st > 8) None
+        else Some(new String(b, st, i - st).toInt)
       }
       for {
         w <- int(); h <- int(); maxv <- int()
         if maxv == 255 && w > 0 && h > 0 && i < b.length
         // exactly one whitespace byte separates the header from the raster
         _ = { i += 1 }
-        if b.length - i >= w * h * 3
+        // Long arithmetic: a lying header must not overflow the guard
+        if b.length.toLong - i >= w.toLong * h * 3
       } yield (w, h, java.util.Arrays.copyOfRange(b, i, i + w * h * 3))
     }
 

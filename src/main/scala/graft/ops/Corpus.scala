@@ -16,6 +16,12 @@ object Corpus {
     * per stratum in `orderCol` order. Unlike `sample()`, reproducible
     * across engines and runs — the property a training-mix spec needs.
     * One shuffle on the stratum key; each stratum sorts only its own rows.
+    *
+    * `orderCol` MUST order rows uniquely within each stratum (a row id):
+    * with ties, row_number's tie order depends on partition layout and
+    * the kept set stops being run-reproducible. For a tie-prone ordering
+    * key, use [[hashSamplePerStratum]] (which tie-breaks on the id) or
+    * pre-compose a unique ordering column.
     */
   def stratifiedEveryNth(df: DataFrame, stratumCol: String, orderCol: String,
       nth: Int): DataFrame = {

@@ -140,8 +140,20 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge after $maxIters rounds — " +
+          "the graph's diameter exceeds maxIters and some components carry " +
+          "multiple labels; raise maxIters (or use a star-contraction " +
+          "variant for deep-chain graphs)")
+    // final labels are already materialized (the convergence count ran
+    // them); localCheckpoint pins that result WITHOUT the CacheManager
+    // entry a .cache() would leak — checkpoint blocks are released by the
+    // ContextCleaner once the returned frame is unreferenced
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /** Near-duplicate clusters: df-capped n-gram Jaccard pairs →

@@ -65,9 +65,11 @@ class AutoKeySpec extends SparkTestBase {
   test("deterministic sequential keys are a local-master-only default") {
     // the single-partition global window behind row_number is acceptable in
     // one JVM; on a cluster master tableKeyed falls back to scalable ids
+    assert(PipelineResult.deterministicKeysSafe("local"))
     assert(PipelineResult.deterministicKeysSafe("local[4]"))
     assert(PipelineResult.deterministicKeysSafe("local[*]"))
-    assert(PipelineResult.deterministicKeysSafe("local-cluster[2,1,1024]"))
+    // local-cluster spawns separate executor JVMs — treat as a cluster
+    assert(!PipelineResult.deterministicKeysSafe("local-cluster[2,1,1024]"))
     assert(!PipelineResult.deterministicKeysSafe("spark://host:7077"))
     assert(!PipelineResult.deterministicKeysSafe("yarn"))
     assert(!PipelineResult.deterministicKeysSafe("k8s://https://host:443"))
