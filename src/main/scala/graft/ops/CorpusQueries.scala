@@ -321,6 +321,47 @@ object CorpusQueries {
              |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
              |ORDER BY d1, d2""".stripMargin)),
 
+    // benchmark decontamination: per-training-doc share of distinct
+    // shingles that leak from the "eval" slice (doc_id >= 450 stands in
+    // for a held-out benchmark)
+    Q(
+      "corpus_decontaminate",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.contamination(
+          docs.filter(col("doc_id") < 450),
+          docs.filter(col("doc_id") >= 450),
+          "doc_id", "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def shingleSub(toks: String, pred: String) =
+          s"""$toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+             |  FROM documents WHERE $pred)""".stripMargin
+        s"""WITH ${shingleSub("ttoks", "doc_id < 450")},
+           |tsh AS (
+           |  SELECT doc_id,
+           |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+           |  FROM ttoks WHERE len(ws) >= 3),
+           |${shingleSub("etoks", "doc_id >= 450")},
+           |esh AS (
+           |  SELECT DISTINCT shingle FROM (
+           |    SELECT unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+           |    FROM etoks WHERE len(ws) >= 3)),
+           |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY doc_id),
+           |cont AS (
+           |  SELECT doc_id, COUNT(*) AS n_contaminated FROM tsh
+           |  WHERE shingle IN (SELECT shingle FROM esh) GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_shingles,
+           |  COALESCE(c.n_contaminated, 0) AS n_contaminated,
+           |  CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination
+           |FROM tot t LEFT JOIN cont c ON t.doc_id = c.doc_id
+           |ORDER BY t.doc_id""".stripMargin
+      }),
+
     // near-dup CLUSTERS: the jaccard pair graph's connected components,
     // min-id canonical per cluster — "keep one doc per near-dup group".
     // Oracle: same pair CTEs + a recursive transitive-closure walk.

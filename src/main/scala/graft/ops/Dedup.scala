@@ -102,6 +102,34 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: for every training document, the share
+    * of its distinct word n-gram shingles that also appear anywhere in
+    * the evaluation corpus — the standard "is my test set leaking into
+    * training data" check run before every pretraining job.
+    *
+    * Shape at scale: the eval side collapses to its DISTINCT shingle set
+    * (benchmarks are tiny next to a training corpus, so Catalyst
+    * broadcasts it), and membership is a LEFT SEMI join — training
+    * shingles never fan out, no pair explosion, one aggregate per side.
+    *
+    * @return (idCol, n_shingles, n_contaminated, contamination ratio)
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val trainSh = shingleRows(train, idCol, textCol, n)
+    val evalSh = shingleRows(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val totals = trainSh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+    val contaminated = trainSh.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(contaminated, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+  }
+
   /** Connected components over an undirected pair graph (the near-dup
     * cluster extractor): iterative min-label propagation — every node
     * starts labeled with its own id, each round every node takes the min

@@ -104,6 +104,18 @@ class CorpusOpsSpec extends SparkTestBase {
       (2L, 3, 333333L)))
   }
 
+  test("contamination measures per-train-doc eval shingle overlap") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "totally clean document here now")).toDF("doc_id", "text")
+    val benchmark = Seq((10L, "the quick brown fox runs")).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, benchmark, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 shares "the quick brown" and "quick brown fox" with the eval set
+    assert(out(1L) === ((3L, 2L)))
+    assert(out(2L) === ((3L, 0L)))
+  }
+
   test("connected components: transitive clusters, isolated nodes self-label") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     // chain 1-2-3 needs transitive propagation; 4-5 a separate component
