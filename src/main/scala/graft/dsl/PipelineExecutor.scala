@@ -476,17 +476,10 @@ final class PipelineResult private[dsl] (
   /** Table including temp fields and the hidden ordinal (for tests/links). */
   private[dsl] def raw(name: String): TableState = states(name)
 
-  /** Per-table mapped-row counts — one Spark action total (see
-    * [[tableStats]]). */
-  def stats: Map[String, Long] = {
-    val counts = states.toSeq
-      .map { case (n, s) => s.df.select(lit(n).as("__g_t")) }
-      .reduceOption(_.unionByName(_))
-      .map(_.groupBy(col("__g_t")).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap)
-      .getOrElse(Map.empty)
-    states.map { case (n, _) => n -> counts.getOrElse(n, 0L) }.toMap
-  }
+  /** Per-table mapped-row counts — one Spark action total (delegates to
+    * [[tableStats]] so the counting strategy lives in one place). */
+  def stats: Map[String, Long] =
+    tableStats.map { case (n, s) => n -> s.mapped }
 
   /** Parent-first flush order (reference: topological flush,
     * fluent.py:1584-1708 + utils.py:6-54). */

@@ -137,16 +137,21 @@ object MediaPipeline {
       val w = i32(18)
       val hRaw = i32(22)
       val bottomUp = hRaw > 0
-      val h = math.abs(hRaw)
+      // abs(Int.MinValue) is negative — a lying header, not a crash
+      val h = if (hRaw == Int.MinValue) -1 else math.abs(hRaw)
       val bpp = u16(28)
       val compression = i32(30)
-      if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-      val rowSize = ((w * 3) + 3) / 4 * 4 // rows pad to 4-byte boundaries
-      if (dataOff < 0 || b.length - dataOff < rowSize.toLong * h) return None
+      if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+      // Long arithmetic end-to-end: header-claimed dimensions must not
+      // overflow the guards (never-throw decode-miss contract)
+      val rowSize = ((w.toLong * 3) + 3) / 4 * 4 // rows pad to 4-byte boundaries
+      if (dataOff < 0 || b.length.toLong - dataOff < rowSize * h) return None
+      if (w.toLong * h * 3 > Int.MaxValue) return None
       val out = new Array[Byte](w * h * 3)
+      val rowSizeI = rowSize.toInt // fits: rowSize * h <= b.length above
       var y = 0
       while (y < h) {
-        val srcRow = dataOff + (if (bottomUp) (h - 1 - y) else y) * rowSize
+        val srcRow = dataOff + (if (bottomUp) (h - 1 - y) else y) * rowSizeI
         var x = 0
         while (x < w) {
           val s = srcRow + x * 3

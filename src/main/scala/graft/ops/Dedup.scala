@@ -109,8 +109,13 @@ object Dedup {
     *
     * Shape at scale: the eval side collapses to its DISTINCT shingle set
     * (benchmarks are tiny next to a training corpus, so Catalyst
-    * broadcasts it), and membership is a LEFT SEMI join — training
-    * shingles never fan out, no pair explosion, one aggregate per side.
+    * broadcasts it); the train side is scanned, shingled, and shuffled
+    * ONCE — a left join against the unique eval shingles cannot fan rows
+    * out, so one aggregate yields both the total and the hit count.
+    *
+    * Training docs with fewer than `n` tokens have no shingles and are
+    * ABSENT from the output (n-gram evidence cannot convict them);
+    * treat absence as contamination 0 when joining back.
     *
     * @return (idCol, n_shingles, n_contaminated, contamination ratio)
     */
@@ -119,14 +124,14 @@ object Dedup {
     val trainSh = shingleRows(train, idCol, textCol, n)
     val evalSh = shingleRows(eval, idCol, textCol, n)
       .select(col("shingle")).distinct()
-    val totals = trainSh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
-    val contaminated = trainSh.join(evalSh, Seq("shingle"), "left_semi")
-      .groupBy(col("doc")).agg(count(lit(1)).as("n_contaminated"))
-    totals.join(contaminated, Seq("doc"), "left")
+      .withColumn("__hit", lit(1))
+    trainSh.join(evalSh, Seq("shingle"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
       .select(col("doc").as(idCol),
-        col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+        col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
           col("n_shingles").cast("double")).as("contamination"))
   }
 
@@ -177,7 +182,11 @@ object Dedup {
     // final labels are already materialized (the convergence count ran
     // them); localCheckpoint pins that result WITHOUT the CacheManager
     // entry a .cache() would leak — checkpoint blocks are released by the
-    // ContextCleaner once the returned frame is unreferenced
+    // ContextCleaner once the returned frame is unreferenced. Trade-off:
+    // lineage is truncated to executor-local blocks, so on a long-lived
+    // cluster with executor churn the result should be persisted to
+    // reliable storage promptly (checkpoint() with a checkpoint dir, or a
+    // table write) rather than held lazily across executor failures.
     val out = labels.localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()
