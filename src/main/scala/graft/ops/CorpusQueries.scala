@@ -421,6 +421,48 @@ object CorpusQueries {
            |ORDER BY d1, d2""".stripMargin
       }),
 
+    // two-stage dedup: banded minhash candidates verified by EXACT
+    // jaccard over the full shingle sets — the production propose/verify
+    // composition (precision 1.0 above the threshold)
+    Q(
+      "dedup_minhash_verified",
+      (s, dir) =>
+        Dedup.minhashLshVerified(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+          .orderBy(col("d1"), col("d2")),
+      Some {
+        val k = 12
+        val sigs = (0 until k).map(i =>
+          s"list_min(list_transform(shingles, s -> md5('$i' || '|' || s)))")
+          .mkString("[", ", ", "]")
+        val bandRows = (0 until 4).map { b =>
+          val parts = (0 until 3).map(r => s"sig[${b * 3 + r + 1}]").mkString(" || ")
+          s"SELECT doc_id, $b AS band, $parts AS bsig FROM sigs"
+        }.mkString(" UNION ALL ")
+        s"""WITH $toksCte, $shingleCte,
+           |sigs AS (SELECT doc_id, $sigs AS sig FROM sh),
+           |banded AS ($bandRows),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+           |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+           |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shx GROUP BY doc_id),
+           |common AS (
+           |  SELECT c.d1, c.d2, COUNT(*) AS common
+           |  FROM cands c
+           |  JOIN shx s1 ON s1.doc_id = c.d1
+           |  JOIN shx s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+           |  GROUP BY c.d1, c.d2)
+           |SELECT d1, d2,
+           |  CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) AS jaccard
+           |FROM common
+           |JOIN sizes sa ON sa.doc_id = d1
+           |JOIN sizes sb ON sb.doc_id = d2
+           |WHERE CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5
+           |ORDER BY d1, d2""".stripMargin
+      }),
+
     Q(
       "dedup_simhash",
       (s, dir) =>

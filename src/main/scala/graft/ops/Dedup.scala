@@ -246,6 +246,33 @@ object Dedup {
       .distinct()
   }
 
+  /** The production two-stage near-dup pipeline: banded minhash PROPOSES
+    * candidate pairs (cheap, recall tuned by bands × rowsPerBand), exact
+    * Jaccard over ONLY those pairs DISPOSES (precision 1.0 at the
+    * threshold). Verification work is bounded by Σ over candidate pairs
+    * of |shingles(d1)| — never the corpus cross product, and unlike the
+    * df-capped [[ngramJaccard]] the verified similarity here is over the
+    * FULL shingle sets (no cap needed: LSH already bounded the pairs).
+    */
+  def minhashLshVerified(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = minhashLsh(df, idCol, textCol, n, bands, rowsPerBand)
+    val sh = shingleRows(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("nsh"))
+    val common = cands
+      .join(sh.select(col("doc").as("d1"), col("shingle")), "d1")
+      .join(sh.select(col("doc").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc").as("d1"), col("nsh").as("na")), "d1")
+      .join(sizes.select(col("doc").as("d2"), col("nsh").as("nb")), "d2")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** Per-doc 64-bit simhash as a table (explode + grouped bit votes — the
     * scalable form of [[simhash64]]; identical values).
     *

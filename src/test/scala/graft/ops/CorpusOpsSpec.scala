@@ -38,6 +38,17 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhash candidates verified by exact jaccard: propose then dispose") {
+    val out = Dedup.minhashLshVerified(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs 1 and 3 must survive with jaccard exactly 1.0
+    assert(out((1L, 3L)) === 1.0)
+    // the unrelated doc never appears regardless of banding luck
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // every reported score is a genuine jaccard in (0, 1]
+    assert(out.values.forall(j => j > 0.5 - 1e-9 && j <= 1.0))
+  }
+
   test("simhash: identical docs hamming 0, near docs small, far docs large") {
     val sh = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
