@@ -59,6 +59,37 @@ object CorpusQueries {
   private def icosSql(a: String, b: String): String =
     s"(${idotSql(a, b)}) / (sqrt(${idotSql(a, a)}) * sqrt(${idotSql(b, b)}))"
 
+  /** Near-dup cluster oracle: jaccard pair CTEs + a recursive
+    * transitive-closure walk. Shared verbatim by `dedup_clusters` (label
+    * propagation) and `dedup_clusters_star` (star contraction) — the two
+    * solvers must agree exactly. */
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE $toksCte, $shingleCte,
+       |shx0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |dfx AS (SELECT shingle, COUNT(*) AS df FROM shx0 GROUP BY shingle),
+       |shx AS (SELECT s.doc_id, s.shingle FROM shx0 s
+       |        JOIN dfx USING (shingle) WHERE df <= $JaccardMaxDf),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM common
+       |  JOIN sizes sa ON sa.doc_id = d1
+       |  JOIN sizes sb ON sb.doc_id = d2
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5),
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |      UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |walk(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT w.src, e.b FROM walk w JOIN e ON w.dst = e.a),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |         FROM walk GROUP BY src)
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   /** 64-bit simhash CTE chain (requires `toks` in scope): yields
     * `sims(doc_id, sh)`. Token hash from md5 hex chars 1-8 (high word)
     * and 9-16 (low word), mirroring Dedup.tokenVal64; everything stays
@@ -371,31 +402,18 @@ object CorpusQueries {
         Dedup.nearDupClusters(table(s, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
           .orderBy(col("doc_id")),
-      Some(s"""WITH RECURSIVE $toksCte, $shingleCte,
-             |shx0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-             |dfx AS (SELECT shingle, COUNT(*) AS df FROM shx0 GROUP BY shingle),
-             |shx AS (SELECT s.doc_id, s.shingle FROM shx0 s
-             |        JOIN dfx USING (shingle) WHERE df <= $JaccardMaxDf),
-             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
-             |common AS (
-             |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-             |  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |pairs AS (
-             |  SELECT d1, d2 FROM common
-             |  JOIN sizes sa ON sa.doc_id = d1
-             |  JOIN sizes sb ON sb.doc_id = d2
-             |  WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5),
-             |e AS (SELECT d1 AS a, d2 AS b FROM pairs
-             |      UNION SELECT d2 AS a, d1 AS b FROM pairs),
-             |walk(src, dst) AS (
-             |  SELECT doc_id, doc_id FROM documents
-             |  UNION
-             |  SELECT w.src, e.b FROM walk w JOIN e ON w.dst = e.a),
-             |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
-             |         FROM walk GROUP BY src)
-             |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
-             |FROM comp ORDER BY doc_id""".stripMargin)),
+      Some(clustersOracleSql)),
+
+    // same clusters, computed with the O(log n)-round star-contraction
+    // solver (large-star/small-star) instead of label propagation — the
+    // deep-chain-safe variant; identical output, identical oracle.
+    Q(
+      "dedup_clusters_star",
+      (s, dir) =>
+        Dedup.nearDupClustersStar(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+          .orderBy(col("doc_id")),
+      Some(clustersOracleSql)),
 
     Q(
       "dedup_minhash_lsh",

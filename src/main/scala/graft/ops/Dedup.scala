@@ -155,7 +155,14 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster")).cache()
+    // per-round localCheckpoint rather than cache: labels feeds the next
+    // round's plan TWICE (neighbor join + change check), so a cached loop
+    // doubles the logical plan every round and the analyzer, not the
+    // data, becomes the bottleneck after ~10 rounds. The checkpoint
+    // resets the plan to a leaf; dropped rounds' blocks are released by
+    // the ContextCleaner.
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -164,11 +171,10 @@ object Dedup {
       val next = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
@@ -179,18 +185,95 @@ object Dedup {
           "the graph's diameter exceeds maxIters and some components carry " +
           "multiple labels; raise maxIters (or use a star-contraction " +
           "variant for deep-chain graphs)")
-    // final labels are already materialized (the convergence count ran
-    // them); localCheckpoint pins that result WITHOUT the CacheManager
-    // entry a .cache() would leak — checkpoint blocks are released by the
-    // ContextCleaner once the returned frame is unreferenced. Trade-off:
-    // lineage is truncated to executor-local blocks, so on a long-lived
-    // cluster with executor churn the result should be persisted to
-    // reliable storage promptly (checkpoint() with a checkpoint dir, or a
-    // table write) rather than held lazily across executor failures.
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
+    // labels is already a localCheckpoint (materialized, leaf plan) — its
+    // blocks are executor-local, so on a long-lived cluster with executor
+    // churn the result should be persisted to reliable storage promptly
+    // (checkpoint() with a checkpoint dir, or a table write) rather than
+    // held lazily across executor failures.
     edges.unpersist()
-    out
+    labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014) — the deep-graph companion to
+    * [[connectedComponents]]: label propagation needs one round per unit
+    * of graph DIAMETER, star contraction halves tree heights every
+    * round and converges in O(log n) rounds on any graph, so a
+    * 10-million-link chain finishes in ~25 rounds instead of 10 million.
+    *
+    * Both phases are pure edge-set rewrites (groupBy + join on the edge
+    * list, no per-node state), so each round is two shuffles of the
+    * current edge set and the driver only ever sees a count. Edges only
+    * ever point DOWNWARD (src > dst) and shrink toward stars; at the
+    * fixpoint every non-root node holds exactly one edge to its
+    * component's minimum id.
+    *
+    * - large-star: each node u connects its LARGER neighbors to
+    *   m = min(N(u) ∪ u) — detaches high ids from chains.
+    * - small-star: each node u reconnects its smaller neighbors (and
+    *   itself) to m = min(N⁻(u)) — flattens the remaining slopes.
+    *
+    * @return (id, cluster) — cluster is the min id in the component,
+    *         identical to [[connectedComponents]] output
+    */
+  def connectedComponentsStar(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "d1", bCol: String = "d2", maxIters: Int = 30): DataFrame = {
+    // canonical directed edge: src strictly above dst.
+    // Each round's result is localCheckpoint'ed, NOT merely cached: the
+    // next round's plan is built on top of the previous result, and a
+    // cache leaves the logical plan in place — after k rounds the ANALYZER
+    // walks a plan tree that doubled k times (edges appears twice in
+    // large-star and again in the convergence except), which stalls the
+    // driver long before the data does. The checkpoint resets the plan to
+    // a leaf each round; blocks of dropped rounds are released by the
+    // ContextCleaner.
+    var edges = pairs.select(
+        greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val fromNbrs = e.join(mins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val fromSelf = mins.select(col("src"), col("m").as("dst"))
+      fromNbrs.unionAll(fromSelf).distinct()
+    }
+
+    var converged = false
+    var i = 0
+    var nEdges = edges.count()
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nNext = next.count()
+      // sets are equal iff same size and next ⊆ edges (both are distinct)
+      converged = nNext == nEdges && next.except(edges).limit(1).count() == 0
+      edges = next
+      nEdges = nNext
+      i += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar did not converge after $maxIters rounds; " +
+          "labels below may still be transitively unresolved")
+    // at the fixpoint each non-root has exactly one downward edge, to its
+    // component min; min() is a no-op then and only matters un-converged
+    val roots = edges.groupBy(col("src")).agg(min(col("dst")).as("root"))
+    ids.select(col(idCol).as("id"))
+      .join(roots, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
   }
 
   /** Near-duplicate clusters: df-capped n-gram Jaccard pairs →
@@ -201,6 +284,17 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000): DataFrame = {
     val pairs = ngramJaccard(df, idCol, textCol, n, threshold, maxDf)
     connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .select(col("id").as(idCol), col("cluster").as("cluster_id"),
+        (col("id") === col("cluster")).as("is_canonical"))
+  }
+
+  /** [[nearDupClusters]] with the O(log n)-round star-contraction solver —
+    * same output contract, chosen when clusters may chain deeply (e.g.
+    * templated boilerplate where A~B~C~… links spans of documents). */
+  def nearDupClustersStar(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000): DataFrame = {
+    val pairs = ngramJaccard(df, idCol, textCol, n, threshold, maxDf)
+    connectedComponentsStar(df.select(col(idCol)), idCol, pairs)
       .select(col("id").as(idCol), col("cluster").as("cluster_id"),
         (col("id") === col("cluster")).as("is_canonical"))
   }

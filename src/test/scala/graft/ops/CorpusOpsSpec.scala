@@ -136,6 +136,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("star contraction matches label propagation; deep chain in O(log n) rounds") {
+    // a 200-link chain: label propagation would need ~200 rounds (its
+    // maxIters default would give up); star contraction halves tree
+    // heights per round and must finish well inside 30
+    val n = 200
+    val ids = (0L until n.toLong).toDF("id")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("d1", "d2")
+    val star = Dedup.connectedComponentsStar(ids, "id", chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size === n && star.values.forall(_ == 0L))
+
+    // random-ish sparse graph: both solvers must agree exactly
+    val ids2 = (0L until 40L).toDF("id")
+    val pairs2 = (0L until 40L).flatMap { i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 13 + 11) % 40)).filter(p => p._1 != p._2)
+    }.toDF("d1", "d2")
+    val a = Dedup.connectedComponents(ids2, "id", pairs2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.connectedComponentsStar(ids2, "id", pairs2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
   test("nearDupClusters keeps one canonical doc per near-dup group") {
     val out = Dedup.nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .orderBy("doc_id").collect()
