@@ -114,4 +114,106 @@ object Corpus {
         (col("r0") + 1).cast("int").as("rank"),
         col("t.score").cast("long").as("score"))
   }
+
+  /** PII patterns, RE2-compatible (no lookarounds) so Java regex (Spark)
+    * and RE2 (DuckDB oracle) match the identical spans. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}[- ][0-9]{4}\\b"
+
+  /** PII scrubbing: count and redact email/phone spans. Pure per-row
+    * regex expressions inside whole-stage codegen — zero shuffles, scales
+    * embarrassingly; the redaction pass every compliance pipeline runs
+    * before training. Counts are kept alongside the redacted text so the
+    * scrub rate per source/language is one aggregate away.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))).cast("long"))
+      .withColumn("clean_text",
+        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+
+  /** Per-document repetition stats (Gopher-style quality signal): total
+    * words, distinct words, the count of the most repeated word, and the
+    * duplicate-word fraction. Computed entirely INSIDE the row with
+    * higher-order array functions — sort the token array once, then a
+    * single linear `aggregate` pass finds the longest equal-run (= the
+    * mode's count). No explode, no shuffle: per-doc quality scoring at
+    * 100 TB is a map-only job.
+    */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val sorted = array_sort(toks)
+    // longest run of equal adjacent tokens in the sorted array == max
+    // per-word count; one O(n) fold, no quadratic distinct×scan
+    val topRun = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    df.withColumn("n_words", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("top_word_count", topRun)
+      .withColumn("dup_ratio",
+        when(col("n_words") === 0, lit(0.0d)).otherwise(
+          (col("n_words") - col("n_distinct")).cast("double") /
+            col("n_words").cast("double")))
+  }
+
+  /** Deterministic train/val/test assignment by content-independent hash:
+    * the first hex chars of md5(id) are uniform, so a lexicographic
+    * threshold on the hash string IS a reproducible percentage split —
+    * the same doc lands in the same split on every engine, every run,
+    * and adding documents never reassigns existing ones (the property
+    * random splits lack). `bounds` are (label, exclusiveUpperHexPrefix)
+    * in ascending order; everything above the last bound gets
+    * `restLabel`. Map-only, no shuffle.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+      bounds: Seq[(String, String)], restLabel: String): DataFrame = {
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val expr0 = bounds.foldRight(lit(restLabel): Column) { case ((label, hi), rest) =>
+      when(h < lit(hi), lit(label)).otherwise(rest)
+    }
+    df.withColumn("split", expr0)
+  }
+
+  /** Corpus vocabulary: global word counts with a bounded top-k. The
+    * count is the canonical two-phase aggregate (map-side partials →
+    * one shuffle on the word); the top-k is `orderBy(...).limit(k)`,
+    * which Spark plans as TakeOrderedAndProject — each partition keeps
+    * only k candidates, nothing resembling a global sort runs. Ties
+    * break lexicographically so the cut is deterministic.
+    */
+  def vocabularyTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+
+  /** Keep documents whose length rank sits inside (loPct, hiPct] of their
+    * stratum — the distribution-clipping filter (drop the shortest 5% and
+    * longest 5% per language) spelled in EXACT integer arithmetic:
+    * rank·100 vs n·pct avoids every float-threshold edge case, so the
+    * kept set is bit-reproducible. One shuffle on the stratum; each
+    * stratum ranks only its own rows.
+    */
+  def clipByLengthRank(df: DataFrame, stratumCol: String, lenCol: String,
+      idCol: String, loPct: Int, hiPct: Int): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 0 <= lo < hi <= 100, got $loPct/$hiPct")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(lenCol), col(idCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+      .filter(col("__rn") * 100 > col("__n") * loPct &&
+        col("__rn") * 100 <= col("__n") * hiPct)
+      .drop("__rn", "__n")
+  }
 }

@@ -729,6 +729,115 @@ object CorpusQueries {
       Some("""SELECT doc_id, 8 AS width, 8 AS height,
              |  CAST(list_sum(list_transform(string_split(substring(text, 1, 192), ''), c -> unicode(c))) AS BIGINT) AS px_sum
              |FROM documents WHERE octet_length(text::BLOB) >= 192
+             |ORDER BY doc_id""".stripMargin)),
+
+    // PII scrub: detect + redact emails/phones. The synthetic corpus has
+    // no PII, so every 5th doc gets a deterministic email+phone suffix
+    // appended on BOTH sides before the scrub — the redaction itself is
+    // what's under test (counts + hash of the cleaned text).
+    Q(
+      "corpus_pii_scrub",
+      (s, dir) => {
+        val aug = table(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com or 555 "),
+              lpad(col("doc_id").cast("string"), 4, "0")))
+            .otherwise(col("text")))
+        Corpus.scrubPii(aug, "text")
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            md5(col("clean_text").cast("binary")).as("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH aug AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 5 = 0
+              |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+              |           '@example.com or 555 ' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              |      ELSE text END AS t
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(t, '${Corpus.EmailPattern}')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(t, '${Corpus.PhonePattern}')) AS BIGINT) AS n_phones,
+              |  md5(regexp_replace(regexp_replace(t, '${Corpus.EmailPattern}', '<EMAIL>', 'g'),
+              |    '${Corpus.PhonePattern}', '<PHONE>', 'g')) AS clean_hash
+              |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // per-doc repetition stats — computed shuffle-free inside the row
+    // (sorted-array linear fold); the oracle recomputes the mode count
+    // with a plain unnest+groupby
+    Q(
+      "corpus_repetition",
+      (s, dir) =>
+        Corpus.repetitionStats(table(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("n_words"), col("n_distinct"),
+            col("top_word_count"), col("dup_ratio"))
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT doc_id, w, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY doc_id, w),
+             |md AS (SELECT doc_id, MAX(c) AS top_word_count FROM cnt GROUP BY doc_id),
+             |base AS (
+             |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+             |  FROM toks)
+             |SELECT b.doc_id, b.n_words, b.n_distinct,
+             |  CAST(COALESCE(m.top_word_count, 0) AS BIGINT) AS top_word_count,
+             |  CASE WHEN b.n_words = 0 THEN CAST(0 AS DOUBLE)
+             |       ELSE CAST(b.n_words - b.n_distinct AS DOUBLE) / CAST(b.n_words AS DOUBLE)
+             |  END AS dup_ratio
+             |FROM base b LEFT JOIN md m USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // deterministic train/val/test split by md5 threshold — stable under
+    // corpus growth, identical on every engine; checked via per-split
+    // aggregate fingerprints
+    Q(
+      "corpus_split_hash",
+      (s, dir) =>
+        Corpus.splitByHash(table(s, dir, "documents"), "doc_id",
+          Seq("val" -> "0d", "test" -> "1a"), "train")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("split")),
+      Some("""SELECT
+             |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0d' THEN 'val'
+             |       WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'test'
+             |       ELSE 'train' END AS split,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // global vocabulary top-k: canonical word count (partial aggs → one
+    // shuffle) + TakeOrderedAndProject bounded top-k, never a full sort
+    Q(
+      "corpus_vocabulary",
+      (s, dir) =>
+        Corpus.vocabularyTopK(table(s, dir, "documents"), "text", 20)
+          .orderBy(col("n").desc, col("word")),
+      Some("""SELECT word, COUNT(*) AS n
+             |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+             |      FROM documents)
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)),
+
+    // length-distribution clipping per language: drop the shortest 5% and
+    // longest 5% by exact integer rank arithmetic
+    Q(
+      "corpus_length_clip",
+      (s, dir) =>
+        Corpus.clipByLengthRank(table(s, dir, "documents"),
+          "lang", "n_chars", "doc_id", loPct = 5, hiPct = 95)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+             |    COUNT(*) OVER (PARTITION BY lang) AS n
+             |  FROM documents)
+             |SELECT doc_id, lang, n_chars FROM r
+             |WHERE rn * 100 > n * 5 AND rn * 100 <= n * 95
              |ORDER BY doc_id""".stripMargin))
   )
 

@@ -5,6 +5,7 @@ import graft.Q.table
 import graft.dsl._
 import graft.dsl.transforms._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{get => _, _}
 
 /** Driver-verifiable queries exercising the graft DSL end-to-end over the
@@ -467,7 +468,120 @@ object DslQueries {
              |  COALESCE(maybe, c_mktsegment) AS coal,
              |  CAST(length(c_name) AS INT) AS len_name,
              |  CAST(length(maybe) AS INT) AS len_null
-             |FROM t ORDER BY c_custkey""".stripMargin))
+             |FROM t ORDER BY c_custkey""".stripMargin)),
+
+    // ---- chunked streaming == batch parity, in the oracle gate: suppliers
+    //      arrive as key-complete chunks (GroupByChunkSource semantics,
+    //      chunking.py:74-124 — every chunk carries whole s_nationkey
+    //      groups), each chunk is mapped by a fresh per-chunk pipeline with
+    //      merge policies, flushed via the batched JDBC upsert strategy,
+    //      and evicted. The read-back must equal the one-shot batch
+    //      aggregate DuckDB computes — the reference's streaming-vs-
+    //      resident parity contract (tests/test_issue_75.py).
+    Q(
+      "dsl_chunked_upsert",
+      (s, dir) => {
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val sup = table(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"),
+            col("s_acctbal").cast("double"))
+          .as[(Long, Long, Double)].collect() // chunk feed is driver-side by
+        // construction (the reference's ChunkSource is an iterator too)
+        val chunks = sup.groupBy(_._2 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+        val url = "jdbc:derby:memory:graft_chunk;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try st.execute("DROP TABLE nat_stats")
+          catch { case _: java.sql.SQLException => () } // first run: no table
+          // `id` holds the pipeline's auto-injected single-key id column
+          st.execute("CREATE TABLE nat_stats (s_nationkey BIGINT PRIMARY KEY, " +
+            "n_sup BIGINT, sum_bal DECIMAL(18,2), min_bal DOUBLE, max_bal DOUBLE, " +
+            "id BIGINT)")
+        } finally conn.close()
+        val input = MemoryStream[(Long, Long, Double)]
+        val writer = graft.streaming.StreamingEtl.foreachChunk(
+          input.toDF().toDF("s_suppkey", "s_nationkey", "s_acctbal"),
+          batch => Etl(batch)
+            .mapTo("nat_stats", joinOn = Seq("s_nationkey"))(
+              "s_nationkey" -> transforms.get("s_nationkey"),
+              Field("n_sup", applyFn(_.cast("long"), literal(1)),
+                policy = MergePolicy.Add),
+              Field("sum_bal",
+                applyFn(_.cast("decimal(18,2)"), transforms.get("s_acctbal")),
+                policy = MergePolicy.Add),
+              Field("min_bal", transforms.get("s_acctbal"), policy = MergePolicy.Min),
+              Field("max_bal", transforms.get("s_acctbal"), policy = MergePolicy.Max)),
+          graft.streaming.StreamingEtl.JdbcUpsertStrategy(
+            url, Map("nat_stats" -> Seq("s_nationkey"))))
+        val q = writer.start()
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        q.stop()
+        s.read.jdbc(url, "nat_stats", new java.util.Properties())
+          .select(col("s_nationkey"), col("n_sup"),
+            col("sum_bal").cast("double").as("sum_bal"),
+            col("min_bal"), col("max_bal"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n_sup,
+             |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+             |  MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal
+             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // ---- two-phase DB-generated-ID capture (reference Supabase
+    //      link_to(fk=...), fluent.py:820-901): parents flush first into an
+    //      IDENTITY table, each generated id is captured on the way in
+    //      (insertReturningIds), children get their FK column populated
+    //      from the captured map BEFORE their own flush — then the
+    //      read-back joins child→parent purely through the DB-assigned
+    //      surrogate key. Parents are inserted from one sorted partition so
+    //      the identity order is deterministic (id = rank of n_name), which
+    //      the oracle reproduces with ROW_NUMBER.
+    Q(
+      "dsl_generated_ids",
+      (s, dir) => {
+        val url = "jdbc:derby:memory:graft_gen;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          Seq("sup_gen", "nat_gen").foreach { t =>
+            try st.execute(s"DROP TABLE $t")
+            catch { case _: java.sql.SQLException => () } // first run: no table
+          }
+          st.execute("CREATE TABLE nat_gen (id BIGINT GENERATED ALWAYS AS " +
+            "IDENTITY (START WITH 1, INCREMENT BY 1) PRIMARY KEY, " +
+            "n_nationkey BIGINT, n_name VARCHAR(100))")
+          st.execute("CREATE TABLE sup_gen (s_suppkey BIGINT PRIMARY KEY, " +
+            "s_name VARCHAR(100), nation_fk BIGINT REFERENCES nat_gen(id))")
+        } finally conn.close()
+        val parents = table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+          .repartition(1).sortWithinPartitions(col("n_name"))
+        // collect() forces the side-effecting insert exactly once and keeps
+        // the captured ids driver-side (the reference holds them in a dict)
+        val captured = JdbcLoad.insertReturningIds(
+          parents, url, "nat_gen", Seq("n_nationkey"), "id")
+        val ids = s.createDataFrame(
+          java.util.Arrays.asList(captured.collect(): _*), captured.schema)
+        val children = table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+          .join(broadcast(ids), col("s_nationkey") === ids("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("id").as("nation_fk"))
+        children.write.mode("append").jdbc(url, "sup_gen", new java.util.Properties())
+        val p = new java.util.Properties()
+        s.read.jdbc(url, "sup_gen", p)
+          .join(s.read.jdbc(url, "nat_gen", p), col("nation_fk") === col("id"))
+          .select(col("s_suppkey"), col("nation_fk"), col("n_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH ids AS (
+             |  SELECT n_nationkey, n_name,
+             |    ROW_NUMBER() OVER (ORDER BY n_name) AS nation_fk
+             |  FROM nation)
+             |SELECT s_suppkey, nation_fk, n_name
+             |FROM supplier JOIN ids ON s_nationkey = n_nationkey
+             |ORDER BY s_suppkey""".stripMargin))
   )
 
   /** Flagship: the README-quickstart pipeline shape (users+posts) over the

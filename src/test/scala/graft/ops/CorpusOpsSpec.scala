@@ -264,4 +264,59 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(1).getLong(2) !== out(0).getLong(2)) // fp differs
     assert(out(2).getInt(1) === 0)
   }
+
+  test("scrubPii counts and redacts email + phone spans") {
+    val out = Corpus.scrubPii(
+      Seq((1L, "mail a.b-c@ex-1.co.uk or 555 1234 now"), (2L, "clean text"))
+        .toDF("doc_id", "text"), "text")
+      .orderBy($"doc_id").collect()
+    assert((out(0).getAs[Long]("n_emails"), out(0).getAs[Long]("n_phones")) === ((1L, 1L)))
+    assert(out(0).getAs[String]("clean_text") === "mail <EMAIL> or <PHONE> now")
+    assert((out(1).getAs[Long]("n_emails"), out(1).getAs[Long]("n_phones")) === ((0L, 0L)))
+    assert(out(1).getAs[String]("clean_text") === "clean text")
+  }
+
+  test("repetitionStats: mode count via sorted-run fold, exact ratios") {
+    val out = Corpus.repetitionStats(
+      Seq((1L, "a a b c a"), (2L, "x y z"), (3L, "")).toDF("doc_id", "text"), "text")
+      .orderBy($"doc_id")
+      .select($"n_words", $"n_distinct", $"top_word_count", $"dup_ratio")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((5L, 3L, 3L, 0.4)))
+    assert(out(1) === ((3L, 3L, 1L, 0.0)))
+    assert(out(2) === ((0L, 0L, 0L, 0.0)))
+  }
+
+  test("splitByHash: deterministic, exhaustive, boundary-exact") {
+    val df = spark.range(0, 200).toDF("doc_id")
+    val s1 = Corpus.splitByHash(df, "doc_id", Seq("val" -> "0d", "test" -> "1a"), "train")
+      .groupBy($"split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.values.sum === 200L)
+    // same assignment on recompute (content-hash, not random)
+    val s2 = Corpus.splitByHash(df, "doc_id", Seq("val" -> "0d", "test" -> "1a"), "train")
+      .groupBy($"split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 === s2)
+    // a doc keeps its split when the corpus grows
+    val bigger = Corpus.splitByHash(spark.range(0, 400).toDF("doc_id"), "doc_id",
+      Seq("val" -> "0d", "test" -> "1a"), "train")
+      .filter($"doc_id" < 200).groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bigger === s1)
+  }
+
+  test("vocabularyTopK: counts with deterministic tie-break, bounded k") {
+    val df = Seq((1L, "b a b c"), (2L, "a b a")).toDF("doc_id", "text")
+    val out = Corpus.vocabularyTopK(df, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("a", 3L), ("b", 3L))) // tie a/b → lexicographic
+  }
+
+  test("clipByLengthRank drops exactly the rank tails per stratum") {
+    val df = (1 to 20).map(i => (i.toLong, "en", i.toLong))
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = Corpus.clipByLengthRank(df, "lang", "n_chars", "doc_id", 5, 95)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    // rn*100 > 20*5 → rn >= 2; rn*100 <= 20*95 → rn <= 19
+    assert(kept === (2L to 19L).toArray)
+  }
 }
