@@ -567,6 +567,37 @@ object CorpusQueries {
              |  WHERE a.vec_id < 20) t
              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // int8-quantized brute force: 4x less memory/bandwidth than float,
+    // ranking by EXACT integer dot product (floor quantization over an
+    // explicit double intermediate — engine-identical)
+    Q(
+      "ann_quantized_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.quantizedTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH z AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x ->
+             |      CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+             |           ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT) END) AS qv
+             |  FROM (SELECT vec_id, embedding,
+             |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             |        FROM embeddings)),
+             |d AS (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    CAST(${idotSql("a.qv", "b.qv")} AS BIGINT) AS score
+             |  FROM z a JOIN z b ON a.vec_id != b.vec_id
+             |  WHERE a.vec_id < 20)
+             |SELECT q_id, n_id, rank, score FROM (
+             |  SELECT q_id, n_id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY score DESC, n_id) AS INT) AS rank, score
+             |  FROM d) t
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     Q(
       "ann_lsh_topk",
       (s, dir) => {

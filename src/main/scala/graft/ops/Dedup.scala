@@ -155,13 +155,21 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
+    // Iterate ONLY over nodes that appear in the pair graph: a near-dup
+    // graph over a real corpus is sparse (the overwhelming majority of
+    // documents pair with nothing), so each round shuffles O(|connected|)
+    // labels instead of O(|corpus|); the untouched singletons join back
+    // in one final pass. At 100 TB this is the difference between
+    // per-round full-corpus shuffles and per-round kilobyte shuffles.
+    //
     // per-round localCheckpoint rather than cache: labels feeds the next
     // round's plan TWICE (neighbor join + change check), so a cached loop
     // doubles the logical plan every round and the analyzer, not the
     // data, becomes the bottleneck after ~10 rounds. The checkpoint
     // resets the plan to a leaf; dropped rounds' blocks are released by
     // the ContextCleaner.
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
@@ -191,7 +199,11 @@ object Dedup {
     // (checkpoint() with a checkpoint dir, or a table write) rather than
     // held lazily across executor failures.
     edges.unpersist()
-    labels
+    // singletons (no pair) are their own cluster; one left join, no rounds
+    ids.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("id", "__cid"),
+        col("id") === col("__cid"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Connected components by alternating large-star / small-star

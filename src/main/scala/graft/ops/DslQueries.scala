@@ -581,7 +581,45 @@ object DslQueries {
              |  FROM nation)
              |SELECT s_suppkey, nation_fk, n_name
              |FROM supplier JOIN ids ON s_nationkey = n_nationkey
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- PipelineResult.tableStats in the oracle gate (reference
+    //      TableStats {mapped, errors}, fluent.py:164-281): a two-table
+    //      pipeline where every 10th customer fails its typed cast —
+    //      mapped counts the valid rows, errors the recorded failures,
+    //      and the untyped table reports zero errors. All counts come
+    //      from the single unioned-count job tableStats runs.
+    Q(
+      "dsl_pipeline_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        val cust = table(s, dir, "customer").withColumn("num",
+          when(col("c_custkey") % 10 === 0, concat(lit("bad"), col("c_custkey")))
+            .otherwise(col("c_custkey").cast("string")))
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("num", IntegerType)))
+        val r = Etl(cust, table(s, dir, "orders"))
+          .mapToTyped("cust", schema, joinOn = Seq("c_custkey"))(
+            "c_custkey" -> transforms.get("c_custkey"),
+            "num" -> transforms.get("num"))
+          .root(1)
+          .mapTo("ord", joinOn = Seq("o_orderkey"))(
+            "o_orderkey" -> transforms.get("o_orderkey"))
+          .run()
+        r.tableStats.toSeq
+          .map { case (t, st) => (t, st.mapped, st.errors) }
+          .toDF("tbl", "mapped", "errors")
+          .orderBy(col("tbl"))
+      },
+      Some("""SELECT 'cust' AS tbl,
+             |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 <> 0) AS mapped,
+             |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 0) AS errors
+             |UNION ALL
+             |SELECT 'ord',
+             |  (SELECT COUNT(*) FROM orders), CAST(0 AS BIGINT)
+             |ORDER BY tbl""".stripMargin))
   )
 
   /** Flagship: the README-quickstart pipeline shape (users+posts) over the

@@ -108,6 +108,45 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, v => round(v.cast("double") * lit(1000d)).cast("long"))
 
+  /** Symmetric int8 quantization: q_i = floor(v_i · 127 / max|v|), the
+    * standard 4× memory/bandwidth shrink for ANN at scale (a 100 TB float
+    * corpus becomes 25 TB of int8 with ~1% recall loss). floor over an
+    * explicit double intermediate keeps every engine's result identical —
+    * no round-half mode ambiguity. A zero vector quantizes to zeros.
+    *
+    * The max|v| subexpression sits inside the per-element lambda, so
+    * quantization is O(dim²) per ROW — cheap and paid once before any
+    * join; the n² pairing stage below only ever touches the quantized
+    * arrays. */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    transform(vec, x =>
+      when(mx === 0d, lit(0L))
+        .otherwise(floor(x.cast("double") * lit(127d) / mx).cast("long")))
+  }
+
+  /** Brute-force top-k by EXACT integer dot product over int8-quantized
+    * vectors: products ≤ 128², 64-dim sums ≪ 2^53, so the codegen'd
+    * double accumulator is exact and ranking is engine-independent.
+    * Same shape as [[cosineTopK]]: corpus partitioned, queries
+    * broadcast, ≤ k rows per (query × partition) cross the shuffle. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      quantizeInt8(col(vecCol)).as("q_v"))
+    val c = corpus.select(col(idCol).as("n_id"),
+      quantizeInt8(col(vecCol)).as("n_v"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("score", dot(col("q_v"), col("n_v"), 0))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("score"), col("n_id").cast("long"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"),
+        (col("r0") + 1).cast("int").as("rank"),
+        col("t.score").cast("long").as("score"))
+  }
+
   /** Distributed spherical k-means over integer-quantized vectors (Lloyd
     * iterations: assign to the max-cosine centroid, recompute centers).
     *

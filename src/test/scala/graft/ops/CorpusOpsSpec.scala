@@ -311,6 +311,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out === Array(("a", 3L), ("b", 3L))) // tie a/b → lexicographic
   }
 
+  test("quantizeInt8: floor semantics, zero-vector safe, rank preserved") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val qz = vecs.select($"vec_id",
+      Similarity.quantizeInt8($"embedding").as("q")).orderBy($"vec_id")
+      .collect().map(_.getSeq[Long](1).toArray)
+    assert(qz(0) === Array(127L, -64L, 0L)) // floor(-63.5) = -64
+    assert(qz(1) === Array(0L, 0L, 0L))
+    // quantized ranking matches exact cosine ranking on well-separated vectors
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.quantizedTopK(
+      corpus.filter($"vec_id" === 1), corpus, "vec_id", "embedding", k = 2)
+      .orderBy($"rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(top === Array((2L, 1), (3L, 2)))
+  }
+
   test("clipByLengthRank drops exactly the rank tails per stratum") {
     val df = (1 to 20).map(i => (i.toLong, "en", i.toLong))
       .toDF("doc_id", "lang", "n_chars")
