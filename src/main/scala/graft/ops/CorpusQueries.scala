@@ -26,6 +26,23 @@ object CorpusQueries {
   private val toksCte =
     "toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)"
 
+  /** Kirsch-Mitzenmacher minhash signature + band CTEs (matches
+    * Dedup.minhashLsh: k=12 components h_i = h1 + i·h2 from the two
+    * 14-hex-char halves of one md5; bands of 3 joined with '|'). */
+  private lazy val minhashCtes = {
+    val h1 = "('0x' || substr(md5(s), 1, 14))::BIGINT"
+    val h2 = "('0x' || substr(md5(s), 15, 14))::BIGINT"
+    val sigs = (0 until 12).map(i =>
+      s"list_min(list_transform(shingles, s -> $h1 + $i * $h2))")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until 4).map { b =>
+      val parts = (0 until 3).map(r => s"CAST(sig[${b * 3 + r + 1}] AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $parts AS bsig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"sigs AS (SELECT doc_id, $sigs AS sig FROM sh),\nbanded AS ($bandRows)"
+  }
+
   /** distinct 3-gram shingles (matches TextFunctions.shingles(_, 3)). */
   private val shingleCte =
     """sh AS (
@@ -422,17 +439,8 @@ object CorpusQueries {
           n = 3, bands = 4, rowsPerBand = 3)
           .orderBy(col("d1"), col("d2")),
       Some {
-        val k = 12
-        val sigs = (0 until k).map(i =>
-          s"list_min(list_transform(shingles, s -> md5('$i' || '|' || s)))")
-          .mkString("[", ", ", "]")
-        val bandRows = (0 until 4).map { b =>
-          val parts = (0 until 3).map(r => s"sig[${b * 3 + r + 1}]").mkString(" || ")
-          s"SELECT doc_id, $b AS band, $parts AS bsig FROM sigs"
-        }.mkString(" UNION ALL ")
         s"""WITH $toksCte, $shingleCte,
-           |sigs AS (SELECT doc_id, $sigs AS sig FROM sh),
-           |banded AS ($bandRows)
+           |$minhashCtes
            |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
            |FROM banded a JOIN banded b
            |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
@@ -449,17 +457,8 @@ object CorpusQueries {
           n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
           .orderBy(col("d1"), col("d2")),
       Some {
-        val k = 12
-        val sigs = (0 until k).map(i =>
-          s"list_min(list_transform(shingles, s -> md5('$i' || '|' || s)))")
-          .mkString("[", ", ", "]")
-        val bandRows = (0 until 4).map { b =>
-          val parts = (0 until 3).map(r => s"sig[${b * 3 + r + 1}]").mkString(" || ")
-          s"SELECT doc_id, $b AS band, $parts AS bsig FROM sigs"
-        }.mkString(" UNION ALL ")
         s"""WITH $toksCte, $shingleCte,
-           |sigs AS (SELECT doc_id, $sigs AS sig FROM sh),
-           |banded AS ($bandRows),
+           |$minhashCtes,
            |cands AS (
            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
            |  FROM banded a JOIN banded b

@@ -311,22 +311,34 @@ object Dedup {
         (col("id") === col("cluster")).as("is_canonical"))
   }
 
-  /** md5-based minhash signature: component i = min over shingles of
-    * md5(i || "|" || shingle). String-lexicographic min of a uniform hash
-    * is a valid minwise sample and is reproducible in any engine with md5.
+  /** Integer minhash hash family, Kirsch-Mitzenmacher construction:
+    * h_i(s) = h1(s) + i·h2(s), with h1/h2 the two 14-hex-char halves of
+    * ONE md5 (each < 2^56, so h1 + 11·h2 < 2^60 — no 64-bit overflow,
+    * which matters because the SQL oracle's BIGINT errors on overflow
+    * where Spark's long would silently wrap). One digest per shingle
+    * instead of k: the dominant cost of minhash at corpus scale is the
+    * hashing pass, and two-hash derivation is provably as good a minwise
+    * family as k independent hashes (Kirsch & Mitzenmacher 2006).
     */
+  private[ops] def minhashH1(shingle: Column): Column =
+    conv(substring(md5(shingle.cast("binary")), 1, 14), 16, 10).cast("long")
+  private[ops] def minhashH2(shingle: Column): Column =
+    conv(substring(md5(shingle.cast("binary")), 15, 14), 16, 10).cast("long")
+
+  /** minhash signature: component i = min over shingles of h1 + i·h2. */
   def minhashSignature(text: Column, n: Int, k: Int): Column = {
     val sh = shingles(text, n)
     array((0 until k).map { i =>
       array_min(transform(sh,
-        s => md5(concat(lit(i.toString), lit("|"), s).cast("binary"))))
+        s => minhashH1(s) + lit(i.toLong) * minhashH2(s)))
     }: _*)
   }
 
   /** LSH candidate pairs: signatures banded `bands` × `rowsPerBand`; docs
     * sharing any full band become a candidate pair.
     *
-    * Computed over shingle ROWS: explode once, hash each shingle k times,
+    * Computed over shingle ROWS: explode once, ONE md5 per shingle (the
+    * k hash components derive from its two halves — [[minhashH1]]),
     * take the k mins as grouped aggregates (map-side partials, one
     * shuffle on doc id), band, join inside buckets. Never all-pairs, and
     * no per-row HOF re-evaluation — the shape that holds at 100 TB.
@@ -335,15 +347,16 @@ object Dedup {
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
     val hashed = shingleRows(df, idCol, textCol, n).select(
-      col("doc") +: (0 until k).map(i =>
-        md5(concat(lit(i.toString), lit("|"), col("shingle")).cast("binary"))
-          .as(s"__h$i")): _*)
-    val mins = (0 until k).map(i => min(col(s"__h$i")).as(s"__s$i"))
+      col("doc"),
+      minhashH1(col("shingle")).as("__h1"),
+      minhashH2(col("shingle")).as("__h2"))
+    val mins = (0 until k).map(i =>
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"__s$i"))
     val sig = hashed.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
     val banded = sig.select(col("doc"),
       posexplode(array((0 until bands).map { b =>
-        concat((0 until rowsPerBand).map(r =>
-          col(s"__s${b * rowsPerBand + r}")): _*)
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          col(s"__s${b * rowsPerBand + r}").cast("string")): _*)
       }: _*)).as(Seq("band", "bsig")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
