@@ -385,6 +385,65 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- salted JOIN for skewed keys: 5 hot keys over the whole events
+    //      table would each land on ONE task in a plain shuffle join; the
+    //      probe side spreads every hot key across 8 salted shards
+    //      (deterministic salt from the row's unique id), the 5-row build
+    //      side is replicated 8x, and the join runs on (key, salt) — no
+    //      reducer owns a whole hot key. Identical output to the plain
+    //      join the oracle runs. (AQE's skew handling does this
+    //      adaptively for sort-merge joins; explicit salting is the form
+    //      that also covers aggregations and stream-stream joins.)
+    Q(
+      "q_salted_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_id"), col("value"),
+            pmod(col("user_id"), lit(5)).as("hot_key"))
+          .withColumn("__salt", pmod(col("event_id"), lit(8)))
+        val dim = table(s, dir, "nation")
+          .filter(col("n_nationkey") < 5)
+          .select(col("n_nationkey").as("hot_key"), col("n_name"))
+          .withColumn("__salt",
+            explode(array((0 until 8).map(i => lit(i.toLong)): _*)))
+        // hint forces the shuffled join the salt exists for — Catalyst
+        // would otherwise broadcast the tiny dim (where skew is moot);
+        // at real scale the build side is the one too big to broadcast
+        ev.join(dim.hint("shuffle_hash"), Seq("hot_key", "__salt"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(d182)).cast("double").as("sum_value"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events JOIN nation ON user_id % 5 = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---- rank-family window functions: ntile / percent_rank / cume_dist
+    //      per segment in one window pass (single shuffle on the segment)
+    Q(
+      "q_window_ranks",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        table(s, dir, "customer")
+          .select(
+            col("c_custkey"), col("c_mktsegment"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ---- cube: all grouping-set combinations in one pass (partial aggs
     //      shared across grouping sets by the Expand operator)
     Q(
