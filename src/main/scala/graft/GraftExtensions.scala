@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, HyperplaneBucket, RollingHash, TextFunctions, TopKByScore}
+import graft.functions.{DotProduct, HyperplaneBucket, QuantizeInt8, RollingHash, TextFunctions, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.IntegerType
   *
   *   - rolling_hash(text)                 → bigint fingerprint
   *   - dot_product(arr, arr)              → double (codegen'd loop)
+  *   - quantize_int8(arr)                 → array<bigint> (floor·127/max|v|)
   *   - hyperplane_bucket(arr, planes)     → bigint LSH bucket id
   *   - top_k_by_score(score, id, k)       → array<struct<id,score>> agg
   */
@@ -42,6 +43,7 @@ object GraftExtensions {
     "rolling_hash" -> ((cs: Seq[Expression]) =>
       RollingHash(cs.head, TextFunctions.FingerprintMod)),
     "dot_product" -> ((cs: Seq[Expression]) => DotProduct(cs(0), cs(1))),
+    "quantize_int8" -> ((cs: Seq[Expression]) => QuantizeInt8(cs.head)),
     "hyperplane_bucket" -> ((cs: Seq[Expression]) =>
       HyperplaneBucket(cs(0), intLit(cs(1), "hyperplane_bucket", "planes"))),
     "top_k_by_score" -> ((cs: Seq[Expression]) =>

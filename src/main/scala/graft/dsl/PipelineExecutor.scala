@@ -80,8 +80,16 @@ private[dsl] final class PipelineExecutor(
         // bad value later overwritten by a good one still records its error
         // (instances.py:204-214 validates every update); the merged pass
         // only adds never-provided non-nullable nulls and the valid split
+        // fields whose policy SYNTHESIZES merged values (a sum/fold can
+        // fail the declared cast even when every input passed it)
+        val synthFields = specs.flatMap(_._1.fields).filter(_.policy match {
+          case MergePolicy.Add | MergePolicy.Append | MergePolicy.Extend => true
+          case _: MergePolicy.Fold | _: MergePolicy.FromUdaf => true
+          case _ => false
+        }).map(_.name).toSet
         val (castValid, mergedErrors) =
-          Validation.validateMerged(table, state.df, keyCols, schema, presCol)
+          Validation.validateMerged(table, state.df, keyCols, schema, presCol,
+            synthFields)
         val updateErrors = Validation
           .validateUpdate(table, unioned, keyCols, schema, presCol)
           .unionByName(mergedErrors)

@@ -144,13 +144,20 @@ object Validation {
   /** Split a MERGED table into (validated rows, error rows).
     *
     * The valid side keeps rows whose merged values all conform, with the
-    * declared casts applied. The error side emits only fields that were
-    * never provided by any emission and are non-nullable null — everything
-    * a provided value can get wrong was already recorded update-phase by
-    * [[validateUpdate]].
+    * declared casts applied. The error side emits (a) fields that were
+    * never provided by any emission and are non-nullable null, and (b)
+    * for `synthFields` — fields whose merge policy SYNTHESIZES values
+    * (Add/Append/Extend/Fold/FromUdaf) — merged values that fail the
+    * declared cast, labeled phase "merge". Pass-through policies
+    * (LastWrite/Min/Max/FirstNonNull) always keep one of the provided
+    * values, which [[validateUpdate]] already checked; synthesized values
+    * (e.g. a sum overflowing the declared int) exist in no emission, so
+    * without (b) such a row would vanish from BOTH the table and the
+    * error stream.
     */
   def validateMerged(table: String, df: DataFrame, keyCols: Seq[String],
-      schema: StructType, pres: String => String): (DataFrame, DataFrame) = {
+      schema: StructType, pres: String => String,
+      synthFields: Set[String] = Set.empty): (DataFrame, DataFrame) = {
     val declared = schema.fields.filter(f => df.columns.contains(f.name))
 
     val allErrCols: Seq[Column] = declared.toSeq.map { f =>
@@ -167,7 +174,23 @@ object Validation {
         struct(lit(f.name).as("field"), err.as("error"))).as(s"__e_${f.name}")
     }
 
-    val errors = errorRows(table, df, keyCols, absentErrCols, "update")
+    // (b): merged-value failures for synthesizing policies only — the
+    // provided inputs were individually valid, so update-phase saw
+    // nothing; presence-gated so a never-provided field stays in (a)
+    val synthErrCols: Seq[Column] = declared.toSeq
+      .filter(f => synthFields.contains(f.name)).map { f =>
+        val provided =
+          if (df.columns.contains(pres(f.name))) coalesce(col(pres(f.name)), lit(false))
+          else lit(true)
+        val err = fieldError(f)
+        when(provided && err.isNotNull,
+          struct(lit(f.name).as("field"), err.as("error"))).as(s"__e_${f.name}")
+      }
+
+    val base = errorRows(table, df, keyCols, absentErrCols, "update")
+    val errors =
+      if (synthErrCols.isEmpty) base
+      else base.unionByName(errorRows(table, df, keyCols, synthErrCols, "merge"))
 
     val valid = df
       .withColumn("__g_errs", filter(array(allErrCols: _*), e => e.isNotNull))

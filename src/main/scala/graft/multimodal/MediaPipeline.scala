@@ -121,7 +121,10 @@ object MediaPipeline {
       for {
         w <- int(); h <- int(); maxv <- int()
         if maxv == 255 && w > 0 && h > 0 && i < b.length
-        // exactly one whitespace byte separates the header from the raster
+        // exactly one whitespace byte separates the header from the
+        // raster; anything else is a malformed header = decode miss (a
+        // bare skip here would return pixels shifted by one byte)
+        if b(i).toChar.isWhitespace
         _ = { i += 1 }
         // Long arithmetic: a lying header must not overflow the guard
         if b.length.toLong - i >= w.toLong * h * 3

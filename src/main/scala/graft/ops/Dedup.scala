@@ -187,12 +187,18 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+    if (!converged) {
+      // fail LOUD: un-converged labels silently split components — in a
+      // dedup pipeline that means retained near-duplicates with multiple
+      // is_canonical=true rows per real cluster and no way to tell from
+      // the returned DataFrame
+      edges.unpersist()
+      throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIters rounds — " +
-          "the graph's diameter exceeds maxIters and some components carry " +
-          "multiple labels; raise maxIters (or use a star-contraction " +
-          "variant for deep-chain graphs)")
+          "the graph's diameter exceeds maxIters and some components would " +
+          "carry multiple labels; raise maxIters or use " +
+          "connectedComponentsStar (O(log n) rounds on any diameter)")
+    }
     // labels is already a localCheckpoint (materialized, leaf plan) — its
     // blocks are executor-local, so on a long-lived cluster with executor
     // churn the result should be persisted to reliable storage promptly
@@ -277,9 +283,11 @@ object Dedup {
       i += 1
     }
     if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      throw new IllegalStateException(
         s"connectedComponentsStar did not converge after $maxIters rounds; " +
-          "labels below may still be transitively unresolved")
+          "labels would be transitively unresolved (silently wrong " +
+          "clusters) — raise maxIters (30 rounds covers any graph below " +
+          "~2^30 nodes)")
     // at the fixpoint each non-root has exactly one downward edge, to its
     // component min; min() is a no-op then and only matters un-converged
     val roots = edges.groupBy(col("src")).agg(min(col("dst")).as("root"))
@@ -325,8 +333,15 @@ object Dedup {
   private[ops] def minhashH2(shingle: Column): Column =
     conv(substring(md5(shingle.cast("binary")), 15, 14), 16, 10).cast("long")
 
+  /** Largest k for which h1 + (k-1)·h2 cannot overflow a signed 64-bit
+    * long (h1, h2 < 2^56 ⇒ sum < 2^56·(k+1); 2^63/2^56 = 128). */
+  val MinhashMaxK = 128
+
   /** minhash signature: component i = min over shingles of h1 + i·h2. */
   def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    require(k <= MinhashMaxK,
+      s"k=$k would overflow the h1 + i*h2 derivation (max $MinhashMaxK); " +
+        "Spark's long wraps silently while the oracle's BIGINT errors")
     val sh = shingles(text, n)
     array((0 until k).map { i =>
       array_min(transform(sh,
@@ -344,9 +359,20 @@ object Dedup {
     * no per-row HOF re-evaluation — the shape that holds at 100 TB.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame =
+    minhashLshFromShingles(shingleRows(df, idCol, textCol, n),
+      bands, rowsPerBand)
+
+  /** [[minhashLsh]] over pre-computed (doc, shingle) rows — the seam that
+    * lets a caller (e.g. [[minhashLshVerified]]) pay the corpus
+    * tokenize+shingle scan once and feed several stages from it. */
+  private[ops] def minhashLshFromShingles(shRows: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val hashed = shingleRows(df, idCol, textCol, n).select(
+    require(k <= MinhashMaxK,
+      s"bands*rowsPerBand=$k would overflow the h1 + i*h2 derivation " +
+        s"(max $MinhashMaxK)")
+    val hashed = shRows.select(
       col("doc"),
       minhashH1(col("shingle")).as("__h1"),
       minhashH2(col("shingle")).as("__h2"))
@@ -376,8 +402,14 @@ object Dedup {
   def minhashLshVerified(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val cands = minhashLsh(df, idCol, textCol, n, bands, rowsPerBand)
+    // ONE tokenize+shingle pass feeds all four consumers (LSH propose,
+    // both sides of the verify self-join, and the size aggregate) —
+    // uncached, each reference would re-scan and re-shingle the whole
+    // corpus. Persisted for the session (memory-and-disk, LRU-evicted);
+    // on a long-lived cluster prefer materializing shingles to a table.
     val sh = shingleRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashLshFromShingles(sh, bands, rowsPerBand)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("nsh"))
     val common = cands
       .join(sh.select(col("doc").as("d1"), col("shingle")), "d1")

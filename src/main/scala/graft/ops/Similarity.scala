@@ -110,20 +110,12 @@ object Similarity {
 
   /** Symmetric int8 quantization: q_i = floor(v_i · 127 / max|v|), the
     * standard 4× memory/bandwidth shrink for ANN at scale (a 100 TB float
-    * corpus becomes 25 TB of int8 with ~1% recall loss). floor over an
-    * explicit double intermediate keeps every engine's result identical —
-    * no round-half mode ambiguity. A zero vector quantizes to zeros.
-    *
-    * The max|v| subexpression sits inside the per-element lambda, so
-    * quantization is O(dim²) per ROW — cheap and paid once before any
-    * join; the n² pairing stage below only ever touches the quantized
-    * arrays. */
-  def quantizeInt8(vec: Column): Column = {
-    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
-    transform(vec, x =>
-      when(mx === 0d, lit(0L))
-        .otherwise(floor(x.cast("double") * lit(127d) / mx).cast("long")))
-  }
+    * corpus becomes 25 TB of int8 with ~1% recall loss). Native codegen'd
+    * two-pass loop ([[graft.functions.QuantizeInt8]], O(dim) per row —
+    * the composed `transform`+`array_max` form re-evaluated the max per
+    * ELEMENT, O(dim²)). A zero vector quantizes to zeros. */
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.QuantizeInt8.quantize_int8(vec)
 
   /** Brute-force top-k by EXACT integer dot product over int8-quantized
     * vectors: products ≤ 128², 64-dim sums ≪ 2^53, so the codegen'd

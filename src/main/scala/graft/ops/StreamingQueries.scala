@@ -66,8 +66,9 @@ object StreamingQueries {
             .outputMode("complete")
             .format("memory").queryName(name)
             .start()
-          q.processAllAvailable()
-          q.stop()
+          // stop in finally: a failed drain must not leak a running
+          // query + memory-sink state into later queries in the session
+          try q.processAllAvailable() finally q.stop()
         }
         s.table(name)
           .select(
@@ -101,8 +102,9 @@ object StreamingQueries {
             .outputMode("complete")
             .format("memory").queryName(name)
             .start()
-          q.processAllAvailable()
-          q.stop()
+          // stop in finally: a failed drain must not leak a running
+          // query + memory-sink state into later queries in the session
+          try q.processAllAvailable() finally q.stop()
         }
         s.table(name).orderBy(col("event_type"))
       },
@@ -138,8 +140,9 @@ object StreamingQueries {
             .outputMode("append")
             .format("memory").queryName(name)
             .start()
-          q.processAllAvailable()
-          q.stop()
+          // stop in finally: a failed drain must not leak a running
+          // query + memory-sink state into later queries in the session
+          try q.processAllAvailable() finally q.stop()
         }
         s.table(name)
           .select(col("c_id"), col("p_id"))
@@ -179,8 +182,9 @@ object StreamingQueries {
             .outputMode("complete")
             .format("memory").queryName(name)
             .start()
-          q.processAllAvailable()
-          q.stop()
+          // stop in finally: a failed drain must not leak a running
+          // query + memory-sink state into later queries in the session
+          try q.processAllAvailable() finally q.stop()
         }
         s.table(name)
           .select(col("user_id"),

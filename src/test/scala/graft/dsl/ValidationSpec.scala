@@ -195,6 +195,26 @@ class ValidationSpec extends SparkTestBase {
     assert(errs(0).getString(4) === "update")
   }
 
+  test("synthesized merge values failing the declared cast error as phase=merge") {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("total", IntegerType)))
+    // two individually-valid values whose SUM overflows the declared int:
+    // update-phase sees nothing wrong, so without the merge-phase check
+    // the key would vanish from both the table and the error stream
+    val result = Etl.json(spark,
+      """{"rows": [{"id": "a", "v": "1900000000"}, {"id": "a", "v": "1900000000"}]}""")
+      .goto("rows").each()
+      .mapToTyped("t", schema, joinOn = Seq("id"))(
+        "id" -> get("id"),
+        Field("total", applyFn(_.cast("long"), get("v")), policy = MergePolicy.Add))
+      .run()
+    assert(result.table("t").count() === 0)
+    val errs = result.errors("t").collect()
+    assert(errs.length === 1)
+    assert(errs(0).getString(2) === "total" && errs(0).getString(4) === "merge")
+  }
+
   test("conflicting per-emission error modes on one table are rejected") {
     val e = intercept[IllegalArgumentException] {
       Etl.json(spark, j)

@@ -35,6 +35,14 @@ class ImageDecoderSpec extends SparkTestBase {
     assert(dec.decode(row(Array[Byte]())).isEmpty)
   }
 
+  test("PPM maxval not followed by whitespace is a miss, not shifted pixels") {
+    // header runs straight into the raster (first raster byte is not
+    // whitespace): decoding must refuse rather than shift every pixel
+    val bytes = "P6 2 2 255".getBytes("US-ASCII") ++
+      Array.tabulate(13)(i => (i + 1).toByte)
+    assert(dec.decode(row(bytes)).isEmpty)
+  }
+
   /** Minimal hand-built 2x2 24bpp bottom-up BMP. Rows pad to 4 bytes
     * (2*3=6 → 8); pixel storage is BGR. */
   private def bmp2x2: Array[Byte] = {

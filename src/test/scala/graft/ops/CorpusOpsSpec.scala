@@ -136,6 +136,22 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("connected components fails loud instead of returning split clusters") {
+    val ids = (0L until 10L).toDF("id")
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(ids, "id", chain, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("minhash k above 128 is rejected: h1 + i*h2 would overflow a long") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(docs, "doc_id", "text", bands = 43, rowsPerBand = 3)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
   test("star contraction matches label propagation; deep chain in O(log n) rounds") {
     // a 200-link chain: label propagation would need ~200 rounds (its
     // maxIters default would give up); star contraction halves tree
