@@ -761,6 +761,22 @@ object CorpusQueries {
              |FROM documents WHERE octet_length(text::BLOB) >= 192
              |ORDER BY doc_id""".stripMargin)),
 
+    // priority-aware dedup: among identical texts keep the preferred
+    // source's copy (tie-break doc_id) — the "trusted source wins" rule
+    Q(
+      "dedup_priority_keep",
+      (s, dir) =>
+        Dedup.dropDuplicatesByPriority(table(s, dir, "documents"), "text",
+          Seq(when(col("source") === "src0", 0).otherwise(1), col("doc_id")))
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+             |      ORDER BY CASE WHEN source = 'src0' THEN 0 ELSE 1 END, doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // PII scrub: detect + redact emails/phones. The synthetic corpus has
     // no PII, so every 5th doc gets a deterministic email+phone suffix
     // appended on BOTH sides before the scrub — the redaction itself is

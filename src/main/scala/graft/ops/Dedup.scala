@@ -42,6 +42,21 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Priority-aware exact dedup: among rows with identical text, keep the
+    * one ranked first by `priorityCols` (e.g. source quality tier, then
+    * id for determinism) — the curation rule "when Wikipedia and a crawl
+    * dump collide, keep Wikipedia". Same one-shuffle shape as
+    * [[dropExactDuplicates]]; only the survivor-selection order differs.
+    */
+  def dropDuplicatesByPriority(df: DataFrame, textCol: String,
+      priorityCols: Seq[Column]): DataFrame = {
+    require(priorityCols.nonEmpty, "need at least one priority column")
+    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(priorityCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** doc → distinct word-n-gram shingle rows (the inverted index).
     *
     * Structured to defeat projection-collapse blowup: higher-order

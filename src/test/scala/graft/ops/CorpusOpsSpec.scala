@@ -24,6 +24,18 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() === 3)
   }
 
+  test("priority dedup keeps the preferred source's copy of a duplicate") {
+    val src = Seq(
+      (1L, "crawl", "same text here"),
+      (2L, "wiki", "same text here"),
+      (3L, "crawl", "unique text")
+    ).toDF("doc_id", "source", "text")
+    val kept = Dedup.dropDuplicatesByPriority(src, "text",
+      Seq(when($"source" === "wiki", 0).otherwise(1), $"doc_id"))
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(2L, 3L)) // wiki copy wins over the lower id
+  }
+
   test("ngram jaccard finds near pairs, not unrelated docs") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .orderBy("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
