@@ -29,6 +29,11 @@ class GraftExtensionsSpec extends SparkTestBase {
       .collect()(0).getLong(0)
     assert(b === expected)
 
+    val q = spark.sql(
+      "SELECT quantize_int8(array(1.0D, -0.5D, 0.0D)) AS q")
+      .collect()(0).getSeq[Long](0)
+    assert(q === Seq(127L, -64L, 0L)) // floor(-63.5) = -64
+
     val rows = Seq((1L, 0.9), (2L, 0.5), (3L, 0.7)).toDF("id", "s")
     rows.createOrReplaceTempView("scores")
     val top = spark.sql(
