@@ -71,6 +71,40 @@ object JdbcLoad {
     checkTable(table); cols.foreach(checkIdent)
     val roundTrips = df.sparkSession.sparkContext
       .longAccumulator(s"graft.jdbc.$table.roundTrips")
+    if (nonKeys.isEmpty) {
+      // pure-key table (e.g. an association table): there is nothing to
+      // UPDATE — "UPDATE t SET WHERE ..." isn't even valid SQL — so the
+      // correct upsert degenerates to insert-if-missing: per-row INSERT,
+      // duplicate-key violations skipped (the reference's
+      // on_conflict="skip" SAVEPOINT path, chunking.py:361-540)
+      df.foreachPartition { (rows: Iterator[Row]) =>
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val insert = conn.prepareStatement(
+            s"INSERT INTO $table (${cols.mkString(", ")}) " +
+              s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+          var n = 0
+          rows.foreach { row =>
+            cols.zipWithIndex.foreach { case (c, i) =>
+              insert.setObject(i + 1, row.getAs[Any](c)) }
+            // savepoint per row: engines like Postgres abort the whole
+            // transaction on a violation; rollback-to-savepoint keeps the
+            // batch's earlier inserts (savepoints release at commit)
+            val sp = conn.setSavepoint()
+            try { insert.executeUpdate(); roundTrips.add(1) }
+            catch {
+              case _: java.sql.SQLIntegrityConstraintViolationException =>
+                conn.rollback(sp)
+            }
+            n += 1
+            if (n % batchSize == 0) conn.commit()
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+      return roundTrips.value
+    }
     df.foreachPartition { (rows: Iterator[Row]) =>
       val conn = DriverManager.getConnection(url)
       try {

@@ -66,7 +66,12 @@ private[dsl] final class PipelineExecutor(
       // validation (reference §2.7): declared schema → try_cast split;
       // error mode is per-table when declared (fluent.py:531-576), else
       // the pipeline default
-      specs.flatMap(_._1.schema).headOption.foreach { schema =>
+      // a silently-ignored second schema would skip its validations
+      val declaredSchemas = specs.flatMap(_._1.schema).distinct
+      require(declaredSchemas.size <= 1,
+        s"emissions into '$table' declare conflicting schemas: " +
+          declaredSchemas.map(_.simpleString).mkString(" vs "))
+      declaredSchemas.headOption.foreach { schema =>
         val keyCols =
           if (specs.head._1.joinOn.nonEmpty) specs.head._1.joinOn
           else Seq(RowOrd)
@@ -87,11 +92,30 @@ private[dsl] final class PipelineExecutor(
           case _: MergePolicy.Fold | _: MergePolicy.FromUdaf => true
           case _ => false
         }).map(_.name).toSet
+        // Array-producing policies must declare an array type, and an
+        // Append field holds a single ELEMENT pre-merge (Extend is already
+        // array-wrapped at union alignment), so update-phase validates
+        // Append against the element type — a scalar→array try_cast does
+        // not even resolve, which crashed typed+Append pipelines outright.
+        val elemOverride: Map[String, DataType] =
+          specs.flatMap(_._1.fields)
+            .filter(f => f.policy == MergePolicy.Append || f.policy == MergePolicy.Extend)
+            .flatMap(f => schema.fields.find(_.name == f.name).map(f -> _))
+            .flatMap { case (f, sf) =>
+              sf.dataType match {
+                case ArrayType(et, _) =>
+                  if (f.policy == MergePolicy.Append) Some(f.name -> et) else None
+                case other => throw new IllegalArgumentException(
+                  s"field '${f.name}' in '$table' uses ${f.policy} (merges " +
+                    s"to an array) but declares ${other.simpleString}; " +
+                    "declare array<...>")
+              }
+            }.toMap
         val (castValid, mergedErrors) =
           Validation.validateMerged(table, state.df, keyCols, schema, presCol,
             synthFields)
         val updateErrors = Validation
-          .validateUpdate(table, unioned, keyCols, schema, presCol)
+          .validateUpdate(table, unioned, keyCols, schema, presCol, elemOverride)
           .unionByName(mergedErrors)
         val checks = specs.flatMap(_._1.finalizeChecks).distinct
         val (valid, allErrors) =
@@ -177,17 +201,34 @@ private[dsl] final class PipelineExecutor(
       lookupMaps: Map[String, Column]): (TableState, DataFrame) = {
     val compiled = specs.map { case (s, i) => (s, compileEmission(s, i, lookupMaps)) }
 
-    // field universe in first-declaration order; first definer fixes type
+    // field universe in first-declaration order
     val fieldOrder = specs.flatMap(_._1.fields.map(_.name)).distinct
+    // a field's merge policy must be declared consistently: the reference
+    // attaches policies per (table, field) via the builder, so two
+    // emissions disagreeing is a bug — first-wins would silently drop an
+    // Add/Fold (joinOn and error-mode conflicts already throw; same rule)
+    fieldOrder.foreach { f =>
+      val ps = specs.flatMap(_._1.fields).filter(_.name == f).map(_.policy).distinct
+      require(ps.size <= 1,
+        s"emissions into '$table' declare conflicting merge policies for " +
+          s"'$f': ${ps.mkString(", ")}")
+    }
     val policies: Map[String, MergePolicy] = fieldOrder.map { f =>
       f -> specs.flatMap(_._1.fields).find(_.name == f).map(_.policy)
         .getOrElse(MergePolicy.LastWrite)
     }.toMap
     val fieldType: Map[String, DataType] = fieldOrder.map { f =>
-      val t = compiled.collectFirst {
-        case (s, df) if s.fields.exists(_.name == f) =>
-          df.schema(f).dataType
-      }.get
+      // emissions agreeing on the field's Spark type keep it; a MIXED-type
+      // field aligns to StringType — the schema-on-read common denominator
+      // (the reference keeps dynamic values as-is; a declared schema then
+      // try_casts from the string per update, recording real error rows).
+      // A plain cast to the first definer's type would THROW mid-job under
+      // ANSI mode (Spark 4 default) or silently null the value with ANSI
+      // off — either way bypassing the error channel.
+      val ts = compiled.collect {
+        case (s, df) if s.fields.exists(_.name == f) => df.schema(f).dataType
+      }.distinct
+      val t = if (ts.size == 1) ts.head else StringType
       // Extend concatenates lists; a scalar-typed field contributes
       // single elements (instances.py:47-55), so its merged type is array
       f -> (policies(f) match {
@@ -278,6 +319,13 @@ private[dsl] final class PipelineExecutor(
           .groupBy(linkKeys.map(p => col(p).as(pKeyAliases(p))): _*)
           .agg(max_by(struct(parent.visible.map(col): _*), col(RowOrd)).as(l.as))
 
+    // fail HERE, naming the call — a duplicate column would otherwise
+    // surface as AMBIGUOUS_REFERENCE at materialization, far from the
+    // offending linkTo
+    require(!child.df.columns.contains(l.as),
+      s"linkTo('${l.parentTable}') would attach attr '${l.as}' but table " +
+        s"'${l.childTable}' already has that column; pass as = \"...\"")
+
     val cond = l.by.map { case (cf, pf) =>
       child.df(cf) === pSel(pKeyAliases(pf))
     }.reduce(_ && _)
@@ -323,6 +371,9 @@ private[dsl] final class PipelineExecutor(
           col("__g_bk_pos").as("p"), col("__g_bk_row").as("r")))),
         x => x.getField("r")).as(b.attr))
 
+    require(!parent.df.columns.contains(b.attr),
+      s"backlink would attach attr '${b.attr}' but table " +
+        s"'${b.parentTable}' already has that column; pick another attr")
     val joined = parent.df
       .join(agg, parent.df(RowOrd) === agg("__g_bk_pid"), "left")
       .drop("__g_bk_pid") // attr stays null when no children matched
@@ -357,9 +408,29 @@ private[dsl] final class PipelineExecutor(
     }.toMap
   }
 
-  private def mapLiteral(entries: Seq[(String, Any)]): Column =
+  private def mapLiteral(entries: Seq[(String, Any)]): Column = {
+    // Spark 4 Columns are lazy: lit(Row) only blows up at ANALYSIS time,
+    // far from the offending buildIndex — so validate the collected
+    // values eagerly and name the bad entry here
+    entries.find { case (_, v) => !isScalarLiteral(v) }.foreach { case (k, v) =>
+      throw new IllegalArgumentException(
+        s"buildIndex values must be scalar literals; entry '$k' is a " +
+          s"${v.getClass.getSimpleName} — project a scalar in the value " +
+          "transform (e.g. to_json for nested nodes)")
+    }
     if (entries.isEmpty) lit(null).cast(MapType(StringType, StringType))
     else map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+  }
+
+  private def isScalarLiteral(v: Any): Boolean = v == null || (v match {
+    case _: String | _: java.lang.Boolean | _: java.lang.Byte |
+         _: java.lang.Short | _: java.lang.Integer | _: java.lang.Long |
+         _: java.lang.Float | _: java.lang.Double |
+         _: java.math.BigDecimal | _: BigDecimal |
+         _: java.sql.Date | _: java.sql.Timestamp |
+         _: java.time.Instant | _: java.time.LocalDate => true
+    case _ => false
+  })
 }
 
 /** Per-table (mapped, errors) counts — triggers actions (reference

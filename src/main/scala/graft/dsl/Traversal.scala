@@ -96,8 +96,11 @@ object TraversalCompiler {
             .select(col("*"),
               posexplode(target).as(Seq(posName, keyName, nodeName)))
             .withColumn(OrdCol, concat(col(OrdCol), array(col(posName).cast(LongType))))
+          // index() is a LIST-iteration concept: dict iteration exposes
+          // key() only (transforms.py:69-80 returns None for index here);
+          // the pos column still feeds the ordinal above
           (d, LevelCols(col(nodeName), mt.valueType,
-            Some(col(keyName).cast(StringType)), Some(col(posName))))
+            Some(col(keyName).cast(StringType)), None))
 
         case (m, s: StructType) if m == IterMode.Items || m == IterMode.Auto =>
           // dict-iteration over a struct: the reference's auto mode
@@ -129,8 +132,9 @@ object TraversalCompiler {
             .select(col("*"),
               posexplode(entries).as(Seq(posName, keyName, nodeName)))
             .withColumn(OrdCol, concat(col(OrdCol), array(col(posName).cast(LongType))))
+          // as with MapType: dict iteration has a key(), never an index()
           (d, LevelCols(col(nodeName), valueType,
-            Some(col(keyName)), Some(col(posName))))
+            Some(col(keyName)), None))
 
         case (IterMode.Auto, t) =>
           // scalar / struct under auto: single row, but null emits nothing

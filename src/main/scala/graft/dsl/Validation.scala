@@ -128,10 +128,16 @@ object Validation {
     *
     * @param pres field name → presence-flag column name
     */
+  /** @param elemOverride per-field pre-merge validation type override:
+    *         an Append field's emission rows hold single ELEMENTS, so they
+    *         validate against the declared array's element type here. */
   def validateUpdate(table: String, df: DataFrame, keyCols: Seq[String],
-      schema: StructType, pres: String => String): DataFrame = {
+      schema: StructType, pres: String => String,
+      elemOverride: Map[String, DataType] = Map.empty): DataFrame = {
     val declared = schema.fields.filter(f => df.columns.contains(f.name))
-    val errCols: Seq[Column] = declared.toSeq.map { f =>
+    val errCols: Seq[Column] = declared.toSeq.map { f0 =>
+      val f = elemOverride.get(f0.name)
+        .map(et => f0.copy(dataType = et)).getOrElse(f0)
       val provided =
         if (df.columns.contains(pres(f.name))) col(pres(f.name)) else lit(true)
       val err = fieldError(f)
@@ -224,17 +230,7 @@ object Validation {
           lit("finalize check failed").as("error")))
         .as(s"__f_$name")
     }
-    val keyed = df.withColumn("__g_ferrs",
-      filter(array(errCols: _*), e => e.isNotNull))
-    val errors = keyed
-      .filter(size(col("__g_ferrs")) > 0)
-      .select(
-        lit(table).as("table"),
-        concat_ws("|", keyCols.map(k => col(k).cast(StringType)): _*).as("key"),
-        explode(col("__g_ferrs")).as("e"))
-      .select(col("table"), col("key"),
-        col("e.field").as("field"), col("e.error").as("error"),
-        lit("finalize").as("phase"))
+    val errors = errorRows(table, df, keyCols, errCols, "finalize")
     val valid = df.filter(passes.reduce(_ && _))
     (valid, errors)
   }

@@ -47,6 +47,21 @@ class EtlSpec extends SparkTestBase {
       Seq(Seq(0, "Alice"), Seq(1, "Bob")))
   }
 
+  test("index() is null for dict iteration, key() is null for list iteration") {
+    // transforms.py:69-80: key/index each answer only their own iteration
+    // kind — dict iteration must NOT leak entry positions through index()
+    val dict = Etl.json(spark, """{"obj": {"a": 1, "b": 2}}""")
+      .goto("obj").each()
+      .mapTo("t")("k" -> key(), "i" -> index())
+      .run()
+    assert(rows(dict.tableOrdered("t")) === Seq(Seq("a", null), Seq("b", null)))
+    val list = Etl.json(spark, """{"xs": [10, 20]}""")
+      .goto("xs").each()
+      .mapTo("t")("k" -> key(), "i" -> index())
+      .run()
+    assert(rows(list.tableOrdered("t")) === Seq(Seq(null, 0), Seq(null, 1)))
+  }
+
   // ---- J2: multi-path merge by join key ----
   test("J2: field-wise merge across traversals, TempField dropped") {
     val j2 =

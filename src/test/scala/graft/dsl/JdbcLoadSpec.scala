@@ -87,6 +87,21 @@ class JdbcLoadSpec extends SparkTestBase {
     assert(trips * 10 <= 100, s"expected batched round trips, got $trips")
   }
 
+  test("all-key-column upsert degenerates to insert-if-missing") {
+    exec("CREATE TABLE edges (child_id VARCHAR(10), parent_id VARCHAR(10), " +
+      "PRIMARY KEY (child_id, parent_id))")
+    exec("INSERT INTO edges VALUES ('c1', 'p1')") // pre-existing row
+    import spark.implicits._
+    val df = Seq(("c1", "p1"), ("c2", "p1"), ("c2", "p2"))
+      .toDF("child_id", "parent_id")
+    // every column is a key: nothing to UPDATE — the old code built
+    // "UPDATE edges SET  WHERE ..." and died in prepareStatement
+    JdbcLoad.upsertTable(df, url, "edges", Seq("child_id", "parent_id"), 500)
+    assert(queryAll("SELECT child_id, parent_id FROM edges ORDER BY 1, 2") ===
+      Seq(Seq("c1", "p1"), Seq("c2", "p1"), Seq("c2", "p2")))
+    exec("DROP TABLE edges")
+  }
+
   test("non-identifier table/column names are refused") {
     import spark.implicits._
     val df = Seq((1, "x")).toDF("k", "v")

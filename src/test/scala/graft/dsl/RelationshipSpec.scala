@@ -41,6 +41,38 @@ class RelationshipSpec extends SparkTestBase {
     assert(result.topoOrder === Seq("users", "posts"))
   }
 
+  test("linkTo attr colliding with an existing column fails at bind, not materialize") {
+    val j =
+      """{"users": [{"id": "u1", "name": "Alice"}],
+        |  "posts": [{"id": "p1", "user_id": "u1", "user": "existing col"}]}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      Etl.json(spark, j)
+        .goto("users").each()
+        .mapTo("users", joinOn = Seq("id"))("id" -> get("id"), "name" -> get("name"))
+        .root().goto("posts").each()
+        .mapTo("posts", joinOn = Seq("id"))(
+          "id" -> get("id"),
+          temp("user_id" -> get("user_id")),
+          "user" -> get("user")) // column named like the default attr
+        .linkTo("users", by = Map("user_id" -> "id"))
+        .run()
+    }
+    assert(e.getMessage.contains("already has that column"))
+  }
+
+  test("buildIndex with a non-scalar value names the offending entry") {
+    val j = """{"rows": [{"k": "a", "v": {"nested": 1}}]}"""
+    val e = intercept[IllegalArgumentException] {
+      Etl.json(spark, j)
+        .goto("rows").each()
+        .buildIndex("m", key = get("k"), value = node())
+        .root().goto("rows").each()
+        .mapTo("t")("k" -> get("k"), "x" -> lookup("m", get("k")))
+        .run()
+    }
+    assert(e.getMessage.contains("scalar"))
+  }
+
   test("J6: backlink attaches children in list order, missing ids skipped") {
     val j6 =
       """{"questions": [{"id": "q1", "text": "Pick one", "choice_ids": ["c2", "c1", "zz"]}],

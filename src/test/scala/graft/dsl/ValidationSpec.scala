@@ -215,6 +215,93 @@ class ValidationSpec extends SparkTestBase {
     assert(errs(0).getString(2) === "total" && errs(0).getString(4) === "merge")
   }
 
+  test("typed table with Append policy validates elements, not the array") {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("nums", ArrayType(IntegerType))))
+    // "7" and "x" are single elements pre-merge; update-phase must cast
+    // them against the ELEMENT type (int), and the merged array column
+    // validates as array — previously this crashed with an unresolvable
+    // string→array cast before any row ran
+    val result = Etl.json(spark,
+      """{"rows": [{"id": "a", "v": "7"}, {"id": "a", "v": "x"}]}""")
+      .goto("rows").each()
+      .mapToTyped("t", schema, joinOn = Seq("id"))(
+        "id" -> get("id"),
+        Field("nums", get("v"), policy = MergePolicy.Append))
+      .run()
+    val errs = result.errors("t").collect()
+    assert(errs.length === 1)
+    assert(errs(0).getString(2) === "nums" && errs(0).getString(3).contains("x"))
+  }
+
+  test("Append into a non-array declared type is rejected with guidance") {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("nums", IntegerType)))
+    val e = intercept[IllegalArgumentException] {
+      Etl.json(spark, """{"rows": [{"id": "a", "v": "7"}]}""")
+        .goto("rows").each()
+        .mapToTyped("t", schema, joinOn = Seq("id"))(
+          "id" -> get("id"),
+          Field("nums", get("v"), policy = MergePolicy.Append))
+        .run()
+    }
+    assert(e.getMessage.contains("declare array"))
+  }
+
+  test("emissions disagreeing on a field's Spark type align to string, then validate") {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("age", IntegerType)))
+    // emission 1 provides age as a NUMBER, emission 2 as a STRING that is
+    // not a number: the union aligns the mixed field to string (no ANSI
+    // crash, no silent null) and schema validation records the real error
+    val result = Etl.json(spark,
+      """{"a": [{"id": "u1", "age": 30}], "b": [{"id": "u1", "age": "N/A"}]}""")
+      .goto("a").each()
+      .mapToTyped("t", schema, joinOn = Seq("id"))(
+        "id" -> get("id"), "age" -> get("age"))
+      .root().goto("b").each()
+      .mapToTyped("t", schema, joinOn = Seq("id"))(
+        "id" -> get("id"), "age" -> get("age"))
+      .run()
+    val errs = result.errors("t").collect()
+    assert(errs.length === 1 && errs(0).getString(3).contains("N/A"))
+  }
+
+  test("conflicting merge policies for one field are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Etl.json(spark, """{"rows": [{"id": "a", "v": 1}]}""")
+        .goto("rows").each()
+        .mapTo("t", joinOn = Seq("id"))(
+          "id" -> get("id"),
+          Field("v", get("v"), policy = MergePolicy.Add))
+        .root().goto("rows").each()
+        .mapTo("t", joinOn = Seq("id"))(
+          "id" -> get("id"),
+          Field("v", get("v"), policy = MergePolicy.Max))
+        .run()
+    }
+    assert(e.getMessage.contains("conflicting merge policies"))
+  }
+
+  test("conflicting declared schemas for one table are rejected") {
+    val s1 = StructType(Seq(StructField("id", StringType)))
+    val s2 = StructType(Seq(StructField("id", StringType),
+      StructField("age", IntegerType, nullable = false)))
+    val e = intercept[IllegalArgumentException] {
+      Etl.json(spark, """{"rows": [{"id": "a", "age": 1}]}""")
+        .goto("rows").each()
+        .mapToTyped("t", s1, joinOn = Seq("id"))("id" -> get("id"))
+        .root().goto("rows").each()
+        .mapToTyped("t", s2, joinOn = Seq("id"))(
+          "id" -> get("id"), "age" -> get("age"))
+        .run()
+    }
+    assert(e.getMessage.contains("conflicting schemas"))
+  }
+
   test("conflicting per-emission error modes on one table are rejected") {
     val e = intercept[IllegalArgumentException] {
       Etl.json(spark, j)
