@@ -39,16 +39,27 @@ object GraftExtensions {
       s"$fn: $arg must be an integer literal, got $e")
   }
 
+  /** Arity check with a real message — a bare cs(1) on a one-argument
+    * call would die with IndexOutOfBounds deep inside analysis. */
+  private def args(cs: Seq[Expression], n: Int, fn: String): Seq[Expression] = {
+    require(cs.length == n, s"$fn expects $n argument(s), got ${cs.length}")
+    cs
+  }
+
   private[graft] val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash" -> ((cs: Seq[Expression]) =>
-      RollingHash(cs.head, TextFunctions.FingerprintMod)),
-    "dot_product" -> ((cs: Seq[Expression]) => DotProduct(cs(0), cs(1))),
-    "quantize_int8" -> ((cs: Seq[Expression]) => QuantizeInt8(cs.head)),
+      RollingHash(args(cs, 1, "rolling_hash").head, TextFunctions.FingerprintMod)),
+    "dot_product" -> ((cs: Seq[Expression]) =>
+      { val a = args(cs, 2, "dot_product"); DotProduct(a(0), a(1)) }),
+    "quantize_int8" -> ((cs: Seq[Expression]) =>
+      QuantizeInt8(args(cs, 1, "quantize_int8").head)),
     "hyperplane_bucket" -> ((cs: Seq[Expression]) =>
-      HyperplaneBucket(cs(0), intLit(cs(1), "hyperplane_bucket", "planes"))),
+      { val a = args(cs, 2, "hyperplane_bucket")
+        HyperplaneBucket(a(0), intLit(a(1), "hyperplane_bucket", "planes")) }),
     "top_k_by_score" -> ((cs: Seq[Expression]) =>
-      TopKByScore(cs(0), cs(1), intLit(cs(2), "top_k_by_score", "k"))
-        .toAggregateExpression()))
+      { val a = args(cs, 3, "top_k_by_score")
+        TopKByScore(a(0), a(1), intLit(a(2), "top_k_by_score", "k"))
+          .toAggregateExpression() }))
 
   /** Register every graft function on an already-built session. */
   def registerAll(spark: SparkSession): Unit =

@@ -38,13 +38,8 @@ case class DotProduct(left: Expression, right: Expression)
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
 
-  private def getAsDouble(a: ArrayData, t: DataType, i: Int): Double = t match {
-    case FloatType => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case IntegerType => a.getInt(i).toDouble
-    case LongType => a.getLong(i).toDouble
-    case _ => 0.0
-  }
+  private def getAsDouble(a: ArrayData, t: DataType, i: Int): Double =
+    NumericArrays.getAsDouble(a, t, i)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -63,13 +58,8 @@ case class DotProduct(left: Expression, right: Expression)
     java.lang.Double.valueOf(acc)
   }
 
-  private def getter(t: DataType, arr: String, i: String): String = t match {
-    case FloatType => s"(double) $arr.getFloat($i)"
-    case DoubleType => s"$arr.getDouble($i)"
-    case IntegerType => s"(double) $arr.getInt($i)"
-    case LongType => s"(double) $arr.getLong($i)"
-    case _ => "0.0"
-  }
+  private def getter(t: DataType, arr: String, i: String): String =
+    NumericArrays.getter(t, arr, i)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {

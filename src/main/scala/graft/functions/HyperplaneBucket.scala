@@ -41,13 +41,8 @@ case class HyperplaneBucket(child: Expression, planes: Int)
         s"hyperplane_bucket needs a numeric array, got ${child.dataType.simpleString}")
     }
 
-  private def getAsDouble(a: ArrayData, t: DataType, i: Int): Double = t match {
-    case FloatType => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case IntegerType => a.getInt(i).toDouble
-    case LongType => a.getLong(i).toDouble
-    case _ => 0.0
-  }
+  private def getAsDouble(a: ArrayData, t: DataType, i: Int): Double =
+    NumericArrays.getAsDouble(a, t, i)
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -69,13 +64,8 @@ case class HyperplaneBucket(child: Expression, planes: Int)
     java.lang.Long.valueOf(bucket)
   }
 
-  private def getter(t: DataType, arr: String, i: String): String = t match {
-    case FloatType => s"(double) $arr.getFloat($i)"
-    case DoubleType => s"$arr.getDouble($i)"
-    case IntegerType => s"(double) $arr.getInt($i)"
-    case LongType => s"(double) $arr.getLong($i)"
-    case _ => "0.0"
-  }
+  private def getter(t: DataType, arr: String, i: String): String =
+    NumericArrays.getter(t, arr, i)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {

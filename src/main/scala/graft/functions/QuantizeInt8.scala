@@ -33,13 +33,8 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
         s"quantize_int8 needs a numeric array, got ${child.dataType.simpleString}")
     }
 
-  private def getAsDouble(a: ArrayData, t: DataType, i: Int): Double = t match {
-    case FloatType => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case IntegerType => a.getInt(i).toDouble
-    case LongType => a.getLong(i).toDouble
-    case _ => 0.0
-  }
+  private def getAsDouble(a: ArrayData, t: DataType, i: Int): Double =
+    NumericArrays.getAsDouble(a, t, i)
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -64,13 +59,8 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
     new GenericArrayData(out)
   }
 
-  private def getter(t: DataType, arr: String, i: String): String = t match {
-    case FloatType => s"(double) $arr.getFloat($i)"
-    case DoubleType => s"$arr.getDouble($i)"
-    case IntegerType => s"(double) $arr.getInt($i)"
-    case LongType => s"(double) $arr.getLong($i)"
-    case _ => "0.0"
-  }
+  private def getter(t: DataType, arr: String, i: String): String =
+    NumericArrays.getter(t, arr, i)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {

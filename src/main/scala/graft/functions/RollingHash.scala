@@ -68,10 +68,9 @@ object RollingHash {
   def rolling_hash(c: Column, modulus: Long = TextFunctions.FingerprintMod): Column =
     GraftSqlShims.toColumn(RollingHash(GraftSqlShims.toExpression(c), modulus))
 
-  /** Register as SQL function `rolling_hash(str)` on a session. */
+  /** Register the graft SQL functions on a session. Delegates to
+    * [[graft.GraftExtensions.registerAll]] — one source of truth for the
+    * SQL surface (a second local builder here once drifted on arity). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash",
-      exprs => RollingHash(exprs.head, TextFunctions.FingerprintMod),
-      "built-in")
+    graft.GraftExtensions.registerAll(spark)
 }

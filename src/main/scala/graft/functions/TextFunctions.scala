@@ -34,14 +34,20 @@ object TextFunctions {
 
   /** Distinct word n-gram shingles ("a b c"), 1 row per doc; empty array
     * when the doc has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  /** Shingles from a PRE-MATERIALIZED token column. The single source of
+    * the n-gram construction — callers that must keep the token array in
+    * its own projection (below a Generate barrier, see Dedup.shingleRows)
+    * build on this so the shingle semantics cannot drift between the
+    * inverted-index path and the per-row path. */
+  def shinglesFromTokens(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       array_distinct(transform(
         sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Ratio of tokens found in the stopword list (double division of two
     * exact ints — deterministic). */

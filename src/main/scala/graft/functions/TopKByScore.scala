@@ -125,6 +125,11 @@ final class TopKBuffer(k: Int) {
   }
 
   def add(s: Double, i: Long): Unit = {
+    // NaN never enters: losesTo is false for every NaN comparison, so an
+    // admitted NaN could neither be evicted nor (as findWorst's pick)
+    // lose to any real candidate — one NaN-scored row (e.g. cosine of a
+    // zero-norm vector) would freeze the whole partition's buffer
+    if (java.lang.Double.isNaN(s)) return
     if (size < k) {
       scores(size) = s; ids(size) = i; size += 1
       worst = -1

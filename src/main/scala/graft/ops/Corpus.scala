@@ -91,8 +91,13 @@ object Corpus {
       query: String, k: Int): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "query has no terms")
+    // lowercase BOTH sides: the query terms are lowercased above, so a
+    // raw doc token like "Table" would otherwise never match "table"
+    // (the text is lowercased before tokenizing — a generator cannot be
+    // nested under lower())
     val hits = docs
-      .select(col(idCol).as("doc"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
       .filter(col("tok").isin(terms: _*))
     val tf = hits.groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
     // df as a whole-partition window count over the (tiny) tf set: a
@@ -144,7 +149,12 @@ object Corpus {
     * 100 TB is a map-only job.
     */
   def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    // materialize the token array ONCE: HOFs are interpreted (no codegen
+    // CSE) and three consumers referencing tokens(text) directly would
+    // re-split the text three times per row; CollapseProject will not
+    // inline a non-cheap expression that is referenced multiple times
+    val withWs = df.withColumn("__ws", TextFunctions.tokens(col(textCol)))
+    val toks = col("__ws")
     val sorted = array_sort(toks)
     // longest run of equal adjacent tokens in the sorted array == max
     // per-word count; one O(n) fold, no quadratic distinct×scan
@@ -157,13 +167,15 @@ object Corpus {
           greatest(acc("best"), run).as("best"))
       },
       acc => acc("best"))
-    df.withColumn("n_words", size(toks).cast("long"))
+    withWs
+      .withColumn("n_words", size(toks).cast("long"))
       .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
       .withColumn("top_word_count", topRun)
       .withColumn("dup_ratio",
         when(col("n_words") === 0, lit(0.0d)).otherwise(
           (col("n_words") - col("n_distinct")).cast("double") /
             col("n_words").cast("double")))
+      .drop("__ws")
   }
 
   /** Deterministic train/val/test assignment by content-independent hash:
@@ -177,6 +189,10 @@ object Corpus {
     */
   def splitByHash(df: DataFrame, idCol: String,
       bounds: Seq[(String, String)], restLabel: String): DataFrame = {
+    // mis-ordered bounds would silently swallow later buckets (the first
+    // matching `when` wins) — a skewed split with no error
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      s"split bounds must be ascending, got ${bounds.map(_._2).mkString(", ")}")
     val h = md5(col(idCol).cast("string").cast("binary"))
     val expr0 = bounds.foldRight(lit(restLabel): Column) { case ((label, hi), rest) =>
       when(h < lit(hi), lit(label)).otherwise(rest)

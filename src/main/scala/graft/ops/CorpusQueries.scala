@@ -305,7 +305,7 @@ object CorpusQueries {
         s"""WITH $toksCte,
            |tf AS (
            |  SELECT doc_id AS doc, tok, COUNT(*) AS tf
-           |  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)
+           |  FROM (SELECT doc_id, lower(unnest(ws)) AS tok FROM toks)
            |  WHERE tok IN ${terms.map(t => s"'$t'").mkString("(", ", ", ")")}
            |  GROUP BY doc, tok),
            |dfreq AS (

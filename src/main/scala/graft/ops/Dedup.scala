@@ -69,14 +69,8 @@ object Dedup {
     */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__ws"))
-    val ws = col("__ws")
-    val shingleExpr =
-      when(size(ws) >= n,
-        array_distinct(transform(
-          sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))))
-        .otherwise(array().cast("array<string>"))
-    toks.select(col("doc"), explode(shingleExpr).as("shingle"))
+    toks.select(col("doc"),
+      explode(shinglesFromTokens(col("__ws"), n)).as("shingle"))
   }
 
   /** Candidate pairs by n-gram Jaccard ≥ threshold, computed via an
@@ -352,16 +346,29 @@ object Dedup {
     * long (h1, h2 < 2^56 ⇒ sum < 2^56·(k+1); 2^63/2^56 = 128). */
   val MinhashMaxK = 128
 
-  /** minhash signature: component i = min over shingles of h1 + i·h2. */
+  /** minhash signature: component i = min over shingles of h1 + i·h2.
+    *
+    * Shaped so the md5 really is paid once per shingle: a naive
+    * `array_min(transform(sh, s => h1 + i*h2))` per component re-digests
+    * every shingle for every i (HOFs are interpreted, no CSE). Here one
+    * transform materializes the (h1, h2) pairs, then a single fold keeps
+    * a k-wide running-min array — 2 substring parses of 1 digest per
+    * shingle, k cheap integer ops each. */
   def minhashSignature(text: Column, n: Int, k: Int): Column = {
     require(k <= MinhashMaxK,
       s"k=$k would overflow the h1 + i*h2 derivation (max $MinhashMaxK); " +
         "Spark's long wraps silently while the oracle's BIGINT errors")
-    val sh = shingles(text, n)
-    array((0 until k).map { i =>
-      array_min(transform(sh,
-        s => minhashH1(s) + lit(i.toLong) * minhashH2(s)))
-    }: _*)
+    val pairs = transform(shingles(text, n),
+      s => struct(minhashH1(s).as("h1"), minhashH2(s).as("h2")))
+    val idx = sequence(lit(0L), lit((k - 1).toLong))
+    val mins = aggregate(
+      pairs,
+      array((0 until k).map(_ => lit(Long.MaxValue)): _*),
+      (acc, p) => zip_with(acc, idx,
+        (m, i) => least(m, p("h1") + i * p("h2"))))
+    // empty shingle set ⇒ null components (the pre-fold form's
+    // array_min-of-empty semantics)
+    transform(mins, m => when(m === Long.MaxValue, lit(null)).otherwise(m))
   }
 
   /** LSH candidate pairs: signatures banded `bands` × `rowsPerBand`; docs
@@ -453,17 +460,22 @@ object Dedup {
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("doc"), array_distinct(tokens(col(textCol))).as("__ts"))
-      .filter(size(col("__ts")) > 0)
-    val tv = toks.select(col("doc"), explode(col("__ts")).as("tok"))
+    val tv = toks.filter(size(col("__ts")) > 0)
+      .select(col("doc"), explode(col("__ts")).as("tok"))
     val vals = tv.select(col("doc"), tokenVal64(col("tok")).as("v"))
     val bitSums = (0 until 64).map { j =>
       sum(when(bitTest(col("v"), j), 1L).otherwise(-1L)).as(s"__b$j")
     }
     val bits = vals.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
-    bits.select(col("doc"),
+    val sig = bits.select(col("doc"),
       (0 until 64).map(j =>
         when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ bitwiseOR _).as("sh"))
+    // token-less docs hash to 0 — exactly what simhash64 yields for them;
+    // dropping them instead would break the "identical values" contract
+    // and silently lose rows from the signature table
+    toks.select(col("doc")).join(sig, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("sh"), lit(0L)).as("sh"))
   }
 
   /** 64-bit token hash: md5 hex chars 1-8 are the high word, 9-16 the low

@@ -167,9 +167,13 @@ object Similarity {
       import spark.implicits._
       rows.toDF("cid", "c_v")
     }
-    var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vid") < k)
+    // seed = the k SMALLEST-ID vectors (TakeOrdered, id-space agnostic —
+    // `vid < k` would silently yield fewer/zero seeds for ids not dense
+    // from 0, e.g. hashed or offset doc ids)
+    var cents: Seq[(Long, Seq[Double])] = qv.orderBy(col("vid")).limit(k)
       .select(col("vid"), transform(col("qv"), x => x.cast("double")))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(cents.nonEmpty, "kmeansCentroids: corpus is empty")
     for (_ <- 1 to iters) {
       // nearest center per vector; ties break to the lowest cid (the
       // oracle's ROW_NUMBER ... ORDER BY cos DESC, cid)
@@ -200,10 +204,11 @@ object Similarity {
     * probes only its `nProbe` nearest cells. Expected candidates per
     * query: nProbe/centroids of the corpus — the classic recall/cost dial.
     *
-    * Centroid choice is a seam: here the first `centroids` corpus vectors
-    * serve as cell centers (deterministic, oracle-reproducible); a real
-    * deployment would feed k-means centers in via `centroidsDf` — the
-    * plumbing (assign → probe → score → bounded top-k) is identical.
+    * Centroid choice is a seam: here the `centroids` smallest-id corpus
+    * vectors serve as cell centers (deterministic, oracle-reproducible,
+    * id-space agnostic); a real deployment would feed k-means centers in
+    * via `centroidsDf` — the plumbing (assign → probe → score → bounded
+    * top-k) is identical.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int,
@@ -211,7 +216,7 @@ object Similarity {
       centroidsDf: DataFrame = null): DataFrame = {
     val cents0 =
       if (centroidsDf != null) centroidsDf
-      else corpus.filter(col(idCol) < centroids)
+      else corpus.orderBy(col(idCol)).limit(centroids)
     val cents = cents0.select(col(idCol).cast("long").as("cid"),
       col(vecCol).as("c_v"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("c_nrm"))

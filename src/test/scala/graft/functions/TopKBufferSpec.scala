@@ -39,4 +39,14 @@ class TopKBufferSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("NaN scores never enter and never block real candidates") {
+    val b = new TopKBuffer(2)
+    b.add(Double.NaN, 1L) // would freeze the buffer if admitted:
+    b.add(Double.NaN, 2L) // losesTo() is false for every NaN comparison
+    b.add(0.5, 3L)
+    b.add(0.9, 4L)
+    b.add(0.7, 5L)
+    assert(b.sortedEntries.toList === List((0.9, 4L), (0.7, 5L)))
+  }
 }
