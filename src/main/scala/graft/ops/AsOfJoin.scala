@@ -31,7 +31,22 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame,
       key: String, ts: String, payload: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    asOfImpl(left, right, key, ts, payload, prefix, backward = true)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` in the key group — "next observation" (the
+    * next quote / next maintenance window / next price revision). Same
+    * union-LOCF machinery run time-reversed; matches DuckDB's
+    * `ASOF JOIN ... ON l.ts <= r.ts`. */
+  def asOfForward(left: DataFrame, right: DataFrame,
+      key: String, ts: String, payload: Seq[String],
+      prefix: String = "asof_"): DataFrame =
+    asOfImpl(left, right, key, ts, payload, prefix, backward = false)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame,
+      key: String, ts: String, payload: Seq[String],
+      prefix: String, backward: Boolean): DataFrame = {
     val pay = struct(payload.map(col): _*)
     val rt0 = right.select(col(key), col(ts), pay.as("__g_asof_pay"))
       .withColumn("__g_asof_side", lit(0))
@@ -43,8 +58,13 @@ object AsOfJoin {
     val rt = extraLeft.foldLeft(rt0)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
+    // backward: ascending ts, running last ⇒ latest right at or before.
+    // forward: DESCENDING ts, same running last ⇒ earliest right at or
+    // after. Either way the right row sorts first at equal ts (side 0),
+    // so matches are inclusive — DuckDB ASOF semantics in both directions.
+    val ord = if (backward) col(ts).asc else col(ts).desc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__g_asof_side"))
+      .orderBy(ord, col("__g_asof_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lt.unionByName(rt)
       .withColumn("__g_asof_m",

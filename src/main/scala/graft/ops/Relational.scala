@@ -567,6 +567,65 @@ object Relational {
              |  ON c.user_id = p.user_id AND c.ts >= p.ts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // ---- forward as-of: each click matched to the NEXT same-user
+    //      purchase (right.ts >= left.ts) — the time-reversed LOCF pass,
+    //      vs DuckDB's native forward ASOF JOIN
+    Q(
+      "q_asof_forward",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("p_event_id"))
+        AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts",
+          payload = Seq("p_event_id"), prefix = "")
+          .select(col("event_id"), col("user_id"), col("p_event_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, MAX(event_id) AS p_event_id
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_id, user_id, ts
+             |  FROM events WHERE event_type = 'click')
+             |SELECT c.event_id, c.user_id, p.p_event_id
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts <= p.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // ---- cohort retention: users bucketed by first-seen day, activity
+    //      counted per (cohort, day offset) — two keyed aggregates and
+    //      one join, the canonical product-analytics rollup
+    Q(
+      "q_retention",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val firstSeen = ev.groupBy(col("user_id"))
+          .agg(min(col("d")).as("cohort"))
+        ev.join(firstSeen, "user_id")
+          .select(col("user_id"), col("cohort"),
+            datediff(col("d"), col("cohort")).as("day_offset"))
+          .distinct()
+          .groupBy(col("cohort"), col("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("day_offset"), col("n_users"))
+          .orderBy(col("cohort"), col("day_offset"))
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+             |  FROM events GROUP BY 1),
+             |a AS (
+             |  SELECT DISTINCT e.user_id, f.cohort,
+             |    CAST(datediff('day', f.cohort, CAST(e.ts AS DATE)) AS INT) AS day_offset
+             |  FROM events e JOIN f USING (user_id))
+             |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, day_offset,
+             |  COUNT(*) AS n_users
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- JSON extraction from the events.props payload column
     //
     // BENCH_r02 note: the 1.02→2.57 s "regression" flagged in the round-2

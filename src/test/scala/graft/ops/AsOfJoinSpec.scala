@@ -22,4 +22,19 @@ class AsOfJoinSpec extends SparkTestBase {
       ("l3", null)  // nothing precedes → left-outer null
     ))
   }
+
+  test("asOfForward picks the earliest right row with ts >= left ts per key") {
+    val left = Seq((1L, 10L, "l1"), (1L, 12L, "l2"), (2L, 100L, "l3"))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 99L, "z"))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asOfForward(left, right, "k", "ts", Seq("v"))
+      .orderBy("lid").collect()
+      .map(r => (r.getString(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      ("l1", "a"),  // equal ts is inclusive
+      ("l2", "b"),  // earliest following, not latest
+      ("l3", null)  // nothing follows → left-outer null
+    ))
+  }
 }
