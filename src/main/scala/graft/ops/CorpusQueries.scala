@@ -868,6 +868,52 @@ object CorpusQueries {
              |      FROM documents)
              |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)),
 
+    // the composed curation pipeline, end to end: length-clip per
+    // language → PII scrub → priority-aware exact dedup on the CLEANED
+    // text → deterministic split → per-(split, lang) stats. Each stage
+    // is individually oracle-verified; this row verifies the
+    // COMPOSITION (stage ordering and column flow), the shape a real
+    // corpus job ships.
+    Q(
+      "corpus_curation_pipeline",
+      (s, dir) => {
+        val clipped = Corpus.clipByLengthRank(table(s, dir, "documents"),
+          "lang", "n_chars", "doc_id", loPct = 5, hiPct = 95)
+        val scrubbed = Corpus.scrubPii(clipped, "text")
+        val deduped = Dedup.dropDuplicatesByPriority(scrubbed, "clean_text",
+          Seq(when(col("source") === "src0", 0).otherwise(1), col("doc_id")))
+        Corpus.splitByHash(deduped, "doc_id",
+          Seq("val" -> "0d", "test" -> "1a"), "train")
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some(s"""WITH clipped AS (
+              |  SELECT doc_id, text, lang, source, n_chars FROM (
+              |    SELECT doc_id, text, lang, source, n_chars,
+              |      CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+              |      COUNT(*) OVER (PARTITION BY lang) AS n
+              |    FROM documents) t
+              |  WHERE rn * 100 > n * 5 AND rn * 100 <= n * 95),
+              |scrubbed AS (
+              |  SELECT doc_id, lang, source, n_chars,
+              |    regexp_replace(regexp_replace(text, '${Corpus.EmailPattern}', '<EMAIL>', 'g'),
+              |      '${Corpus.PhonePattern}', '<PHONE>', 'g') AS clean
+              |  FROM clipped),
+              |deduped AS (
+              |  SELECT doc_id, lang, n_chars FROM (
+              |    SELECT doc_id, lang, n_chars,
+              |      ROW_NUMBER() OVER (PARTITION BY md5(clean)
+              |        ORDER BY CASE WHEN source = 'src0' THEN 0 ELSE 1 END, doc_id) AS rn2
+              |    FROM scrubbed) t
+              |  WHERE rn2 = 1)
+              |SELECT
+              |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0d' THEN 'val'
+              |       WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'test'
+              |       ELSE 'train' END AS split,
+              |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              |FROM deduped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // length-distribution clipping per language: drop the shortest 5% and
     // longest 5% by exact integer rank arithmetic
     Q(
