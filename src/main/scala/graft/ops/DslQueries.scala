@@ -583,6 +583,35 @@ object DslQueries {
              |FROM supplier JOIN ids ON s_nationkey = n_nationkey
              |ORDER BY s_suppkey""".stripMargin)),
 
+    // ---- custom MergePolicy seam (reference instances.py:31-33): a
+    //      user-defined ordered Fold — running concatenation of event
+    //      types in ARRIVAL order — checked against STRING_AGG with an
+    //      explicit ORDER BY. The fold runs as Catalyst lambdas over the
+    //      arrival-ordered value array, so the custom policy stays
+    //      inside the same hash aggregate as the built-ins.
+    Q(
+      "dsl_custom_fold",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(
+            col("event_id"), col("event_type")))).as("events"))
+        Etl(ev)
+          .goto("events").each()
+          .mapTo("agg", joinOn = Seq("user_id"))(
+            "user_id" -> getFromRoot("user_id"),
+            Field("types",
+              applyFn(_.substr(lit(1), lit(1)), transforms.get("event_type")),
+              policy = MergePolicy.Fold(lit(""),
+                (acc, x) => concat(acc, x))))
+          .run().table("agg")
+          .select(col("user_id"), col("types")) // drop the injected id
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  STRING_AGG(substring(event_type, 1, 1), '' ORDER BY event_id, event_type) AS types
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- PipelineResult.tableStats in the oracle gate (reference
     //      TableStats {mapped, errors}, fluent.py:164-281): a two-table
     //      pipeline where every 10th customer fails its typed cast —
