@@ -67,9 +67,9 @@ object Bench {
       sfDir: String): Unit = {
     val ok = names.filter(samples.contains)
     val failed = names.filterNot(samples.contains)
-    val qs = ok.map(k => "\"" + k + "\":" + samples(k)).mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qs = ok.map(k => JsonUtil.quote(k) + ":" + samples(k)).mkString("{", ",", "}")
+    val failedJson = failed.map(JsonUtil.quote).mkString("[", ",", "]")
     val total = ok.map(samples).sum
-    println(s"""{"metric":"steady_state_total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"steady_state_total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${JsonUtil.quote(sfDir)}}""")
   }
 }

@@ -10,9 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Every registered, verifiable query. */
-  def all: Seq[Q] =
-    ops.Relational.queries ++ ops.DslQueries.queries ++
+  def all: Seq[Q] = {
+    val qs = ops.Relational.queries ++ ops.DslQueries.queries ++
       ops.CorpusQueries.queries ++ ops.StreamingQueries.queries
+    // four hand-maintained registries: a name collision would silently
+    // drop one implementation from the .toMap-based verification below
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the README-quickstart DSL pipeline (nested docs → users+posts

@@ -61,8 +61,12 @@ object MediaPipeline {
     * schema) is production-shaped.
     */
   final class StubDecoder(frameStrideMs: Long = 1000L) extends MediaDecoder {
+    /** Cap on frames per row: a lying durationMs must neither wrap the
+      * Int (silently 1 frame) nor materialize billions of frames. */
+    val MaxFrames = 100000
     def decode(row: MediaRow): Seq[DecodedFrame] = {
-      val nFrames = math.max(1, (row.durationMs / frameStrideMs).toInt)
+      val nFrames = math.max(1L,
+        math.min(row.durationMs / frameStrideMs, MaxFrames.toLong)).toInt
       (0 until nFrames).map { i =>
         val start = (i * 7) % math.max(1, row.bytes.length)
         val pixels = row.bytes.slice(start, math.min(row.bytes.length, start + 64))
@@ -172,6 +176,14 @@ object MediaPipeline {
     /** Nearest-neighbor resample of packed RGB24. */
     def resize(f: DecodedFrame, w: Int, h: Int): DecodedFrame = {
       require(w > 0 && h > 0, "resize target must be positive")
+      require(w.toLong * h * 3 <= Int.MaxValue,
+        s"resize target ${w}x$h overflows a byte array")
+      // decoders are swappable behind one seam — a frame from a decoder
+      // that doesn't maintain the packed-RGB24 invariant (e.g. the stub)
+      // must fail with this message, not an index crash mid-loop
+      require(f.pixels.length == f.width.toLong * f.height * 3,
+        s"frame ${f.id}/${f.frameIndex} claims ${f.width}x${f.height} but " +
+          s"carries ${f.pixels.length} bytes (needs packed RGB24)")
       val out = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
@@ -194,7 +206,12 @@ object MediaPipeline {
     * [[ImageDecoder]]'s PPM path — handy for tests and for writing
     * decoded frames back out). */
   def encodePpm(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
-    require(pixels.length == w * h * 3, s"need ${w * h * 3} bytes, got ${pixels.length}")
+    // positive dims first: (-1)*(-1)*3 == 3 would pass the length check
+    // and emit a header the decoder rejects, silently breaking the
+    // documented encode->decode inverse
+    require(w > 0 && h > 0, s"need positive dimensions, got ${w}x$h")
+    require(pixels.length == w.toLong * h * 3,
+      s"need ${w.toLong * h * 3} bytes, got ${pixels.length}")
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     header ++ pixels
   }
@@ -207,18 +224,20 @@ object MediaPipeline {
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val hist = new Array[Long](16)
-          r.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
-          val n = math.max(1, r.bytes.length)
-          val entropy = -hist.filter(_ > 0).map { c =>
-            val p = c.toDouble / n; p * math.log(p) / math.log(2)
-          }.sum
-          MediaFeatures(r.id, r.kind, r.bytes.length, entropy, hist,
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(r.bytes).map("%02x".format(_)).mkString)
-        }
+      // per-PARTITION state hoisted once — this is what the batching
+      // claim means: the digest (a provider lookup per getInstance) is
+      // constructed here, not per row
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val hist = new Array[Long](16)
+        r.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+        val n = math.max(1, r.bytes.length)
+        val entropy = -hist.filter(_ > 0).map { c =>
+          val p = c.toDouble / n; p * math.log(p) / math.log(2)
+        }.sum
+        md.reset()
+        MediaFeatures(r.id, r.kind, r.bytes.length, entropy, hist,
+          md.digest(r.bytes).map("%02x".format(_)).mkString)
       }
     }
   }
@@ -226,6 +245,7 @@ object MediaPipeline {
   /** Decode + frame-sample (every nth frame) through the decoder seam. */
   def sampleFrames(media: Dataset[MediaRow], decoder: MediaDecoder,
       everyNth: Int)(implicit spark: SparkSession): Dataset[DecodedFrame] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap(r => decoder.decode(r).zipWithIndex.collect {

@@ -756,10 +756,16 @@ object CorpusQueries {
           .toDF("doc_id", "width", "height", "px_sum")
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, 8 AS width, 8 AS height,
-             |  CAST(list_sum(list_transform(string_split(substring(text, 1, 192), ''), c -> unicode(c))) AS BIGINT) AS px_sum
-             |FROM documents WHERE octet_length(text::BLOB) >= 192
-             |ORDER BY doc_id""".stripMargin)),
+      // byte-exact oracle: hex the UTF-8 blob and sum byte pairs — a
+      // character-based substring+unicode() spelling would diverge from
+      // the Spark side's BYTE window on any non-ASCII document
+      Some("""WITH h AS (
+             |  SELECT doc_id, substr(hex(encode(text)), 1, 384) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 192)
+             |SELECT doc_id, 8 AS width, 8 AS height,
+             |  CAST(list_sum(list_transform(range(0, 192),
+             |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
+             |FROM h ORDER BY doc_id""".stripMargin)),
 
     // priority-aware dedup: among identical texts keep the preferred
     // source's copy (tie-break doc_id) — the "trusted source wins" rule
