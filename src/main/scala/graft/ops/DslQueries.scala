@@ -583,6 +583,32 @@ object DslQueries {
              |FROM supplier JOIN ids ON s_nationkey = n_nationkey
              |ORDER BY s_suppkey""".stripMargin)),
 
+    // ---- strict field check (reference executor.py:310-333): declaring
+    //      a field the schema doesn't know fails AT BUILD TIME with a
+    //      did-you-mean suggestion; the row pins the exact message so the
+    //      suggestion machinery (edit-distance <= 3, schema-order known
+    //      list) is oracle-checked, not just unit-asserted
+    Q(
+      "dsl_strict_field",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("name", StringType)))
+        val msg =
+          try {
+            Etl(table(s, dir, "customer"))
+              .mapToTyped("cust", schema, joinOn = Seq("c_custkey"))(
+                "c_custkey" -> transforms.get("c_custkey"),
+                "nmae" -> transforms.get("c_name"))
+            "no error"
+          } catch { case e: Validation.UnknownFieldException => e.getMessage }
+        Seq(msg).toDF("err")
+      },
+      Some("SELECT 'unknown field ''nmae'' for table ''cust''; " +
+        "did you mean ''name''? (known fields: c_custkey, name)' AS err")),
+
     // ---- custom MergePolicy seam (reference instances.py:31-33): a
     //      user-defined ordered Fold — running concatenation of event
     //      types in ARRIVAL order — checked against STRING_AGG with an
