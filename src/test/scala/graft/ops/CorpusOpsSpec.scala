@@ -157,6 +157,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("minhashSignature fold equals the per-component naive construction") {
+    import org.apache.spark.sql.functions._
+    // naive form: k independent array_min passes over h1 + i*h2 — the
+    // spec the fused running-min fold must reproduce exactly
+    def naive(text: org.apache.spark.sql.Column, n: Int, k: Int) = {
+      def h(s: org.apache.spark.sql.Column, off: Int) =
+        conv(substring(md5(s.cast("binary")), off, 14), 16, 10).cast("long")
+      val sh = TextFunctions.shingles(text, n)
+      array((0 until k).map { i =>
+        array_min(transform(sh, s => h(s, 1) + lit(i.toLong) * h(s, 15)))
+      }: _*)
+    }
+    val out = docs.select(
+      Dedup.minhashSignature($"text", 3, 6).as("fast"),
+      naive($"text", 3, 6).as("slow"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[Any](0) === r.getSeq[Any](1)))
+    // empty shingle set ⇒ all-null components in both forms
+    val empty = Seq((9L, "a b")).toDF("doc_id", "text") // < 3 tokens
+      .select(Dedup.minhashSignature($"text", 3, 4)).collect()(0).getSeq[Any](0)
+    assert(empty === Seq(null, null, null, null))
+  }
+
   test("minhash k above 128 is rejected: h1 + i*h2 would overflow a long") {
     val e = intercept[IllegalArgumentException] {
       Dedup.minhashLsh(docs, "doc_id", "text", bands = 43, rowsPerBand = 3)
