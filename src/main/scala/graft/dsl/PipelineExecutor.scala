@@ -219,16 +219,20 @@ private[dsl] final class PipelineExecutor(
     }.toMap
     val fieldType: Map[String, DataType] = fieldOrder.map { f =>
       // emissions agreeing on the field's Spark type keep it; a MIXED-type
-      // field aligns to StringType — the schema-on-read common denominator
-      // (the reference keeps dynamic values as-is; a declared schema then
-      // try_casts from the string per update, recording real error rows).
+      // field aligns to Spark's tightest common type (int+long → long, the
+      // widening any engine would do) and only an incompatible mix (e.g.
+      // long+string) falls back to StringType — the schema-on-read common
+      // denominator (the reference keeps dynamic values as-is; a declared
+      // schema then try_casts per update, recording real error rows).
       // A plain cast to the first definer's type would THROW mid-job under
       // ANSI mode (Spark 4 default) or silently null the value with ANSI
       // off — either way bypassing the error channel.
       val ts = compiled.collect {
         case (s, df) if s.fields.exists(_.name == f) => df.schema(f).dataType
       }.distinct
-      val t = if (ts.size == 1) ts.head else StringType
+      val t = ts.reduce((a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCoercion
+          .findTightestCommonType(a, b).getOrElse(StringType))
       // Extend concatenates lists; a scalar-typed field contributes
       // single elements (instances.py:47-55), so its merged type is array
       f -> (policies(f) match {

@@ -270,6 +270,22 @@ class ValidationSpec extends SparkTestBase {
     assert(errs.length === 1 && errs(0).getString(3).contains("N/A"))
   }
 
+  test("numerically-compatible mixed types widen instead of falling to string") {
+    // int (json integer) + double (json float) for the same field across
+    // emissions: the union must carry the widened numeric, not a string
+    val result = Etl.json(spark,
+      """{"a": [{"id": "u1", "v": 2}], "b": [{"id": "u2", "v": 2.5}]}""")
+      .goto("a").each()
+      .mapTo("t", joinOn = Seq("id"))("id" -> get("id"), "v" -> get("v"))
+      .root().goto("b").each()
+      .mapTo("t", joinOn = Seq("id"))("id" -> get("id"), "v" -> get("v"))
+      .run()
+    val df = result.table("t")
+    assert(df.schema("v").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(rows(df.select("id", "v").orderBy("id")) ===
+      Seq(Seq("u1", 2.0), Seq("u2", 2.5)))
+  }
+
   test("conflicting merge policies for one field are rejected") {
     val e = intercept[IllegalArgumentException] {
       Etl.json(spark, """{"rows": [{"id": "a", "v": 1}]}""")
