@@ -152,6 +152,12 @@ object TransformCompiler {
           // size() returns -1 for null input under legacy conf; guard it
           when(c.isNull, lit(null)).otherwise(size(c))
         case StringType => length(c)
+        case s: StructType =>
+          // a schema-inferred JSON object: len(dict) = its key count —
+          // static under a struct, null for a null node (same convention
+          // as struct auto-iteration, which emits the static keys)
+          when(c.isNull, lit(null).cast(IntegerType))
+            .otherwise(lit(s.fields.length))
         case _ => lit(null).cast(IntegerType)
       }
     case ApplyFn(f, inner) => f(compile(inner, env))

@@ -206,11 +206,12 @@ class EtlSpec extends SparkTestBase {
         "co" -> coalesceT(get("b"), get("c"), get("a")),
         "l1" -> lenOf(get("list")),
         "l2" -> lenOf(get("a")),
-        "l3" -> lenOf(get("n")))
+        "l3" -> lenOf(get("n")),
+        "l4" -> lenOf(node())) // len of a dict = its key count
       .run()
     // concat: null → ""; format_id: skip null AND ""; coalesce: "" is non-null
     assert(rows(result.tableOrdered("out")) ===
-      Seq(Seq("x-5", "x_5", "", 3, 1, null)))
+      Seq(Seq("x-5", "x_5", "", 3, 1, null, 5)))
   }
 
   test("each() iterates a heterogeneous struct as JSON-text values") {
