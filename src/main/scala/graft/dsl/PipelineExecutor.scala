@@ -596,4 +596,24 @@ final class PipelineResult private[dsl] (
       telemetry.safeEvent("FlushFailed", t, e.getMessage); throw e
     }
   }
+
+  /** [[write]] with per-table written-row counts piggybacked on the flush
+    * itself via `observe()` — the counts ride the write job, so a
+    * 20-table pipeline reports inserted-row stats (reference
+    * TableStats.inserted) with ZERO additional Spark jobs; `tableStats`
+    * by contrast runs one (unioned) counting job of its own.
+    *
+    * The writer must run a SINK action on the DataFrame it is given
+    * (`df.write...` — the JDBC/Delta/noop path): observe metrics ride
+    * SQL command execution; an RDD-style `foreachPartition` bypasses the
+    * collection point and would report 0. */
+  def writeObserved(writer: (String, DataFrame) => Unit): Map[String, Long] = {
+    val obs = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Observation]
+    write { (t, df) =>
+      val o = new org.apache.spark.sql.Observation(s"graft_write_$t")
+      obs(t) = o
+      writer(t, df.observe(o, count(lit(1)).as("rows")))
+    }
+    obs.map { case (t, o) => t -> o.get("rows").asInstanceOf[Long] }.toMap
+  }
 }

@@ -195,6 +195,20 @@ class ValidationSpec extends SparkTestBase {
     assert(errs(0).getString(4) === "update")
   }
 
+  test("writeObserved piggybacks written-row counts on the flush job") {
+    val result = Etl.json(spark,
+      """{"users": [{"id": "u1"}, {"id": "u2"}], "tags": [{"t": "a"}]}""")
+      .goto("users").each()
+      .mapTo("users", joinOn = Seq("id"))("id" -> get("id"))
+      .root().goto("tags").each()
+      .mapTo("tags", joinOn = Seq("t"))("t" -> get("t"))
+      .run()
+    val written = result.writeObserved { (_, df) =>
+      df.write.format("noop").mode("overwrite").save()
+    }
+    assert(written === Map("users" -> 2L, "tags" -> 1L))
+  }
+
   test("synthesized merge values failing the declared cast error as phase=merge") {
     val schema = StructType(Seq(
       StructField("id", StringType),
