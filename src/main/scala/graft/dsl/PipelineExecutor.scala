@@ -352,13 +352,22 @@ private[dsl] final class PipelineExecutor(
     val child = states.getOrElse(b.childTable,
       throw new IllegalArgumentException(s"backlink: unknown child '${b.childTable}'"))
 
-    val listCol0 = parent.df(b.parentListField)
-    val listCol = parent.df.schema(b.parentListField).dataType match {
+    // The parent's merged table feeds the SAME plan twice (the exploded
+    // key side and the final left join back), the two subtrees differ, so
+    // ReuseExchange cannot dedupe them — uncached, the parent's keyed
+    // merge shuffle would run twice per backlink action. Lazy cache
+    // (memory-and-disk, LRU) shares one materialization; cost is one
+    // parent-table copy for the session.
+    val pdf = parent.df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val listCol0 = pdf(b.parentListField)
+    val listCol = pdf.schema(b.parentListField).dataType match {
       case _: ArrayType => listCol0
       case _ => when(listCol0.isNotNull, array(listCol0)) // scalar → 1-list
     }
 
-    val exploded = parent.df.select(
+    val exploded = pdf.select(
       col(RowOrd).as("__g_bk_pid"),
       posexplode(listCol).as(Seq("__g_bk_pos", "__g_bk_key")))
 
@@ -375,11 +384,11 @@ private[dsl] final class PipelineExecutor(
           col("__g_bk_pos").as("p"), col("__g_bk_row").as("r")))),
         x => x.getField("r")).as(b.attr))
 
-    require(!parent.df.columns.contains(b.attr),
+    require(!pdf.columns.contains(b.attr),
       s"backlink would attach attr '${b.attr}' but table " +
         s"'${b.parentTable}' already has that column; pick another attr")
-    val joined = parent.df
-      .join(agg, parent.df(RowOrd) === agg("__g_bk_pid"), "left")
+    val joined = pdf
+      .join(agg, pdf(RowOrd) === agg("__g_bk_pid"), "left")
       .drop("__g_bk_pid") // attr stays null when no children matched
     states.updated(b.parentTable,
       parent.copy(df = joined, visible = parent.visible :+ b.attr))
