@@ -74,8 +74,12 @@ object Relational {
         val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val ord = table(s, dir, "orders")
         val li = table(s, dir, "lineitem")
+        // No broadcast hint on customer: it grows linearly with SF, so the
+        // hint would force a multi-GB broadcast at 100 TB. Below
+        // autoBroadcastJoinThreshold AQE still picks BHJ; above, it
+        // degrades gracefully to shuffled-hash/SMJ.
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderpriority"))
           .agg(sum(revTerm).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -100,8 +104,9 @@ object Relational {
         val cust = table(s, dir, "customer")
         val ord = table(s, dir, "orders")
         val li = table(s, dir, "lineitem")
+        // customer scales with SF (no hint); nation/region are bounded dims.
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
           .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
           .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
@@ -242,8 +247,10 @@ object Relational {
         val part = table(s, dir, "part")
         val sup = table(s, dir, "supplier")
         val nation = table(s, dir, "nation")
-        li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
-          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        // part/supplier scale with SF — leave the join strategy to AQE;
+        // only the 25-row nation keeps a forced broadcast.
+        li.join(part, li("l_partkey") === part("p_partkey"))
+          .join(sup, li("l_suppkey") === sup("s_suppkey"))
           .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
           .groupBy(col("n_name"), col("p_brand"))
           .agg(
@@ -294,12 +301,17 @@ object Relational {
       (s, dir) => {
         val cust = table(s, dir, "customer")
         val ord = table(s, dir, "orders")
-        val joined = ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_mktsegment"))
-        joined
-          .withColumn("seg_sum", sum(col("o_totalprice").cast(d182)).over(w))
-          .withColumn("seg_n", count(lit(1)).over(w))
-          .filter(col("o_totalprice").cast(d182) * col("seg_n") > col("seg_sum"))
+        // A window over the 5-value c_mktsegment would put ~20% of all
+        // orders on ONE reducer. Instead: aggregate to 5 rows (map-side
+        // partials) and broadcast the tiny result back onto the join.
+        val joined = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+          .select(
+            col("o_orderkey"), col("c_mktsegment"),
+            col("o_totalprice").cast(d182).as("p"))
+        val seg = joined.groupBy(col("c_mktsegment"))
+          .agg(sum(col("p")).as("seg_sum"), count(lit(1)).as("seg_n"))
+        joined.join(broadcast(seg), "c_mktsegment")
+          .filter(col("p") * col("seg_n") > col("seg_sum"))
           .select(col("o_orderkey"), col("c_mktsegment"))
           .orderBy(col("o_orderkey"))
       },

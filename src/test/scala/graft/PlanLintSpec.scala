@@ -21,6 +21,55 @@ class PlanLintSpec extends SparkTestBase {
   private val bnljByDesign = Set("ann_bruteforce_topk", "ann_quantized_topk",
     "ann_ivf_topk", "ann_ivf_kmeans")
 
+  // ANN contract: the corpus stays partitioned and the QUERY BATCH is
+  // broadcast — bounded by the caller, not by the plan shape.
+  private val queryBatchBroadcast = Set("ann_bruteforce_topk",
+    "ann_quantized_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_kmeans")
+
+  // Tables that stay broadcastable at ANY scale factor (TPC-H fixes them
+  // at 25 / 5 rows). customer/part/supplier/orders/lineitem GROW with SF
+  // and must never carry a forced broadcast hint.
+  private val boundedDims = Set("nation", "region")
+
+  /** A forced-broadcast subtree is scale-safe iff it is bounded by
+    * construction: every leaf is an allowlisted fixed-size dim or a
+    * driver-built LocalRelation, or the subtree aggregates/limits to a
+    * bounded set before the hint.
+    */
+  private def boundedSubtree(
+      sub: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val boundingOp = sub.collectFirst {
+      case _: Aggregate => (); case _: GlobalLimit => ()
+    }.isDefined
+    boundingOp || sub.collectLeaves().forall {
+      case _: LocalRelation => true
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.exists(p =>
+          boundedDims.exists(t => p.toString.endsWith(s"$t.parquet")))
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  test("forced broadcast() hints only on sides bounded at any scale") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.all
+      .filterNot(q => skip(q.name) || q.name.startsWith("stream_") ||
+        queryBatchBroadcast(q.name))
+      .foreach { q =>
+        val bad = q.run(spark, dir).queryExecution.analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
+            !boundedSubtree(h.child) => h
+        }
+        assert(bad.isEmpty,
+          s"${q.name} forces broadcast of an unbounded side:\n${bad.mkString("\n")}")
+      }
+  }
+
   test("no cartesian products; nested-loop joins only where designed") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.all
