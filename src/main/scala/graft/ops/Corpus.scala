@@ -232,4 +232,36 @@ object Corpus {
         col("__rn") * 100 <= col("__n") * hiPct)
       .drop("__rn", "__n")
   }
+
+  /** Dominant-stratum-safe variant of [[clipByLengthRank]]: per-stratum
+    * `approx_percentile` thresholds (one map-side-partial aggregate, a
+    * handful of rows) broadcast-joined back, then a map-only value
+    * filter. Nothing ever sorts a whole stratum, so a stratum holding
+    * half the corpus (English at 100 TB) costs the same as a tiny one.
+    *
+    * The trade vs the rank version: clipping is BY VALUE, not by exact
+    * row count — with heavy length ties the kept fraction can deviate
+    * from (hiPct-loPct)% no matter the accuracy, and the percentile
+    * sketch itself is approximate (error ≤ 1/accuracy of the rank
+    * space). Rows strictly above the loPct threshold and at or below
+    * the hiPct threshold are kept; loPct=0 / hiPct=100 disable that
+    * bound entirely so extreme rows are never lost to sketch error.
+    */
+  def clipByLengthApprox(df: DataFrame, stratumCol: String, lenCol: String,
+      loPct: Int, hiPct: Int, accuracy: Int = 10000): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 0 <= lo < hi <= 100, got $loPct/$hiPct")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val th = df.groupBy(col(stratumCol)).agg(
+      percentile_approx(col(lenCol),
+        array(lit(loPct / 100.0), lit(hiPct / 100.0)),
+        lit(accuracy)).as("__th"))
+      .select(col(stratumCol), col("__th").getItem(0).as("__lo"),
+        col("__th").getItem(1).as("__hi"))
+    val lo = if (loPct == 0) lit(true) else col(lenCol) > col("__lo")
+    val hi = if (hiPct == 100) lit(true) else col(lenCol) <= col("__hi")
+    df.join(broadcast(th), stratumCol)
+      .filter(lo && hi)
+      .drop("__lo", "__hi")
+  }
 }

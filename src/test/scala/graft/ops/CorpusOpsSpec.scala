@@ -392,4 +392,32 @@ class CorpusOpsSpec extends SparkTestBase {
     // rn*100 > 20*5 → rn >= 2; rn*100 <= 20*95 → rn <= 19
     assert(kept === (2L to 19L).toArray)
   }
+
+  test("clipByLengthApprox tracks the rank clip on a dominant skewed stratum") {
+    // one stratum holds 90% of the rows (the 100 TB English case) with
+    // unique lengths; a tiny stratum rides along
+    val big = (1 to 900).map(i => (i.toLong, "en", i.toLong))
+    val small = (1 to 40).map(i => (1000L + i, "fr", i.toLong))
+    val df = (big ++ small).toDF("doc_id", "lang", "n_chars")
+    val exact = Corpus.clipByLengthRank(df, "lang", "n_chars", "doc_id", 10, 90)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val approx = Corpus.clipByLengthApprox(df, "lang", "n_chars", 10, 90)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // at this size the sketch is exact up to the by-value vs by-rank
+    // boundary convention; allow a sliver of boundary drift per stratum
+    val drift = (exact diff approx) ++ (approx diff exact)
+    assert(drift.size <= 4, s"drift too large: $drift")
+    // the dominant stratum kept ~80% either way
+    val enKept = approx.count(_ <= 900L)
+    assert(enKept >= 700 && enKept <= 740, s"enKept=$enKept")
+  }
+
+  test("clipByLengthApprox keeps extremes when a bound is disabled") {
+    val df = (1 to 50).map(i => (i.toLong, "en", i.toLong))
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = Corpus.clipByLengthApprox(df, "lang", "n_chars", 0, 90)
+      .select($"doc_id").collect().map(_.getLong(0))
+    assert(kept.contains(1L), "loPct=0 must keep the shortest row")
+    assert(!kept.contains(50L), "hiPct=90 must drop the longest row")
+  }
 }
