@@ -94,7 +94,13 @@ object JdbcLoad {
             val sp = conn.setSavepoint()
             try { insert.executeUpdate(); roundTrips.add(1) }
             catch {
-              case _: java.sql.SQLIntegrityConstraintViolationException =>
+              // SQLState class 23 = integrity-constraint violation. The
+              // Postgres driver throws PSQLException(23505), which does NOT
+              // subclass SQLIntegrityConstraintViolationException (Derby/
+              // MySQL do) — match on the state class, not the subclass.
+              case e: java.sql.SQLException
+                  if e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+                    (e.getSQLState != null && e.getSQLState.startsWith("23")) =>
                 conn.rollback(sp)
             }
             n += 1

@@ -52,6 +52,11 @@ private[dsl] final class PipelineExecutor(
     telemetry: Telemetry = Telemetry.Noop) {
   import PipelineExecutor._
 
+  // backlink parent caches — handed to PipelineResult so a full write can
+  // release them once the plans have materialized (ADVICE r3: stacked
+  // backlinks onto one parent otherwise pin successive copies all session)
+  private val cachedHandles = scala.collection.mutable.Buffer.empty[DataFrame]
+
   def execute(): PipelineResult = {
     val lookupMaps = buildIndexes()
 
@@ -151,7 +156,8 @@ private[dsl] final class PipelineExecutor(
         backlinks.map(b => b.parentTable -> b.childTable))
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
 
-    new PipelineResult(states, deps, errorDfs, telemetry, deterministicIds)
+    new PipelineResult(states, deps, errorDfs, telemetry, deterministicIds,
+      cachedHandles.toSeq)
   }
 
   // ---------------------------------------------------------------- emit
@@ -230,9 +236,12 @@ private[dsl] final class PipelineExecutor(
       val ts = compiled.collect {
         case (s, df) if s.fields.exists(_.name == f) => df.schema(f).dataType
       }.distinct
+      // findWiderTypeForTwo also covers what findTightestCommonType
+      // returns None for — decimal precision mixes, int+decimal — so a
+      // numerically-compatible mix widens instead of degrading to string
       val t = ts.reduce((a, b) =>
         org.apache.spark.sql.catalyst.analysis.TypeCoercion
-          .findTightestCommonType(a, b).getOrElse(StringType))
+          .findWiderTypeForTwo(a, b).getOrElse(StringType))
       // Extend concatenates lists; a scalar-typed field contributes
       // single elements (instances.py:47-55), so its merged type is array
       f -> (policies(f) match {
@@ -360,6 +369,7 @@ private[dsl] final class PipelineExecutor(
     // parent-table copy for the session.
     val pdf = parent.df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedHandles += pdf
 
     val listCol0 = pdf(b.parentListField)
     val listCol = pdf.schema(b.parentListField).dataType match {
@@ -471,7 +481,8 @@ final class PipelineResult private[dsl] (
     val deps: Map[String, Set[String]],
     errorDfs: ListMap[String, DataFrame] = ListMap.empty,
     telemetry: Telemetry = Telemetry.Noop,
-    deterministicIds: Boolean = true) {
+    deterministicIds: Boolean = true,
+    cachedHandles: Seq[DataFrame] = Nil) {
 
   def tableNames: Seq[String] = states.keys.toSeq
 
@@ -583,8 +594,10 @@ final class PipelineResult private[dsl] (
 
   /** Write every table parent-first through `writer` — the JDBC/Delta sink
     * seam (`(table, df) => df.write.jdbc(...)`). */
-  def write(writer: (String, DataFrame) => Unit): Unit =
+  def write(writer: (String, DataFrame) => Unit): Unit = {
     topoOrder.foreach(flushOne(writer, _))
+    unpersistCaches()
+  }
 
   /** Write component by component: each weakly-connected component's
     * tables flush together (topo order inside the component) before the
@@ -593,10 +606,19 @@ final class PipelineResult private[dsl] (
     * deterministic smallest-member order; cross-component ordering is
     * free because disconnected tables share no relationships by
     * definition. */
-  def writeByComponent(writer: (String, DataFrame) => Unit): Unit =
+  def writeByComponent(writer: (String, DataFrame) => Unit): Unit = {
     components.foreach { comp =>
       GraphUtils.topologicalSort(comp, deps).foreach(flushOne(writer, _))
     }
+    unpersistCaches()
+  }
+
+  /** Release the executor's backlink parent caches. Called automatically
+    * after a full [[write]]/[[writeByComponent]] (the flushed plans have
+    * materialized; the cached copies are dead weight from then on); call
+    * directly if a pipeline is read via [[table]] only and discarded. A
+    * later [[table]] call stays correct — it just recomputes. */
+  def unpersistCaches(): Unit = cachedHandles.foreach(_.unpersist(false))
 
   private def flushOne(writer: (String, DataFrame) => Unit, t: String): Unit = {
     telemetry.safeEvent("FlushStarted", t)
@@ -623,6 +645,20 @@ final class PipelineResult private[dsl] (
       obs(t) = o
       writer(t, df.observe(o, count(lit(1)).as("rows")))
     }
-    obs.map { case (t, o) => t -> o.get("rows").asInstanceOf[Long] }.toMap
+    // the write actions above already completed — metric delivery is only
+    // an async listener hop away. A writer that never ran a SQL action
+    // would block a bare .get forever; fail loud instead.
+    obs.map { case (t, o) =>
+      val row =
+        try scala.concurrent.Await.result(o.future,
+          scala.concurrent.duration.Duration(30, "s"))
+        catch { case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"writeObserved: writer for '$t' never ran a SQL action on the " +
+              "observed DataFrame (observe metrics ride SQL command " +
+              "execution; an RDD foreachPartition sink bypasses them)")
+        }
+      t -> row.getAs[Long]("rows")
+    }.toMap
   }
 }

@@ -427,8 +427,10 @@ object Dedup {
     // ONE tokenize+shingle pass feeds all four consumers (LSH propose,
     // both sides of the verify self-join, and the size aggregate) —
     // uncached, each reference would re-scan and re-shingle the whole
-    // corpus. Persisted for the session (memory-and-disk, LRU-evicted);
-    // on a long-lived cluster prefer materializing shingles to a table.
+    // corpus. The cache's lifetime is bounded to THIS call: the (small)
+    // verified-pair result is materialized executor-local below and the
+    // corpus-wide shingle cache released, so repeated calls don't
+    // accumulate pinned scans waiting on LRU eviction.
     val sh = shingleRows(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashLshFromShingles(sh, bands, rowsPerBand)
@@ -437,13 +439,16 @@ object Dedup {
       .join(sh.select(col("doc").as("d1"), col("shingle")), "d1")
       .join(sh.select(col("doc").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-    common
+    val verified = common
       .join(sizes.select(col("doc").as("d1"), col("nsh").as("na")), "d1")
       .join(sizes.select(col("doc").as("d2"), col("nsh").as("nb")), "d2")
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    verified
   }
 
   /** Per-doc 64-bit simhash as a table (explode + grouped bit votes — the
