@@ -456,9 +456,13 @@ private[dsl] final class PipelineExecutor(
   })
 }
 
-/** Per-table (mapped, errors) counts — triggers actions (reference
-  * TableStats, fluent.py:164-281). */
-final case class TableStats(mapped: Long, errors: Long)
+/** Per-table pipeline statistics (reference TableStats,
+  * fluent.py:164-281): mapped/errors from the mapping+validation phase,
+  * inserted/failed from the flush. [[PipelineResult.tableStats]] fills
+  * the first two (no sink involved); [[PipelineResult.writeStats]]
+  * fills all four in one flush pass. */
+final case class TableStats(mapped: Long, errors: Long,
+    inserted: Long = 0L, failed: Long = 0L)
 
 object PipelineResult {
   private[dsl] val log = org.slf4j.LoggerFactory.getLogger(classOf[PipelineResult])
@@ -645,20 +649,74 @@ final class PipelineResult private[dsl] (
       obs(t) = o
       writer(t, df.observe(o, count(lit(1)).as("rows")))
     }
-    // the write actions above already completed — metric delivery is only
-    // an async listener hop away. A writer that never ran a SQL action
-    // would block a bare .get forever; fail loud instead.
-    obs.map { case (t, o) =>
-      val row =
-        try scala.concurrent.Await.result(o.future,
-          scala.concurrent.duration.Duration(30, "s"))
-        catch { case _: java.util.concurrent.TimeoutException =>
-          throw new IllegalStateException(
-            s"writeObserved: writer for '$t' never ran a SQL action on the " +
-              "observed DataFrame (observe metrics ride SQL command " +
-              "execution; an RDD foreachPartition sink bypasses them)")
-        }
-      t -> row.getAs[Long]("rows")
+    obs.map { case (t, o) => t -> observedRows(t, o) }.toMap
+  }
+
+  // the write action already completed when this is read — metric delivery
+  // is only an async listener hop away. A writer that never ran a SQL
+  // action would block a bare .get forever; fail loud instead.
+  private def observedRows(t: String, o: org.apache.spark.sql.Observation): Long = {
+    val row =
+      try scala.concurrent.Await.result(o.future,
+        scala.concurrent.duration.Duration(30, "s"))
+      catch { case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          s"writeObserved: writer for '$t' never ran a SQL action on the " +
+            "observed DataFrame (observe metrics ride SQL command " +
+            "execution; an RDD foreachPartition sink bypasses them)")
+      }
+    row.getAs[Long]("rows")
+  }
+
+  /** Full flush returning the reference's fused per-table statistics —
+    * all four TableStats fields (fluent.py:164-281) for the cost of the
+    * writes plus ONE counting job:
+    *
+    *   - `inserted` rides an `observe()` on each table's own write job
+    *     (zero extra jobs; same sink contract as [[writeObserved]]);
+    *     `mapped` for a flushed table IS that count — what reached the
+    *     sink is what the mapping phase produced.
+    *   - a table whose writer throws records inserted=0, failed=mapped
+    *     and the flush CONTINUES with the remaining tables (the
+    *     reference's error-collecting flush; inspect telemetry
+    *     FlushFailed events for messages).
+    *   - the one extra action counts every error stream and the mapped
+    *     rows of failed tables together, exactly like [[tableStats]].
+    */
+  def writeStats(writer: (String, DataFrame) => Unit): Map[String, TableStats] = {
+    val obs = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Observation]
+    val failedTables = scala.collection.mutable.Set.empty[String]
+    topoOrder.foreach { t =>
+      telemetry.safeEvent("FlushStarted", t)
+      val o = new org.apache.spark.sql.Observation(s"graft_stats_$t")
+      try {
+        writer(t, table(t).observe(o, count(lit(1)).as("rows")))
+        obs(t) = o
+        telemetry.safeEvent("FlushCompleted", t)
+      } catch { case scala.util.control.NonFatal(e) =>
+        failedTables += t
+        telemetry.safeEvent("FlushFailed", t, e.getMessage)
+      }
+    }
+    unpersistCaches()
+    val tagged =
+      errorDfs.toSeq.map { case (n, e) =>
+        e.select(lit(n).as("__g_t"), lit("errors").as("__g_k")) } ++
+      failedTables.toSeq.map { n =>
+        states(n).df.select(lit(n).as("__g_t"), lit("rows").as("__g_k")) }
+    val counts = tagged.reduceOption(_.unionByName(_))
+      .map(_.groupBy(col("__g_t"), col("__g_k")).count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+      .getOrElse(Map.empty[(String, String), Long])
+    states.map { case (n, _) =>
+      val errs = counts.getOrElse((n, "errors"), 0L)
+      if (failedTables(n)) {
+        val mapped = counts.getOrElse((n, "rows"), 0L)
+        n -> TableStats(mapped, errs, 0L, mapped)
+      } else {
+        val ins = observedRows(n, obs(n))
+        n -> TableStats(ins, errs, ins, 0L)
+      }
     }.toMap
   }
 }

@@ -261,4 +261,44 @@ class EtlSpec extends SparkTestBase {
       assert(actions === 1)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("writeStats fuses all four TableStats fields in one extra action") {
+    val j = """{"users": [{"id": "u1", "age": "x"}, {"id": "u2", "age": "2"}],
+               |"posts": [{"pid": "p1"}, {"pid": "p2"}, {"pid": "p3"}]}""".stripMargin
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("age", IntegerType)))
+    val result = Etl.json(spark, j)
+      .goto("users").each()
+      .mapToTyped("users", schema, joinOn = Seq("id"))(
+        "id" -> get("id"), "age" -> get("age"))
+      .root().goto("posts").each()
+      .mapTo("posts")("pid" -> get("pid"))
+      .run()
+
+    @volatile var actions = 0
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions += 1
+      def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // posts' writer dies before running any action; users flushes to
+      // the noop sink. Expected Spark actions: 1 write + 1 fused count.
+      val stats = result.writeStats { (t, df) =>
+        if (t == "posts") throw new RuntimeException("sink down")
+        df.write.format("noop").mode("overwrite").save()
+      }
+      // u1 fails the declared cast → 1 error, 1 valid row reaches the sink
+      assert(stats("users") === TableStats(1, 1, 1, 0))
+      assert(stats("posts") === TableStats(3, 0, 0, 3))
+      val deadline = System.currentTimeMillis() + 10000
+      while (actions < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(300)
+      assert(actions === 2)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
