@@ -62,7 +62,9 @@ object Bench {
 
   /** Failed queries (no successful pass) are excluded from the total and
     * listed in an explicit "failed" field instead of silently shrinking
-    * the sum with a sentinel. */
+    * the sum with a sentinel. The line is also written to
+    * `target/bench.json` — the driver captures stdout via a log tail that
+    * has truncated long runs, and the file survives that. */
   private def emit(names: Seq[String], samples: Map[String, Double],
       sfDir: String): Unit = {
     val ok = names.filter(samples.contains)
@@ -70,6 +72,15 @@ object Bench {
     val qs = ok.map(k => JsonUtil.quote(k) + ":" + samples(k)).mkString("{", ",", "}")
     val failedJson = failed.map(JsonUtil.quote).mkString("[", ",", "]")
     val total = ok.map(samples).sum
-    println(s"""{"metric":"steady_state_total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${JsonUtil.quote(sfDir)}}""")
+    val line = s"""{"metric":"steady_state_total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${JsonUtil.quote(sfDir)}}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
   }
 }

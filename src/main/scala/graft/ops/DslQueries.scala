@@ -674,7 +674,124 @@ object DslQueries {
              |UNION ALL
              |SELECT 'ord',
              |  (SELECT COUNT(*) FROM orders), CAST(0 AS BIGINT)
-             |ORDER BY tbl""".stripMargin))
+             |ORDER BY tbl""".stripMargin)),
+
+    // ---- one-record-per-chunk streaming append (reference
+    //      OneRecordPerChunkSource, chunking.py:36-71, flushed through the
+    //      append-only KeyCompleteFlushStrategy, chunking.py:281-315):
+    //      every nation row is its OWN micro-batch chunk — addData +
+    //      processAllAvailable per record pins the batch boundary — each
+    //      chunk mapped by a fresh pipeline and appended component-by-
+    //      component. The Derby read-back must equal the plain batch
+    //      projection: the reference's record-at-a-time streaming == batch
+    //      parity contract (tests/test_issue_77.py).
+    Q(
+      "dsl_stream_append",
+      (s, dir) => {
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val rows = table(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        val url = "jdbc:derby:memory:graft_append;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try st.execute("DROP TABLE nat_append")
+          catch { case _: java.sql.SQLException => () } // first run: no table
+          st.execute("CREATE TABLE nat_append (n_nationkey BIGINT PRIMARY KEY, " +
+            "n_name VARCHAR(100), id BIGINT)")
+        } finally conn.close()
+        val input = MemoryStream[(Long, String)]
+        val writer = graft.streaming.StreamingEtl.foreachChunk(
+          input.toDF().toDF("n_nationkey", "n_name"),
+          batch => Etl(batch)
+            .mapTo("nat_append", joinOn = Seq("n_nationkey"))(
+              "n_nationkey" -> transforms.get("n_nationkey"),
+              "n_name" -> transforms.get("n_name")),
+          graft.streaming.StreamingEtl.AppendStrategy((t, df) =>
+            df.write.mode("append").jdbc(url, t, new java.util.Properties())))
+        val q = writer.start()
+        rows.foreach { r => input.addData(r); q.processAllAvailable() }
+        q.stop()
+        s.read.jdbc(url, "nat_append", new java.util.Properties())
+          .select(col("n_nationkey"), col("n_name"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+
+    // ---- pre-segmented multi-root chunks (reference Chunk(sequential=
+    //      False) + PreSegmentedChunkSource, chunking.py:26-33,132-178;
+    //      fluent.py:1406-1446): each chunk carries rows for BOTH pipeline
+    //      roots — the nations of one key group plus the suppliers that
+    //      reference them — the splitter slices the batch per root, and
+    //      the pipeline maps chunk segment i via root(i). Upsert-flushed
+    //      so re-appearing keys update; the read-back aggregate must equal
+    //      the one-shot batch join.
+    Q(
+      "dsl_multiroot_chunks",
+      (s, dir) => {
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val nat = table(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+          .collect().map(r => ("n", r.getLong(0), r.getString(1), r.getLong(0)))
+        val sup = table(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long"), col("s_name"),
+            col("s_nationkey").cast("long"))
+          .collect().map(r => ("s", r.getLong(0), r.getString(1), r.getLong(2)))
+        // pre-segmented by nation group: chunk k holds nation keys ≡ k
+        // (mod 5) AND the suppliers referencing them — segment-complete
+        val chunks = (nat ++ sup).groupBy(_._4 % 5).toSeq.sortBy(_._1)
+          .map(_._2.toSeq)
+        val url = "jdbc:derby:memory:graft_multiroot;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          Seq("nat_mr", "sup_mr").foreach { t =>
+            try st.execute(s"DROP TABLE $t")
+            catch { case _: java.sql.SQLException => () } // first run: no table
+          }
+          st.execute("CREATE TABLE nat_mr (n_nationkey BIGINT PRIMARY KEY, " +
+            "n_name VARCHAR(100), id BIGINT)")
+          st.execute("CREATE TABLE sup_mr (s_suppkey BIGINT PRIMARY KEY, " +
+            "s_name VARCHAR(101), s_nationkey BIGINT, id BIGINT)")
+        } finally conn.close()
+        val input = MemoryStream[(String, Long, String, Long)]
+        val writer = graft.streaming.StreamingEtl.foreachMultiRootChunk(
+          input.toDF().toDF("kind", "k", "name", "nat"),
+          batch => Seq(
+            batch.filter(col("kind") === "n")
+              .select(col("k").as("n_nationkey"), col("name").as("n_name")),
+            batch.filter(col("kind") === "s")
+              .select(col("k").as("s_suppkey"), col("name").as("s_name"),
+                col("nat").as("s_nationkey"))),
+          roots => Etl(roots: _*)
+            .mapTo("nat_mr", joinOn = Seq("n_nationkey"))(
+              "n_nationkey" -> transforms.get("n_nationkey"),
+              "n_name" -> transforms.get("n_name"))
+            .root(1)
+            .mapTo("sup_mr", joinOn = Seq("s_suppkey"))(
+              "s_suppkey" -> transforms.get("s_suppkey"),
+              "s_name" -> transforms.get("s_name"),
+              "s_nationkey" -> transforms.get("s_nationkey")),
+          graft.streaming.StreamingEtl.JdbcUpsertStrategy(url,
+            Map("nat_mr" -> Seq("n_nationkey"), "sup_mr" -> Seq("s_suppkey"))))
+        val q = writer.start()
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        q.stop()
+        val p = new java.util.Properties()
+        val natBack = s.read.jdbc(url, "nat_mr", p)
+        val supBack = s.read.jdbc(url, "sup_mr", p)
+        natBack.join(supBack,
+            natBack("n_nationkey") === supBack("s_nationkey"), "left")
+          .groupBy(natBack("n_nationkey"), natBack("n_name"))
+          .agg(count(col("s_suppkey")).as("n_sup"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_sup
+             |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+             |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin))
   )
 
   /** Flagship: the README-quickstart pipeline shape (users+posts) over the
