@@ -791,7 +791,106 @@ object DslQueries {
       },
       Some("""SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_sup
              |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
-             |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin))
+             |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin)),
+
+    // ---- relationship completeness + the eager dimension that resolves
+    //      it (reference relationships.py:541-616 + load_eager,
+    //      fluent.py:1292-1326): chunks are split by SUPPLIER key, so
+    //      every chunk's suppliers reference nations the chunk does NOT
+    //      carry — the completeness check must fail LOUD on the bare
+    //      chunk, and pass once the eagerly-loaded nation dimension joins
+    //      the parent set. The pipeline then links each supplier to the
+    //      eager parent (non-eager child → eager parent crosses the
+    //      boundary in the one allowed direction) and the linked struct's
+    //      fields are flattened into the Derby sink, so the read-back
+    //      proves the eager rows actually bound.
+    Q(
+      "dsl_completeness_eager",
+      (s, dir) => {
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        import graft.streaming.StreamingEtl
+        val nations = table(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+        val sup = table(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long"), col("s_name"),
+            col("s_nationkey").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        val chunks = sup.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+        // 1. a supplier-keyed chunk carries no nation rows: the check must
+        //    raise, naming the missing keys (an incomplete chunk written
+        //    anyway would strand dangling foreign keys in the sink)
+        val bare = chunks.head.toDF("s_suppkey", "s_name", "s_nationkey")
+        val fired =
+          try {
+            StreamingEtl.checkRelationshipCompleteness(
+              bare, "s_nationkey", nations.limit(0), "n_nationkey",
+              "sup_e", "nat_e")
+            false
+          } catch { case _: StreamingEtl.RelationshipIncompleteError => true }
+        if (!fired) throw new IllegalStateException(
+          "RelationshipIncompleteError did not fire for a chunk with no parents")
+        val url = "jdbc:derby:memory:graft_eager;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try st.execute("DROP TABLE sup_e")
+          catch { case _: java.sql.SQLException => () } // first run: no table
+          st.execute("CREATE TABLE sup_e (s_suppkey BIGINT PRIMARY KEY, " +
+            "s_name VARCHAR(101), s_nationkey BIGINT, " +
+            "nation_n_nationkey BIGINT, nation_n_name VARCHAR(100), " +
+            "nation_id BIGINT, id BIGINT)")
+        } finally conn.close()
+        // 2. same chunks with the eager dimension closed over: the check
+        //    runs against {chunk parents ∪ eager parents} and passes
+        val input = MemoryStream[(Long, String, Long)]
+        val writer = StreamingEtl.foreachMultiRootChunk(
+          input.toDF().toDF("s_suppkey", "s_name", "s_nationkey"),
+          batch => {
+            StreamingEtl.checkRelationshipCompleteness(
+              batch, "s_nationkey", nations, "n_nationkey", "sup_e", "nat_e")
+            Seq(batch, nations)
+          },
+          roots => Etl(roots: _*)
+            .root(1)
+            .mapTo("nat_e", joinOn = Seq("n_nationkey"))(
+              "n_nationkey" -> transforms.get("n_nationkey"),
+              "n_name" -> transforms.get("n_name"))
+            .root(0)
+            .mapTo("sup_e", joinOn = Seq("s_suppkey"))(
+              "s_suppkey" -> transforms.get("s_suppkey"),
+              "s_name" -> transforms.get("s_name"),
+              "s_nationkey" -> transforms.get("s_nationkey"))
+            .linkTo("nat_e", by = Map("s_nationkey" -> "n_nationkey"),
+              as = "nation")
+            .loadEager("nat_e"),
+          StreamingEtl.AppendStrategy { (t, df) =>
+            // the eager dimension is resident, not per-chunk output — only
+            // the fact table reaches the sink, with link structs flattened
+            if (t != "nat_e") {
+              val flat = df.schema.fields.toSeq.flatMap { f =>
+                f.dataType match {
+                  case st: org.apache.spark.sql.types.StructType =>
+                    st.fields.toSeq.map(sf =>
+                      col(s"${f.name}.${sf.name}").as(s"${f.name}_${sf.name}"))
+                  case _ => Seq(col(f.name))
+                }
+              }
+              df.select(flat: _*).write.mode("append")
+                .jdbc(url, t, new java.util.Properties())
+            }
+          })
+        val q = writer.start()
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        q.stop()
+        s.read.jdbc(url, "sup_e", new java.util.Properties())
+          .select(col("s_suppkey"), col("s_name"),
+            col("nation_n_name").as("n_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, n_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |ORDER BY s_suppkey""".stripMargin))
   )
 
   /** Flagship: the README-quickstart pipeline shape (users+posts) over the
