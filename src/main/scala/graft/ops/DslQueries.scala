@@ -8,6 +8,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{get => _, _}
 
+/** Input row for the [[MergePolicy.FromUdaf]] oracle query: traversal
+  * ordinal + value (top-level so Spark derives an Encoder). The value
+  * carries its own ordering key (a fixed-width-padded event id prefix),
+  * because a distributed aggregate sees values in ANY order and the
+  * root-level ordinal is partition-dependent. */
+case class UdafOrdIn(o: Seq[Long], v: String)
+
+/** Buffer: the values seen so far, unordered until finish. */
+case class UdafJoinBuf(vs: Seq[String])
+
+/** Ordered string-join as a REAL partially-aggregating Aggregator — the
+  * FromUdaf plugin seam (instances.py:31-33) exercised the way a cluster
+  * would: map-side partial buffers per input partition, merged on the
+  * reducer, sorted once in finish. */
+object OrderedJoinAgg extends org.apache.spark.sql.expressions.Aggregator[
+    UdafOrdIn, UdafJoinBuf, String] {
+  override def zero: UdafJoinBuf = UdafJoinBuf(Vector.empty)
+  override def reduce(b: UdafJoinBuf, a: UdafOrdIn): UdafJoinBuf =
+    if (a == null || a.o == null || a.v == null) b // absent emission: skip
+    else UdafJoinBuf(b.vs :+ a.v)
+  override def merge(b1: UdafJoinBuf, b2: UdafJoinBuf): UdafJoinBuf =
+    UdafJoinBuf(b1.vs ++ b2.vs)
+  // values are "000000000042:click" — sort restores event order, then the
+  // 13-char key prefix is dropped from the joined output
+  override def finish(r: UdafJoinBuf): String =
+    r.vs.sorted.map(_.substring(13)).mkString("|")
+  override def bufferEncoder: org.apache.spark.sql.Encoder[UdafJoinBuf] =
+    org.apache.spark.sql.Encoders.product[UdafJoinBuf]
+  override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+    org.apache.spark.sql.Encoders.STRING
+}
+
 /** Driver-verifiable queries exercising the graft DSL end-to-end over the
   * TESTDATA tables: each query builds a nested "document" DataFrame from
   * parquet (the reference's JSON-root shape), runs an Etl pipeline over
@@ -890,7 +922,36 @@ object DslQueries {
       },
       Some("""SELECT s_suppkey, s_name, n_name
              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- FromUdaf merge policy in the oracle gate (reference custom
+    //      MergePolicy, instances.py:31-33): the root is the RAW events
+    //      table — one emission per row across many input partitions, so
+    //      one user's values land in several map-side partial buffers and
+    //      the Aggregator's merge() genuinely runs (dsl_custom_fold's
+    //      array fold covers only the single-array half of the seam).
+    //      Checked against STRING_AGG ... ORDER BY.
+    Q(
+      "dsl_custom_udaf",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+        Etl(ev)
+          .mapTo("agg", joinOn = Seq("user_id"))(
+            "user_id" -> transforms.get("user_id"),
+            Field("types",
+              concatT(
+                applyFn(c => lpad(c.cast("string"), 12, "0"),
+                  transforms.get("event_id")),
+                literal(":"),
+                transforms.get("event_type")),
+              policy = MergePolicy.FromUdaf(udaf(OrderedJoinAgg))))
+          .run().table("agg")
+          .select(col("user_id"), col("types"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  STRING_AGG(event_type, '|' ORDER BY event_id) AS types
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 
   /** Flagship: the README-quickstart pipeline shape (users+posts) over the
