@@ -376,4 +376,61 @@ class ValidationSpec extends SparkTestBase {
       ("MapStarted", "users"), ("MapCompleted", "users"),
       ("FlushStarted", "users"), ("FlushCompleted", "users")))
   }
+
+  // reference telemetry.py:27-124 ordering: Map* follows declaration
+  // order, Flush* follows TOPO order (parent before child even when the
+  // child was declared first), and a failing writer emits FlushFailed
+  // for exactly its table
+  test("telemetry pins topo flush order and FlushFailed per table") {
+    val jj =
+      """{"posts": [{"pid": "p1", "uid": "u1"}],
+        | "users": [{"id": "u1"}]}""".stripMargin
+    val rec = new Telemetry.Recording
+    val result = Etl.json(spark, jj)
+      .goto("posts").each()
+      .mapTo("posts", joinOn = Seq("pid"))(
+        "pid" -> get("pid"), "uid" -> get("uid"))
+      .linkTo("users", by = Map("uid" -> "id"), as = "user")
+      .root()
+      .goto("users").each()
+      .mapTo("users", joinOn = Seq("id"))("id" -> get("id"))
+      .run(telemetry = rec)
+    val e = intercept[RuntimeException] {
+      result.write { (t, df) =>
+        df.count()
+        if (t == "posts") throw new RuntimeException("boom")
+      }
+    }
+    assert(e.getMessage === "boom")
+    val names = rec.events.map(ev => (ev._1, ev._2)).toSeq
+    assert(names === Seq(
+      ("MapStarted", "posts"), ("MapCompleted", "posts"),
+      ("MapStarted", "users"), ("MapCompleted", "users"),
+      ("FlushStarted", "users"), ("FlushCompleted", "users"),
+      ("FlushStarted", "posts"), ("FlushFailed", "posts")))
+
+    // writeStats: same failure CONTINUES the flush (error-collecting
+    // mode) and the failed table reports inserted=0, failed=mapped
+    val rec2 = new Telemetry.Recording
+    val result2 = Etl.json(spark, jj)
+      .goto("posts").each()
+      .mapTo("posts", joinOn = Seq("pid"))(
+        "pid" -> get("pid"), "uid" -> get("uid"))
+      .linkTo("users", by = Map("uid" -> "id"), as = "user")
+      .root()
+      .goto("users").each()
+      .mapTo("users", joinOn = Seq("id"))("id" -> get("id"))
+      .run(telemetry = rec2)
+    val stats = result2.writeStats { (t, df) =>
+      df.write.format("noop").mode("overwrite").save()
+      if (t == "posts") throw new RuntimeException("boom")
+    }
+    val flushes = rec2.events.map(ev => (ev._1, ev._2)).toSeq
+      .filter(_._1.startsWith("Flush"))
+    assert(flushes === Seq(
+      ("FlushStarted", "users"), ("FlushCompleted", "users"),
+      ("FlushStarted", "posts"), ("FlushFailed", "posts")))
+    assert(stats("users") === TableStats(1, 0, 1, 0))
+    assert(stats("posts") === TableStats(1, 0, 0, 1))
+  }
 }
