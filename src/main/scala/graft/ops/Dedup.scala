@@ -144,6 +144,20 @@ object Dedup {
           col("n_shingles").cast("double")).as("contamination"))
   }
 
+  /** Per-round plan-cutting strategy for the iterative CC solvers:
+    * eager `localCheckpoint` by default (executor-local blocks, no
+    * storage dependency), eager reliable `checkpoint` when a directory
+    * is supplied — survives executor loss on long-lived clusters. */
+  private def materializer(checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
+      case Some(dir) => df => {
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+      }
+      case None => _.localCheckpoint(true)
+    }
+
   /** Connected components over an undirected pair graph (the near-dup
     * cluster extractor): iterative min-label propagation — every node
     * starts labeled with its own id, each round every node takes the min
@@ -157,13 +171,24 @@ object Dedup {
     * similarity threshold), so this converges in a handful of rounds; a
     * deep-chain graph would want the large-star/small-star variant.
     *
+    * @param checkpointDir when set, per-round results go to RELIABLE
+    *        checkpoint storage (HDFS/S3) instead of executor-local
+    *        `localCheckpoint` blocks — on a long-lived cluster with
+    *        executor churn a lost local block would otherwise force a
+    *        full recomputation of every round up to the failure
     * @return (id, cluster) — cluster is the min id in the component
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "d1", bCol: String = "d2", maxIters: Int = 25): DataFrame = {
+      aCol: String = "d1", bCol: String = "d2", maxIters: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // explicit MEMORY_AND_DISK (the Dataset cache() default, pinned here
+    // so a future StorageLevel change can't silently turn the per-round
+    // edge scan into recomputation-on-eviction)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val materialize = materializer(checkpointDir)
     // Iterate ONLY over nodes that appear in the pair graph: a near-dup
     // graph over a real corpus is sparse (the overwhelming majority of
     // documents pair with nothing), so each round shuffles O(|connected|)
@@ -177,18 +202,16 @@ object Dedup {
     // data, becomes the bottleneck after ~10 rounds. The checkpoint
     // resets the plan to a leaf; dropped rounds' blocks are released by
     // the ContextCleaner.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint(true)
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+      val next = materialize(labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster")))
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.cluster") =!= col("o.cluster")).count()
@@ -208,11 +231,10 @@ object Dedup {
           "carry multiple labels; raise maxIters or use " +
           "connectedComponentsStar (O(log n) rounds on any diameter)")
     }
-    // labels is already a localCheckpoint (materialized, leaf plan) — its
-    // blocks are executor-local, so on a long-lived cluster with executor
-    // churn the result should be persisted to reliable storage promptly
-    // (checkpoint() with a checkpoint dir, or a table write) rather than
-    // held lazily across executor failures.
+    // with checkpointDir unset, labels is a localCheckpoint — blocks are
+    // executor-local, so on a long-lived cluster with executor churn pass
+    // checkpointDir (reliable storage) instead of relying on lazy
+    // recomputation across executor failures.
     edges.unpersist()
     // singletons (no pair) are their own cluster; one left join, no rounds
     ids.select(col(idCol).as("id"))
@@ -241,13 +263,16 @@ object Dedup {
     * - small-star: each node u reconnects its smaller neighbors (and
     *   itself) to m = min(N⁻(u)) — flattens the remaining slopes.
     *
+    * @param checkpointDir as in [[connectedComponents]]: reliable
+    *        per-round checkpoints instead of executor-local blocks
     * @return (id, cluster) — cluster is the min id in the component,
     *         identical to [[connectedComponents]] output
     */
   def connectedComponentsStar(ids: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "d1", bCol: String = "d2", maxIters: Int = 30): DataFrame = {
+      aCol: String = "d1", bCol: String = "d2", maxIters: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
     // canonical directed edge: src strictly above dst.
-    // Each round's result is localCheckpoint'ed, NOT merely cached: the
+    // Each round's result is checkpointed, NOT merely cached: the
     // next round's plan is built on top of the previous result, and a
     // cache leaves the logical plan in place — after k rounds the ANALYZER
     // walks a plan tree that doubled k times (edges appears twice in
@@ -255,10 +280,11 @@ object Dedup {
     // driver long before the data does. The checkpoint resets the plan to
     // a leaf each round; blocks of dropped rounds are released by the
     // ContextCleaner.
-    var edges = pairs.select(
+    val materialize = materializer(checkpointDir)
+    var edges = materialize(pairs.select(
         greatest(col(aCol), col(bCol)).as("src"),
         least(col(aCol), col(bCol)).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      .filter(col("src") =!= col("dst")).distinct())
 
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
@@ -283,7 +309,7 @@ object Dedup {
     var i = 0
     var nEdges = edges.count()
     while (!converged && i < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = materialize(smallStar(largeStar(edges)))
       val nNext = next.count()
       // sets are equal iff same size and next ⊆ edges (both are distinct)
       converged = nNext == nEdges && next.except(edges).limit(1).count() == 0

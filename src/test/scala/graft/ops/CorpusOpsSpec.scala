@@ -148,6 +148,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("connected components with a reliable checkpoint dir matches local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 5L)).toDF("d1", "d2")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+    val cc = Dedup.connectedComponents(ids, "id", pairs,
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === expected)
+    val star = Dedup.connectedComponentsStar(ids, "id", pairs,
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === expected)
+  }
+
   test("connected components fails loud instead of returning split clusters") {
     val ids = (0L until 10L).toDF("id")
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
