@@ -120,6 +120,71 @@ object Corpus {
         col("t.score").cast("long").as("score"))
   }
 
+  /** BM25 per-(doc, term) contribution as ONE SQL expression string,
+    * shared verbatim by the Spark side (`expr`) and the DuckDB oracle:
+    * IEEE +,-,*,/ are correctly rounded, so the same expression tree on
+    * the same integer inputs produces the BIT-IDENTICAL double in both
+    * engines — then `floor(x * 1e9)` quantizes to an exact BIGINT that
+    * sums order-independently. The classic log-idf is deliberately
+    * replaced by its rational core `(N - df + 0.5)/(df + 0.5)` because
+    * `ln` is not correctly rounded and differs across libm builds —
+    * same ranking monotonicity, engine-exact arithmetic.
+    *
+    * k1 = 1.2, b = 0.75 (the standard defaults) are inlined as literals
+    * so both engines parse the identical decimal constants.
+    *
+    * @param nn    total corpus doc count (SQL integer literal or column)
+    * @param sumdl total corpus token count (ditto)
+    */
+  def bm25ContribSql(nn: String, df: String, tf: String, dl: String,
+      sumdl: String): String =
+    s"CAST(FLOOR(((CAST($nn - $df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5)) * " +
+      s"((CAST($tf AS DOUBLE) * 2.2) / (CAST($tf AS DOUBLE) + 1.2 * " +
+      s"(0.25 + 0.75 * (CAST($dl * $nn AS DOUBLE) / CAST($sumdl AS DOUBLE))))) * " +
+      s"1000000000.0) AS BIGINT)"
+
+  /** BM25 top-k retrieval over an inverted-index probe — the ranking
+    * big sibling of [[lexicalTopK]]: document-length normalization and
+    * saturating term frequency, in engine-exact fixed-point arithmetic
+    * (see [[bm25ContribSql]]).
+    *
+    * Shape at scale: ONE corpus scan produces both the per-doc token
+    * length and the query-term hits (the length rides the explode), the
+    * corpus-wide totals (N, Σdl) are two scalars collected once, df is a
+    * window over the tiny tf set, and the final top-k is the bounded
+    * heap aggregate — the corpus is never shuffled.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query has no terms")
+    val toks = docs.select(col(idCol).as("doc"),
+      TextFunctions.tokens(lower(col(textCol))).as("ws"))
+    // two corpus scalars; the only driver materialization
+    val totals = toks.agg(
+      count(lit(1)).as("n"), sum(size(col("ws")).cast("long")).as("sumdl")).head()
+    val (nn, sumdl) = (totals.getLong(0), totals.getLong(1))
+    val hits = toks
+      .select(col("doc"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val tf = hits.groupBy(col("doc"), col("tok"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val scored = withDf
+      .withColumn("contrib",
+        expr(bm25ContribSql(nn.toString, "df", "tf", "dl", sumdl.toString)))
+      .groupBy(col("doc")).agg(sum(col("contrib")).as("score"))
+    scored
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("score").cast("double"), col("doc").cast("long"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("t.id").as("doc"),
+        (col("r0") + 1).cast("int").as("rank"),
+        col("t.score").cast("long").as("score"))
+  }
+
   /** PII patterns, RE2-compatible (no lookarounds) so Java regex (Spark)
     * and RE2 (DuckDB oracle) match the identical spans. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

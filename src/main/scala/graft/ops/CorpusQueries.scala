@@ -320,6 +320,37 @@ object CorpusQueries {
            |WHERE rank <= 10 ORDER BY rank""".stripMargin
       }),
 
+    // BM25 ranking: doc-length normalization + saturating tf, engine-
+    // exact via the SHARED fixed-point contribution expression
+    // (Corpus.bm25ContribSql — same SQL string on both sides, floor-
+    // quantized so double summation order can't matter)
+    Q(
+      "text_bm25_topk",
+      (s, dir) =>
+        Corpus.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+          SearchQuery, k = 10)
+          .orderBy(col("rank")),
+      Some {
+        val terms = SearchQuery.split("\\s+").distinct.toSeq
+        val contrib = Corpus.bm25ContribSql(
+          "(SELECT nn FROM tot)", "df", "tf", "dl", "(SELECT sumdl FROM tot)")
+        s"""WITH $toksCte,
+           |tot AS (SELECT COUNT(*) AS nn, CAST(SUM(len(ws)) AS BIGINT) AS sumdl FROM toks),
+           |tf AS (
+           |  SELECT doc_id AS doc, tok, COUNT(*) AS tf, MIN(dl) AS dl
+           |  FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, lower(unnest(ws)) AS tok FROM toks)
+           |  WHERE tok IN ${terms.map(t => s"'$t'").mkString("(", ", ", ")")}
+           |  GROUP BY doc, tok),
+           |wdf AS (SELECT doc, tok, tf, dl, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf),
+           |scored AS (
+           |  SELECT doc, CAST(SUM($contrib) AS BIGINT) AS score
+           |  FROM wdf GROUP BY doc)
+           |SELECT doc, rank, score FROM (
+           |  SELECT doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT) AS rank, score
+           |  FROM scored) t
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin
+      }),
+
     // ======== dedup ========
     Q(
       "dedup_exact",
