@@ -202,6 +202,115 @@ object MediaPipeline {
     }
   }
 
+  /** Decoded PCM audio: 16-bit samples widened to Int, interleaved by
+    * channel (frame f, channel c at index f*channels + c). */
+  final case class AudioClip(
+      id: Long, sampleRate: Int, channels: Int, samples: Array[Int])
+
+  /** Per-clip features from a real decode — all integer-exact so an SQL
+    * oracle can recompute them from the source bytes. */
+  final case class AudioFeatures(
+      id: Long, sampleRate: Int, channels: Int, nSamples: Int,
+      durationMs: Long, peakAbs: Int, sumSamples: Long)
+
+  /** REAL audio decoder for RIFF/WAVE 16-bit PCM — the one audio format
+    * whose byte layout needs no codec library (the analogue of
+    * [[ImageDecoder]]'s PPM/BMP): `RIFF<size>WAVE`, then a chunk walk to
+    * `fmt ` (format tag 1 = PCM, 16 bits/sample) and `data` (little-
+    * endian int16 frames). Same never-throw contract: anything
+    * unrecognized, compressed, or with a lying size field is a decode
+    * MISS (None), not an exception mid-task. Codec-backed audio
+    * (mp3/aac/opus) stays behind [[StubDecoder]].
+    */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+    // fmt must precede data (the spec's ordering); a data chunk seen
+    // first is malformed = miss
+    while (i + 8 <= b.length) {
+      val id = tag(i)
+      val size = u32(i + 4)
+      val payload = i + 8
+      if (size < 0 || payload + size > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = u16(payload)
+          val channels = u16(payload + 2)
+          val rate = u32(payload + 4)
+          val bits = u16(payload + 14)
+          if (audioFormat != 1 || bits != 16 || channels == 0 ||
+            rate <= 0 || rate > Int.MaxValue) return None
+          fmt = Some((channels, rate.toInt))
+        case "data" =>
+          return fmt.map { case (channels, rate) =>
+            val n = (size / 2).toInt
+            val out = new Array[Int](n)
+            var j = 0
+            while (j < n) {
+              out(j) = ((b(payload + 2 * j) & 0xff) |
+                (b(payload + 2 * j + 1) << 8)) // sign-extends via Byte
+              j += 1
+            }
+            (channels, rate, out)
+          }
+        case _ => () // LIST/INFO/etc: skip
+      }
+      i = payload + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    None
+  }
+
+  /** Encode 16-bit PCM as RIFF/WAVE bytes (the inverse of
+    * [[decodeWav]] — tests and synthetic-clip construction). */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0,
+      s"need positive rate/channels, got $sampleRate/$channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples do not tile $channels channels")
+    require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
+      "samples must fit 16-bit PCM")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  /** Batched per-partition WAV decode + feature extraction (the audio
+    * analogue of [[featurize]]): a decode miss drops the row — the
+    * path-miss rule, never an exception. Integer-exact features so the
+    * oracle recomputes them from the source bytes. */
+  def audioFeatures(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.bytes).map { case (channels, rate, samples) =>
+          var peak = 0
+          var sum = 0L
+          samples.foreach { s =>
+            val a = math.abs(s); if (a > peak) peak = a; sum += s
+          }
+          AudioFeatures(r.id, rate, channels, samples.length,
+            samples.length.toLong / channels * 1000L / rate, peak, sum)
+        }
+      }
+    }
+  }
+
   /** Encode packed RGB24 as PPM P6 bytes (the inverse of
     * [[ImageDecoder]]'s PPM path — handy for tests and for writing
     * decoded frames back out). */

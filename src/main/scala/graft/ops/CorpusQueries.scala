@@ -798,6 +798,64 @@ object CorpusQueries {
              |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio decode: each doc's first 2n bytes (n varies per doc)
+    // become little-endian int16 PCM mono at 8 kHz, encodeWav wraps them
+    // in a RIFF/WAVE container, decodeWav parses the chunk walk back out,
+    // and the integer-exact clip features must equal what DuckDB
+    // recomputes straight off the hex — an encode→decode→featurize
+    // roundtrip through the audio half of the media seam (PCM WAV is the
+    // codec-free audio format; mp3/aac stay behind the stub)
+    Q(
+      "multimodal_audio",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.MediaRow
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >=
+            lit(128) + (col("doc_id") % 33) * 2)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 192).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          val n = (64 + id % 33).toInt
+          val samples = Array.tabulate(n) { i =>
+            val v = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8)
+            if (v >= 32768) v - 65536 else v
+          }
+          MediaRow(id, "audio", MediaPipeline.encodeWav(8000, 1, samples),
+            "wav", 0, 0, 0L)
+        }
+        implicit val sp = s
+        MediaPipeline.audioFeatures(media)
+          .toDF()
+          .select(col("id").as("doc_id"), col("nSamples").as("n_samples"),
+            col("durationMs").as("duration_ms"), col("peakAbs").as("peak_abs"),
+            col("sumSamples").as("sum_samples"))
+          .orderBy(col("doc_id"))
+      },
+      // int16 LE from hex byte pairs: lo = chars 4i+1..4i+2, hi = next
+      // pair; >= 32768 wraps negative — byte-exact vs the Spark synth
+      Some("""WITH h AS (
+             |  SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n,
+             |    substr(hex(encode(text)), 1, CAST(4 * (64 + doc_id % 33) AS INT)) AS hx
+             |  FROM documents
+             |  WHERE octet_length(encode(text)) >= 128 + (doc_id % 33) * 2),
+             |sm AS (
+             |  SELECT doc_id, n, list_transform(range(0, n),
+             |    i -> CASE WHEN ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+             |                   + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT >= 32768
+             |      THEN ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+             |           + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT - 65536
+             |      ELSE ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+             |           + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT END) AS smp
+             |  FROM h)
+             |SELECT doc_id,
+             |  CAST(n AS INT) AS n_samples,
+             |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+             |  CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak_abs,
+             |  CAST(list_sum(smp) AS BIGINT) AS sum_samples
+             |FROM sm ORDER BY doc_id""".stripMargin)),
+
     // priority-aware dedup: among identical texts keep the preferred
     // source's copy (tie-break doc_id) — the "trusted source wins" rule
     Q(
