@@ -25,6 +25,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Chunk-streaming queries run dozens of tiny micro-batches; the
+      // offset/commit log fsync per batch dominates when the checkpoint
+      // sits on disk. tmpfs when available (bench state is disposable —
+      // a real deployment points this at reliable storage).
+      .config("spark.sql.streaming.checkpointLocation",
+        (if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt-"
+         else sys.props("java.io.tmpdir") + "/graft-ckpt-") +
+          java.util.UUID.randomUUID().toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

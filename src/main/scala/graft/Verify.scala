@@ -17,6 +17,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // tmpfs micro-batch checkpoints (see Bench): correctness runs drive
+      // the same chunk-streaming queries, state is disposable
+      .config("spark.sql.streaming.checkpointLocation",
+        (if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt-"
+         else sys.props("java.io.tmpdir") + "/graft-ckpt-") +
+          java.util.UUID.randomUUID().toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -52,6 +52,18 @@ object OrderedJoinAgg extends org.apache.spark.sql.expressions.Aggregator[
   */
 object DslQueries {
 
+  /** Run a chunk-at-a-time streaming drain with few shuffle partitions:
+    * each micro-batch here carries a handful of rows, so the session's
+    * batch-scale partition count just multiplies per-chunk task launch and
+    * JDBC-write overhead (32 mostly-empty writer tasks per chunk).
+    * Restored afterwards so batch queries keep the session's parallelism.
+    * Same rationale as StreamingQueries.withStreamShuffle. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** orders nested per customer, deterministic array order. */
   private def nestedOrders(s: SparkSession, dir: String): DataFrame = {
     val o = table(s, dir, "orders")
@@ -512,7 +524,7 @@ object DslQueries {
     //      resident parity contract (tests/test_issue_75.py).
     Q(
       "dsl_chunked_upsert",
-      (s, dir) => {
+      (s, dir) => withStreamShuffle(s, 2) {
         implicit val sqlCtx = s.sqlContext
         import s.implicits._
         val sup = table(s, dir, "supplier")
@@ -719,7 +731,7 @@ object DslQueries {
     //      parity contract (tests/test_issue_77.py).
     Q(
       "dsl_stream_append",
-      (s, dir) => {
+      (s, dir) => withStreamShuffle(s, 1) {
         implicit val sqlCtx = s.sqlContext
         import s.implicits._
         val rows = table(s, dir, "nation")
@@ -762,7 +774,7 @@ object DslQueries {
     //      the one-shot batch join.
     Q(
       "dsl_multiroot_chunks",
-      (s, dir) => {
+      (s, dir) => withStreamShuffle(s, 2) {
         implicit val sqlCtx = s.sqlContext
         import s.implicits._
         val nat = table(s, dir, "nation")
@@ -838,7 +850,7 @@ object DslQueries {
     //      proves the eager rows actually bound.
     Q(
       "dsl_completeness_eager",
-      (s, dir) => {
+      (s, dir) => withStreamShuffle(s, 2) {
         implicit val sqlCtx = s.sqlContext
         import s.implicits._
         import graft.streaming.StreamingEtl

@@ -21,6 +21,10 @@ object DebugTiming {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.checkpointLocation",
+        (if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt-"
+         else sys.props("java.io.tmpdir") + "/graft-ckpt-") +
+          java.util.UUID.randomUUID().toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
