@@ -25,13 +25,22 @@ object JdbcLoad {
   /** Update-else-insert upsert by per-table conflict columns (reference
     * `load(upsert=True, upsert_on=[...])` → ON CONFLICT DO UPDATE;
     * engine-portable two-step form, batched per partition).
+    *
+    * @param updateNonNull when true, an UPDATE only overwrites columns the
+    *        incoming row provides (`SET c = COALESCE(?, c)`) — the
+    *        reference's BufferedKeyFlushStrategy semantics
+    *        (chunking.py:543-677: a re-appearing key copies non-None
+    *        scalars onto the cached instance), made exact and unbounded by
+    *        letting the DB hold the state the reference kept in its LRU.
     */
   def upsert(result: PipelineResult, url: String,
-      upsertOn: Map[String, Seq[String]], batchSize: Int = 500): Unit =
+      upsertOn: Map[String, Seq[String]], batchSize: Int = 500,
+      updateNonNull: Boolean = false): Unit =
     result.writeByComponent { (table, df) =>
       upsertOn.get(table) match {
         case None => df.write.mode("append").jdbc(url, table, new java.util.Properties())
-        case Some(keys) => upsertTable(df, url, table, keys, batchSize); ()
+        case Some(keys) =>
+          upsertTable(df, url, table, keys, batchSize, updateNonNull); ()
       }
     }
 
@@ -65,7 +74,8 @@ object JdbcLoad {
     *         observability and tests
     */
   private[dsl] def upsertTable(df: DataFrame, url: String, table: String,
-      keys: Seq[String], batchSize: Int): Long = {
+      keys: Seq[String], batchSize: Int,
+      updateNonNull: Boolean = false): Long = {
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
     checkTable(table); cols.foreach(checkIdent)
@@ -115,8 +125,11 @@ object JdbcLoad {
       val conn = DriverManager.getConnection(url)
       try {
         conn.setAutoCommit(false)
+        val setClause =
+          if (updateNonNull) nonKeys.map(c => s"$c = COALESCE(?, $c)")
+          else nonKeys.map(c => s"$c = ?")
         val update = conn.prepareStatement(
-          s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+          s"UPDATE $table SET ${setClause.mkString(", ")} " +
             s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}")
         val insert = conn.prepareStatement(
           s"INSERT INTO $table (${cols.mkString(", ")}) " +

@@ -963,7 +963,166 @@ object DslQueries {
       },
       Some("""SELECT user_id,
              |  STRING_AGG(event_type, '|' ORDER BY event_id) AS types
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- BufferedKeyFlushStrategy semantics in the oracle gate
+    //      (reference chunking.py:543-677): a key re-appearing in a later
+    //      chunk UPDATEs only the columns the new row provides — "copy
+    //      non-None scalars onto the cached instance" — while null columns
+    //      keep the stored value. graft runs it DB-side (COALESCE update),
+    //      so it is exact at any size instead of LRU-bounded. Chunk 1
+    //      carries every customer's name (no balance); chunk 2 re-sends
+    //      every third key with a balance and NO name — the read-back must
+    //      show names surviving the partial update.
+    Q(
+      "dsl_buffered_upsert",
+      (s, dir) => withStreamShuffle(s, 2) {
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val cust = table(s, dir, "customer")
+          .select(col("c_custkey").cast("long"), col("c_name"),
+            col("c_acctbal").cast("double"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        val chunk1 = cust.map(c => (c._1, Option(c._2), Option.empty[Double]))
+        val chunk2 = cust.filter(_._1 % 3 == 0)
+          .map(c => (c._1, Option.empty[String], Option(c._3)))
+        val url = "jdbc:derby:memory:graft_buffered;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try st.execute("DROP TABLE cust_buf")
+          catch { case _: java.sql.SQLException => () } // first run: no table
+          st.execute("CREATE TABLE cust_buf (c_custkey BIGINT PRIMARY KEY, " +
+            "name VARCHAR(100), balance DOUBLE, id BIGINT)")
+        } finally conn.close()
+        val input = MemoryStream[(Long, Option[String], Option[Double])]
+        val writer = graft.streaming.StreamingEtl.foreachChunk(
+          input.toDF().toDF("c_custkey", "name", "balance"),
+          batch => Etl(batch)
+            .mapTo("cust_buf", joinOn = Seq("c_custkey"))(
+              "c_custkey" -> transforms.get("c_custkey"),
+              "name" -> transforms.get("name"),
+              "balance" -> transforms.get("balance")),
+          graft.streaming.StreamingEtl.bufferedKeyStrategy(url,
+            Map("cust_buf" -> Seq("c_custkey"))))
+        val q = writer.start()
+        Seq(chunk1, chunk2).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        q.stop()
+        s.read.jdbc(url, "cust_buf", new java.util.Properties())
+          .select(col("c_custkey"), col("name"), col("balance"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name AS name,
+             |  CASE WHEN c_custkey % 3 = 0 THEN CAST(c_acctbal AS DOUBLE) END AS balance
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---- ExternalPartitionChunkSource in the oracle gate (reference
+    //      chunking.py:149-233: two-pass disk spill + one chunk per key in
+    //      first-appearance order): in Spark the SHUFFLE is the
+    //      disk-backed partitioner — repartitionByKey hashes every key's
+    //      rows into one partition, and each partition becomes one chunk
+    //      (partition order = the deterministic chunk order). The
+    //      key-in-exactly-one-chunk contract is asserted before feeding,
+    //      and the Derby read-back aggregate must equal the batch GROUP BY.
+    Q(
+      "dsl_external_partition",
+      (s, dir) => withStreamShuffle(s, 2) {
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val sup = table(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long"), col("s_name"),
+            col("s_nationkey").cast("long"))
+        val tagged = graft.streaming.StreamingEtl
+          .repartitionByKey(sup, "s_nationkey", 8)
+          .withColumn("pid", spark_partition_id())
+          .collect()
+          .map(r => (r.getInt(3), (r.getLong(0), r.getString(1), r.getLong(2))))
+        val chunks = tagged.groupBy(_._1).toSeq.sortBy(_._1)
+          .map(_._2.map(_._2).toSeq)
+        // the external-partition contract: a key never spans two chunks
+        val owners = chunks.zipWithIndex
+          .flatMap { case (c, i) => c.map(_._3 -> i) }.distinct
+        require(owners.groupBy(_._1).forall(_._2.size == 1),
+          "external-partition contract violated: key split across chunks")
+        val url = "jdbc:derby:memory:graft_extpart;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try st.execute("DROP TABLE sup_ext")
+          catch { case _: java.sql.SQLException => () } // first run: no table
+          st.execute("CREATE TABLE sup_ext (s_suppkey BIGINT PRIMARY KEY, " +
+            "s_name VARCHAR(101), s_nationkey BIGINT, id BIGINT)")
+        } finally conn.close()
+        val input = MemoryStream[(Long, String, Long)]
+        val writer = graft.streaming.StreamingEtl.foreachChunk(
+          input.toDF().toDF("s_suppkey", "s_name", "s_nationkey"),
+          batch => Etl(batch)
+            .mapTo("sup_ext", joinOn = Seq("s_suppkey"))(
+              "s_suppkey" -> transforms.get("s_suppkey"),
+              "s_name" -> transforms.get("s_name"),
+              "s_nationkey" -> transforms.get("s_nationkey")),
+          graft.streaming.StreamingEtl.JdbcUpsertStrategy(url,
+            Map("sup_ext" -> Seq("s_suppkey"))))
+        val q = writer.start()
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        q.stop()
+        s.read.jdbc(url, "sup_ext", new java.util.Properties())
+          .groupBy(col("s_nationkey"))
+          .agg(count(col("s_suppkey")).as("n_sup"),
+            sum(col("s_suppkey")).as("key_sum"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n_sup,
+             |  CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // ---- telemetry event ordering in the oracle gate (reference
+    //      telemetry.py:27-124): Map* events follow declaration order,
+    //      Flush* events follow TOPO order (parent before child even
+    //      though the child was declared first), and a failing writer
+    //      emits FlushFailed for exactly its table before the error
+    //      propagates. The recorded sequence is compared against the
+    //      pinned literal — the reference's event contract, oracle-checked.
+    Q(
+      "dsl_telemetry_order",
+      (s, dir) => {
+        import s.implicits._
+        val nat = table(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+        val sup = table(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+        val rec = new Telemetry.Recording
+        val result = Etl(sup, nat)
+          .mapTo("sup_t", joinOn = Seq("s_suppkey"))(
+            "s_suppkey" -> transforms.get("s_suppkey"),
+            temp("natkey" -> transforms.get("s_nationkey")))
+          .linkTo("nat_t", by = Map("natkey" -> "n_nationkey"), as = "nation")
+          .root(1)
+          .mapTo("nat_t", joinOn = Seq("n_nationkey"))(
+            "n_nationkey" -> transforms.get("n_nationkey"))
+          .run(telemetry = rec)
+        val got =
+          try {
+            result.write { (t, df) =>
+              df.write.format("noop").mode("overwrite").save()
+              if (t == "sup_t") throw new RuntimeException("boom")
+            }; "no error"
+          } catch { case e: RuntimeException => e.getMessage }
+        if (got != "boom") throw new IllegalStateException(
+          s"flush failure did not propagate: got '$got'")
+        rec.events.toSeq.zipWithIndex
+          .map { case ((ev, tbl, _), i) => (i + 1, ev, tbl) }
+          .toDF("seq", "event", "tbl")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (1, 'MapStarted', 'sup_t'), (2, 'MapCompleted', 'sup_t'),
+             |  (3, 'MapStarted', 'nat_t'), (4, 'MapCompleted', 'nat_t'),
+             |  (5, 'FlushStarted', 'nat_t'), (6, 'FlushCompleted', 'nat_t'),
+             |  (7, 'FlushStarted', 'sup_t'), (8, 'FlushFailed', 'sup_t')
+             |) AS t(seq, event, tbl) ORDER BY seq""".stripMargin))
   )
 
   /** Flagship: the README-quickstart pipeline shape (users+posts) over the

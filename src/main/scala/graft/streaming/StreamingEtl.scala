@@ -73,11 +73,24 @@ object StreamingEtl {
     * the state the reference kept in its BufferedKey cache.
     */
   final case class JdbcUpsertStrategy(url: String,
-      upsertOn: Map[String, Seq[String]], batchSize: Int = 500)
+      upsertOn: Map[String, Seq[String]], batchSize: Int = 500,
+      nonNullUpdate: Boolean = false)
       extends FlushStrategy {
     def flush(result: PipelineResult, batchId: Long): Unit =
-      graft.dsl.JdbcLoad.upsert(result, url, upsertOn, batchSize)
+      graft.dsl.JdbcLoad.upsert(result, url, upsertOn, batchSize, nonNullUpdate)
   }
+
+  /** The reference's BufferedKeyFlushStrategy (chunking.py:543-677) as an
+    * exact DB-side operation: a key re-appearing in a later chunk UPDATEs
+    * only the columns the new row provides (null columns keep the stored
+    * value — "copy non-None scalars onto the cached instance"), while new
+    * keys INSERT as-is. No LRU bound is needed: the database holds the
+    * state the reference kept in a bounded in-process cache, so the
+    * strategy is exact at any corpus size instead of heuristic.
+    */
+  def bufferedKeyStrategy(url: String, upsertOn: Map[String, Seq[String]],
+      batchSize: Int = 500): FlushStrategy =
+    JdbcUpsertStrategy(url, upsertOn, batchSize, nonNullUpdate = true)
 
   /** Attach a chunked Etl pipeline to a stream: every micro-batch becomes
     * one chunk. `pipeline` receives the batch DataFrame (the chunk's

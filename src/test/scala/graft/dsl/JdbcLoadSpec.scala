@@ -72,6 +72,23 @@ class JdbcLoadSpec extends SparkTestBase {
       Seq(Seq("a", "one"), Seq("b", "TWO"), Seq("c", "three")))
   }
 
+  test("updateNonNull keeps stored values where the new row is null") {
+    exec("CREATE TABLE buf (k VARCHAR(10) PRIMARY KEY, " +
+      "a VARCHAR(20), b INTEGER)")
+    import spark.implicits._
+    val first = Seq(("x", Some("alpha"), None: Option[Int]),
+      ("y", Some("beta"), Some(1))).toDF("k", "a", "b")
+    val second = Seq(("x", None: Option[String], Some(7)), // partial update
+      ("y", Some("BETA"), None: Option[Int]), // other column partial
+      ("z", None: Option[String], Some(9))).toDF("k", "a", "b") // fresh insert
+    JdbcLoad.upsertTable(first, url, "buf", Seq("k"), 10, updateNonNull = true)
+    JdbcLoad.upsertTable(second, url, "buf", Seq("k"), 10, updateNonNull = true)
+    assert(queryAll("SELECT k, a, b FROM buf ORDER BY k") === Seq(
+      Seq("x", "alpha", 7), // a survived the null in chunk 2
+      Seq("y", "BETA", 1), // b survived
+      Seq("z", null, 9))) // new key inserts as-is, nulls included
+  }
+
   test("upsert batches statements: >=10x fewer round trips than rows") {
     exec("CREATE TABLE big_dim (k INT PRIMARY KEY, v VARCHAR(20))")
     import spark.implicits._
