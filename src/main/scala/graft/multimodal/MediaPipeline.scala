@@ -325,6 +325,61 @@ object MediaPipeline {
     header ++ pixels
   }
 
+  /** Minimal uncompressed video container ("GVID") — the codec-free
+    * analogue of PPM/WAV for moving pictures, so the video half of the
+    * decoder seam is REAL byte-level parsing, not a stub. Layout
+    * (big-endian):
+    *
+    *   "GVID" | u16 width | u16 height | u16 frameCount |
+    *   frameCount x (width*height*3 raw RGB24, top-down)
+    *
+    * Same never-throw contract as the image/audio decoders: a malformed
+    * header, lying frame count, or truncated raster is a decode MISS
+    * (None), never an exception mid-task. Codec-backed containers
+    * (mp4/h264/vp9) stay behind [[StubDecoder]].
+    */
+  def decodeGvid(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    if (b.length < 10 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' || b(3) != 'D')
+      return None
+    def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    val w = u16(4); val h = u16(6); val n = u16(8)
+    if (w <= 0 || h <= 0 || n <= 0) return None
+    val frameSize = w.toLong * h * 3 // u16 dims: fits long, may exceed data
+    if (10L + frameSize * n > b.length) return None
+    val fs = frameSize.toInt
+    Some((w, h, (0 until n).map(i => b.slice(10 + i * fs, 10 + (i + 1) * fs))))
+  }
+
+  /** Encode RGB24 frames as a GVID container (inverse of [[decodeGvid]]). */
+  def encodeGvid(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0, s"need positive dimensions, got ${w}x$h")
+    require(frames.nonEmpty && frames.size <= 0xffff,
+      s"need 1..65535 frames, got ${frames.size}")
+    require(frames.forall(_.length == w.toLong * h * 3),
+      s"every frame must carry ${w.toLong * h * 3} bytes of packed RGB24")
+    val out = java.nio.ByteBuffer.allocate(10 + frames.size * w * h * 3)
+    out.put("GVID".getBytes("US-ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort).putShort(frames.size.toShort)
+    frames.foreach(out.put)
+    out.array()
+  }
+
+  /** REAL video decoder over the GVID container: one [[DecodedFrame]]
+    * per stored frame, in frame order — feed through [[sampleFrames]]
+    * for strided sampling. Resize shares [[ImageDecoder]]'s genuine
+    * nearest-neighbor resampler (a frame is a frame). */
+  final class VideoDecoder extends MediaDecoder {
+    private val images = new ImageDecoder
+    def decode(row: MediaRow): Seq[DecodedFrame] =
+      decodeGvid(row.bytes).toSeq.flatMap { case (w, h, frames) =>
+        frames.zipWithIndex.map { case (px, i) =>
+          DecodedFrame(row.id, i, w, h, px)
+        }
+      }
+    def resize(f: DecodedFrame, w: Int, h: Int): DecodedFrame =
+      images.resize(f, w, h)
+  }
+
   /** Batched per-partition decode+featurize — the mapInPandas shape: the
     * decoder is constructed once per partition, rows stream through in
     * groups of `batchSize`, features come out columnar-friendly.

@@ -146,6 +146,37 @@ object CorpusQueries {
     * mixes rare (discriminative) and common (low-weight) corpus terms. */
   val SearchQuery = "table stream merge the"
 
+  /** Shared oracle for the exact and Bloom-prefiltered decontamination
+    * queries — both must produce byte-identical output (the sketch only
+    * prunes join input, it never decides membership). */
+  private def decontaminateOracle: String = {
+    def shingleSub(toks: String, pred: String) =
+      s"""$toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+         |  FROM documents WHERE $pred)""".stripMargin
+    s"""WITH ${shingleSub("ttoks", "doc_id < 450")},
+       |tsh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       |  FROM ttoks WHERE len(ws) >= 3),
+       |${shingleSub("etoks", "doc_id >= 450")},
+       |esh AS (
+       |  SELECT DISTINCT shingle FROM (
+       |    SELECT unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       |    FROM etoks WHERE len(ws) >= 3)),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY doc_id),
+       |cont AS (
+       |  SELECT doc_id, COUNT(*) AS n_contaminated FROM tsh
+       |  WHERE shingle IN (SELECT shingle FROM esh) GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_shingles,
+       |  COALESCE(c.n_contaminated, 0) AS n_contaminated,
+       |  CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination
+       |FROM tot t LEFT JOIN cont c ON t.doc_id = c.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---- queries --------------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -413,33 +444,23 @@ object CorpusQueries {
           "doc_id", "text", n = 3)
           .orderBy(col("doc_id"))
       },
-      Some {
-        def shingleSub(toks: String, pred: String) =
-          s"""$toks AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
-             |  FROM documents WHERE $pred)""".stripMargin
-        s"""WITH ${shingleSub("ttoks", "doc_id < 450")},
-           |tsh AS (
-           |  SELECT doc_id,
-           |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
-           |  FROM ttoks WHERE len(ws) >= 3),
-           |${shingleSub("etoks", "doc_id >= 450")},
-           |esh AS (
-           |  SELECT DISTINCT shingle FROM (
-           |    SELECT unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
-           |    FROM etoks WHERE len(ws) >= 3)),
-           |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY doc_id),
-           |cont AS (
-           |  SELECT doc_id, COUNT(*) AS n_contaminated FROM tsh
-           |  WHERE shingle IN (SELECT shingle FROM esh) GROUP BY doc_id)
-           |SELECT t.doc_id, t.n_shingles,
-           |  COALESCE(c.n_contaminated, 0) AS n_contaminated,
-           |  CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination
-           |FROM tot t LEFT JOIN cont c ON t.doc_id = c.doc_id
-           |ORDER BY t.doc_id""".stripMargin
-      }),
+      Some(decontaminateOracle)),
+
+    // same answer through the Bloom-prefiltered path: the sketch only
+    // prunes the join input (a might-contain miss is definitive), the
+    // exact join removes false positives — so the oracle is IDENTICAL
+    // to the exact query's, which is the point
+    Q(
+      "corpus_decontaminate_bloom",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.contaminationBloom(
+          docs.filter(col("doc_id") < 450),
+          docs.filter(col("doc_id") >= 450),
+          "doc_id", "text", n = 3, fpp = 0.01)
+          .orderBy(col("doc_id"))
+      },
+      Some(decontaminateOracle)),
 
     // near-dup CLUSTERS: the jaccard pair graph's connected components,
     // min-id canonical per cluster — "keep one doc per near-dup group".
@@ -475,6 +496,31 @@ object CorpusQueries {
            |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
            |FROM banded a JOIN banded b
            |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+           |ORDER BY d1, d2""".stripMargin
+      }),
+
+    // incremental dedup: docs >= 400 arrive as the NEW batch, history
+    // (< 400) joins as its STORED signature table (signed once when it
+    // arrived) — candidates are exactly the full-corpus LSH pairs that
+    // touch the new batch, and old-old pairs are never regenerated
+    Q(
+      "dedup_minhash_incremental",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val historySigs = Dedup.minhashSignatureTable(
+          docs.filter(col("doc_id") < 400), "doc_id", "text", n = 3, k = 12)
+        Dedup.minhashLshIncremental(
+          docs.filter(col("doc_id") >= 400), "doc_id", "text",
+          historySigs, n = 3, bands = 4, rowsPerBand = 3)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some {
+        s"""WITH $toksCte, $shingleCte,
+           |$minhashCtes
+           |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+           |WHERE a.doc_id >= 400 OR b.doc_id >= 400
            |ORDER BY d1, d2""".stripMargin
       }),
 
@@ -855,6 +901,51 @@ object CorpusQueries {
              |  CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak_abs,
              |  CAST(list_sum(smp) AS BIGINT) AS sum_samples
              |FROM sm ORDER BY doc_id""".stripMargin)),
+
+    // REAL video decode + strided frame sampling: each doc's first bytes
+    // become 2-5 raw RGB24 4x4 frames in a GVID container (the codec-free
+    // video format, like PPM/WAV for the other modalities), VideoDecoder
+    // walks the header + rasters back out, sampleFrames keeps every 2nd
+    // frame, and the per-doc sampled-frame count + pixel sum must equal
+    // what DuckDB recomputes straight off the hex — the moving-picture
+    // half of the media seam, byte-exact (codec formats stay stubbed)
+    Q(
+      "multimodal_video",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.{MediaRow, VideoDecoder}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 240)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 240).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          val n = (2 + id % 4).toInt
+          val frames = (0 until n).map(i => px.slice(i * 48, (i + 1) * 48))
+          MediaRow(id, "video", MediaPipeline.encodeGvid(4, 4, frames),
+            "gvid", 4, 4, n * 1000L)
+        }
+        implicit val sp = s
+        MediaPipeline.sampleFrames(media, new VideoDecoder, everyNth = 2)
+          .map(f => (f.id, f.pixels.foldLeft(0L)((a, b) => a + (b & 0xff))))
+          .toDF("doc_id", "f_sum")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("int").as("n_frames"),
+            sum(col("f_sum")).as("px_sum"))
+          .orderBy(col("doc_id"))
+      },
+      // sampled frames are indices 0,2,4 of n = 2 + doc_id % 4; frame i
+      // holds text BYTES [48i, 48i+48) — sum their hex pairs
+      Some("""WITH h AS (
+             |  SELECT doc_id, CAST(2 + doc_id % 4 AS BIGINT) AS n,
+             |    substr(hex(encode(text)), 1, 480) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 240)
+             |SELECT doc_id,
+             |  CAST((n + 1) // 2 AS INT) AS n_frames,
+             |  CAST(list_sum(list_transform(
+             |    list_filter(range(0, CAST(n * 48 AS INT)), j -> (j // 48) % 2 = 0),
+             |    j -> ('0x' || substr(hx, 2*j + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
+             |FROM h ORDER BY doc_id""".stripMargin)),
 
     // priority-aware dedup: among identical texts keep the preferred
     // source's copy (tie-break doc_id) — the "trusted source wins" rule

@@ -144,6 +144,43 @@ object Dedup {
           col("n_shingles").cast("double")).as("contamination"))
   }
 
+  /** [[contamination]] with a Bloom-filter semi-join prefilter — the
+    * 100 TB shape. The exact form shuffles EVERY train shingle into the
+    * eval join; at corpus scale that shuffle is the whole cost, even
+    * though almost no train shingle matches. Here the (small) benchmark
+    * side collapses to a driver-built Bloom sketch, broadcast to every
+    * task, and train shingles the sketch rejects never reach the join —
+    * a might-contain MISS is definitive, so only true hits plus the fpp
+    * share of false positives get shuffled, and the exact inner join
+    * then removes the false positives. Per-doc shingle totals come from
+    * a separate map-side-partial aggregate that never joins anything.
+    * Output is byte-identical to [[contamination]] — the sketch only
+    * prunes, it never decides.
+    */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    val trainSh = shingleRows(train, idCol, textCol, n)
+    val evalSh = shingleRows(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val nEval = math.max(1L, evalSh.count())
+    val bf = evalSh.stat.bloomFilter("shingle", nEval, fpp)
+    val bfB = train.sparkSession.sparkContext.broadcast(bf)
+    // no built-in expression exposes BloomFilter.mightContain, so this is
+    // the one justified UDF: a branch-free bit probe per row, map-side
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val totals = trainSh.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.filter(mightContain(col("shingle")))
+      .join(evalSh, Seq("shingle")) // exact: false positives die here
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+  }
+
   /** Per-round plan-cutting strategy for the iterative CC solvers:
     * eager `localCheckpoint` by default (executor-local blocks, no
     * storage dependency), eager reliable `checkpoint` when a directory
@@ -436,6 +473,75 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+  }
+
+  /** Per-doc minhash signatures in the STORED layout (idCol, sig
+    * array<long>[k]) — the incremental-dedup contract: sign each batch
+    * once on arrival, persist the signature table next to the corpus,
+    * and later batches dedupe against it via
+    * [[minhashLshIncremental]] without ever re-reading (let alone
+    * re-shingling) 100 TB of history. Same construction as
+    * [[minhashLsh]]: one md5 per shingle, grouped running-mins with
+    * map-side partials. Docs with no shingles are ABSENT (there is
+    * nothing to match them on).
+    */
+  def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12): DataFrame = {
+    require(k <= MinhashMaxK,
+      s"k=$k would overflow the h1 + i*h2 derivation (max $MinhashMaxK)")
+    val hashed = shingleRows(df, idCol, textCol, n).select(
+      col("doc"),
+      minhashH1(col("shingle")).as("__h1"),
+      minhashH2(col("shingle")).as("__h2"))
+    val mins = (0 until k).map(i =>
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"__s$i"))
+    hashed.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+      .select(col("doc").as(idCol),
+        array((0 until k).map(i => col(s"__s$i")): _*).as("sig"))
+  }
+
+  /** Band explode over stored-layout signatures: same band string as
+    * [[minhashLshFromShingles]] builds inline, so stored and fresh
+    * signatures join in one bucket space. */
+  private def bandedFromSigs(sigs: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol).as("doc"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)
+      }: _*)).as(Seq("band", "bsig")))
+
+  /** Incremental near-dup candidates: a NEW batch against an already-
+    * signed history — the continuous-crawl shape. Only the new batch is
+    * shingled and hashed; the history side joins as its (small, k longs
+    * per doc) stored signature table. Candidates are banded bucket pairs
+    * with at least one new side: new-new within the batch plus new-old
+    * against history. Old-old pairs are never generated — they were
+    * found when those docs arrived, and regenerating them would make
+    * every daily batch pay for the whole corpus again.
+    *
+    * At scale the new side is tiny next to history, so Catalyst
+    * broadcasts its banded buckets into the history scan — the join
+    * never shuffles the signature table.
+    *
+    * @param historySigs (idCol, sig array<long>[bands*rowsPerBand]) as
+    *        produced by [[minhashSignatureTable]]
+    */
+  def minhashLshIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      historySigs: DataFrame, n: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val newSigs = minhashSignatureTable(newDocs, idCol, textCol, n, k)
+    val fresh = bandedFromSigs(newSigs, idCol, bands, rowsPerBand)
+    val all = bandedFromSigs(
+      newSigs.unionByName(historySigs.select(col(idCol), col("sig"))),
+      idCol, bands, rowsPerBand)
+    fresh.as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("d1"),
+        greatest(col("a.doc"), col("b.doc")).as("d2"))
       .distinct()
   }
 

@@ -607,6 +607,50 @@ object Relational {
              |  ON c.user_id = p.user_id AND c.ts <= p.ts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // ---- point-in-interval join via bucketing: orders matched to
+    //      overlapping 10-day promotion windows on a 7-day grid. The
+    //      naive range join is a nested-loop cross product; the bucketed
+    //      form (IntervalJoin.pointInInterval) replicates each window to
+    //      the 2 grid buckets it overlaps and hash-joins points on the
+    //      bucket id, then refines — the plan PlanLintSpec accepts and
+    //      the one that survives 100x data. Oracle = DuckDB's native
+    //      inequality join over the same derived windows.
+    Q(
+      "q_interval_join",
+      (s, dir) => {
+        val epoch = to_date(lit("1970-01-01"))
+        val windows = s.range(20).toDF("window_id")
+          .withColumn("start_day",
+            datediff(to_date(lit("1995-01-01")), epoch) + col("window_id") * 7)
+          .withColumn("end_day", col("start_day") + 10)
+        val pts = table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate"), epoch).as("day"))
+        IntervalJoin.pointInInterval(pts, "day",
+            windows, "start_day", "end_day", bucketWidth = 7L)
+          .groupBy(col("window_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("key_sum"))
+          .orderBy(col("window_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT unnest(range(0, 20)) AS window_id),
+             |iv AS (
+             |  SELECT window_id,
+             |    date_diff('day', DATE '1970-01-01', DATE '1995-01-01')
+             |      + window_id * 7 AS start_day,
+             |    date_diff('day', DATE '1970-01-01', DATE '1995-01-01')
+             |      + window_id * 7 + 10 AS end_day
+             |  FROM w),
+             |pts AS (
+             |  SELECT o_orderkey,
+             |    date_diff('day', DATE '1970-01-01', o_orderdate) AS day
+             |  FROM orders)
+             |SELECT window_id, COUNT(*) AS n_orders,
+             |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+             |FROM pts JOIN iv ON day >= start_day AND day < end_day
+             |GROUP BY window_id ORDER BY window_id""".stripMargin)),
+
     // ---- cohort retention: users bucketed by first-seen day, activity
     //      counted per (cohort, day offset) — two keyed aggregates and
     //      one join, the canonical product-analytics rollup

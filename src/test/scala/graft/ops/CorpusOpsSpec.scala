@@ -435,4 +435,47 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(kept.contains(1L), "loPct=0 must keep the shortest row")
     assert(!kept.contains(50L), "hiPct=90 must drop the longest row")
   }
+
+  test("incremental minhash = full-LSH pairs touching the new batch") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "zeta eta theta iota kappa lambda mu nu"),
+      (10L, "the quick brown fox jumps over the lazy dog"), // new: dup of 1
+      (11L, "zeta eta theta iota kappa lambda mu nu"), // new: dup of 3
+      (12L, "entirely fresh unrelated words appear here today")
+    ).toDF("doc_id", "text")
+    val history = corpus.filter($"doc_id" < 10)
+    val fresh = corpus.filter($"doc_id" >= 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Dedup.minhashLsh(corpus, "doc_id", "text", 3, 4, 3))
+    val expected = full.filter(p => p._1 >= 10 || p._2 >= 10)
+    val inc = pairs(Dedup.minhashLshIncremental(fresh, "doc_id", "text",
+      Dedup.minhashSignatureTable(history, "doc_id", "text", 3, 12), 3, 4, 3))
+    assert(inc === expected)
+    assert(expected.contains((1L, 10L)) && expected.contains((3L, 11L)))
+    assert(!inc.exists(p => p._1 < 10 && p._2 < 10), "old-old pair leaked")
+  }
+
+  test("contaminationBloom is byte-identical to the exact contamination") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // one leaked shingle
+      (2L, "zeta eta theta iota kappa"), // clean
+      (3L, "alpha beta gamma alpha beta gamma"), // repeated leaked shingle
+      (4L, "x y") // too short for 3-grams: absent from output
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma nu xi")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val exact = rows(Dedup.contamination(train, eval, "doc_id", "text", 3))
+    // a tiny filter has a high effective fpp — the exact join must still
+    // erase every false positive
+    val bloom = rows(Dedup.contaminationBloom(train, eval, "doc_id", "text", 3,
+      fpp = 0.5))
+    assert(bloom === exact)
+    assert(exact.map(_._1) === Seq(1L, 2L, 3L))
+    assert(exact.find(_._1 == 2L).get._3 === 0L) // clean doc: zero hits
+  }
 }
