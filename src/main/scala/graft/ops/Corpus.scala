@@ -298,6 +298,60 @@ object Corpus {
       .drop("__rn", "__n")
   }
 
+  /** Cap rows per group — the crawl-curation "at most k documents per
+    * domain" step — keeping the k highest-`score` rows (ties → smaller
+    * id). The window spelling (`row_number over partitionBy(domain)`)
+    * shuffles and sorts EVERY row of a hot domain through one task; here
+    * the k-capped heap aggregate ([[graft.functions.TopKByScore]]) bounds
+    * each map-side partial buffer to k entries, so a domain with a
+    * billion pages puts the same k ids on the shuffle as one with k+1.
+    * Winners rejoin their full rows via an id semi-join (one ordinary
+    * hash join — no wide payload ever rides the heap).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      score: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val winners = df
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        score.cast("double"), col(idCol).cast("long"), k).as("__top"))
+      .select(explode(col("__top")).as("__e"))
+      .select(col("__e").getField("id").as("__keep_id"))
+    df.join(winners, col(idCol).cast("long") === col("__keep_id"), "left_semi")
+  }
+
+  /** Linear quality classifier over hashed token features — the
+    * "score every document with a trained model" filter, map-only. Each
+    * token hashes into one of `weights.size` buckets (md5-derived, so
+    * any engine reproduces it), and the score is
+    * `bias + mean(bucket weights)` — mean, not sum, so the score is
+    * length-invariant. The weights travel as a plan literal (broadcast
+    * with the closure): training happens elsewhere, swapping in real
+    * learned weights changes no plan shape. A doc with no tokens scores
+    * exactly `bias`.
+    *
+    * The token array is materialized in its own projection before the
+    * fold (HOFs are interpreted; inlining `tokens(text)` into the
+    * transform would re-split the text per element).
+    */
+  def scoreLinearHashed(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Double], bias: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "need at least one weight bucket")
+    val dim = weights.size
+    val w = array(weights.map(lit): _*)
+    val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ws"))
+    toks.select(
+      col(idCol),
+      size(col("__ws")).as("n_tokens"),
+      when(size(col("__ws")) > 0,
+        lit(bias) + aggregate(
+          transform(col("__ws"), t => element_at(w,
+            (pmod(conv(substring(md5(t.cast("binary")), 1, 6), 16, 10)
+              .cast("long"), lit(dim.toLong)) + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x) / size(col("__ws")).cast("double"))
+        .otherwise(lit(bias)).as("score"))
+  }
+
   /** Dominant-stratum-safe variant of [[clipByLengthRank]]: per-stratum
     * `approx_percentile` thresholds (one map-side-partial aggregate, a
     * handful of rows) broadcast-joined back, then a map-only value

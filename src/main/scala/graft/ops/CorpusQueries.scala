@@ -149,18 +149,20 @@ object CorpusQueries {
   /** Shared oracle for the exact and Bloom-prefiltered decontamination
     * queries — both must produce byte-identical output (the sketch only
     * prunes join input, it never decides membership). */
-  private def decontaminateOracle: String = {
+  private def decontaminateOracle(
+      trainPred: String = "doc_id < 450",
+      evalPred: String = "doc_id >= 450"): String = {
     def shingleSub(toks: String, pred: String) =
       s"""$toks AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
          |  FROM documents WHERE $pred)""".stripMargin
-    s"""WITH ${shingleSub("ttoks", "doc_id < 450")},
+    s"""WITH ${shingleSub("ttoks", trainPred)},
        |tsh AS (
        |  SELECT doc_id,
        |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
        |  FROM ttoks WHERE len(ws) >= 3),
-       |${shingleSub("etoks", "doc_id >= 450")},
+       |${shingleSub("etoks", evalPred)},
        |esh AS (
        |  SELECT DISTINCT shingle FROM (
        |    SELECT unnest(list_distinct(list_transform(range(1, len(ws) - 1),
@@ -444,23 +446,27 @@ object CorpusQueries {
           "doc_id", "text", n = 3)
           .orderBy(col("doc_id"))
       },
-      Some(decontaminateOracle)),
+      Some(decontaminateOracle())),
 
     // same answer through the Bloom-prefiltered path: the sketch only
     // prunes the join input (a might-contain miss is definitive), the
-    // exact join removes false positives — so the oracle is IDENTICAL
-    // to the exact query's, which is the point
+    // exact join removes false positives — so the oracle is the exact
+    // query's SQL, which is the point. Split is SF-RELATIVE (every 10th
+    // doc is "eval") so the benchmark side stays the SMALL side at any
+    // scale — the regime the bloom prefilter exists for; the absolute
+    // threshold the exact query uses would flip to eval≈90% at sf0.1.
     Q(
       "corpus_decontaminate_bloom",
       (s, dir) => {
         val docs = table(s, dir, "documents")
         Dedup.contaminationBloom(
-          docs.filter(col("doc_id") < 450),
-          docs.filter(col("doc_id") >= 450),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
           "doc_id", "text", n = 3, fpp = 0.01)
           .orderBy(col("doc_id"))
       },
-      Some(decontaminateOracle)),
+      Some(decontaminateOracle(
+        trainPred = "doc_id % 10 <> 0", evalPred = "doc_id % 10 = 0"))),
 
     // near-dup CLUSTERS: the jaccard pair graph's connected components,
     // min-id canonical per cluster — "keep one doc per near-dup group".
@@ -1116,7 +1122,45 @@ object CorpusQueries {
              |  FROM documents)
              |SELECT doc_id, lang, n_chars FROM r
              |WHERE rn * 100 > n * 5 AND rn * 100 <= n * 95
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // per-source document cap ("at most k pages per domain"): the k
+    // longest docs per source survive, chosen by the k-capped heap
+    // aggregate — never a full per-domain sort — then rejoined whole
+    Q(
+      "corpus_domain_cap",
+      (s, dir) =>
+        Corpus.capPerGroup(table(s, dir, "documents"),
+          "source", "doc_id", col("n_chars"), k = 30)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 30 ORDER BY doc_id""".stripMargin)),
+
+    // hashed-feature linear quality model: every token md5-hashes into
+    // one of 64 buckets, score = mean bucket weight; weights here are a
+    // deterministic stand-in ((bucket % 7) - 3) with the real-model seam
+    // being just the weights array. Integer-valued weights keep the fold
+    // exact, so the single final division matches bit-for-bit.
+    Q(
+      "corpus_quality_score",
+      (s, dir) =>
+        Corpus.scoreLinearHashed(table(s, dir, "documents"),
+          "doc_id", "text",
+          weights = Seq.tabulate(64)(j => ((j % 7) - 3).toDouble))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $toksCte
+             |SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+             |  CASE WHEN len(ws) > 0 THEN
+             |    CAST(list_sum(list_transform(ws, t ->
+             |      ('0x' || substr(md5(t), 1, 6))::BIGINT % 64 % 7 - 3)) AS DOUBLE)
+             |      / CAST(len(ws) AS DOUBLE)
+             |  ELSE 0.0 END AS score
+             |FROM toks ORDER BY doc_id""".stripMargin))
   )
 
   private def sqlList(xs: Seq[String]): String =

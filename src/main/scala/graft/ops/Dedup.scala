@@ -156,20 +156,49 @@ object Dedup {
     * a separate map-side-partial aggregate that never joins anything.
     * Output is byte-identical to [[contamination]] — the sketch only
     * prunes, it never decides.
+    *
+    * When to pick which: while the eval shingle set fits a broadcast
+    * hash relation, [[contamination]]'s plain join already never
+    * shuffles the train side — use it. This variant's niche is the gap
+    * where eval is too big to broadcast as a hash table (GBs of
+    * shingles) but its Bloom sketch (10-100x smaller) still ships to
+    * every task: the train side then enters the unavoidable shuffle
+    * join at ~fpp of its size instead of whole.
     */
   def contaminationBloom(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, fpp: Double = 0.01): DataFrame = {
+      textCol: String, n: Int = 3, fpp: Double = 0.01,
+      expectedEvalShingles: Long = 1L << 20): DataFrame = {
     val trainSh = shingleRows(train, idCol, textCol, n)
-    val evalSh = shingleRows(eval, idCol, textCol, n)
-      .select(col("shingle")).distinct()
-    val nEval = math.max(1L, evalSh.count())
-    val bf = evalSh.stat.bloomFilter("shingle", nEval, fpp)
+    val evalShRaw = shingleRows(eval, idCol, textCol, n)
+    val evalSh = evalShRaw.select(col("shingle")).distinct()
+    // Sketch from the RAW shingle rows: duplicates set the same bits, so
+    // distinct-ing first would only add a shuffle to the sketch path —
+    // this pass is map-side partials merged on the driver. Capacity is a
+    // caller-supplied budget (counting the eval shingles first would cost
+    // a whole extra eval scan): over-sizing only lowers the fpp (more
+    // pruning, ~1.2 MB per million at 1%), under-sizing only raises it —
+    // correctness never depends on it.
+    val bf = evalShRaw.stat.bloomFilter("shingle",
+      math.max(1024L, expectedEvalShingles), fpp)
     val bfB = train.sparkSession.sparkContext.broadcast(bf)
     // no built-in expression exposes BloomFilter.mightContain, so this is
     // the one justified UDF: a branch-free bit probe per row, map-side
     val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
-    val totals = trainSh.groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_shingles"))
+    // per-doc totals never need the exploded rows: the shingle-array SIZE
+    // is the distinct count, a map-only projection over the docs scan —
+    // no shuffle, and the exploded train side is scanned exactly once
+    // (for the prefiltered hit join) instead of twice. The token array is
+    // materialized below a Generate barrier (single-element explode) so
+    // CollapseProject cannot inline tokens(text) into every element_at —
+    // that inlining re-splits the text per shingle position, O(tokens^2)
+    val totals = train
+      .select(col(idCol).as("doc"),
+        explode(array(graft.functions.TextFunctions.tokens(col(textCol))))
+          .as("__ws"))
+      .select(col("doc"),
+        size(graft.functions.TextFunctions.shinglesFromTokens(col("__ws"), n))
+          .cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0) // < n tokens: absent, like the exact path
     val hits = trainSh.filter(mightContain(col("shingle")))
       .join(evalSh, Seq("shingle")) // exact: false positives die here
       .groupBy(col("doc"))

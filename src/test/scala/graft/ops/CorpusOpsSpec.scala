@@ -436,6 +436,42 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!kept.contains(50L), "hiPct=90 must drop the longest row")
   }
 
+  test("capPerGroup keeps the k best per group, smaller-id tiebreak") {
+    val pages = Seq(
+      (1L, "a.com", 10.0), (2L, "a.com", 30.0), (3L, "a.com", 20.0),
+      (4L, "a.com", 30.0), // ties 2 on score: id 2 wins the last slot
+      (5L, "b.com", 1.0) // under-full group survives whole
+    ).toDF("doc_id", "domain", "quality")
+    val kept = Corpus.capPerGroup(pages, "domain", "doc_id", $"quality", k = 2)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L))
+    // window-form equivalence on the same data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"domain").orderBy($"quality".desc, $"doc_id")
+    val viaWindow = pages.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === viaWindow)
+  }
+
+  test("scoreLinearHashed: mean of bucket weights, bias on empty") {
+    val weights = Seq.tabulate(8)(j => j.toDouble)
+    val df = Seq((1L, "alpha beta alpha"), (2L, "   "), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val out = Corpus.scoreLinearHashed(df, "doc_id", "text", weights, bias = 0.5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def bucket(t: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(3)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h, 16) % 8).toInt
+    }
+    val wa = weights(bucket("alpha")); val wb = weights(bucket("beta"))
+    assert(out(0) === ((1L, 3, 0.5 + (2 * wa + wb) / 3.0)))
+    assert(out(1) === ((2L, 0, 0.5))) // no tokens: exactly bias
+    assert(out(2) === ((3L, 1, 0.5 + wa)))
+  }
+
   test("incremental minhash = full-LSH pairs touching the new batch") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
