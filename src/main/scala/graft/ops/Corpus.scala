@@ -73,6 +73,71 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Pack documents into training SEQUENCES: assign each group's docs
+    * (in `orderCol` order) to token-budget shards ([[packByTokenBudget]])
+    * and concatenate every shard's texts with `sep` into one packed row —
+    * the "fill the context window" step after shard assignment. Within a
+    * shard the concatenation follows `orderCol` (which must be unique per
+    * group), so the output is deterministic and an SQL oracle reproduces
+    * it with `STRING_AGG(... ORDER BY ...)`.
+    *
+    * Scale: the same per-group running-sum window (never a global sort),
+    * then one aggregate keyed by (group, shard) — a shard's text payload
+    * is budget-bounded by construction, so no reducer inflates.
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+      textCol: String, budget: Long, sep: String = "\n\n"): DataFrame =
+    packByTokenBudget(df, groupCol, orderCol, textCol, budget)
+      .groupBy(col(groupCol), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              col(orderCol).as("o"), col(textCol).as("t")))),
+            e => e.getField("t")),
+          sep).as("packed"))
+
+  /** Deterministic mixture resampling — the pretraining "data mixing"
+    * step: downsample each source so the kept corpus matches target
+    * mixture WEIGHTS (integers, e.g. web=7 : books=2 : code=1) as closely
+    * as the supply allows. The feasible total is
+    * `T = min over sources of (n_s * W / w_s)` (integer division,
+    * W = Σ weights) — the largest corpus where no source is asked for
+    * more rows than it has — and each source keeps rows whose md5 bucket
+    * falls under its rational keep-rate `T*w_s / (W*n_s)`:
+    * integer cross-multiplied, so any engine reproduces the exact keep
+    * set, stable under partitioning, growing the corpus only ever adds
+    * rows to a source's keep set for the same T.
+    *
+    * One count aggregate (map-side partials, #sources rows to the
+    * driver), then a broadcast join + map-only filter — the corpus is
+    * never shuffled. Overflow bound: bucket(2^24) * W * n_s must fit a
+    * long, so n_s below ~2^37/W rows per source; beyond that, divide the
+    * weights by their gcd or widen the comparison to decimals.
+    */
+  def sampleToMixture(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wSum = weights.values.sum.toLong
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = counts.keySet.diff(weights.keySet)
+    require(missing.isEmpty, s"no mixture weight for sources: $missing")
+    val feasibleTotal = counts.map { case (s, n) => n * wSum / weights(s) }.min
+    val meta = df.sparkSession.createDataFrame(
+      counts.toSeq.map { case (s, n) => (s, n, weights(s).toLong) })
+      .toDF(sourceCol, "__n", "__w")
+    val bucket = conv(substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 6), 16, 10).cast("long")
+    df.join(broadcast(meta), sourceCol)
+      .filter(bucket * lit(wSum) * col("__n") <
+        lit(1L << 24) * lit(feasibleTotal) * col("__w"))
+      .select(df.columns.map(col).toSeq: _*) // using-join moved the key first
+  }
+
   /** Lexical top-k retrieval with integer inverse-df weighting: score(doc)
     * = Σ over matched query terms of tf(term, doc) * (C / df(term)), with
     * C/df an INTEGER division (C = 1_000_000). Integer weights make the

@@ -327,6 +327,62 @@ object CorpusQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500 AS BIGINT) AS shard
              |FROM toks ORDER BY doc_id""".stripMargin)),
 
+    // packed training sequences: each (source, shard)'s docs concatenated
+    // in doc order — md5 of the payload keeps the compared cells small
+    // while still pinning every byte of the packed text
+    Q(
+      "corpus_pack_sequences",
+      (s, dir) =>
+        Corpus.packSequences(table(s, dir, "documents"),
+          "source", "doc_id", "text", budget = 500L, sep = "\n\n")
+          .select(col("source"), col("shard"), col("n_docs"), col("n_tokens"),
+            md5(col("packed").cast("binary")).as("packed_md5"))
+          .orderBy(col("source"), col("shard")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, source, text, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500 AS BIGINT) AS shard
+             |  FROM toks)
+             |SELECT source, shard, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |  md5(STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id)) AS packed_md5
+             |FROM sh GROUP BY source, shard
+             |ORDER BY source, shard""".stripMargin)),
+
+    // deterministic mixture resampling: per-source keep-rates bring the
+    // kept corpus to the target weights (weight derived from the source
+    // name's last character so the formula covers any source set); the
+    // exact keep set is integer cross-multiplied hash arithmetic both
+    // engines reproduce bit-for-bit
+    Q(
+      "corpus_mixture_sample",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sources = docs.select(col("source")).distinct()
+          .collect().map(_.getString(0))
+        val weights = sources.map(src =>
+          src -> ((src.last.toInt % 3) + 1)).toMap
+        Corpus.sampleToMixture(docs, "source", "doc_id", weights)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH cnt AS (
+             |  SELECT source, COUNT(*) AS n,
+             |    (unicode(substr(source, -1, 1)) % 3) + 1 AS wt
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS w_sum FROM cnt),
+             |t AS (SELECT MIN(n * (SELECT w_sum FROM tot) // wt) AS feasible FROM cnt)
+             |SELECT d.doc_id, d.source
+             |FROM documents d JOIN cnt c ON d.source = c.source
+             |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+             |    * (SELECT w_sum FROM tot) * c.n
+             |  < 16777216 * (SELECT feasible FROM t) * c.wt
+             |ORDER BY d.doc_id""".stripMargin)),
+
     Q(
       "text_search_topk",
       (s, dir) =>

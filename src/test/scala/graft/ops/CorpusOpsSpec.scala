@@ -436,6 +436,50 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!kept.contains(50L), "hiPct=90 must drop the longest row")
   }
 
+  test("packSequences concatenates each shard's docs in order") {
+    val df = Seq(
+      (1L, "g", "a b c"), // 3 tokens, shard 0 (cum 0)
+      (2L, "g", "d e"), // cum 3, shard 0
+      (3L, "g", "f g h i"), // cum 5, shard 1
+      (10L, "h", "x") // own group
+    ).toDF("doc_id", "grp", "text")
+    val out = Corpus.packSequences(df, "grp", "doc_id", "text", budget = 5L,
+        sep = " | ")
+      .orderBy($"grp", $"shard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out === Array(
+      ("g", 0L, 2L, 5L, "a b c | d e"),
+      ("g", 1L, 1L, 4L, "f g h i"),
+      ("h", 0L, 1L, 1L, "x")))
+  }
+
+  test("sampleToMixture keeps the feasible-total mixture, deterministically") {
+    val rows = (1L to 300L).map(i => (i, if (i <= 200) "big" else "small"))
+    val df = rows.toDF("doc_id", "source")
+    val weights = Map("big" -> 1, "small" -> 1) // target 50:50, small binds
+    val kept = Corpus.sampleToMixture(df, "source", "doc_id", weights)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // independent replay of the documented rule
+    val wSum = 2L
+    val t = math.min(200L * wSum / 1, 100L * wSum / 1) // = 200
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(3)
+      ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
+    }
+    val expected = rows.filter { case (id, s) =>
+      val n = if (s == "big") 200L else 100L
+      bucket(id) * wSum * n < (1L << 24) * t * 1L
+    }
+    assert(kept.toSet === expected.toSet)
+    // the binding source keeps everything; the oversupplied one thins out
+    assert(kept.count(_._2 == "small") === 100)
+    assert(kept.count(_._2 == "big") < 200 && kept.count(_._2 == "big") > 50)
+    intercept[IllegalArgumentException](
+      Corpus.sampleToMixture(df, "source", "doc_id", Map("big" -> 1)))
+  }
+
   test("capPerGroup keeps the k best per group, smaller-id tiebreak") {
     val pages = Seq(
       (1L, "a.com", 10.0), (2L, "a.com", 30.0), (3L, "a.com", 20.0),
