@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, HyperplaneBucket, QuantizeInt8, RollingHash, TextFunctions, TopKByScore}
+import graft.functions.{DotProduct, HyperplaneBucket, QuantizeInt8, RollingHash, StripAccents, TextFunctions, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.IntegerType
   *   - quantize_int8(arr)                 → array<bigint> (floor·127/max|v|)
   *   - hyperplane_bucket(arr, planes)     → bigint LSH bucket id
   *   - top_k_by_score(score, id, k)       → array<struct<id,score>> agg
+  *   - strip_accents(text)                → string (NFD, drop Mn marks)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -59,7 +60,9 @@ object GraftExtensions {
     "top_k_by_score" -> ((cs: Seq[Expression]) =>
       { val a = args(cs, 3, "top_k_by_score")
         TopKByScore(a(0), a(1), intLit(a(2), "top_k_by_score", "k"))
-          .toAggregateExpression() }))
+          .toAggregateExpression() }),
+    "strip_accents" -> ((cs: Seq[Expression]) =>
+      StripAccents(args(cs, 1, "strip_accents").head)))
 
   /** Register every graft function on an already-built session. */
   def registerAll(spark: SparkSession): Unit =

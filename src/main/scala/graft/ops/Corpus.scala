@@ -448,4 +448,92 @@ object Corpus {
       .filter(lo && hi)
       .drop("__lo", "__hi")
   }
+
+  /** Sliding token-window chunking — the RAG/embedding "split documents
+    * into overlapping context windows" step. Chunk i covers tokens
+    * `[i*(size-overlap), i*(size-overlap)+size)`; the chunk count is
+    * `max(1, ceil((n-overlap)/(size-overlap)))` so every token is covered,
+    * the last chunk is allowed to be short, and a doc shorter than one
+    * window still yields exactly one chunk. Zero-token docs yield zero
+    * chunks (there is nothing to embed).
+    *
+    * Scale: pure map-side — tokenize, `sequence` the chunk ids, explode,
+    * `slice` each window out of the one materialized token array. No
+    * shuffle, no UDF; the output is ~n/(size-overlap) rows per doc and
+    * each carries only its own window's text.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(0 <= overlap && overlap < size,
+      s"need 0 <= overlap < size, got overlap=$overlap size=$size")
+    val step = size - overlap
+    val n = col("__n")
+    // ceil((n-overlap)/step) as (a + step - 1) DIV step with a clamped
+    // positive — Spark's DIV truncates toward zero and DuckDB's // floors,
+    // so keeping every operand non-negative is what makes the two agree
+    val nChunks = when(n <= 0, lit(0L))
+      .otherwise(expr(s"(greatest(__n - $overlap, 1) + ${step - 1}) DIV $step"))
+    df.withColumn("__ws", TextFunctions.tokens(col(textCol)))
+      .withColumn("__n",
+        org.apache.spark.sql.functions.size(col("__ws")).cast("long"))
+      .withColumn("chunk_id", explode(
+        when(nChunks > 0, sequence(lit(0L), nChunks - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumn("chunk",
+        array_join(slice(col("__ws"), (col("chunk_id") * step + 1).cast("int"),
+          lit(size)), " "))
+      .withColumn("chunk_tokens",
+        least(lit(size.toLong), n - col("chunk_id") * step))
+      .drop("__ws", "__n")
+  }
+
+  /** Canonical text normalization: lowercase, fold accents (NFD, drop
+    * combining marks — [[graft.functions.StripAccents]], a native codegen
+    * expression with an ASCII zero-copy fast path), collapse whitespace
+    * runs to one space, trim. The first map of virtually every text
+    * pipeline (dedup keys, language ID, quality scoring all sharpen on
+    * normalized text). Map-only: stays inside whole-stage codegen.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      graft.functions.StripAccents.strip_accents(lower(text)),
+      "\\s+", " "))
+
+  /** EXACT per-group percentiles without sorting any raw rows — the
+    * scale path for "p50/p90/p99 document length per language" on a
+    * bounded value domain. Counting construction: one aggregate to
+    * (group, value, count), one window over the DISTINCT values of each
+    * group (|domain| rows, not |corpus| rows) for cumulative counts, then
+    * the p-th percentile is the smallest value whose cumulative count
+    * reaches rank `ceil(n * p / 100)` — all integer arithmetic, so the
+    * SQL oracle reproduces the selection bit-for-bit (no float-rank or
+    * sketch ambiguity, unlike `percentile_approx`).
+    *
+    * 100 TB: the shuffled payload after the first aggregate is
+    * |group| × |distinct values| rows — for lengths, scores, star
+    * ratings &c. this is thousands of rows regardless of corpus size.
+    * For unbounded/continuous domains use [[clipByLengthApprox]]'s
+    * sketch instead; this operator is the exact complement.
+    */
+  def percentilesByCounting(df: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $pcts")
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val picks = pcts.map { p =>
+      // rank = ceil(n*p/100) = (n*p + 99) DIV 100 — all operands positive,
+      // so truncating (Spark DIV) and flooring (DuckDB //) division agree
+      min(when(col("__cum") >= expr(s"(__n * $p + 99) DIV 100"),
+        col(valueCol))).as(s"p$p")
+    }
+    cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+  }
 }

@@ -383,6 +383,118 @@ object CorpusQueries {
              |  < 16777216 * (SELECT feasible FROM t) * c.wt
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // C4-style line-level dedup: documents re-lined into 3-token lines
+    // (the synthetic corpus has no newlines — the fixed re-lining is
+    // reproduced verbatim in the oracle), then every line appearing in
+    // more than maxDf documents is dropped from every document
+    Q(
+      "corpus_line_dedup",
+      (s, dir) => {
+        val ws = TextFunctions.tokens(col("text"))
+        val n = org.apache.spark.sql.functions.size(ws).cast("long")
+        val lined = table(s, dir, "documents").select(
+          col("doc_id"),
+          array_join(
+            transform(
+              // integer line count ceil(n/3): (n+2)/3 over small positive
+              // longs — the double division is exact for every integral
+              // quotient, and the cast floors the rest
+              sequence(lit(0L),
+                ((greatest(n, lit(1L)) + lit(2L)) / lit(3L)).cast("long") - 1),
+              i => array_join(slice(ws, (i * 3 + 1).cast("int"), lit(3)), " ")),
+            "\n").as("lined"))
+        Dedup.dedupLines(lined, "doc_id", "lined", "\n", maxDf = 3)
+          .select(col("doc_id"),
+            md5(col("clean_text").cast("binary")).as("clean_md5"),
+            col("kept_lines"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksCte,
+             |lined AS (
+             |  SELECT doc_id, list_transform(
+             |    range(0, CAST((greatest(len(ws), 1) + 2) // 3 AS BIGINT)),
+             |    i -> array_to_string(ws[i*3+1:i*3+3], ' ')) AS lines
+             |  FROM toks),
+             |freq AS (
+             |  SELECT line FROM (
+             |    SELECT DISTINCT doc_id, unnest(lines) AS line FROM lined)
+             |  GROUP BY line HAVING COUNT(*) > 3),
+             |fl AS (SELECT COALESCE(list(line), []) AS f FROM freq),
+             |kept AS (
+             |  SELECT doc_id,
+             |    list_filter(lines, l -> NOT list_contains(f, l)) AS k
+             |  FROM lined, fl)
+             |SELECT doc_id, md5(array_to_string(k, chr(10))) AS clean_md5,
+             |  CAST(len(k) AS BIGINT) AS kept_lines
+             |FROM kept ORDER BY doc_id""".stripMargin)),
+
+    // sliding token-window chunking (RAG/embedding prep): 40-token
+    // windows advancing 30 tokens, short docs one chunk, empty docs none
+    Q(
+      "corpus_rag_chunks",
+      (s, dir) =>
+        Corpus.chunkByTokens(table(s, dir, "documents"), "doc_id", "text",
+          size = 40, overlap = 10)
+          .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+            md5(col("chunk").cast("binary")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id")),
+      Some(s"""WITH $toksCte,
+             |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM toks),
+             |c AS (
+             |  SELECT doc_id, ws, n, unnest(range(0,
+             |    CASE WHEN n <= 0 THEN 0
+             |         ELSE CAST((greatest(n - 10, 1) + 29) // 30 AS BIGINT)
+             |    END)) AS chunk_id
+             |  FROM n)
+             |SELECT doc_id, chunk_id,
+             |  CAST(least(40, n - chunk_id*30) AS BIGINT) AS chunk_tokens,
+             |  md5(array_to_string(ws[chunk_id*30+1:chunk_id*30+40], ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // canonical normalization: case-fold, accent-fold (native codegen'd
+    // strip_accents), whitespace-collapse, trim — the decorated input
+    // exercises every step on the all-ASCII corpus
+    Q(
+      "corpus_normalize",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            Corpus.normalizeText(
+              concat(lit("  ÉMILE\t"), col("text"), lit("  naïve  ")))
+              .as("norm"))
+          .select(col("doc_id"), md5(col("norm").cast("binary")).as("norm_md5"),
+            length(col("norm")).cast("bigint").as("norm_len"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(strip_accents(lower(
+             |    '  ÉMILE' || chr(9) || text || '  naïve  ')), '\s+', ' ', 'g'))) AS norm_md5,
+             |  CAST(len(trim(regexp_replace(strip_accents(lower(
+             |    '  ÉMILE' || chr(9) || text || '  naïve  ')), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // exact per-language length percentiles via the counting construction
+    // — integer rank ceil(n*p/100), no raw-row sort on either engine
+    Q(
+      "corpus_percentiles",
+      (s, dir) =>
+        Corpus.percentilesByCounting(table(s, dir, "documents"),
+          "lang", "n_chars", Seq(50, 90, 99))
+          .orderBy(col("lang")),
+      Some("""WITH c AS (
+             |  SELECT lang, n_chars, COUNT(*) AS cnt
+             |  FROM documents GROUP BY 1, 2),
+             |w AS (
+             |  SELECT lang, n_chars,
+             |    SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY lang) AS n
+             |  FROM c)
+             |SELECT lang,
+             |  MIN(CASE WHEN cum >= (n*50 + 99) // 100 THEN n_chars END) AS p50,
+             |  MIN(CASE WHEN cum >= (n*90 + 99) // 100 THEN n_chars END) AS p90,
+             |  MIN(CASE WHEN cum >= (n*99 + 99) // 100 THEN n_chars END) AS p99
+             |FROM w GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q(
       "text_search_topk",
       (s, dir) =>

@@ -727,4 +727,46 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.vid").as("d1"), col("b.vid").as("d2"), col("cos"))
   }
+
+  /** Line-level corpus dedup (the C4/web-scale cleaner): drop every
+    * occurrence of any line whose DOCUMENT frequency exceeds `maxDf` —
+    * boilerplate (nav bars, cookie banners, license headers) repeats
+    * across thousands of pages while real prose does not. Lines are
+    * `delim`-separated spans; each surviving doc is reassembled in
+    * original line order (docs whose lines are all boilerplate survive
+    * with empty text, keeping the row count stable for downstream joins).
+    *
+    * Scale shape: explode to (doc, pos, line) — the ONLY full-width
+    * pass — then the document-frequency count shuffles just distinct
+    * (doc, line) pairs on the line hash. Lines with df > maxDf are a
+    * tiny fraction of any real corpus (that is what "boilerplate" means),
+    * so the filter join's build side stays broadcastable and the
+    * reassembly groupBy(doc) is the one unavoidable second shuffle.
+    * md5 stands in for the line text in the join key: 16 fixed bytes
+    * through both shuffles instead of arbitrary-length line bodies.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      delim: String, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val lines = df
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__h", md5(col("__line").cast("binary")))
+    val frequent = lines.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__h"))
+    lines.join(frequent, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          e => e.getField("__line")),
+        delim).as("clean_text"),
+        count(lit(1)).as("kept_lines"))
+      .join(df.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
+  }
 }

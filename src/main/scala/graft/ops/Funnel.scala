@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis over an event stream: for a step sequence
+  * (signup → click → purchase), find each user's first time reaching each
+  * step, where step i counts only at a strictly later timestamp than the
+  * user's step i-1 time. The standard product-analytics conversion query.
+  *
+  * Single-shuffle design: filter to the step types map-side, group by
+  * user, sort each user's (ts, type) events in memory, and FOLD through
+  * them once with the `aggregate` higher-order function carrying one
+  * nullable timestamp per step as the state. First-qualifying-in-time-
+  * order equals min-qualifying, so the fold reproduces the chained
+  * "MIN(ts) WHERE ts > previous step" SQL exactly — without the k
+  * self-joins (and k shuffles) the SQL formulation pays. Per-user state
+  * is k timestamps; the sorted event array is bounded by that user's
+  * event count (cap power users upstream with [[Corpus.capPerGroup]] if
+  * a key can exceed memory).
+  */
+object Funnel {
+
+  /** Per-user step-completion times: one row per user who reached step 0,
+    * columns `t_<step>` (null = never reached). */
+  def stepTimes(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"steps must be distinct, got $steps")
+    val relevant = events
+      .filter(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol), col(tsCol).as("__ts"), col(typeCol).as("__tp"))
+    val sortedEvents = array_sort(
+      collect_list(struct(col("__ts"), col("__tp"))))
+    val init = struct(
+      steps.indices.map(i => lit(null).cast("timestamp").as(s"t$i")): _*)
+    val folded = aggregate(sortedEvents, init, (acc, e) => {
+      val fields = steps.zipWithIndex.map { case (st, i) =>
+        val qualifies =
+          if (i == 0) e.getField("__tp") === st
+          else acc.getField(s"t${i - 1}").isNotNull &&
+            e.getField("__tp") === st &&
+            e.getField("__ts") > acc.getField(s"t${i - 1}")
+        coalesce(acc.getField(s"t$i"),
+          when(qualifies, e.getField("__ts"))).as(s"t$i")
+      }
+      struct(fields: _*)
+    })
+    relevant.groupBy(col(userCol)).agg(folded.as("__fold"))
+      .select(col(userCol) +:
+        steps.zipWithIndex.map { case (st, i) =>
+          col(s"__fold.t$i").as(s"t_$st")
+        }: _*)
+      .filter(col(s"t_${steps.head}").isNotNull)
+  }
+
+  /** Funnel conversion counts: (step ordinal, step name, users reaching
+    * it). One extra single-row aggregate over [[stepTimes]]. */
+  def conversionCounts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val st = stepTimes(events, userCol, tsCol, typeCol, steps)
+    val counts = st.agg(
+      count(col(s"t_${steps.head}")).as("c0"),
+      steps.tail.zipWithIndex.map { case (s, i) =>
+        count(col(s"t_$s")).as(s"c${i + 1}")
+      }: _*)
+    counts.select(explode(array(
+      steps.zipWithIndex.map { case (s, i) =>
+        struct(lit(i + 1).as("step"), lit(s).as("event_type"),
+          col(s"c$i").as("users"))
+      }: _*)).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.users"))
+  }
+}

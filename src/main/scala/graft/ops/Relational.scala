@@ -701,6 +701,38 @@ object Relational {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              |FROM events
              |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- ordered funnel conversion (signup → click → purchase): each
+    //      step must happen STRICTLY after the user's previous step time.
+    //      Spark side is Funnel.conversionCounts — ONE shuffle and a
+    //      per-user in-memory fold; the oracle is the classic k-self-join
+    //      chain, which must agree because first-qualifying-in-time-order
+    //      = min-qualifying. Both engines compare µs-truncated timestamps
+    //      (events.parquet carries nanos).
+    Q(
+      "q_funnel",
+      (s, dir) =>
+        Funnel.conversionCounts(events(s, dir), "user_id", "ts",
+          "event_type", Seq("signup", "click", "purchase"))
+          .orderBy(col("step")),
+      Some("""WITH t0 AS (
+             |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |t1 AS (
+             |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+             |  FROM events e JOIN t0 USING (user_id)
+             |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t0.t
+             |  GROUP BY 1),
+             |t2 AS (
+             |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+             |  FROM events e JOIN t1 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t1.t
+             |  GROUP BY 1)
+             |SELECT 1 AS step, 'signup' AS event_type,
+             |  (SELECT COUNT(*) FROM t0) AS users
+             |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t1)
+             |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t2)
+             |ORDER BY step""".stripMargin))
   )
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.StripAccents
+import org.apache.spark.sql.functions._
+
+/** Unit-level semantics for line dedup, RAG chunking, normalization,
+  * counting percentiles, and the funnel fold (sf-scale behavior is
+  * covered by the DuckDB-oracle queries).
+  */
+class TextPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dedupLines drops boilerplate lines, keeps prose, preserves order") {
+    val docs = Seq(
+      (1L, "cookie banner\nreal prose one\ncookie banner"),
+      (2L, "cookie banner\nreal prose two"),
+      (3L, "cookie banner\nmore text"),
+      (4L, "cookie banner"),
+      (5L, "untouched doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", "\n", maxDf = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // "cookie banner" appears in 4 docs > maxDf=3 → dropped everywhere,
+    // including BOTH its occurrences in doc 1; doc 4 survives empty
+    assert(out === Array(
+      (1L, "real prose one", 1L),
+      (2L, "real prose two", 1L),
+      (3L, "more text", 1L),
+      (4L, "", 0L),
+      (5L, "untouched doc", 1L)))
+  }
+
+  test("dedupLines at df <= maxDf keeps everything byte-identical") {
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", "\n", maxDf = 2)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out === Array("a\nb", "a\nc"))
+  }
+
+  test("chunkByTokens covers every token, short and empty docs handled") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 tokens, size 4 step 2 → 3 chunks
+      (2L, "only three tokens"),    // shorter than one window → 1 chunk
+      (3L, "")                      // zero tokens → zero chunks
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkByTokens(docs, "doc_id", "text", size = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t5 t6 t7", 3L),
+      (2L, 0L, "only three tokens", 3L)))
+  }
+
+  test("chunkByTokens rejects bad window parameters") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Corpus.chunkByTokens(docs, "doc_id", "text", size = 4, overlap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.chunkByTokens(docs, "doc_id", "text", size = 0, overlap = 0)
+    }
+  }
+
+  test("strip_accents folds diacritics, leaves ASCII untouched (fast path)") {
+    val out = Seq("Café naïve ÉMILE", "plain ascii stays", "œ is not a mark")
+      .toDF("s").select(StripAccents.strip_accents($"s")).as[String].collect()
+    assert(out === Array("Cafe naive EMILE", "plain ascii stays",
+      "œ is not a mark")) // œ is a letter, not a combining mark — kept
+  }
+
+  test("normalizeText lowercases, folds accents, collapses whitespace") {
+    val out = Seq("  Café\t\tdu   MONDE \n")
+      .toDF("s").select(Corpus.normalizeText($"s")).as[String].collect()
+    assert(out === Array("cafe du monde"))
+  }
+
+  test("percentilesByCounting matches the ceil-rank definition per group") {
+    // group a: values 1..10 once each → p50 = rank 5 = 5, p90 = 9, p99 = 10
+    // group b: 1 ×9, 100 ×1 → p50 = 1, p90 = 1, p99 = 100
+    val df = ((1 to 10).map(v => ("a", v)) ++
+      Seq.fill(9)(("b", 1)) :+ ("b", 100)).toDF("g", "v")
+    val out = Corpus.percentilesByCounting(df, "g", "v", Seq(50, 90, 99))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out === Array(("a", 5, 9, 10), ("b", 1, 1, 100)))
+  }
+
+  test("funnel stepTimes enforces strict ordering and first-qualifying wins") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // u1 converts fully in order
+      (1L, ts("2026-01-01 10:00:00"), "signup"),
+      (1L, ts("2026-01-01 10:05:00"), "click"),
+      (1L, ts("2026-01-01 10:10:00"), "purchase"),
+      // u2 clicks BEFORE signup → click must not count; no purchase
+      (2L, ts("2026-01-01 09:00:00"), "click"),
+      (2L, ts("2026-01-01 09:30:00"), "signup"),
+      // u3 purchase before click → only signup+click count
+      (3L, ts("2026-01-01 08:00:00"), "signup"),
+      (3L, ts("2026-01-01 08:10:00"), "purchase"),
+      (3L, ts("2026-01-01 08:20:00"), "click"),
+      // u4 never signs up → excluded entirely
+      (4L, ts("2026-01-01 07:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val st = Funnel.stepTimes(events, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2), r.isNullAt(3)))
+    assert(st === Array((1L, false, false), (2L, true, true),
+      (3L, false, true)))
+    val counts = Funnel.conversionCounts(events, "user_id", "ts",
+      "event_type", Seq("signup", "click", "purchase"))
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(counts === Array((1, 3L), (2, 2L), (3, 1L)))
+  }
+
+  test("funnel rejects duplicate step names") {
+    val events = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+      "a")).toDF("user_id", "ts", "event_type")
+    intercept[IllegalArgumentException] {
+      Funnel.stepTimes(events, "user_id", "ts", "event_type", Seq("a", "a"))
+    }
+  }
+}
