@@ -76,6 +76,37 @@ object CorpusQueries {
   private def icosSql(a: String, b: String): String =
     s"(${idotSql(a, b)}) / (sqrt(${idotSql(a, a)}) * sqrt(${idotSql(b, b)}))"
 
+  /** k-means CTE chain `qvt, c0, …, c<iters>` matching
+    * [[Similarity.kmeansCentroids]]: integer-quantized vectors (×1000
+    * round), seed = the k smallest-id vectors, per-pass max-cosine
+    * assignment with ties to the lowest cid, centers = element-wise
+    * integer SUMS (cosine is scale-invariant — see the Spark side).
+    * The final centers CTE is named `c<iters>`. Shared by
+    * `ann_ivf_kmeans` and `dedup_semantic` so the two queries cannot
+    * drift apart. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def lloyd(prev: String, a: String, sTbl: String, next: String) =
+      s"""$a AS (SELECT vec_id, cid, qv FROM (
+         |    SELECT q.vec_id, c.cid, q.qv,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${icosSql("q.qv", "c.cv")} DESC, c.cid) AS rn
+         |    FROM qvt q CROSS JOIN $prev c) t WHERE rn = 1),
+         |$sTbl AS (SELECT cid, i AS d, SUM(qv[i]) AS sx
+         |  FROM $a CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) dims
+         |  GROUP BY cid, i),
+         |$next AS (SELECT cid, list(CAST(sx AS DOUBLE) ORDER BY d) AS cv
+         |  FROM $sTbl GROUP BY cid)""".stripMargin
+    val chain = (1 to iters)
+      .map(i => lloyd(s"c${i - 1}", s"a$i", s"s$i", s"c$i")).mkString(",\n")
+    s"""qvt AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM qvt WHERE vec_id < $k),
+       |$chain""".stripMargin
+  }
+
   /** Near-dup cluster oracle: jaccard pair CTEs + a recursive
     * transitive-closure walk. Shared verbatim by `dedup_clusters` (label
     * propagation) and `dedup_clusters_star` (star contraction) — the two
@@ -799,6 +830,30 @@ object CorpusQueries {
              |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
              |ORDER BY d1, d2""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: REAL k-means clusters block the
+    // pair search (Σ_c n_c², never corpus²); a vector is a semantic dup
+    // iff a lower-id in-cluster neighbor is within the cosine threshold
+    Q(
+      "dedup_semantic",
+      (s, dir) =>
+        Dedup.semanticDedup(table(s, dir, "embeddings"), "vec_id",
+          "embedding", Dim, k = 8, iters = 2, threshold = 0.45)
+          .orderBy(col("vid")),
+      Some(s"""WITH ${kmeansCtes(8, 2)},
+             |ce AS (SELECT e.vec_id, t.cid, e.embedding FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN c2 c) t
+             |  JOIN embeddings e ON e.vec_id = t.vec_id WHERE t.rn = 1),
+             |dups AS (
+             |  SELECT DISTINCT b.vec_id FROM ce a JOIN ce b
+             |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+             |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45)
+             |SELECT ce.vec_id AS vid, ce.cid,
+             |  (ce.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+             |FROM ce ORDER BY vid""".stripMargin)),
+
     // ======== similarity search ========
     Q(
       "ann_bruteforce_topk",
@@ -921,28 +976,7 @@ object CorpusQueries {
           .orderBy(col("q_id"), col("rank"))
       },
       Some {
-        // one Lloyd pass: assign to max-cosine center (ties → lowest cid),
-        // then centers := element-wise integer SUM of members (cosine is
-        // scale-invariant, so sums == means for assignment purposes)
-        def lloyd(prev: String, a: String, sTbl: String, next: String) =
-          s"""$a AS (SELECT vec_id, cid, qv FROM (
-             |    SELECT q.vec_id, c.cid, q.qv,
-             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-             |        ORDER BY ${icosSql("q.qv", "c.cv")} DESC, c.cid) AS rn
-             |    FROM qvt q CROSS JOIN $prev c) t WHERE rn = 1),
-             |$sTbl AS (SELECT cid, i AS d, SUM(qv[i]) AS sx
-             |  FROM $a CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) dims
-             |  GROUP BY cid, i),
-             |$next AS (SELECT cid, list(CAST(sx AS DOUBLE) ORDER BY d) AS cv
-             |  FROM $sTbl GROUP BY cid)""".stripMargin
-        s"""WITH qvt AS (
-           |  SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-           |  FROM embeddings),
-           |c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-           |  FROM qvt WHERE vec_id < 8),
-           |${lloyd("c0", "a1", "s1", "c1")},
-           |${lloyd("c1", "a2", "s2", "c2")},
+        s"""WITH ${kmeansCtes(8, 2)},
            |ca AS (SELECT vec_id, cid FROM (
            |    SELECT e.vec_id, c.cid,
            |      ROW_NUMBER() OVER (PARTITION BY e.vec_id

@@ -769,4 +769,45 @@ object Dedup {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
   }
+
+  /** SemDeDup-style semantic dedup (the public construction from Abbas
+    * et al. 2023, arXiv:2303.09540): cluster the embedding space with
+    * spherical k-means, then look for cosine-near pairs WITHIN each
+    * cluster only — the cluster count k is the dial that keeps the pair
+    * stage at Σ_c n_c² instead of corpus². A vector is a semantic
+    * duplicate iff a LOWER-id vector in its cluster is within the cosine
+    * threshold (the paper keeps one arbitrary point per near-dup ball;
+    * min-id makes that choice reproducible on any engine).
+    *
+    * Scale shape: k-means is `iters` broadcast + narrow-shuffle passes
+    * ([[Similarity.kmeansCentroids]] — only k centers ever reach the
+    * driver); the final assignment is one broadcast of the k centers
+    * over the corpus; the pair stage is [[embeddingCosine]] blocked by
+    * cluster id. Nothing driver-side grows with the corpus.
+    *
+    * @return one row per input vector: (vid, cid, is_dup)
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val cents = Similarity.kmeansCentroids(emb, idCol, vecCol, dim, k, iters)
+      .select(col("cid"), col("c_v"),
+        sqrt(Similarity.dot(col("c_v"), col("c_v"), dim)).as("c_nrm"))
+    // one broadcast pass: nearest center by cosine, ties → lowest cid
+    // (norms precomputed below the join barrier on both sides)
+    val v = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol), dim)).as("nrm"))
+    val assigned = v.join(broadcast(cents), lit(true))
+      .withColumn("cos",
+        Similarity.dot(col("v"), col("c_v"), dim) /
+          (col("nrm") * col("c_nrm")))
+      .groupBy(col("vid"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+        first(col("v")).as("v")) // v is constant within the group
+    val dups = embeddingCosine(assigned, "vid", "v", "cid", dim, threshold)
+      .select(col("d2").as("vid")).distinct()
+    assigned.select(col("vid"), col("cid"))
+      .join(dups.withColumn("__dup", lit(true)), Seq("vid"), "left")
+      .select(col("vid"), col("cid"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -119,6 +119,21 @@ class TextPipelineSpec extends SparkTestBase {
     assert(counts === Array((1, 3L), (2, 2L), (3, 1L)))
   }
 
+  test("semanticDedup marks higher-id cosine-near in-cluster vectors") {
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),   // cluster seed A
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),   // cluster seed B
+      (3L, Seq(1.0, 0.01, 0.0, 0.0)),  // near-dup of 1 → dup
+      (4L, Seq(0.0, 1.0, 0.01, 0.0)),  // near-dup of 2 → dup
+      (5L, Seq(0.9, 0.4, 0.0, 0.0))    // cluster A but cos(1,5) ≈ 0.91 → kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", dim = 4,
+      k = 2, iters = 1, threshold = 0.99)
+      .orderBy("vid").collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out === Array((1L, false), (2L, false), (3L, true), (4L, true),
+      (5L, false)))
+  }
+
   test("funnel rejects duplicate step names") {
     val events = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
       "a")).toDF("user_id", "ts", "event_type")
