@@ -536,4 +536,118 @@ object Corpus {
     }
     cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
   }
+
+  /** Fixed-point scale for [[lmScore]] probability contributions. 1e6
+    * (not 1e9) leaves integer headroom: the per-bigram product
+    * `(c12+1)·scale` stays inside int64 until a single bigram repeats
+    * ~9.2e12 times — beyond any real corpus ("of the" at web scale is
+    * ~1e10). */
+  val LmProbScale = 1000000L
+
+  /** CCNet-style language-model quality score: train bigram statistics
+    * on a trusted reference slice (`refFilter`, e.g. the wiki/en subset),
+    * then score every document by its MEAN add-one-smoothed bigram
+    * probability `p(w2|w1) = (c12+1)/(c1+V)` in fixed-point integer
+    * arithmetic. Fluent text scores high (its bigrams are common in the
+    * reference), gibberish/boilerplate scores near the 1/(c1+V) floor —
+    * the same ordering signal CCNet's log-perplexity filter uses, with
+    * one deliberate substitution: the mean PROBABILITY replaces the mean
+    * LOG-probability because `ln` is not correctly rounded and differs
+    * across libm builds (see [[bm25ContribSql]] for the same reasoning),
+    * while add/multiply/truncating-divide on integers are exact in any
+    * engine.
+    *
+    * Scale shape: two corpus scans (one to train the counts — aggregates
+    * only, map-side partials — and one to score), two equi-joins of the
+    * bigram rows against the count tables (AQE handles the hot-bigram
+    * skew), and one per-doc aggregate. The only driver value is the
+    * vocabulary size V (a single long).
+    *
+    * @return one row per input document: (idCol, n_bigrams, lm_score);
+    *         lm_score is null when the document has no bigrams
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      refFilter: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("__doc"), refFilter.as("__ref"),
+      TextFunctions.tokens(lower(col(textCol))).as("__ws"))
+    // (w1, w2) bigram rows via equal-length slices zipped — empty for
+    // docs with fewer than two tokens (greatest clamps the length at 0)
+    val n1 = greatest(size(col("__ws")) - 1, lit(0))
+    val bg = toks.select(col("__doc"), col("__ref"),
+      explode(zip_with(
+        slice(col("__ws"), lit(1), n1), slice(col("__ws"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col("__doc"), col("__ref"),
+        col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val refBg = bg.filter(col("__ref"))
+    val big = refBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.filter(col("__ref"))
+      .select(explode(col("__ws")).as("tok")).distinct().count()
+    val scored = bg
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      // truncating DIV == DuckDB's flooring // here: every operand is
+      // non-negative (c12 <= c1 by construction, all counts >= 0)
+      .withColumn("__c", expr(
+        s"((coalesce(c12, 0) + 1) * $LmProbScale) DIV (coalesce(c1, 0) + $vocab)"))
+      .groupBy(col("__doc"))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+    docs.select(col(idCol))
+      .join(scored.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_bigrams"),
+        expr("__s DIV __n").as("lm_score"))
+  }
+
+  /** Stop words for [[gopherRules]]' "natural language" check — the
+    * published Gopher list (Rae et al. 2021, Appendix A). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-quality rule filter (the published rule set
+    * from Rae et al. 2021, Appendix A), with a per-rule flag column so a
+    * pipeline can audit WHY a document was dropped, not just that it
+    * was. Every ratio rule is rearranged into integer cross-
+    * multiplication (mean word length in [3,10] ⇔ 3n ≤ Σlen ≤ 10n, ≤10%
+    * symbol words ⇔ 10·sym ≤ n, ≥80% alpha words ⇔ 5·alpha ≥ 4n) so
+    * there is not one float in the operator and any engine agrees
+    * bit-for-bit. Map-only: one projection over the token array, no
+    * shuffle, stays inside whole-stage codegen.
+    *
+    * The stop list is the "looks like natural language in the target
+    * language" probe — swap it per corpus language/domain (the registry
+    * query passes domain words because the synthetic corpus has no
+    * English function words).
+    *
+    * @return one row per doc: (idCol, n_words, ok_words, ok_mean_len,
+    *         ok_symbols, ok_alpha, ok_stops, keep)
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stops: Seq[String] = GopherStops): DataFrame = {
+    require(stops.nonEmpty, "stops must be non-empty")
+    val ws = TextFunctions.tokens(col(textCol))
+    docs
+      .withColumn("__n", size(ws).cast("long"))
+      .withColumn("__sl",
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("__sym", size(filter(ws,
+        w => w.contains("#") || w.contains("..."))).cast("long"))
+      .withColumn("__al",
+        size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("__st", size(filter(
+        array(stops.map(lit): _*),
+        s0 => array_contains(transform(ws, w => lower(w)), s0))).cast("long"))
+      .select(col(idCol), col("__n").as("n_words"),
+        (col("__n") >= minWords && col("__n") <= maxWords).as("ok_words"),
+        (col("__sl") >= col("__n") * 3 && col("__sl") <= col("__n") * 10)
+          .as("ok_mean_len"),
+        (col("__sym") * 10 <= col("__n")).as("ok_symbols"),
+        (col("__al") * 5 >= col("__n") * 4).as("ok_alpha"),
+        (col("__st") >= 2).as("ok_stops"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stops"))
+  }
 }

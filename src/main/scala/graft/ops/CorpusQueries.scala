@@ -15,6 +15,13 @@ object CorpusQueries {
 
   val Dim = 64
 
+  /** The gopher-rules stop-word probe, adapted to the synthetic corpus's
+    * vocabulary (it has no English function words; these are its highest-
+    * document-frequency content words, so the rule discriminates instead
+    * of rejecting everything). Shared by the Spark call and the oracle. */
+  val GopherQueryStops: Seq[String] =
+    Seq("data", "join", "scan", "filter", "table", "hash", "merge", "row")
+
   /** Stop-shingle document-frequency cap for the registered Jaccard query:
     * low enough that the cap is actually exercised on the 500-doc sf0.01
     * corpus (a tenth of the corpus), shared with the oracle SQL. */
@@ -526,6 +533,69 @@ object CorpusQueries {
              |  MIN(CASE WHEN cum >= (n*99 + 99) // 100 THEN n_chars END) AS p99
              |FROM w GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // CCNet-style LM quality score: bigram stats trained on the lang='en'
+    // slice, every doc scored by mean add-one-smoothed bigram probability
+    // in pure-integer fixed point (Corpus.lmScore — deliberately log-free;
+    // ln is not correctly rounded across libm builds)
+    Q(
+      "corpus_lm_score",
+      (s, dir) =>
+        Corpus.lmScore(table(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+          .orderBy(col("doc_id")),
+      Some(s"""WITH ltoks AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+             |  FROM documents),
+             |pos AS (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM ltoks),
+             |bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2 FROM pos),
+             |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+             |uni AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY 1),
+             |voc AS (SELECT COUNT(DISTINCT tok) AS v FROM
+             |  (SELECT unnest(ws) AS tok FROM ltoks WHERE lang = 'en')),
+             |contrib AS (
+             |  SELECT bg.doc_id,
+             |    ((COALESCE(c12, 0) + 1) * ${Corpus.LmProbScale}) //
+             |      (COALESCE(c1, 0) + (SELECT v FROM voc)) AS c
+             |  FROM bg LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)),
+             |agg AS (SELECT doc_id, SUM(c) AS s, COUNT(*) AS n FROM contrib GROUP BY 1)
+             |SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bigrams,
+             |  CAST(a.s // a.n AS BIGINT) AS lm_score
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Gopher rule filter (Rae et al. 2021 Appendix A shape): per-rule
+    // audit flags, every ratio rearranged into integer cross-
+    // multiplication — zero floats on either engine. minWords=30 so the
+    // word-count rule actually splits the synthetic corpus.
+    Q(
+      "corpus_gopher_rules",
+      (s, dir) =>
+        Corpus.gopherRules(table(s, dir, "documents"), "doc_id", "text",
+          minWords = 30, maxWords = 100000, stops = GopherQueryStops)
+          .orderBy(col("doc_id")),
+      Some {
+        val stops = GopherQueryStops.map(s0 => s"'$s0'")
+          .mkString("[", ", ", "]")
+        s"""WITH $toksCte,
+           |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+           |  CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sl,
+           |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+           |  CAST(len(list_filter($stops,
+           |    s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS BIGINT) AS st
+           |  FROM toks)
+           |SELECT doc_id, n AS n_words,
+           |  (n >= 30 AND n <= 100000) AS ok_words,
+           |  (sl >= n * 3 AND sl <= n * 10) AS ok_mean_len,
+           |  (sym * 10 <= n) AS ok_symbols,
+           |  (al * 5 >= n * 4) AS ok_alpha,
+           |  (st >= 2) AS ok_stops,
+           |  (n >= 30 AND n <= 100000 AND sl >= n * 3 AND sl <= n * 10
+           |    AND sym * 10 <= n AND al * 5 >= n * 4 AND st >= 2) AS keep
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
     Q(
       "text_search_topk",
       (s, dir) =>
@@ -760,6 +830,48 @@ object CorpusQueries {
            |JOIN sizes sb ON sb.doc_id = d2
            |WHERE CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5
            |ORDER BY d1, d2""".stripMargin
+      }),
+
+    // the end-to-end fuzzy-dedup deliverable: verified minhash pairs →
+    // star-contraction components → keep the min-id doc per cluster
+    Q(
+      "dedup_near_keep",
+      (s, dir) =>
+        Dedup.nearDupKeep(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+          .orderBy(col("doc_id")),
+      Some {
+        s"""WITH RECURSIVE $toksCte, $shingleCte,
+           |$minhashCtes,
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+           |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+           |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shx GROUP BY doc_id),
+           |common AS (
+           |  SELECT c.d1, c.d2, COUNT(*) AS common
+           |  FROM cands c
+           |  JOIN shx s1 ON s1.doc_id = c.d1
+           |  JOIN shx s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+           |  GROUP BY c.d1, c.d2),
+           |pairs AS (
+           |  SELECT d1, d2 FROM common
+           |  JOIN sizes sa ON sa.doc_id = d1
+           |  JOIN sizes sb ON sb.doc_id = d2
+           |  WHERE CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5),
+           |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+           |      UNION SELECT d2 AS a, d1 AS b FROM pairs),
+           |walk(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT w.src, e.b FROM walk w JOIN e ON w.dst = e.a),
+           |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster
+           |         FROM walk GROUP BY src),
+           |szs AS (SELECT cluster, COUNT(*) AS sz FROM comp GROUP BY cluster)
+           |SELECT c.doc_id, CAST(s.sz - 1 AS BIGINT) AS n_absorbed
+           |FROM comp c JOIN szs s USING (cluster)
+           |WHERE c.doc_id = c.cluster ORDER BY c.doc_id""".stripMargin
       }),
 
     Q(

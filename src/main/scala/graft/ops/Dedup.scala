@@ -770,6 +770,33 @@ object Dedup {
         coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
   }
 
+  /** The end-to-end fuzzy-dedup DELIVERABLE, composing the verified
+    * pipeline: minhash-LSH propose → exact-Jaccard verify → connected
+    * components → keep exactly the minimum-id document of every
+    * near-dup cluster. Returns the KEPT rows only — what a curation
+    * pipeline actually writes out — as (idCol, n_absorbed), where
+    * n_absorbed counts the discarded members of the kept doc's cluster
+    * (0 for the overwhelming majority that paired with nothing).
+    *
+    * Each stage is its scale-correct shape: verified pairs come from
+    * ONE shared shingle scan ([[minhashLshVerified]]), clustering is the
+    * O(log n)-round star solver ([[connectedComponentsStar]]) so
+    * templated boilerplate chains can't force diameter-many rounds, and
+    * the keep filter + cluster-size count is one aggregate over the
+    * (id, cluster) labels — the corpus text never enters the last stage.
+    */
+  def nearDupKeep(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs =
+      minhashLshVerified(docs, idCol, textCol, n, bands, rowsPerBand, threshold)
+    val cc = connectedComponentsStar(docs.select(col(idCol)), idCol, pairs)
+    val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+    cc.filter(col("id") === col("cluster"))
+      .join(sizes, Seq("cluster"))
+      .select(col("id").as(idCol), (col("__sz") - 1).as("n_absorbed"))
+  }
+
   /** SemDeDup-style semantic dedup (the public construction from Abbas
     * et al. 2023, arXiv:2303.09540): cluster the embedding space with
     * spherical k-means, then look for cosine-near pairs WITHIN each

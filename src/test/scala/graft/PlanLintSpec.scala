@@ -17,9 +17,13 @@ class PlanLintSpec extends SparkTestBase {
   private val skip = Set("dsl_jdbc_roundtrip", "dsl_chunked_upsert",
     "dsl_generated_ids")
 
-  // intentional bounded broadcast crossings (see scaladoc above)
+  // intentional bounded broadcast crossings (see scaladoc above);
+  // dedup_semantic crosses the corpus with the k COLLECTED k-means
+  // centers (a LocalRelation) and immediately bounds it with the
+  // per-vector max_by — the same centroid-assignment shape as the ANN
+  // rows.
   private val bnljByDesign = Set("ann_bruteforce_topk", "ann_quantized_topk",
-    "ann_ivf_topk", "ann_ivf_kmeans")
+    "ann_ivf_topk", "ann_ivf_kmeans", "dedup_semantic")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.

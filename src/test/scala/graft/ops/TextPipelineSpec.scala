@@ -134,6 +134,53 @@ class TextPipelineSpec extends SparkTestBase {
       (5L, false)))
   }
 
+  test("lmScore: fixed-point smoothed bigram probabilities vs hand-count") {
+    val docs = Seq(
+      (1L, "a b a b", true),  // reference: c12(a,b)=2, c12(b,a)=1; c1 a=2 b=1; V=2
+      (2L, "a b", false),     // (a,b): (2+1)*1e6/(2+2) = 750000
+      (3L, "z z", false),     // unseen: (0+1)*1e6/(0+2) = 500000
+      (4L, "a", false)        // no bigrams → null score
+    ).toDF("doc_id", "text", "ref")
+    val out = Corpus.lmScore(docs, "doc_id", "text", $"ref")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // doc 1: (750000 + 666666 + 750000) DIV 3 = 722222
+    assert(out === Array((1L, 3L, 722222L), (2L, 1L, 750000L),
+      (3L, 1L, 500000L), (4L, 0L, -1L)))
+  }
+
+  test("gopherRules: each rule fires on its own violation") {
+    val docs = Seq(
+      (1L, "the cats sat onto of mats"),  // all rules pass
+      (2L, "a # b"),                      // short, symbol, no stops
+      (3L, "xx yy"),                      // under minWords
+      (4L, "123 456 789 000")             // no alpha words, no stops
+    ).toDF("doc_id", "text")
+    val out = Corpus.gopherRules(docs, "doc_id", "text",
+      minWords = 3, maxWords = 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+    assert(out === Array(
+      (1L, true, true, true, true, true, true),
+      (2L, true, false, false, false, false, false), // 2/3 alpha < 0.8
+      (3L, false, false, true, true, false, false),
+      (4L, true, true, true, false, false, false)))
+  }
+
+  test("nearDupKeep keeps the min id per near-dup cluster with sizes") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "one two three four five"),
+      (4L, "one two three four five")         // exact dup of 3
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupKeep(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((1L, 1L), (3L, 1L)))
+  }
+
   test("funnel rejects duplicate step names") {
     val events = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
       "a")).toDF("user_id", "ts", "event_type")
