@@ -832,6 +832,34 @@ object CorpusQueries {
            |ORDER BY d1, d2""".stripMargin
       }),
 
+    // exact duplicated-span scan (Lee et al. 2021 core at 8-token window
+    // granularity): windows hashed once, duplicated-hash set by count>1
+    // over distinct (doc, hash), mark-back join + per-doc aggregate
+    Q(
+      "dedup_span_scan",
+      (s, dir) =>
+        Dedup.duplicateSpans(table(s, dir, "documents"), "doc_id", "text",
+          window = 8)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $toksCte,
+             |pos AS (SELECT doc_id, ws,
+             |  unnest(range(0, greatest(CAST(len(ws) AS BIGINT) - 7, 0))) AS p
+             |  FROM toks),
+             |win AS (SELECT doc_id, p,
+             |  md5(array_to_string(ws[p+1:p+8], ' ')) AS h FROM pos),
+             |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+             |  GROUP BY h HAVING COUNT(*) > 1),
+             |agg AS (
+             |  SELECT w.doc_id, COUNT(*) AS nw,
+             |    COUNT(CASE WHEN w.h IN (SELECT h FROM dup) THEN 1 END) AS nd
+             |  FROM win w GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(a.nw, 0) AS BIGINT) AS n_windows,
+             |  CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_dup_windows,
+             |  COALESCE(a.nd, 0) > 0 AS has_cross_dup
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // the end-to-end fuzzy-dedup deliverable: verified minhash pairs →
     // star-contraction components → keep the min-id doc per cluster
     Q(

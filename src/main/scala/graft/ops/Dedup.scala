@@ -770,6 +770,53 @@ object Dedup {
         coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
   }
 
+  /** Exact duplicated-span detection at fixed token-window granularity —
+    * the scan-based core of Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better"): any exactly-duplicated span of
+    * ≥ `window` tokens necessarily contains a duplicated `window`-token
+    * window, so scanning fixed windows finds every long duplicate (plus
+    * boundary windows — granularity is `window` tokens, the documented
+    * trade vs the paper's suffix array, which no shuffle engine runs).
+    * A window counts as duplicated when it appears in MORE THAN ONE
+    * document (cross-doc duplication, the training-leakage case).
+    *
+    * Scale shape: one explode to (doc, pos, window-md5) — linear in
+    * token count, the only full-width pass; the duplicated-hash set is
+    * one distinct + count shuffle on the 16-byte hash (never the window
+    * text); the mark-back is an equi-join on the same hash and one
+    * per-doc aggregate. Identical skeleton to [[dedupLines]], one level
+    * down (token windows instead of lines).
+    *
+    * @return one row per doc: (idCol, n_windows, n_dup_windows,
+    *         has_cross_dup)
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+    val m = greatest(size(col("__ws")).cast("long") - (window - 1), lit(0L))
+    val wins = toks.select(col(idCol),
+      explode(when(m > 0, sequence(lit(0L), m - 1))
+        .otherwise(array().cast("array<bigint>"))).as("__p"),
+      col("__ws"))
+      .select(col(idCol), col("__p"),
+        md5(array_join(slice(col("__ws"), (col("__p") + 1).cast("int"),
+          lit(window)), " ").cast("binary")).as("__h"))
+    val dupH = wins.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1)
+      .select(col("__h"), lit(true).as("__dup"))
+    val perDoc = wins.join(dupH, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("__dup")).as("n_dup_windows"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("has_cross_dup", col("n_dup_windows") > 0)
+  }
+
   /** The end-to-end fuzzy-dedup DELIVERABLE, composing the verified
     * pipeline: minhash-LSH propose → exact-Jaccard verify → connected
     * components → keep exactly the minimum-id document of every

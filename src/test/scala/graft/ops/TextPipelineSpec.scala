@@ -181,6 +181,23 @@ class TextPipelineSpec extends SparkTestBase {
     assert(out === Array((1L, 1L), (3L, 1L)))
   }
 
+  test("duplicateSpans finds cross-doc windows, ignores within-doc repeats") {
+    val docs = Seq(
+      (1L, "shared span here plus tail one"),
+      (2L, "prefix two shared span here end"),  // shares "shared span here"
+      (3L, "solo words repeat solo words repeat"), // repeats only within itself
+      (4L, "ab cd")                               // shorter than one window
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out === Array(
+      (1L, 4L, 1L, true),   // windows: [shared span here] is the shared one
+      (2L, 4L, 1L, true),
+      (3L, 4L, 0L, false),  // "solo words repeat" twice in ONE doc ≠ cross-doc
+      (4L, 0L, 0L, false)))
+  }
+
   test("funnel rejects duplicate step names") {
     val events = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
       "a")).toDF("user_id", "ts", "event_type")
