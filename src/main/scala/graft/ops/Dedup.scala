@@ -770,6 +770,30 @@ object Dedup {
         coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
   }
 
+  /** Blocked fuzzy record linkage (entity resolution over STRUCTURED
+    * records — the fuzzy complement of the DSL's exact keyed merge):
+    * candidate pairs come ONLY from an equality blocking key (never
+    * all-pairs), scored by Levenshtein edit distance — Spark's native
+    * codegen'd `levenshtein`, an exact integer, so any engine agrees
+    * without float ceremony. The blocking contract is the scale story:
+    * Σ_b n_b² pairs, with the block key (region + name prefix, phonetic
+    * code, …) chosen by the caller to bound block sizes.
+    *
+    * @return matching pairs (d1, d2, dist) with d1 < d2, dist ≤ maxDist
+    */
+  def recordLinkage(df: DataFrame, idCol: String, blockCol: Column,
+      nameCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val e = df.select(col(idCol).as("rid"), blockCol.as("__blk"),
+      col(nameCol).as("__nm"))
+    e.as("a").join(e.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.rid") < col("b.rid"))
+      .withColumn("dist", levenshtein(col("a.__nm"), col("b.__nm")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.rid").as("d1"), col("b.rid").as("d2"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** Exact duplicated-span detection at fixed token-window granularity —
     * the scan-based core of Lee et al. 2021 ("Deduplicating Training
     * Data Makes Language Models Better"): any exactly-duplicated span of

@@ -710,6 +710,22 @@ object Relational {
     //      chain, which must agree because first-qualifying-in-time-order
     //      = min-qualifying. Both engines compare µs-truncated timestamps
     //      (events.parquet carries nanos).
+    // ---- blocked fuzzy record linkage over customer: nation is the
+    //      blocking key (Σ_b n_b² pairs, never all-pairs), native
+    //      integer levenshtein scores the candidates on both engines
+    Q(
+      "q_record_linkage",
+      (s, dir) =>
+        Dedup.recordLinkage(table(s, dir, "customer"), "c_custkey",
+          col("c_nationkey"), "c_name", maxDist = 1)
+          .orderBy(col("d1"), col("d2")),
+      Some("""SELECT a.c_custkey AS d1, b.c_custkey AS d2,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+             |FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY d1, d2""".stripMargin)),
+
     Q(
       "q_funnel",
       (s, dir) =>

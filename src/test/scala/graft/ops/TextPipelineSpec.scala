@@ -198,6 +198,19 @@ class TextPipelineSpec extends SparkTestBase {
       (4L, 0L, 0L, false)))
   }
 
+  test("recordLinkage pairs only within blocks, scores by edit distance") {
+    val recs = Seq(
+      (1L, "east", "Jon Smith"),
+      (2L, "east", "Jon Smyth"),   // dist 1 from 1 → pair
+      (3L, "west", "Jon Smith"),   // identical name, other block → no pair
+      (4L, "east", "Mary Jones")   // too far from everyone
+    ).toDF("rid0", "region", "name")
+    val out = Dedup.recordLinkage(recs, "rid0", $"region", "name", maxDist = 2)
+      .orderBy("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((1L, 2L, 1L)))
+  }
+
   test("funnel rejects duplicate step names") {
     val events = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
       "a")).toDF("user_id", "ts", "event_type")
