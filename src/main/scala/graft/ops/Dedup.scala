@@ -794,6 +794,41 @@ object Dedup {
         col("dist").cast("long").as("dist"))
   }
 
+  /** [[recordLinkage]]'s scale path for `maxDist = 1` — deletion-
+    * neighborhood blocking (the FastSS construction, Bocek et al. 2007):
+    * every string within edit distance 1 of `s` shares at least one
+    * member of {s} ∪ {s with one char deleted}, so generating the
+    * |s|+1 deletion variants per record and equi-joining on
+    * (block, variant) yields a candidate set that contains every true
+    * pair and almost nothing else; one exact `levenshtein` per
+    * candidate erases the false positives (e.g. transposed chars at
+    * distance 2 that share two variants).
+    *
+    * The quadratic Σ_b n_b² scan becomes |s|+1 narrow rows per record
+    * through one equi-join — on 600-record blocks of 18-char names this
+    * is ~4.5M levenshtein calls reduced to the handful of near-matches.
+    * Output contract identical to [[recordLinkage]] at maxDist = 1.
+    */
+  def recordLinkageFast(df: DataFrame, idCol: String, blockCol: Column,
+      nameCol: String): DataFrame = {
+    val e = df.select(col(idCol).as("rid"), blockCol.as("__blk"),
+      col(nameCol).as("__nm"))
+    val vars = e.select(col("rid"), col("__blk"), col("__nm"),
+      explode(array_union(
+        array(col("__nm")),
+        expr("transform(sequence(1, length(__nm)), " +
+          "i -> concat(left(__nm, i - 1), substr(__nm, i + 1)))"))).as("__v"))
+    vars.as("a").join(vars.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__v") === col("b.__v") &&
+          col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("d1"), col("b.rid").as("d2"),
+        col("a.__nm").as("__n1"), col("b.__nm").as("__n2"))
+      .distinct() // a pair can share several variants
+      .withColumn("dist", levenshtein(col("__n1"), col("__n2")))
+      .filter(col("dist") <= 1)
+      .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"))
+  }
+
   /** Exact duplicated-span detection at fixed token-window granularity —
     * the scan-based core of Lee et al. 2021 ("Deduplicating Training
     * Data Makes Language Models Better"): any exactly-duplicated span of

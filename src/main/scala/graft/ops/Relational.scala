@@ -711,13 +711,15 @@ object Relational {
     //      = min-qualifying. Both engines compare µs-truncated timestamps
     //      (events.parquet carries nanos).
     // ---- blocked fuzzy record linkage over customer: nation is the
-    //      blocking key (Σ_b n_b² pairs, never all-pairs), native
-    //      integer levenshtein scores the candidates on both engines
+    //      blocking key, deletion-neighborhood (FastSS) candidate
+    //      generation replaces the quadratic in-block scan, and one
+    //      exact levenshtein per candidate keeps the answer identical
+    //      to the oracle's straightforward quadratic SQL
     Q(
       "q_record_linkage",
       (s, dir) =>
-        Dedup.recordLinkage(table(s, dir, "customer"), "c_custkey",
-          col("c_nationkey"), "c_name", maxDist = 1)
+        Dedup.recordLinkageFast(table(s, dir, "customer"), "c_custkey",
+          col("c_nationkey"), "c_name")
           .orderBy(col("d1"), col("d2")),
       Some("""SELECT a.c_custkey AS d1, b.c_custkey AS d2,
              |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

@@ -211,6 +211,27 @@ class TextPipelineSpec extends SparkTestBase {
     assert(out === Array((1L, 2L, 1L)))
   }
 
+  test("recordLinkageFast equals the quadratic scan at maxDist=1") {
+    val recs = Seq(
+      (1L, "east", "Jon Smith"),
+      (2L, "east", "Jon Smyth"),   // substitution → dist 1
+      (3L, "east", "Jon Smithh"),  // insertion → dist 1
+      (4L, "east", "Jon Smit"),    // deletion → dist 1
+      (5L, "east", "ab"),
+      (6L, "east", "ba"),          // transposition: shares variants, dist 2 → excluded
+      (7L, "west", "Jon Smith")    // other block
+    ).toDF("rid0", "region", "name")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val slow = pairs(Dedup.recordLinkage(recs, "rid0", $"region", "name", 1))
+    val fast = pairs(Dedup.recordLinkageFast(recs, "rid0", $"region", "name"))
+    assert(fast === slow)
+    assert(fast.contains((1L, 2L, 1L)) && fast.contains((1L, 3L, 1L)) &&
+      fast.contains((1L, 4L, 1L)))
+    assert(!fast.exists { case (a, b, _) => (a, b) == (5L, 6L) })
+  }
+
   test("funnel rejects duplicate step names") {
     val events = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
       "a")).toDF("user_id", "ts", "event_type")
