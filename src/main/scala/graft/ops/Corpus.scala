@@ -639,15 +639,19 @@ object Corpus {
       .withColumn("__st", size(filter(
         array(stops.map(lit): _*),
         s0 => array_contains(transform(ws, w => lower(w)), s0))).cast("long"))
-      .select(col(idCol), col("__n").as("n_words"),
-        (col("__n") >= minWords && col("__n") <= maxWords).as("ok_words"),
-        (col("__sl") >= col("__n") * 3 && col("__sl") <= col("__n") * 10)
-          .as("ok_mean_len"),
-        (col("__sym") * 10 <= col("__n")).as("ok_symbols"),
-        (col("__al") * 5 >= col("__n") * 4).as("ok_alpha"),
-        (col("__st") >= 2).as("ok_stops"))
+      // flags are APPENDED (input columns pass through) so the filter
+      // composes — e.g. with readStream for a streaming quality gate
+      .withColumn("n_words", col("__n"))
+      .withColumn("ok_words",
+        col("__n") >= minWords && col("__n") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("__sl") >= col("__n") * 3 && col("__sl") <= col("__n") * 10)
+      .withColumn("ok_symbols", col("__sym") * 10 <= col("__n"))
+      .withColumn("ok_alpha", col("__al") * 5 >= col("__n") * 4)
+      .withColumn("ok_stops", col("__st") >= 2)
       .withColumn("keep",
         col("ok_words") && col("ok_mean_len") && col("ok_symbols") &&
           col("ok_alpha") && col("ok_stops"))
+      .drop("__n", "__sl", "__sym", "__al", "__st")
   }
 }

@@ -573,6 +573,8 @@ object CorpusQueries {
       (s, dir) =>
         Corpus.gopherRules(table(s, dir, "documents"), "doc_id", "text",
           minWords = 30, maxWords = 100000, stops = GopherQueryStops)
+          .select("doc_id", "n_words", "ok_words", "ok_mean_len",
+            "ok_symbols", "ok_alpha", "ok_stops", "keep")
           .orderBy(col("doc_id")),
       Some {
         val stops = GopherQueryStops.map(s0 => s"'$s0'")
@@ -858,6 +860,43 @@ object CorpusQueries {
              |  CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_dup_windows,
              |  COALESCE(a.nd, 0) > 0 AS has_cross_dup
              |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // continuous-crawl span dedup: history (doc_id % 5 != 0) is stored
+    // as distinct window hashes, only the new batch (doc_id % 5 == 0)
+    // is tokenized, dups = match history OR another new doc
+    Q(
+      "dedup_span_incremental",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val history = Dedup.spanHashTable(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", window = 8)
+        Dedup.duplicateSpansIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          window = 8, history)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksCte,
+             |pos AS (SELECT doc_id, ws,
+             |  unnest(range(0, greatest(CAST(len(ws) AS BIGINT) - 7, 0))) AS p
+             |  FROM toks),
+             |win AS (SELECT doc_id, p,
+             |  md5(array_to_string(ws[p+1:p+8], ' ')) AS h FROM pos),
+             |hist AS (SELECT DISTINCT h FROM win WHERE doc_id % 5 != 0),
+             |neww AS (SELECT * FROM win WHERE doc_id % 5 = 0),
+             |ndup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM neww)
+             |  GROUP BY h HAVING COUNT(*) > 1),
+             |agg AS (
+             |  SELECT w.doc_id, COUNT(*) AS nw,
+             |    COUNT(CASE WHEN w.h IN (SELECT h FROM hist)
+             |      OR w.h IN (SELECT h FROM ndup) THEN 1 END) AS nd
+             |  FROM neww w GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(a.nw, 0) AS BIGINT) AS n_windows,
+             |  CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_dup_windows,
+             |  COALESCE(a.nd, 0) > 0 AS has_cross_dup
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+             |LEFT JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
     // the end-to-end fuzzy-dedup deliverable: verified minhash pairs →

@@ -851,16 +851,7 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       window: Int): DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
-    val m = greatest(size(col("__ws")).cast("long") - (window - 1), lit(0L))
-    val wins = toks.select(col(idCol),
-      explode(when(m > 0, sequence(lit(0L), m - 1))
-        .otherwise(array().cast("array<bigint>"))).as("__p"),
-      col("__ws"))
-      .select(col(idCol), col("__p"),
-        md5(array_join(slice(col("__ws"), (col("__p") + 1).cast("int"),
-          lit(window)), " ").cast("binary")).as("__h"))
+    val wins = spanWindows(docs, idCol, textCol, window)
     val dupH = wins.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1)
@@ -870,6 +861,69 @@ object Dedup {
       .agg(count(lit(1)).as("n_windows"),
         count(col("__dup")).as("n_dup_windows"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("has_cross_dup", col("n_dup_windows") > 0)
+  }
+
+  /** `window`-token rolling windows of every doc as (idCol, __p, __h)
+    * rows — md5 over the joined window text, the shared currency of
+    * [[duplicateSpans]], [[spanHashTable]] and
+    * [[duplicateSpansIncremental]]. */
+  private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+    val m = greatest(size(col("__ws")).cast("long") - (window - 1), lit(0L))
+    toks.select(col(idCol),
+      explode(when(m > 0, sequence(lit(0L), m - 1))
+        .otherwise(array().cast("array<bigint>"))).as("__p"),
+      col("__ws"))
+      .select(col(idCol), col("__p"),
+        md5(array_join(slice(col("__ws"), (col("__p") + 1).cast("int"),
+          lit(window)), " ").cast("binary")).as("__h"))
+  }
+
+  /** The stored memory of a continuous crawl for span-level dedup: the
+    * DISTINCT window hashes of a corpus batch, one 16-byte value per
+    * unique window. Append each arriving batch's table to storage and
+    * feed the union to [[duplicateSpansIncremental]] — history text is
+    * never re-tokenized. Distinct-by-construction is the contract the
+    * incremental join relies on (no row multiplication through its
+    * mark-back left join). */
+  def spanHashTable(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame =
+    spanWindows(docs, idCol, textCol, window).select(col("__h")).distinct()
+
+  /** [[duplicateSpans]] for the continuous-crawl shape (the span-level
+    * sibling of [[minhashLshIncremental]]): a NEW batch is scanned once
+    * and its windows are checked against (a) the stored history hash
+    * table and (b) the other docs of the same batch. Only the new batch
+    * is ever tokenized; at scale the new side is tiny next to history,
+    * so its hash set broadcasts into the history scan side of the join
+    * rather than shuffling the stored table.
+    *
+    * @param history distinct window hashes as produced by
+    *        [[spanHashTable]] (single column `__h`)
+    * @return one row per NEW doc: (idCol, n_windows, n_dup_windows,
+    *         has_cross_dup) — dup = matches history OR another new doc
+    */
+  def duplicateSpansIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, window: Int, history: DataFrame): DataFrame = {
+    val wins = spanWindows(newDocs, idCol, textCol, window)
+    val newDup = wins.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1)
+      .select(col("__h"), lit(true).as("__dn"))
+    val hist = history.select(col("__h"), lit(true).as("__dh"))
+    val perDoc = wins
+      .join(newDup, Seq("__h"), "left")
+      .join(hist, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("__dn") || col("__dh"), 1)).as("n_dup_windows"))
+    newDocs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))

@@ -210,6 +210,58 @@ object StreamingQueries {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // the curation surface composing with readStream: gopherRules is
+    // map-only (flags appended, input columns pass through), so the
+    // SAME operator gates a document stream; the per-source keep-rate
+    // aggregate drains in complete mode and equals the batch answer
+    Q(
+      "stream_quality_gate",
+      (s, dir) => {
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val docsSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val stream = s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val agg = Corpus.gopherRules(stream, "doc_id", "text",
+          minWords = 30, maxWords = 100000,
+          stops = CorpusQueries.GopherQueryStops)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("keep"), 1)).as("n_kept"))
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name).orderBy(col("source"))
+      },
+      Some {
+        val stops = CorpusQueries.GopherQueryStops.map(s0 => s"'$s0'")
+          .mkString("[", ", ", "]")
+        s"""WITH gt AS (SELECT doc_id, source,
+           |  list_filter(string_split(text, ' '), x -> x != '') AS ws
+           |  FROM documents),
+           |gm AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n,
+           |  CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sl,
+           |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+           |  CAST(len(list_filter($stops,
+           |    s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS BIGINT) AS st
+           |  FROM gt)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  COUNT(CASE WHEN n >= 30 AND n <= 100000 AND sl >= n * 3
+           |    AND sl <= n * 10 AND sym * 10 <= n AND al * 5 >= n * 4
+           |    AND st >= 2 THEN 1 END) AS n_kept
+           |FROM gm GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     Q(
       "q_sessionize",
       (s, dir) => {

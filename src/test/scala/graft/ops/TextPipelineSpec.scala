@@ -159,6 +159,8 @@ class TextPipelineSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     val out = Corpus.gopherRules(docs, "doc_id", "text",
       minWords = 3, maxWords = 100)
+      .select("doc_id", "n_words", "ok_words", "ok_mean_len", "ok_symbols",
+        "ok_alpha", "ok_stops", "keep")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3),
         r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
@@ -196,6 +198,22 @@ class TextPipelineSpec extends SparkTestBase {
       (2L, 4L, 1L, true),
       (3L, 4L, 0L, false),  // "solo words repeat" twice in ONE doc ≠ cross-doc
       (4L, 0L, 0L, false)))
+  }
+
+  test("duplicateSpansIncremental checks history and in-batch, not old-old") {
+    val history = Dedup.spanHashTable(
+      Seq((1L, "stored span here plus tail")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 3)
+    val batch = Seq(
+      (10L, "stored span here again now"),   // matches history window
+      (11L, "fresh pair words in batch"),
+      (12L, "fresh pair words in batch"),    // in-batch dup of 11
+      (13L, "nothing matches this one")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpansIncremental(batch, "doc_id", "text", 3, history)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2) > 0))
+    assert(out === Array((10L, true), (11L, true), (12L, true), (13L, false)))
   }
 
   test("recordLinkage pairs only within blocks, scores by edit distance") {
