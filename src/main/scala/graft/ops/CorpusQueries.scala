@@ -598,6 +598,71 @@ object CorpusQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    // composed curation v2 chaining the round-4 operators: canonical
+    // normalization → duplicated-span gate (drop majority-duplicated
+    // docs) → gopher rule gate → deterministic hash split. Every stage
+    // is the SAME operator the standalone queries verify; the compose
+    // proves they agree end-to-end on one engine-exact answer.
+    Q(
+      "corpus_curation_v2",
+      (s, dir) => {
+        val norm = table(s, dir, "documents")
+          .select(col("doc_id"), Corpus.normalizeText(col("text")).as("text"))
+        val spans = Dedup.duplicateSpans(norm, "doc_id", "text", window = 8)
+          .select(col("doc_id"), col("n_windows"), col("n_dup_windows"))
+        val gated = Corpus.gopherRules(norm, "doc_id", "text",
+            minWords = 30, maxWords = 100000, stops = GopherQueryStops)
+          .filter(col("keep"))
+          .join(spans, Seq("doc_id"))
+          .filter(col("n_dup_windows") * 2 <= col("n_windows"))
+        Corpus.splitByHash(gated, "doc_id",
+            Seq("val" -> "0d", "test" -> "1a"), "train")
+          .select(col("doc_id"), col("split"),
+            md5(col("text").cast("binary")).as("norm_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stops = GopherQueryStops.map(s0 => s"'$s0'")
+          .mkString("[", ", ", "]")
+        s"""WITH nt AS (SELECT doc_id,
+           |  trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g')) AS text
+           |  FROM documents),
+           |tn AS (SELECT doc_id, text,
+           |  list_filter(string_split(text, ' '), x -> x != '') AS ws FROM nt),
+           |pos AS (SELECT doc_id, ws,
+           |  unnest(range(0, greatest(CAST(len(ws) AS BIGINT) - 7, 0))) AS p
+           |  FROM tn),
+           |win AS (SELECT doc_id, p,
+           |  md5(array_to_string(ws[p+1:p+8], ' ')) AS h FROM pos),
+           |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+           |  GROUP BY h HAVING COUNT(*) > 1),
+           |sagg AS (
+           |  SELECT w.doc_id, COUNT(*) AS nw,
+           |    COUNT(CASE WHEN w.h IN (SELECT h FROM dup) THEN 1 END) AS nd
+           |  FROM win w GROUP BY 1),
+           |gm AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+           |  CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sl,
+           |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+           |  CAST(len(list_filter($stops,
+           |    s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS BIGINT) AS st
+           |  FROM tn),
+           |kept AS (
+           |  SELECT t.doc_id, t.text FROM tn t
+           |  JOIN gm g ON g.doc_id = t.doc_id
+           |  JOIN sagg sp ON sp.doc_id = t.doc_id
+           |  WHERE g.n >= 30 AND g.n <= 100000 AND g.sl >= g.n * 3
+           |    AND g.sl <= g.n * 10 AND g.sym * 10 <= g.n
+           |    AND g.al * 5 >= g.n * 4 AND g.st >= 2
+           |    AND sp.nd * 2 <= sp.nw)
+           |SELECT doc_id,
+           |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0d' THEN 'val'
+           |       WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'test'
+           |       ELSE 'train' END AS split,
+           |  md5(text) AS norm_md5
+           |FROM kept ORDER BY doc_id""".stripMargin
+      }),
+
     Q(
       "text_search_topk",
       (s, dir) =>
