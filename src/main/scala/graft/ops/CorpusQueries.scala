@@ -1296,6 +1296,79 @@ object CorpusQueries {
              |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // decode → featurize → ANN across the media and similarity surfaces:
+    // PPM images decoded by the real byte-level decoder, pooled into a
+    // 12-dim integer feature (2×2 grid of 4×4 blocks × RGB — sums ≤ 4080,
+    // exact in double), then brute-force cosine top-3 through the
+    // k-capped heap aggregate. The oracle recomputes the features
+    // straight off the hex bytes and the same left-assoc cosine.
+    Q(
+      "multimodal_ann",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.{ImageDecoder, MediaRow}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 192)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 192).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          MediaRow(id, "image", MediaPipeline.encodePpm(8, 8, px), "ppm", 8, 8, 0L)
+        }
+        val feats = MediaPipeline.sampleFrames(media, new ImageDecoder, 1)(s)
+          .map { f =>
+            val v = new Array[Double](12)
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                var ch = 0
+                while (ch < 3) {
+                  v(((r / 4) * 2 + (c / 4)) * 3 + ch) +=
+                    (f.pixels((r * 8 + c) * 3 + ch) & 0xff)
+                  ch += 1
+                }
+                c += 1
+              }
+              r += 1
+            }
+            (f.id, v.toSeq)
+          }
+          .toDF("vec_id", "embedding")
+        Similarity.cosineTopK(feats.filter(col("vec_id") < 30), feats,
+          "vec_id", "embedding", dim = 12, k = 3)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        def featSql(d: Int): String = {
+          val b = d / 3; val ch = d % 3; val qr = b / 2; val qc = b % 2
+          val terms = for {
+            r <- qr * 4 until qr * 4 + 4; c <- qc * 4 until qc * 4 + 4
+          } yield {
+            val off = (r * 8 + c) * 3 + ch
+            s"('0x' || substr(hx, ${2 * off + 1}, 2))::BIGINT"
+          }
+          s"CAST(${terms.mkString("(", " + ", ")")} AS DOUBLE)"
+        }
+        def dot12(a: String, b: String) =
+          (1 to 12).map(i => s"$a[$i]::DOUBLE * $b[$i]::DOUBLE").mkString(" + ")
+        def cos12(a: String, b: String) =
+          s"((${dot12(a, b)}) / (sqrt(${dot12(a, a)}) * sqrt(${dot12(b, b)})))"
+        s"""WITH h AS (
+           |  SELECT doc_id, substr(hex(encode(text)), 1, 384) AS hx
+           |  FROM documents WHERE octet_length(encode(text)) >= 192),
+           |fv AS (SELECT doc_id,
+           |  [${(0 until 12).map(featSql).mkString(",\n   ")}] AS v
+           |  FROM h)
+           |SELECT q_id, n_id, rank, cos FROM (
+           |  SELECT q.doc_id AS q_id, n.doc_id AS n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q.doc_id
+           |      ORDER BY ${cos12("q.v", "n.v")} DESC, n.doc_id) AS INT) AS rank,
+           |    ${cos12("q.v", "n.v")} AS cos
+           |  FROM fv q JOIN fv n ON q.doc_id < 30 AND q.doc_id != n.doc_id) t
+           |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // REAL audio decode: each doc's first 2n bytes (n varies per doc)
     // become little-endian int16 PCM mono at 8 kHz, encodeWav wraps them
     // in a RIFF/WAVE container, decodeWav parses the chunk walk back out,
