@@ -579,11 +579,18 @@ object Corpus {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
       .select(col("__doc"), col("__ref"),
         col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-    val refBg = bg.filter(col("__ref"))
-    val big = refBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uni = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = toks.filter(col("__ref"))
-      .select(explode(col("__ws")).as("tok")).distinct().count()
+    // ONE training aggregate; the unigram context counts and the
+    // vocabulary both derive from the (small) bigram-count table rather
+    // than re-scanning the corpus: c1 = Σ_w2 c12 exactly, and V counts
+    // the distinct tokens seen in reference bigrams (a token occurring
+    // ONLY as a one-token document never enters any bigram and is
+    // deliberately outside V — mirrored in the oracle). Total corpus
+    // scans: two (train counts, score), the structural minimum.
+    val big = bg.filter(col("__ref"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = big.select(col("w1").as("tok"))
+      .union(big.select(col("w2").as("tok"))).distinct().count()
     val scored = bg
       .join(big, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")

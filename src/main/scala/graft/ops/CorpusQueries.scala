@@ -550,9 +550,9 @@ object CorpusQueries {
              |pos AS (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM ltoks),
              |bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2 FROM pos),
              |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
-             |uni AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY 1),
+             |uni AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
              |voc AS (SELECT COUNT(DISTINCT tok) AS v FROM
-             |  (SELECT unnest(ws) AS tok FROM ltoks WHERE lang = 'en')),
+             |  (SELECT w1 AS tok FROM big UNION SELECT w2 AS tok FROM big)),
              |contrib AS (
              |  SELECT bg.doc_id,
              |    ((COALESCE(c12, 0) + 1) * ${Corpus.LmProbScale}) //
