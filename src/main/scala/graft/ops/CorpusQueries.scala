@@ -1006,6 +1006,53 @@ object CorpusQueries {
            |WHERE c.doc_id = c.cluster ORDER BY c.doc_id""".stripMargin
       }),
 
+    // contrastive training pairs mined from the dedup machinery:
+    // verified dups → positives, failed candidates → hard negatives,
+    // md5-bucket-adjacent docs → random negatives (engine-reproducible)
+    Q(
+      "dedup_contrastive_pairs",
+      (s, dir) =>
+        Dedup.contrastivePairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+          .orderBy(col("kind"), col("d1"), col("d2")),
+      Some {
+        s"""WITH $toksCte, $shingleCte,
+           |$minhashCtes,
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+           |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+           |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shx GROUP BY doc_id),
+           |common AS (
+           |  SELECT c.d1, c.d2, COUNT(*) AS common
+           |  FROM cands c
+           |  JOIN shx s1 ON s1.doc_id = c.d1
+           |  JOIN shx s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+           |  GROUP BY c.d1, c.d2),
+           |scored AS (
+           |  SELECT d1, d2,
+           |    CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) AS j
+           |  FROM common
+           |  JOIN sizes sa ON sa.doc_id = d1
+           |  JOIN sizes sb ON sb.doc_id = d2),
+           |rb AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b FROM documents),
+           |rn AS (SELECT doc_id,
+           |  lead(doc_id) OVER (PARTITION BY b ORDER BY h, doc_id) AS nxt
+           |  FROM rb),
+           |rpair AS (SELECT least(doc_id, nxt) AS d1, greatest(doc_id, nxt) AS d2
+           |  FROM rn WHERE nxt IS NOT NULL)
+           |SELECT d1, d2, 1 AS label, 'near_dup' AS kind FROM scored WHERE j >= 0.5
+           |UNION ALL
+           |SELECT d1, d2, 0 AS label, 'hard' AS kind FROM scored WHERE j < 0.5
+           |UNION ALL
+           |SELECT p.d1, p.d2, 0 AS label, 'random' AS kind FROM rpair p
+           |WHERE NOT EXISTS (SELECT 1 FROM scored s
+           |  WHERE s.d1 = p.d1 AND s.d2 = p.d2)
+           |ORDER BY kind, d1, d2""".stripMargin
+      }),
+
     Q(
       "dedup_simhash",
       (s, dir) =>

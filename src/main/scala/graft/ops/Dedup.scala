@@ -582,16 +582,23 @@ object Dedup {
     * df-capped [[ngramJaccard]] the verified similarity here is over the
     * FULL shingle sets (no cap needed: LSH already bounded the pairs).
     */
-  def minhashLshVerified(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    // ONE tokenize+shingle pass feeds all four consumers (LSH propose,
-    // both sides of the verify self-join, and the size aggregate) —
-    // uncached, each reference would re-scan and re-shingle the whole
-    // corpus. The cache's lifetime is bounded to THIS call: the (small)
-    // verified-pair result is materialized executor-local below and the
-    // corpus-wide shingle cache released, so repeated calls don't
-    // accumulate pinned scans waiting on LRU eviction.
+  /** ALL LSH candidate pairs with their exact Jaccard (no threshold):
+    * the propose half of [[minhashLshVerified]] plus the verify score,
+    * for consumers that need BOTH sides of the cut — e.g.
+    * [[contrastivePairs]]' hard negatives are exactly the candidates
+    * that FAIL verification. Candidates sharing no shingle at all
+    * (pure minhash collisions) drop out with the inner verify join.
+    *
+    * ONE tokenize+shingle pass feeds all four consumers (LSH propose,
+    * both sides of the verify self-join, and the size aggregate) —
+    * uncached, each reference would re-scan and re-shingle the whole
+    * corpus. The cache's lifetime is bounded to THIS call: the (small)
+    * scored-pair result is materialized executor-local and the
+    * corpus-wide shingle cache released, so repeated calls don't
+    * accumulate pinned scans waiting on LRU eviction.
+    */
+  def minhashCandidatesScored(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashLshFromShingles(sh, bands, rowsPerBand)
@@ -600,16 +607,56 @@ object Dedup {
       .join(sh.select(col("doc").as("d1"), col("shingle")), "d1")
       .join(sh.select(col("doc").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-    val verified = common
+    val scored = common
       .join(sizes.select(col("doc").as("d1"), col("nsh").as("na")), "d1")
       .join(sizes.select(col("doc").as("d2"), col("nsh").as("nb")), "d2")
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
       .localCheckpoint(true)
     sh.unpersist()
-    verified
+    scored
+  }
+
+  def minhashLshVerified(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    minhashCandidatesScored(df, idCol, textCol, n, bands, rowsPerBand)
+      .filter(col("jaccard") >= threshold)
+
+  /** Contrastive training-pair mining for embedding models, from the
+    * dedup machinery the corpus already runs: POSITIVES are the verified
+    * near-dup pairs, HARD NEGATIVES are the LSH candidates that failed
+    * exact-Jaccard verification (textually similar, not duplicates —
+    * the pairs a trained encoder must learn to separate), and RANDOM
+    * NEGATIVES pair md5-adjacent docs inside 256 hash buckets
+    * (deterministic, engine-reproducible, bounded-cardinality windows —
+    * never a global sort), minus any pair the LSH already surfaced.
+    *
+    * @return (d1, d2, label 1|0, kind near_dup|hard|random)
+    */
+  def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val scored = minhashCandidatesScored(docs, idCol, textCol, n, bands,
+      rowsPerBand)
+    val pos = scored.filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), lit(1).as("label"),
+        lit("near_dup").as("kind"))
+    val hard = scored.filter(col("jaccard") < threshold)
+      .select(col("d1"), col("d2"), lit(0).as("label"), lit("hard").as("kind"))
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col("__id"))
+    val rand = docs.select(col(idCol).as("__id"), h.as("__h"))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+      .withColumn("__next", lead(col("__id"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(least(col("__id"), col("__next")).as("d1"),
+        greatest(col("__id"), col("__next")).as("d2"))
+      .join(scored.select(col("d1"), col("d2")), Seq("d1", "d2"), "left_anti")
+      .select(col("d1"), col("d2"), lit(0).as("label"),
+        lit("random").as("kind"))
+    pos.unionByName(hard).unionByName(rand)
   }
 
   /** Per-doc 64-bit simhash as a table (explode + grouped bit votes — the

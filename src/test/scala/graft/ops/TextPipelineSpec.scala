@@ -250,6 +250,23 @@ class TextPipelineSpec extends SparkTestBase {
     assert(!fast.exists { case (a, b, _) => (a, b) == (5L, 6L) })
   }
 
+  test("contrastivePairs: positives verified, hards failed, randoms disjoint") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),  // near-dup of 1 (j ≥ 0.5)
+      (3L, "one two three four five six"),
+      (4L, "totally different content everywhere here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contrastivePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val pos = out.filter(_._4 == "near_dup")
+    assert(pos.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)) && pos.head._3 == 1)
+    assert(out.filter(_._4 == "hard").forall(_._3 == 0))
+    val rand = out.filter(_._4 == "random").map(p => (p._1, p._2)).toSet
+    assert(!rand.contains((1L, 2L))) // surfaced pairs excluded from random
+    assert(out.forall { case (a, b, _, _) => a < b })
+  }
+
   test("funnel rejects duplicate step names") {
     val events = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
       "a")).toDF("user_id", "ts", "event_type")
