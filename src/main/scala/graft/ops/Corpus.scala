@@ -343,6 +343,44 @@ object Corpus {
       .orderBy(col("n").desc, col("word"))
       .limit(k)
 
+  /** Encode every document as a sequence of vocabulary ids — the
+    * "tokenize for training" step over a bounded id space. The id table
+    * is [[vocabularyTopK]]'s result ranked 1..k (count desc, word — the
+    * deterministic tie-break both engines share); out-of-vocabulary
+    * tokens encode as 0 and are counted per doc, the coverage signal
+    * that drives vocabulary sizing.
+    *
+    * Scale shape: the vocab is k rows by construction → broadcast into
+    * the one token explode; re-assembly is one groupBy(doc) carrying
+    * (pos, id) ints. Nothing else shuffles.
+    *
+    * @return (idCol, n_tokens, n_oov, ids: array<long> in token order)
+    */
+  def encodeWithVocab(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vocab = vocabularyTopK(df, textCol, k)
+      .withColumn("__vid",
+        row_number().over(Window.orderBy(col("n").desc, col("word")))
+          .cast("long"))
+      .select(col("word"), col("__vid"))
+    val tokpos = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "word")))
+    val enc = tokpos.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__vid").isNull, 1)).as("n_oov"),
+        transform(
+          array_sort(collect_list(struct(col("__pos"),
+            coalesce(col("__vid"), lit(0L)).as("__v")))),
+          e => e.getField("__v")).as("ids"))
+    df.select(col(idCol)).join(enc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
+  }
+
   /** Keep documents whose length rank sits inside (loPct, hiPct] of their
     * stratum — the distribution-clipping filter (drop the shortest 5% and
     * longest 5% per language) spelled in EXACT integer arithmetic:

@@ -1626,6 +1626,38 @@ object CorpusQueries {
              |      FROM documents)
              |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)),
 
+    // vocabulary encoding: docs as bounded-vocab id sequences (top-20
+    // vocab ranked count-desc/word, OOV → 0 and counted) — the
+    // tokenize-for-training step; ids checksummed in token order
+    Q(
+      "corpus_vocab_encode",
+      (s, dir) =>
+        Corpus.encodeWithVocab(table(s, dir, "documents"), "doc_id", "text",
+          k = 20)
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            md5(array_join(transform(col("ids"), _.cast("string")), ",")
+              .cast("binary")).as("ids_md5"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $toksCte,
+             |vc AS (SELECT word, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS vid
+             |  FROM (SELECT word, COUNT(*) AS n
+             |        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+             |              FROM documents)
+             |        GROUP BY word ORDER BY n DESC, word LIMIT 20)),
+             |tp AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM toks),
+             |tok AS (SELECT doc_id, pos, ws[pos] AS word FROM tp),
+             |enc AS (
+             |  SELECT t.doc_id, COUNT(*) AS nt,
+             |    COUNT(CASE WHEN v.vid IS NULL THEN 1 END) AS noov,
+             |    list(COALESCE(v.vid, 0) ORDER BY t.pos) AS ids
+             |  FROM tok t LEFT JOIN vc v USING (word) GROUP BY t.doc_id)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(e.nt, 0) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(e.noov, 0) AS BIGINT) AS n_oov,
+             |  md5(COALESCE(array_to_string(e.ids, ','), '')) AS ids_md5
+             |FROM documents d LEFT JOIN enc e USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // the composed curation pipeline, end to end: length-clip per
     // language → PII scrub → priority-aware exact dedup on the CLEANED
     // text → deterministic split → per-(split, lang) stats. Each stage

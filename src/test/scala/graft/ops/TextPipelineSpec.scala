@@ -267,6 +267,22 @@ class TextPipelineSpec extends SparkTestBase {
     assert(out.forall { case (a, b, _, _) => a < b })
   }
 
+  test("encodeWithVocab maps ranked ids, counts OOV, keeps token order") {
+    val docs = Seq(
+      (1L, "b a b c"),  // corpus counts: a=2, b=2, c=2 — full tie, so the
+      (2L, "c a"),      // (count desc, word) tie-break ranks a→1, b→2
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.encodeWithVocab(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).mkString(",")))
+    assert(out === Array(
+      (1L, 4L, 1L, "2,1,2,0"),  // c is OOV → 0
+      (2L, 2L, 1L, "0,1"),
+      (3L, 0L, 0L, "")))
+  }
+
   test("funnel rejects duplicate step names") {
     val events = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
       "a")).toDF("user_id", "ts", "event_type")
