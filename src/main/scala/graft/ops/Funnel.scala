@@ -55,6 +55,45 @@ object Funnel {
       .filter(col(s"t_${steps.head}").isNotNull)
   }
 
+  /** Next-event-prediction training examples from per-user event
+    * sequences — the behavioral analog of sliding-window RAG chunking:
+    * each user's events are ordered once (ts, then an id column for
+    * total determinism), and every length-`context` window emits one
+    * (context, target) example where the target is the event that
+    * followed. Users with ≤ `context` events emit nothing; the example
+    * count per user is n − context.
+    *
+    * Scale shape: ONE shuffle on the user key into an in-memory sort of
+    * that user's events, windows carved from the one materialized array
+    * (map-only explode). Per-user state is that user's event count —
+    * cap power users upstream (e.g. [[Corpus.capPerGroup]]) if a key
+    * can exceed memory, same contract as [[stepTimes]].
+    *
+    * @return (userCol, example_id, context: array<string>, target)
+    */
+  def nextEventExamples(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, context: Int): DataFrame = {
+    require(context >= 1, s"context must be >= 1, got $context")
+    val seq0 = events
+      .groupBy(col(userCol))
+      .agg(transform(
+        array_sort(collect_list(
+          struct(col(tsCol).as("t"), col(idCol).as("i"),
+            col(typeCol).as("e")))),
+        s => s.getField("e")).as("__seq"))
+    val m = greatest(size(col("__seq")).cast("long") - context, lit(0L))
+    seq0
+      .select(col(userCol),
+        explode(when(m > 0, sequence(lit(0L), m - 1))
+          .otherwise(array().cast("array<bigint>"))).as("example_id"),
+        col("__seq"))
+      .select(col(userCol), col("example_id"),
+        slice(col("__seq"), (col("example_id") + 1).cast("int"),
+          lit(context)).as("context"),
+        element_at(col("__seq"),
+          (col("example_id") + context + 1).cast("int")).as("target"))
+  }
+
   /** Funnel conversion counts: (step ordinal, step name, users reaching
     * it). One extra single-row aggregate over [[stepTimes]]. */
   def conversionCounts(events: DataFrame, userCol: String, tsCol: String,

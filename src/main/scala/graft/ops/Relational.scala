@@ -728,6 +728,31 @@ object Relational {
              |WHERE levenshtein(a.c_name, b.c_name) <= 1
              |ORDER BY d1, d2""".stripMargin)),
 
+    // ---- next-event-prediction examples: per-user ordered sequences
+    //      (ts µs-truncated on both engines, event_id tie-break), every
+    //      3-event window + the event that followed. One shuffle on the
+    //      user key; windows carved map-only from the one sorted array.
+    Q(
+      "q_next_event",
+      (s, dir) =>
+        Funnel.nextEventExamples(events(s, dir), "user_id", "ts",
+          "event_id", "event_type", context = 3)
+          .select(col("user_id"), col("example_id"),
+            md5(array_join(col("context"), ",").cast("binary")).as("ctx_md5"),
+            col("target"))
+          .orderBy(col("user_id"), col("example_id")),
+      Some("""WITH s AS (
+             |  SELECT user_id,
+             |    list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+             |  FROM events GROUP BY user_id),
+             |e AS (SELECT user_id,
+             |  unnest(range(0, greatest(CAST(len(seq) AS BIGINT) - 3, 0))) AS example_id,
+             |  seq FROM s)
+             |SELECT user_id, example_id,
+             |  md5(array_to_string(seq[example_id+1:example_id+3], ',')) AS ctx_md5,
+             |  seq[example_id+4] AS target
+             |FROM e ORDER BY user_id, example_id""".stripMargin)),
+
     Q(
       "q_funnel",
       (s, dir) =>

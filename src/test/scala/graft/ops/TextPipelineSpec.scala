@@ -283,6 +283,24 @@ class TextPipelineSpec extends SparkTestBase {
       (3L, 0L, 0L, "")))
   }
 
+  test("nextEventExamples carves ordered windows with the following target") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2026-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2026-01-01 10:02:00"), 3L, "c"),
+      (1L, ts("2026-01-01 10:03:00"), 4L, "d"),
+      (2L, ts("2026-01-01 09:00:00"), 5L, "x"),
+      (2L, ts("2026-01-01 09:01:00"), 6L, "y") // only 2 events, ctx=2 → none
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.nextEventExamples(events, "user_id", "ts", "event_id",
+      "event_type", context = 2)
+      .orderBy("user_id", "example_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).mkString(""), r.getString(3)))
+    assert(out === Array((1L, 0L, "ab", "c"), (1L, 1L, "bc", "d")))
+  }
+
   test("funnel rejects duplicate step names") {
     val events = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
       "a")).toDF("user_id", "ts", "event_type")
