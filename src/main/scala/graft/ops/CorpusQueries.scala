@@ -1658,6 +1658,58 @@ object CorpusQueries {
              |FROM documents d LEFT JOIN enc e USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // the dataset card: corpus release numbers in one result — doc/token/
+    // lang/source totals from ONE aggregate over the corpus scan, the
+    // exact-dup count as N − distinct(md5), the gopher keep count — all
+    // integers, melted to (metric, value) rows with no join anywhere
+    Q(
+      "corpus_dataset_card",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          count_distinct(col("lang")).as("n_langs"),
+          count_distinct(col("source")).as("n_sources"),
+          (count(lit(1)) - count_distinct(md5(col("text").cast("binary"))))
+            .as("n_exact_dups"))
+          .select(expr("stack(5, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+            "'n_langs', n_langs, 'n_sources', n_sources, " +
+            "'n_exact_dups', n_exact_dups) AS (metric, value)"))
+        val keep = Corpus.gopherRules(docs, "doc_id", "text",
+            minWords = 30, maxWords = 100000, stops = GopherQueryStops)
+          .agg(count(when(col("keep"), 1)).as("value"))
+          .select(lit("n_gopher_keep").as("metric"), col("value"))
+        base.unionByName(keep)
+          .select(col("metric"), col("value").cast("long").as("value"))
+          .orderBy(col("metric"))
+      },
+      Some {
+        val stops = GopherQueryStops.map(s0 => s"'$s0'")
+          .mkString("[", ", ", "]")
+        s"""WITH $toksCte,
+           |gm AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+           |  CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sl,
+           |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+           |  CAST(len(list_filter($stops,
+           |    s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS BIGINT) AS st
+           |  FROM toks)
+           |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+           |  SELECT 'n_docs' AS metric, COUNT(*) AS value FROM documents
+           |  UNION ALL SELECT 'n_tokens', SUM(len(ws)) FROM toks
+           |  UNION ALL SELECT 'n_langs', COUNT(DISTINCT lang) FROM documents
+           |  UNION ALL SELECT 'n_sources', COUNT(DISTINCT source) FROM documents
+           |  UNION ALL SELECT 'n_exact_dups',
+           |    COUNT(*) - COUNT(DISTINCT md5(text)) FROM documents
+           |  UNION ALL SELECT 'n_gopher_keep',
+           |    COUNT(CASE WHEN n >= 30 AND n <= 100000 AND sl >= n * 3
+           |      AND sl <= n * 10 AND sym * 10 <= n AND al * 5 >= n * 4
+           |      AND st >= 2 THEN 1 END) FROM gm) t
+           |ORDER BY metric""".stripMargin
+      }),
+
     // the composed curation pipeline, end to end: length-clip per
     // language → PII scrub → priority-aware exact dedup on the CLEANED
     // text → deterministic split → per-(split, lang) stats. Each stage
