@@ -21,6 +21,29 @@ import org.apache.spark.sql.types.DecimalType
   *     is exact-correct on both sides.
   */
 object Relational {
+
+  /** ANALYZE-style table profile: (col_name, min, max, nulls, ndv) per
+    * requested column, from ONE aggregate over one scan — the stats a
+    * planner or a data-quality monitor wants before touching a 100 TB
+    * table. min/max surface as strings so one result schema fits every
+    * column type (callers pick columns whose string form is
+    * engine-stable: integers, strings, dates — not doubles).
+    */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"),
+      count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+      count_distinct(col(c)).as(s"${c}__ndv")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(expr(
+      s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', ${c}__min, ${c}__max, ${c}__nulls, ${c}__ndv")
+        .mkString(", ") +
+        ") AS (col_name, min_value, max_value, n_nulls, n_distinct)"))
+  }
+
   private val d182 = DecimalType(18, 2)
   private val d184 = DecimalType(18, 4)
 
@@ -727,6 +750,25 @@ object Relational {
              |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 1
              |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- ANALYZE-style profile of orders: min/max/nulls/ndv per column
+    //      in ONE aggregate over one scan (int/string/date columns only —
+    //      their string forms are engine-stable)
+    Q(
+      "q_profile",
+      (s, dir) =>
+        profileTable(table(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
+          .orderBy(col("col_name")),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+        cols.map(c =>
+          s"""SELECT '$c' AS col_name, CAST(MIN($c) AS VARCHAR) AS min_value,
+             |  CAST(MAX($c) AS VARCHAR) AS max_value,
+             |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
 
     // ---- next-event-prediction examples: per-user ordered sequences
     //      (ts µs-truncated on both engines, event_id tie-break), every
