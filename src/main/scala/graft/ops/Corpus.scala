@@ -343,6 +343,39 @@ object Corpus {
       .orderBy(col("n").desc, col("word"))
       .limit(k)
 
+  /** Distinctive terms per group — the "what is this source/language
+    * slice about" report: tf-idf with the same integer inverse-df
+    * weights as [[lexicalTopK]] (`LexicalWeightScale DIV df`, df = the
+    * number of GROUPS containing the term — truncating division both
+    * engines share), top-k per group by (score desc, term).
+    *
+    * Scale shape: one token explode into a (group, term) count — the
+    * only corpus-width work; df is a second aggregate over that (small)
+    * count table; the rank window partitions by group over the
+    * aggregated rows, never corpus rows. Group cardinality is the
+    * caller's contract (sources/languages — bounded); the window
+    * sorts |vocab ∩ group| rows per group.
+    *
+    * @return (groupCol, rank 1..k, term, score)
+    */
+  def distinctiveTerms(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs.select(col(groupCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val df0 = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df")) // groups containing the term
+    val scored = tf.join(df0, Seq("term"))
+      .withColumn("score",
+        col("__tf") * expr(s"${LexicalWeightScale} DIV __df"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("term"), col("score"))
+  }
+
   /** Encode every document as a sequence of vocabulary ids — the
     * "tokenize for training" step over a bounded id space. The id table
     * is [[vocabularyTopK]]'s result ranked 1..k (count desc, word — the

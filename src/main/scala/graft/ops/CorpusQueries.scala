@@ -1658,6 +1658,32 @@ object CorpusQueries {
              |FROM documents d LEFT JOIN enc e USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // distinctive terms per source (tf-idf keywords, integer inverse-df
+    // weights, deterministic (score desc, term) rank)
+    Q(
+      "corpus_keywords",
+      (s, dir) =>
+        Corpus.distinctiveTerms(table(s, dir, "documents"), "source",
+          "text", k = 3)
+          .orderBy(col("source"), col("rank")),
+      Some(s"""WITH tf AS (
+             |  SELECT source, term, COUNT(*) AS tf FROM (
+             |    SELECT source, lower(unnest(list_filter(
+             |      string_split(text, ' '), x -> x != ''))) AS term
+             |    FROM documents)
+             |  GROUP BY 1, 2),
+             |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT source, term,
+             |    tf * (${Corpus.LexicalWeightScale} // df) AS score
+             |  FROM tf JOIN dfx USING (term))
+             |SELECT source, rank, term, CAST(score AS BIGINT) AS score FROM (
+             |  SELECT source, term, score,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY score DESC, term) AS INT) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 3 ORDER BY source, rank""".stripMargin)),
+
     // the dataset card: corpus release numbers in one result — doc/token/
     // lang/source totals from ONE aggregate over the corpus scan, the
     // exact-dup count as N − distinct(md5), the gopher keep count — all
