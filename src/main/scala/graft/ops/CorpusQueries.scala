@@ -606,8 +606,12 @@ object CorpusQueries {
     Q(
       "corpus_curation_v2",
       (s, dir) => {
+        // the normalized projection feeds THREE consumers (span scan,
+        // gopher scan, final checksum) — materialize it once instead of
+        // re-reading and re-normalizing the corpus per consumer
         val norm = table(s, dir, "documents")
           .select(col("doc_id"), Corpus.normalizeText(col("text")).as("text"))
+          .localCheckpoint(true)
         val spans = Dedup.duplicateSpans(norm, "doc_id", "text", window = 8)
           .select(col("doc_id"), col("n_windows"), col("n_dup_windows"))
         val gated = Corpus.gopherRules(norm, "doc_id", "text",
