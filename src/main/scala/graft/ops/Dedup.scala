@@ -800,6 +800,9 @@ object Dedup {
         split(col(textCol), java.util.regex.Pattern.quote(delim)))
         .as(Seq("__pos", "__line")))
       .withColumn("__h", md5(col("__line").cast("binary")))
+      // feeds the df count AND the reassembly join — materialize the one
+      // split+explode (same lifetime pattern as duplicateSpans)
+      .localCheckpoint(true)
     val frequent = lines.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
@@ -898,7 +901,11 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       window: Int): DataFrame = {
-    val wins = spanWindows(docs, idCol, textCol, window)
+    // the window rows feed BOTH the frequency count and the mark-back
+    // join — materialize the one explode instead of re-tokenizing and
+    // re-hashing the corpus per consumer (the minhashCandidatesScored
+    // lifetime pattern: executor-local blocks, narrow 16-byte rows)
+    val wins = spanWindows(docs, idCol, textCol, window).localCheckpoint(true)
     val dupH = wins.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1)
@@ -959,6 +966,7 @@ object Dedup {
   def duplicateSpansIncremental(newDocs: DataFrame, idCol: String,
       textCol: String, window: Int, history: DataFrame): DataFrame = {
     val wins = spanWindows(newDocs, idCol, textCol, window)
+      .localCheckpoint(true) // two consumers, same reasoning as duplicateSpans
     val newDup = wins.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1)
