@@ -210,6 +210,40 @@ object StreamingQueries {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // streaming content dedup over the DOCUMENT stream: dropDuplicates
+    // on (lang, md5(text)) — the key includes the group, so survivor
+    // choice cannot leak arrival order into the per-lang counts and the
+    // drained result equals batch COUNT(DISTINCT md5) per lang
+    Q(
+      "stream_content_dedup",
+      (s, dir) => {
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val docsSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val stream = s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val agg = stream
+          .withColumn("__h", md5(col("text").cast("binary")))
+          .dropDuplicates("lang", "__h")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_unique"))
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name).orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // the curation surface composing with readStream: gopherRules is
     // map-only (flags appended, input columns pass through), so the
     // SAME operator gates a document stream; the per-source keep-rate
