@@ -54,7 +54,8 @@ object MediaPipeline {
     def resize(frame: DecodedFrame, w: Int, h: Int): DecodedFrame
   }
 
-  /** STUB: deterministic fake decode — ??? in spirit. Produces one
+  /** STUB: deterministic fake decode (a test seam, clearly marked —
+    * no codec library ships in this environment). Produces one
     * "frame" per `frameStrideMs` of duration (min 1), whose pixels are a
     * deterministic slice of the input bytes. Real implementation would
     * call the codec here; everything around it (batching, partitioning,

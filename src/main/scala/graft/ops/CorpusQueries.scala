@@ -1012,12 +1012,15 @@ object CorpusQueries {
 
     // contrastive training pairs mined from the dedup machinery:
     // verified dups → positives, failed candidates → hard negatives,
-    // md5-bucket-adjacent docs → random negatives (engine-reproducible)
+    // md5-bucket-adjacent docs → random negatives (engine-reproducible).
+    // bucketHexChars = 4 is the corpus-scale setting (65 536 random-pair
+    // buckets); the oracle mirrors the same substr width.
     Q(
       "dedup_contrastive_pairs",
       (s, dir) =>
         Dedup.contrastivePairs(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5,
+          bucketHexChars = 4)
           .orderBy(col("kind"), col("d1"), col("d2")),
       Some {
         s"""WITH $toksCte, $shingleCte,
@@ -1041,7 +1044,7 @@ object CorpusQueries {
            |  JOIN sizes sa ON sa.doc_id = d1
            |  JOIN sizes sb ON sb.doc_id = d2),
            |rb AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
-           |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b FROM documents),
+           |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS b FROM documents),
            |rn AS (SELECT doc_id,
            |  lead(doc_id) OVER (PARTITION BY b ORDER BY h, doc_id) AS nxt
            |  FROM rb),

@@ -25,36 +25,48 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Canonical-id assignment by exact text hash: every row keeps the min
-    * id of its duplicate group. */
+    * id of its duplicate group.
+    *
+    * Spelled as a partial-aggregated `groupBy(md5).min(id)` + equi-join
+    * back, NOT a window over the content hash: a window colocates every
+    * row of a duplicate group in one task before anything can reduce it,
+    * and real crawls have pathological groups (empty docs, "404" pages)
+    * with 10⁷+ copies. The aggregate runs map-side partials — each task
+    * ships one (hash, min) per group — and the join-back is an equi-join
+    * AQE can skew-split, so no key ever funnels a single task.
+    */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
-    df.select(
-      col(idCol),
-      min(col(idCol)).over(w).as("keep_id"),
-      (col(idCol) =!= min(col(idCol)).over(w)).as("is_dup"))
+    val keyed = df.select(col(idCol), md5(col(textCol).cast("binary")).as("__h"))
+    val keep = keyed.groupBy(col("__h")).agg(min(col(idCol)).as("keep_id"))
+    keyed.join(keep, "__h")
+      .select(col(idCol), col("keep_id"),
+        (col(idCol) =!= col("keep_id")).as("is_dup"))
   }
 
-  /** Exact-duplicate removal (the companion action to [[exact]]). */
-  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  /** Exact-duplicate removal (the companion action to [[exact]]):
+    * [[dropDuplicatesByPriority]] with the id as the whole priority. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    dropDuplicatesByPriority(df, textCol, Seq(col(idCol)))
 
   /** Priority-aware exact dedup: among rows with identical text, keep the
     * one ranked first by `priorityCols` (e.g. source quality tier, then
     * id for determinism) — the curation rule "when Wikipedia and a crawl
-    * dump collide, keep Wikipedia". Same one-shuffle shape as
-    * [[dropExactDuplicates]]; only the survivor-selection order differs.
+    * dump collide, keep Wikipedia". Callers should end `priorityCols`
+    * with a unique tiebreaker (the id) for a deterministic survivor.
+    *
+    * One `min_by(struct(row), struct(priority))` aggregate — fully
+    * partial-aggregated (each map task emits one candidate survivor per
+    * hash it sees, merge keeps the struct-min), so a 10⁷-copy duplicate
+    * group costs one row per upstream partition, never a single-task
+    * window sort over the whole group.
     */
   def dropDuplicatesByPriority(df: DataFrame, textCol: String,
       priorityCols: Seq[Column]): DataFrame = {
     require(priorityCols.nonEmpty, "need at least one priority column")
-    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
-      .orderBy(priorityCols: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val rowStruct = struct(df.columns.map(col): _*)
+    df.groupBy(md5(col(textCol).cast("binary")).as("__h"))
+      .agg(min_by(rowStruct, struct(priorityCols: _*)).as("__row"))
+      .select(df.columns.map(c => col(s"__row.$c")): _*)
   }
 
   /** doc → distinct word-n-gram shingle rows (the inverted index).
@@ -87,15 +99,20 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000): DataFrame = {
-    val sh0 = shingleRows(df, idCol, textCol, n)
-    // document frequency as a whole-partition window count: one shuffle
-    // on shingle computes df AND leaves the index clustered for it (a
-    // groupBy + anti-join spelling costs a second shingle shuffle)
-    val sh = sh0
-      .withColumn("__df",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
+    // Stop-shingle removal must NOT be a count(*) window over the
+    // shingle: window evaluation colocates every row of a key in one
+    // task BEFORE the df filter can drop it — at scale, precisely the
+    // boilerplate shingle the cap exists for funnels 10⁸ rows through
+    // one task. Instead: map-side-partial groupBy computes df, the
+    // (tiny, by definition of boilerplate) `> maxDf` survivor set
+    // anti-joins the index map-side — the same spelling as
+    // [[dedupLines]]. The one explode feeds both the count and the
+    // anti-join, so it is materialized once (lifetime: this call).
+    val sh0 = shingleRows(df, idCol, textCol, n).localCheckpoint(true)
+    val stop = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("shingle"))
+    val sh = sh0.join(stop, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -402,20 +419,28 @@ object Dedup {
     * `is_canonical` rows is the standard "one document per near-dup
     * cluster" training-data filter. */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = ngramJaccard(df, idCol, textCol, n, threshold, maxDf)
-    connectedComponents(df.select(col(idCol)), idCol, pairs)
+    connectedComponents(df.select(col(idCol)), idCol, pairs,
+      checkpointDir = checkpointDir)
       .select(col("id").as(idCol), col("cluster").as("cluster_id"),
         (col("id") === col("cluster")).as("is_canonical"))
   }
 
   /** [[nearDupClusters]] with the O(log n)-round star-contraction solver —
     * same output contract, chosen when clusters may chain deeply (e.g.
-    * templated boilerplate where A~B~C~… links spans of documents). */
+    * templated boilerplate where A~B~C~… links spans of documents).
+    *
+    * `checkpointDir` reaches the per-round solver checkpoints (see
+    * [[connectedComponents]]): set it on a long-lived cluster so a lost
+    * executor can't force recomputation of every contraction round. */
   def nearDupClustersStar(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = ngramJaccard(df, idCol, textCol, n, threshold, maxDf)
-    connectedComponentsStar(df.select(col(idCol)), idCol, pairs)
+    connectedComponentsStar(df.select(col(idCol)), idCol, pairs,
+      checkpointDir = checkpointDir)
       .select(col("id").as(idCol), col("cluster").as("cluster_id"),
         (col("id") === col("cluster")).as("is_canonical"))
   }
@@ -596,11 +621,26 @@ object Dedup {
     * scored-pair result is materialized executor-local and the
     * corpus-wide shingle cache released, so repeated calls don't
     * accumulate pinned scans waiting on LRU eviction.
+    *
+    * `materialize` is the multi-consumer dial: true (the default — this
+    * method exists for callers that consume both sides of the cut) pays
+    * the persist + eager-checkpoint barrier once so N downstream
+    * consumers never re-shingle; false returns the lazy composition for
+    * a caller that evaluates the result exactly once (e.g.
+    * [[minhashLshVerified]] → filter → one action) — there the barrier
+    * is pure overhead: the single evaluation re-reads the shingle
+    * projection per plan reference, which is a narrow map-only re-scan,
+    * cheaper than writing the corpus-wide shingle set to block storage
+    * first (measured: the r4 always-materialize spelling nearly doubled
+    * the single-consumer verified path's wall-clock).
     */
   def minhashCandidatesScored(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      materialize: Boolean = true): DataFrame = {
+    val sh0 = shingleRows(df, idCol, textCol, n)
+    val sh = if (materialize)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val cands = minhashLshFromShingles(sh, bands, rowsPerBand)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("nsh"))
     val common = cands
@@ -613,15 +653,18 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")).cast("double"))
       .select(col("d1"), col("d2"), col("jaccard"))
-      .localCheckpoint(true)
-    sh.unpersist()
-    scored
+    if (materialize) {
+      val out = scored.localCheckpoint(true)
+      sh.unpersist()
+      out
+    } else scored
   }
 
   def minhashLshVerified(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame =
-    minhashCandidatesScored(df, idCol, textCol, n, bands, rowsPerBand)
+    minhashCandidatesScored(df, idCol, textCol, n, bands, rowsPerBand,
+      materialize = false)
       .filter(col("jaccard") >= threshold)
 
   /** Contrastive training-pair mining for embedding models, from the
@@ -629,15 +672,24 @@ object Dedup {
     * near-dup pairs, HARD NEGATIVES are the LSH candidates that failed
     * exact-Jaccard verification (textually similar, not duplicates —
     * the pairs a trained encoder must learn to separate), and RANDOM
-    * NEGATIVES pair md5-adjacent docs inside 256 hash buckets
-    * (deterministic, engine-reproducible, bounded-cardinality windows —
-    * never a global sort), minus any pair the LSH already surfaced.
+    * NEGATIVES pair md5-adjacent docs inside 16^bucketHexChars hash
+    * buckets (deterministic, engine-reproducible, bounded-cardinality
+    * windows — never a global sort), minus any pair the LSH already
+    * surfaced.
+    *
+    * `bucketHexChars` sizes the random-negative buckets: each bucket is
+    * one window sort of ~N/16^k docs, so size k to the corpus — 2 (256
+    * buckets) is fine to ~10⁸ docs, a 10¹⁰-doc corpus wants 4 (65 536
+    * buckets, ~150 k docs per in-task sort). The pairing semantics are
+    * unchanged by k; only the task granularity moves.
     *
     * @return (d1, d2, label 1|0, kind near_dup|hard|random)
     */
   def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, bucketHexChars: Int = 2): DataFrame = {
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      s"bucketHexChars must be in [1, 8], got $bucketHexChars")
     val scored = minhashCandidatesScored(docs, idCol, textCol, n, bands,
       rowsPerBand)
     val pos = scored.filter(col("jaccard") >= threshold)
@@ -648,7 +700,7 @@ object Dedup {
     val h = md5(col(idCol).cast("string").cast("binary"))
     val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col("__id"))
     val rand = docs.select(col(idCol).as("__id"), h.as("__h"))
-      .withColumn("__b", substring(col("__h"), 1, 2))
+      .withColumn("__b", substring(col("__h"), 1, bucketHexChars))
       .withColumn("__next", lead(col("__id"), 1).over(w))
       .filter(col("__next").isNotNull)
       .select(least(col("__id"), col("__next")).as("d1"),
@@ -999,13 +1051,19 @@ object Dedup {
     * templated boilerplate chains can't force diameter-many rounds, and
     * the keep filter + cluster-size count is one aggregate over the
     * (id, cluster) labels — the corpus text never enters the last stage.
+    *
+    * `checkpointDir` reaches the star solver's per-round checkpoints
+    * (see [[connectedComponents]]) — the knob a long-lived cluster
+    * needs, surfaced here so the deliverable entry point has it too.
     */
   def nearDupKeep(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs =
       minhashLshVerified(docs, idCol, textCol, n, bands, rowsPerBand, threshold)
-    val cc = connectedComponentsStar(docs.select(col(idCol)), idCol, pairs)
+    val cc = connectedComponentsStar(docs.select(col(idCol)), idCol, pairs,
+      checkpointDir = checkpointDir)
     val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
     cc.filter(col("id") === col("cluster"))
       .join(sizes, Seq("cluster"))

@@ -75,6 +75,71 @@ class PlanLintSpec extends SparkTestBase {
       }
   }
 
+  // Windows whose partition key is content-derived (a hash of a text
+  // column, an exploded feature like a shingle) have corpus-scale
+  // cardinality AND corpus-scale hot groups: window evaluation colocates
+  // every row of a key in one task BEFORE any filter can drop it, so a
+  // boilerplate shingle or a 10⁷-copy duplicate group funnels one task.
+  // The scale-safe spellings are partial-aggregated groupBy (+ join-back
+  // or anti-join) — see Dedup.exact / Dedup.ngramJaccard. This test bans
+  // the anti-pattern structurally: no registered query may partition a
+  // window by an expression that (after inlining aliases) contains a
+  // content hash or references a generator (explode) output.
+  private val windowAllow = Map(
+    // bounded-by-construction hash-BUCKET window: the partition key is a
+    // substring of the hash (16^k buckets, k caller-sized to the corpus),
+    // so cardinality is fixed and per-bucket rows are N/16^k — the window
+    // is the pairing semantics, not a per-content-group sort
+    "dedup_contrastive_pairs" -> "parameterized hash-bucket window",
+    // df/tf windows evaluated over the slice that already semi-joined
+    // against the BOUNDED query-term set — window input is k terms' rows,
+    // not the corpus index
+    "text_bm25_topk" -> "window over bounded query-term slice",
+    "text_search_topk" -> "window over bounded query-term slice")
+
+  test("no window partitioned by a corpus-cardinality expression") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Window => WindowOp}
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.all
+      .filterNot(q => skip(q.name) || q.name.startsWith("stream_"))
+      .foreach { q =>
+        val plan = q.run(spark, dir).queryExecution.analyzed
+        val aliases = plan.collect { case p =>
+          p.expressions.flatMap(_.collect { case a: Alias => a.exprId -> a.child })
+        }.flatten.toMap
+        val generated = plan.collect { case g: Generate =>
+          g.generatorOutput.map(_.exprId)
+        }.flatten.toSet
+        def inline(e: Expression, depth: Int): Expression =
+          if (depth <= 0) e
+          else e.transformUp {
+            case a: AttributeReference if aliases.contains(a.exprId) =>
+              inline(aliases(a.exprId), depth - 1)
+          }
+        val bad = plan.collect { case w: WindowOp =>
+          w.partitionSpec.map(inline(_, 8)).filter { p =>
+            p.exists {
+              case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 | _: Murmur3Hash |
+                   _: XxHash64 => true
+              case a: AttributeReference => generated(a.exprId)
+              case _ => false
+            }
+          }
+        }.flatten
+        if (windowAllow.contains(q.name))
+          // keep the allowlist honest: an entry whose query no longer
+          // trips the detector is stale (and would mask a detector bug)
+          assert(bad.nonEmpty,
+            s"${q.name} is window-allowlisted but the detector no longer " +
+              "flags it — remove the stale entry")
+        else
+          assert(bad.isEmpty,
+            s"${q.name} partitions a window by a corpus-cardinality " +
+              s"(content-hash or exploded-feature) expression:\n${bad.mkString("\n")}")
+      }
+  }
+
   test("no cartesian products; nested-loop joins only where designed") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.all
