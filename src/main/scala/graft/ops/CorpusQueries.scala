@@ -1807,6 +1807,37 @@ object CorpusQueries {
              |WHERE rn * 100 > n * 5 AND rn * 100 <= n * 95
              |ORDER BY doc_id""".stripMargin)),
 
+    // the SCALE path of the clip operator (see clipByLengthApprox
+    // scaladoc): per-stratum approx_percentile thresholds instead of a
+    // per-stratum rank sort. Deterministic oracle because the sketch is
+    // EXACT whenever a stratum holds fewer rows than `accuracy`
+    // (every sample keeps g=1, Δ=0, and no compression merge fires at
+    // 2·count/accuracy < 1), returning the element at ascending rank
+    // ceil(p·n) — which is what the SQL computes directly.
+    Q(
+      "corpus_length_clip_approx",
+      (s, dir) =>
+        Corpus.clipByLengthApprox(table(s, dir, "documents"),
+          "lang", "n_chars", loPct = 5, hiPct = 95)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+             |  SELECT lang, n_chars,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS rn,
+             |    COUNT(*) OVER (PARTITION BY lang) AS n
+             |  FROM documents),
+             |th AS (
+             |  SELECT lang,
+             |    MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.05 * n) AS BIGINT), 1)
+             |        THEN n_chars END) AS lo,
+             |    MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)
+             |        THEN n_chars END) AS hi
+             |  FROM r GROUP BY lang)
+             |SELECT d.doc_id, d.lang, d.n_chars
+             |FROM documents d JOIN th USING (lang)
+             |WHERE d.n_chars > th.lo AND d.n_chars <= th.hi
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // per-source document cap ("at most k pages per domain"): the k
     // longest docs per source survive, chosen by the k-capped heap
     // aggregate — never a full per-domain sort — then rejoined whole
