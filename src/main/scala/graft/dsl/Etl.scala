@@ -20,6 +20,7 @@ final case class Field(
 object transforms {
   import Transform._
   import scala.language.implicitConversions
+  import scala.reflect.runtime.universe
   def get(path: String): Transform = Get(path)
   def getFromRoot(path: String): Transform = GetFromRoot(path)
   def getFromParent(path: String, depth: Int = 1): Transform = GetFromParent(path, depth)
@@ -35,6 +36,26 @@ object transforms {
   def coalesceT(parts: Transform*): Transform = CoalesceT(parts)
   def lenOf(t: Transform): Transform = LenOf(t)
   def applyFn(f: Column => Column, t: Transform): Transform = ApplyFn(f, t)
+
+  /** A row where `f` throws yields a null value plus an error routed
+    * through the table's error mode (collect → error row, phase "apply";
+    * fail_fast → the run fails) — the reference's `apply(func, t)` with
+    * exception propagation (transforms.py:206-212). A null extracted
+    * value reaches `f` as-is for reference types (match the Python func
+    * seeing None — handle or throw); for primitive `A` Spark's typed-udf
+    * null contract yields a null value without calling `f`. */
+  def applyValue[A: universe.TypeTag, B: universe.TypeTag](
+      f: A => B, t: Transform): Transform = {
+    val u = udf((a: A) =>
+      try ApplyOut[B](Some(f(a)), None)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          ApplyOut[B](None, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      })
+    ApplyValue(c => u(c), t)
+  }
+  /** The {value, error} carrier [[applyValue]]'s udf emits. */
+  final case class ApplyOut[B](value: Option[B], error: Option[String])
   def lookup(index: String, k: Transform, default: Any = null): Transform =
     Lookup(index, k, default)
 

@@ -30,6 +30,7 @@ private[dsl] final case class TableState(
 private[dsl] object PipelineExecutor {
   val RowOrd = "__g_row_ord"
   private[dsl] def presCol(f: String) = s"__g_p_$f"
+  private[dsl] def applyErrCol(f: String) = s"__g_ae_$f"
 }
 
 /** Compiles the recorded pipeline into DataFrame plans and materializes
@@ -67,7 +68,7 @@ private[dsl] final class PipelineExecutor(
     var errorDfs = ListMap.empty[String, DataFrame]
     val tableStates = byTable.map { case (table, specs) =>
       telemetry.safeEvent("MapStarted", table)
-      var (state, unioned) = mergeTable(table, specs, lookupMaps)
+      var (state, unioned, applyErrors) = mergeTable(table, specs, lookupMaps)
       // validation (reference §2.7): declared schema → try_cast split;
       // error mode is per-table when declared (fluent.py:531-576), else
       // the pipeline default
@@ -76,16 +77,16 @@ private[dsl] final class PipelineExecutor(
       require(declaredSchemas.size <= 1,
         s"emissions into '$table' declare conflicting schemas: " +
           declaredSchemas.map(_.simpleString).mkString(" vs "))
+      val declaredModes = specs.flatMap(_._1.errors).distinct
+      require(declaredModes.size <= 1,
+        s"emissions into '$table' declare conflicting error modes: " +
+          declaredModes.mkString(", "))
+      val mode = declaredModes.headOption.getOrElse(
+        if (failFast) ErrorMode.FailFast else ErrorMode.Collect)
       declaredSchemas.headOption.foreach { schema =>
         val keyCols =
           if (specs.head._1.joinOn.nonEmpty) specs.head._1.joinOn
           else Seq(RowOrd)
-        val declaredModes = specs.flatMap(_._1.errors).distinct
-        require(declaredModes.size <= 1,
-          s"emissions into '$table' declare conflicting error modes: " +
-            declaredModes.mkString(", "))
-        val mode = declaredModes.headOption.getOrElse(
-          if (failFast) ErrorMode.FailFast else ErrorMode.Collect)
         // update-phase errors run per EMISSION row, before the merge, so a
         // bad value later overwritten by a good one still records its error
         // (instances.py:204-214 validates every update); the merged pass
@@ -119,9 +120,10 @@ private[dsl] final class PipelineExecutor(
         val (castValid, mergedErrors) =
           Validation.validateMerged(table, state.df, keyCols, schema, presCol,
             synthFields)
-        val updateErrors = Validation
+        val updateErrors0 = Validation
           .validateUpdate(table, unioned, keyCols, schema, presCol, elemOverride)
           .unionByName(mergedErrors)
+        val updateErrors = applyErrors.fold(updateErrors0)(updateErrors0.unionByName)
         val checks = specs.flatMap(_._1.finalizeChecks).distinct
         val (valid, allErrors) =
           if (checks.isEmpty) (castValid, updateErrors)
@@ -138,6 +140,17 @@ private[dsl] final class PipelineExecutor(
         }
         errorDfs += table -> allErrors
         state = state.copy(df = valid)
+      }
+      // applyValue failures surface even without a declared schema — the
+      // reference propagates apply() exceptions regardless of validation
+      if (declaredSchemas.isEmpty) applyErrors.foreach { errs =>
+        if (mode == ErrorMode.FailFast) {
+          val sample = errs.limit(5).collect()
+            .map(r => s"${r.getString(1)}/${r.getString(2)}: ${r.getString(3)}")
+          if (sample.nonEmpty)
+            throw Validation.ValidationFailedException(table, sample.toSeq)
+        }
+        errorDfs += table -> errs
       }
       telemetry.safeEvent("MapCompleted", table)
       table -> state
@@ -174,9 +187,21 @@ private[dsl] final class PipelineExecutor(
     val env = env0.copy(lookupIndexes = lookupMaps)
 
     val fieldCols = spec.fields.flatMap { f =>
-      Seq(
-        TransformCompiler.compile(f.transform, env).as(f.name),
-        lit(true).as(presCol(f.name)))
+      f.transform match {
+        case Transform.ApplyValue(u, inner) =>
+          // one struct per row: value feeds the field, error feeds the
+          // "apply"-phase error stream (deterministic udf → codegen CSE
+          // runs f once even though both fields reference it)
+          val s = u(TransformCompiler.compile(inner, env))
+          Seq(
+            s.getField("value").as(f.name),
+            lit(true).as(presCol(f.name)),
+            s.getField("error").as(applyErrCol(f.name)))
+        case _ =>
+          Seq(
+            TransformCompiler.compile(f.transform, env).as(f.name),
+            lit(true).as(presCol(f.name)))
+      }
     }
     // head element packs (emission, root) so cross-traversal and cross-root
     // arrival order stays total; the rest is the per-level position array
@@ -204,8 +229,23 @@ private[dsl] final class PipelineExecutor(
   private def mergeTable(
       table: String,
       specs: Seq[(EmissionSpec, Int)],
-      lookupMaps: Map[String, Column]): (TableState, DataFrame) = {
+      lookupMaps: Map[String, Column]):
+      (TableState, DataFrame, Option[DataFrame]) = {
     val compiled = specs.map { case (s, i) => (s, compileEmission(s, i, lookupMaps)) }
+
+    // applyValue failure rows, collected per emission BEFORE alignment
+    // drops the error-carrier columns (phase "apply"; see
+    // Validation.applyErrorRows)
+    val applyErrors = compiled.flatMap { case (s, df) =>
+      val errCols = s.fields
+        .filter(_.transform.isInstanceOf[Transform.ApplyValue])
+        .map(f => f.name -> applyErrCol(f.name))
+      if (errCols.isEmpty) None
+      else {
+        val keyCols = if (s.joinOn.nonEmpty) s.joinOn else Seq(RowOrd)
+        Some(Validation.applyErrorRows(table, df, keyCols, errCols))
+      }
+    }.reduceOption(_.unionByName(_))
 
     // field universe in first-declaration order
     val fieldOrder = specs.flatMap(_._1.fields.map(_.name)).distinct
@@ -297,7 +337,7 @@ private[dsl] final class PipelineExecutor(
       else (merged, Nil)
 
     val visible = (fieldOrder ++ visibleExtra).filterNot(tempNames.contains)
-    (TableState(withId, visible, tempNames, joinOn), unioned)
+    (TableState(withId, visible, tempNames, joinOn), unioned, applyErrors)
   }
 
   // --------------------------------------------------------------- links

@@ -50,6 +50,15 @@ object Transform {
     * `functions._` combinators here — they stay codegen'd; a `udf` works
     * but drops out of codegen. */
   final case class ApplyFn(f: Column => Column, t: Transform) extends Transform
+  /** Value-level `apply(func, t)` parity (transforms.py:206-212): an
+    * arbitrary typed Scala function over the EXTRACTED VALUE, built via
+    * [[transforms.applyValue]]. `u` is the compiled udf producing a
+    * `{value, error}` struct: a row where `f` throws carries the message
+    * instead of killing the task, and the executor routes it through the
+    * table's error mode (collect → error row with phase "apply",
+    * fail_fast → run fails) — the reference's exception-propagation
+    * semantics (tests/test_transforms.py:131-141) made columnar. */
+  final case class ApplyValue(u: Column => Column, t: Transform) extends Transform
   /** Query a named broadcast index built with `buildIndex`. */
   final case class Lookup(indexName: String, key: Transform,
       default: Any = null) extends Transform
@@ -161,6 +170,11 @@ object TransformCompiler {
         case _ => lit(null).cast(IntegerType)
       }
     case ApplyFn(f, inner) => f(compile(inner, env))
+    case ApplyValue(u, inner) =>
+      // value side only; compileEmission taps the same struct's error
+      // field for the error stream (deterministic udf, so codegen CSE
+      // evaluates f once per row)
+      u(compile(inner, env)).getField("value")
     case Lookup(name, key, default) =>
       val index = env.lookupIndexes.getOrElse(name,
         throw new IllegalArgumentException(
@@ -186,7 +200,7 @@ object TransformCompiler {
     case CoalesceT(parts) =>
       parts.map(typeOf(_, env)).find(_ != NullType).getOrElse(NullType)
     case LenOf(_) => IntegerType
-    case ApplyFn(_, _) => NullType // unknown statically
+    case ApplyFn(_, _) | ApplyValue(_, _) => NullType // unknown statically
     case Lookup(_, _, _) => NullType
   }
 }

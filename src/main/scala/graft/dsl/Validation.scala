@@ -120,6 +120,19 @@ object Validation {
         col("e.field").as("field"), col("e.error").as("error"),
         lit(phase).as("phase"))
 
+  /** Per-row `applyValue` failures of one emission → error rows with
+    * phase "apply" (reference: `apply(func, t)` exceptions,
+    * transforms.py:206-212). `errCols` maps field name → the emission's
+    * error-carrier column.
+    */
+  def applyErrorRows(table: String, df: DataFrame, keyCols: Seq[String],
+      errCols: Seq[(String, String)]): DataFrame =
+    errorRows(table, df, keyCols,
+      errCols.map { case (field, c) =>
+        when(col(c).isNotNull,
+          struct(lit(field).as("field"), col(c).as("error"))).as(s"__e_$field")
+      }, "apply")
+
   /** Update-phase validation over the PRE-merge emission rows: every
     * emission occurrence validates the fields it actually provided
     * (presence-gated), so a bad value later overwritten by a good one

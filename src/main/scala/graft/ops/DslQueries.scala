@@ -514,6 +514,43 @@ object DslQueries {
              |  CAST(length(maybe) AS INT) AS len_null
              |FROM t ORDER BY c_custkey""".stripMargin)),
 
+    // ---- value-level apply(func, t) parity (transforms.py:206-212):
+    //      an arbitrary typed Scala function over the extracted value;
+    //      rows where it THROWS surface as phase-"apply" error rows in
+    //      collect mode (exception class + message pinned in the oracle)
+    //      while the run continues — test_transforms.py:131-141 semantics
+    Q(
+      "dsl_apply_value",
+      (s, dir) => {
+        val root = table(s, dir, "customer")
+          .withColumn("numstr",
+            when(col("c_custkey") % 7 === 0,
+              concat(lit("x"), col("c_custkey").cast("string")))
+              .otherwise((col("c_custkey") * 3).cast("string")))
+        val res = Etl(root)
+          .mapTo("t", joinOn = Seq("ck"))(
+            "ck" -> transforms.get("c_custkey"),
+            "parsed" -> transforms.applyValue[String, Int](
+              _.trim.toInt, transforms.get("numstr")))
+          .run()
+        val t = res.table("t").select(col("ck"), col("parsed"))
+        val e = res.errors("t").select(col("key").cast("long").as("ck"),
+          col("field"), col("error"), col("phase"))
+        t.join(e, Seq("ck"), "left")
+          .select(col("ck"), col("parsed"), col("field"), col("error"),
+            col("phase"))
+          .orderBy(col("ck"))
+      },
+      Some("""SELECT c_custkey AS ck,
+             |  CASE WHEN c_custkey % 7 = 0 THEN NULL
+             |       ELSE CAST(c_custkey * 3 AS INT) END AS parsed,
+             |  CASE WHEN c_custkey % 7 = 0 THEN 'parsed' END AS field,
+             |  CASE WHEN c_custkey % 7 = 0
+             |       THEN 'NumberFormatException: For input string: "x' || c_custkey || '"'
+             |       END AS error,
+             |  CASE WHEN c_custkey % 7 = 0 THEN 'apply' END AS phase
+             |FROM customer ORDER BY ck""".stripMargin)),
+
     // ---- chunked streaming == batch parity, in the oracle gate: suppliers
     //      arrive as key-complete chunks (GroupByChunkSource semantics,
     //      chunking.py:74-124 — every chunk carries whole s_nationkey

@@ -214,6 +214,64 @@ class EtlSpec extends SparkTestBase {
       Seq(Seq("x-5", "x_5", "", 3, 1, null, 5)))
   }
 
+  test("applyValue: typed value function; throws become phase-apply error rows (collect)") {
+    val j = """{"items": [{"id": "a", "v": "10"}, {"id": "b", "v": "oops"},
+              |           {"id": "c", "v": " 7 "}]}""".stripMargin
+    val result = Etl.json(spark, j)
+      .goto("items").each()
+      .mapTo("out", joinOn = Seq("id"))(
+        "id" -> get("id"),
+        "n" -> applyValue[String, Int](_.trim.toInt, get("v")))
+      .run()
+    // the failing row KEEPS its other fields; only the applied value nulls
+    assert(rows(result.tableOrdered("out")) ===
+      Seq(Seq("a", 10), Seq("b", null), Seq("c", 7)))
+    val errs = result.errors("out")
+      .select("key", "field", "error", "phase").collect()
+    assert(errs.length === 1)
+    assert(errs(0).getString(0) === "b")
+    assert(errs(0).getString(1) === "n")
+    assert(errs(0).getString(2) ===
+      "NumberFormatException: For input string: \"oops\"")
+    assert(errs(0).getString(3) === "apply")
+  }
+
+  test("applyValue: fail_fast raises; a null value reaches f (reference None semantics)") {
+    val j = """{"items": [{"id": "a", "v": "1"}, {"id": "b", "v": null}]}"""
+    def pipe = Etl.json(spark, j)
+      .goto("items").each()
+      .mapTo("out", joinOn = Seq("id"))(
+        "id" -> get("id"),
+        "n" -> applyValue[String, Int](_.trim.toInt, get("v")))
+    // null extracted value → f(null) throws NPE → error row, not a crash
+    val collected = pipe.run()
+    val errs = collected.errors("out").select("key", "phase").collect()
+    assert(errs.map(_.getString(0)).toSeq === Seq("b"))
+    assert(errs.forall(_.getString(1) == "apply"))
+    // fail_fast: the run fails loudly, reference apply-raise semantics
+    intercept[Validation.ValidationFailedException] { pipe.run(failFast = true) }
+  }
+
+  test("applyValue: apply errors union with typed-schema validation errors") {
+    val j = """{"items": [{"id": "a", "v": "2", "w": "ok"},
+              |           {"id": "b", "v": "nope", "w": "ok"}]}""".stripMargin
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("n", IntegerType),
+      StructField("w", StringType)))
+    val result = Etl.json(spark, j)
+      .goto("items").each()
+      .mapToTyped("out", schema, joinOn = Seq("id"))(
+        "id" -> get("id"),
+        "n" -> applyValue[String, Int](_.trim.toInt, get("v")),
+        "w" -> get("w"))
+      .run()
+    assert(rows(result.tableOrdered("out")) ===
+      Seq(Seq("a", 2, "ok"), Seq("b", null, "ok")))
+    val phases = result.errors("out").select("key", "phase").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(phases.contains(("b", "apply")))
+  }
+
   test("each() iterates a heterogeneous struct as JSON-text values") {
     // mixed value types (string / number / nested object) straight off
     // schema inference — executor.py:66-76 iterates ANY dict
