@@ -732,4 +732,120 @@ object Corpus {
           col("ok_alpha") && col("ok_stops"))
       .drop("__n", "__sl", "__sym", "__al", "__st")
   }
+
+  /** CCNet-style head/middle/tail quality bucketing (Wenzek et al. 2019,
+    * arXiv:1911.00359 §4.4): score every document with [[lmScore]]
+    * (bigram stats trained on the trusted `refFilter` slice), then split
+    * EACH LANGUAGE at its own score percentiles — CCNet's insight is
+    * that perplexity is only comparable within a language, so the
+    * head/middle/tail cut points are per-language, never global. Here
+    * higher lm_score = more fluent (it is a probability, not a
+    * perplexity), so `head` is the slice at or above the `headPct`
+    * percentile and `tail` is below `midPct`. Documents with no bigrams
+    * (lm_score null) go to `tail` — CCNet likewise discards what its LM
+    * cannot score.
+    *
+    * Scale shape: [[lmScore]]'s two corpus scans, plus one
+    * [[percentilesByCounting]] aggregate whose input is the per-language
+    * DISTINCT-score count table (bounded: lm_score is fixed-point in
+    * [0, [[LmProbScale]]], so the value domain — and thus the per-lang
+    * window — is capped at ~1e6 rows regardless of corpus size), and one
+    * broadcast join of the #languages-row cut table back onto the scored
+    * docs. Nothing reaches the driver.
+    *
+    * @return one row per doc: (idCol, langCol, lm_score, bucket)
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, refFilter: Column,
+      midPct: Int = 33, headPct: Int = 67): DataFrame = {
+    require(0 < midPct && midPct < headPct && headPct < 100,
+      s"need 0 < midPct < headPct < 100, got ($midPct, $headPct)")
+    val scored = lmScore(docs, idCol, textCol, refFilter)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val cuts = percentilesByCounting(
+      scored.filter(col("lm_score").isNotNull), langCol, "lm_score",
+      Seq(midPct, headPct))
+    scored.join(broadcast(cuts), Seq(langCol), "left")
+      .select(col(idCol), col(langCol), col("lm_score"),
+        when(col("lm_score").isNull, lit("tail"))
+          .when(col("lm_score") >= col(s"p$headPct"), lit("head"))
+          .when(col("lm_score") >= col(s"p$midPct"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Fixed-point scale for [[dsirSelect]] frequency contributions. 1e5
+    * (not [[LmProbScale]]'s 1e6) buys int64 headroom on the per-bucket
+    * product `c·scale`: a bucket count can approach the corpus token
+    * count itself ("the" at web scale), and 9.2e18/1e5 ≈ 9e13 tokens
+    * (~360 TB of text) fits where 1e6 would overflow past ~37 TB. */
+  val DsirScale = 100000L
+
+  /** DSIR-style hashed-unigram importance selection (Xie et al. 2023,
+    * arXiv:2302.03169): estimate a target distribution p̂_t and a raw
+    * distribution p̂_r over HASHED unigram buckets (feature hashing caps
+    * the model at `buckets` cells no matter how large the vocabulary),
+    * weight every token by its bucket's scaled relative-frequency
+    * difference, and keep the k documents whose mean token weight is
+    * highest — the documents that look most like the target slice. Two
+    * deliberate substitutions from the paper, both for engine-exact
+    * arithmetic (see [[lmScore]]): the UNSMOOTHED frequency DIFFERENCE
+    * replaces the smoothed log-ratio (same "more target-like than raw"
+    * ordering signal; `ln` is not correctly rounded across libm builds,
+    * and smoothing exists only to keep the log finite — add-one with
+    * `buckets` ≫ n_tokens would actually drown the signal), and
+    * sampling is replaced by deterministic top-k with an id tie-break.
+    * Scores are shifted by +[[DsirScale]] (the difference's lower bound
+    * is −scale) so every operand stays non-negative and truncating DIV
+    * agrees with flooring `//` on any engine.
+    *
+    * Scale shape: ONE aggregate over the exploded tokens builds the
+    * per-bucket count table (map-side partials; ≤ `buckets` rows), the
+    * corpus totals fold from that table (never a driver scalar — a
+    * 1-row aggregate cross-joined back is a broadcast), and scoring is a
+    * second token scan joined against the broadcast ≤`buckets`-row
+    * weight table. Top-k is TakeOrdered (per-partition k-heaps), never a
+    * global sort. Tokens are exploded twice rather than materialized
+    * once: the exploded form is ~n_tokens rows and re-deriving it is a
+    * map-only re-scan, cheaper at scale than persisting it.
+    *
+    * @return k rows: (idCol, n_tokens, dsir_score), most target-like
+    *         first (ties broken by ascending id)
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, buckets: Int = 4096, k: Int = 100): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(k > 0, s"k must be positive, got $k")
+    def toks = docs.select(col(idCol).as("__doc"), targetFilter.as("__tgt"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("__w"))
+      // md5-derived bucket (8 hex chars < 2^32: no sign issues), the
+      // same engine-portable hash family as Dedup.minhashH1
+      .withColumn("__b",
+        conv(substring(md5(col("__w").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets)
+    val bucketCounts = toks.groupBy(col("__b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    // the two corpus token totals fold in an unpartitioned window over
+    // the ≤`buckets`-row count table — a bounded single-task pass by
+    // construction, no join, never a driver scalar (a constant-key
+    // broadcast join would constant-fold into a nested loop). +1
+    // denominators only guard an empty target slice; within a side the
+    // denominator is shared, so the ordering is the exact
+    // relative-frequency ordering.
+    val wAll = Window.partitionBy()
+    val weights = bucketCounts
+      .withColumn("nr", sum(col("cr")).over(wAll))
+      .withColumn("nt", sum(col("ct")).over(wAll))
+      .select(col("__b"), (
+        expr(s"(ct * $DsirScale) DIV (nt + 1)")
+          - expr(s"(cr * $DsirScale) DIV (nr + 1)")
+          + lit(DsirScale)).as("__wt"))
+    toks.join(broadcast(weights), Seq("__b"))
+      .groupBy(col("__doc"))
+      .agg(sum(col("__wt")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__doc").as(idCol), col("__n").as("n_tokens"),
+        expr("__s DIV __n").as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(k)
+  }
 }

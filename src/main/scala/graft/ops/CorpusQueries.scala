@@ -564,6 +564,84 @@ object CorpusQueries {
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // CCNet head/middle/tail bucketing (Wenzek et al. 2019): per-LANGUAGE
+    // percentile cuts over the lm_score — CCNet's core trick is that
+    // perplexity only compares within a language. Counting percentiles
+    // over the fixed-point score domain; cut table broadcast back.
+    Q(
+      "corpus_ccnet_buckets",
+      (s, dir) =>
+        Corpus.ccnetBuckets(table(s, dir, "documents"), "doc_id", "text",
+          "lang", col("lang") === "en")
+          .orderBy(col("doc_id")),
+      Some(s"""WITH ltoks AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+             |  FROM documents),
+             |pos AS (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM ltoks),
+             |bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2 FROM pos),
+             |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+             |uni AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+             |voc AS (SELECT COUNT(DISTINCT tok) AS v FROM
+             |  (SELECT w1 AS tok FROM big UNION SELECT w2 AS tok FROM big)),
+             |contrib AS (
+             |  SELECT bg.doc_id,
+             |    ((COALESCE(c12, 0) + 1) * ${Corpus.LmProbScale}) //
+             |      (COALESCE(c1, 0) + (SELECT v FROM voc)) AS c
+             |  FROM bg LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)),
+             |agg AS (SELECT doc_id, SUM(c) AS s, COUNT(*) AS n FROM contrib GROUP BY 1),
+             |scored AS (
+             |  SELECT d.doc_id, d.lang, CAST(a.s // a.n AS BIGINT) AS lm_score
+             |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+             |c AS (SELECT lang, lm_score, COUNT(*) AS cnt FROM scored
+             |  WHERE lm_score IS NOT NULL GROUP BY 1, 2),
+             |w AS (SELECT lang, lm_score,
+             |  SUM(cnt) OVER (PARTITION BY lang ORDER BY lm_score
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |  SUM(cnt) OVER (PARTITION BY lang) AS n FROM c),
+             |cuts AS (SELECT lang,
+             |  MIN(CASE WHEN cum >= (n*33 + 99) // 100 THEN lm_score END) AS p33,
+             |  MIN(CASE WHEN cum >= (n*67 + 99) // 100 THEN lm_score END) AS p67
+             |  FROM w GROUP BY lang)
+             |SELECT s.doc_id, s.lang, s.lm_score,
+             |  CASE WHEN s.lm_score IS NULL THEN 'tail'
+             |       WHEN s.lm_score >= c.p67 THEN 'head'
+             |       WHEN s.lm_score >= c.p33 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM scored s LEFT JOIN cuts c USING (lang)
+             |ORDER BY s.doc_id""".stripMargin)),
+
+    // DSIR hashed-unigram importance selection (Xie et al. 2023): which
+    // documents look most like the src0 slice. Bucket counts in one
+    // aggregate, totals folded from the bucket table, weight table
+    // broadcast for scoring, bounded top-k. Unsmoothed scaled frequency
+    // difference (+scale shift) instead of the smoothed log-ratio —
+    // integer-exact on any engine.
+    Q(
+      "corpus_dsir_select",
+      (s, dir) =>
+        Corpus.dsirSelect(table(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0", buckets = 4096, k = 100),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, (source = 'src0') AS tgt,
+             |    unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+             |  FROM documents),
+             |tb AS (SELECT doc_id, tgt,
+             |  ('0x' || substr(md5(w), 1, 8))::BIGINT % 4096 AS b FROM toks),
+             |bc AS (SELECT b, COUNT(*) AS cr,
+             |  SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct FROM tb GROUP BY 1),
+             |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM bc),
+             |wt AS (SELECT b,
+             |  (ct * ${Corpus.DsirScale}) // (nt + 1)
+             |    - (cr * ${Corpus.DsirScale}) // (nr + 1)
+             |    + ${Corpus.DsirScale} AS wtv
+             |  FROM bc, tot),
+             |sc AS (SELECT tb.doc_id, SUM(wtv) AS s, COUNT(*) AS n
+             |  FROM tb JOIN wt USING (b) GROUP BY 1)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  CAST(s // n AS BIGINT) AS dsir_score
+             |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin)),
+
     // Gopher rule filter (Rae et al. 2021 Appendix A shape): per-rule
     // audit flags, every ratio rearranged into integer cross-
     // multiplication — zero floats on either engine. minWords=30 so the

@@ -558,4 +558,63 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(exact.map(_._1) === Seq(1L, 2L, 3L))
     assert(exact.find(_._1 == 2L).get._3 === 0L) // clean doc: zero hits
   }
+
+  test("ccnetBuckets: per-language cuts, fluent=head, unscoreable=tail") {
+    val corpus = Seq(
+      // en: d1/d2 use the reference bigrams heavily, d3 barely, d4 has
+      // no bigrams at all (single token ⇒ lm_score null)
+      (1L, "en", "the cat sat on the mat the cat sat"),
+      (2L, "en", "the cat sat on the mat"),
+      (3L, "en", "zebra quark flux nebula prism vortex"),
+      (4L, "en", "word"),
+      // fr: scored by the en-trained model, but CUT within fr only
+      (5L, "fr", "le chat dort le chat dort"),
+      (6L, "fr", "bleu rouge vert jaune violet")
+    ).toDF("doc_id", "lang", "text")
+    val out = Corpus.ccnetBuckets(corpus, "doc_id", "text", "lang",
+      $"lang" === "en").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.toString.toLong),
+        r.getString(3))).toMap
+    assert(out.size === 6)
+    assert(out(4L) === ((None, "tail")), "no-bigram doc must be tail")
+    assert(out.values.forall(v => Set("head", "middle", "tail")(v._2)))
+    // within each lang, bucket order must agree with score order
+    for (lang <- Seq(Seq(1L, 2L, 3L), Seq(5L, 6L))) {
+      val ranked = lang.flatMap(id => out(id)._1.map(s => (s, out(id)._2)))
+      val byBucket = ranked.groupBy(_._2).view.mapValues(_.map(_._1))
+      for (h <- byBucket.getOrElse("head", Nil);
+           m <- byBucket.getOrElse("middle", Nil)) assert(h >= m)
+      for (m <- byBucket.getOrElse("middle", Nil);
+           t <- byBucket.getOrElse("tail", Nil)) assert(m >= t)
+      for (h <- byBucket.getOrElse("head", Nil);
+           t <- byBucket.getOrElse("tail", Nil)) assert(h >= t)
+    }
+    // the top-scoring en doc lands in head (cuts are per-lang, and en has
+    // 3 scored docs so all three buckets are distinguishable)
+    val enBest = Seq(1L, 2L, 3L).maxBy(id => out(id)._1.get)
+    assert(out(enBest)._2 === "head")
+  }
+
+  test("dsirSelect ranks target-like docs first; k and ties deterministic") {
+    val corpus = Seq(
+      (1L, "tgt", "apple banana apple banana cherry"),
+      (2L, "tgt", "apple cherry banana apple"),
+      (3L, "pool", "apple banana cherry"), // pool doc, target-like
+      (4L, "pool", "zebra yak walrus quokka"), // pool doc, nothing shared
+      (5L, "pool", "apple banana cherry") // identical text to 3: tie
+    ).toDF("doc_id", "kind", "text")
+    val out = Corpus.dsirSelect(corpus, "doc_id", "text",
+      $"kind" === "tgt", buckets = 64, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 5) // k caps, never pads
+    val score = out.map(r => r._1 -> r._3).toMap
+    assert(score(3L) > score(4L), "target-like pool doc must outrank alien")
+    assert(score(3L) === score(5L), "identical docs score identically")
+    // tie broken by ascending id in the output ordering
+    assert(out.indexWhere(_._1 == 3L) < out.indexWhere(_._1 == 5L))
+    assert(out.find(_._1 == 4L).get._2 === 4L) // n_tokens passthrough
+    // k genuinely bounds the output
+    assert(Corpus.dsirSelect(corpus, "doc_id", "text",
+      $"kind" === "tgt", buckets = 64, k = 2).count() === 2L)
+  }
 }
