@@ -1336,6 +1336,55 @@ object CorpusQueries {
            |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       }),
 
+    // Product quantization (Jégou et al. 2011): corpus collapsed to m=4
+    // codes per row, queries scored via an asymmetric-distance LUT. All
+    // subspace distances are exact integers over the ×1000-quantized
+    // vectors, so the two engines rank identically.
+    Q(
+      "ann_pq_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.pqTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", Dim,
+          m = 4, ksub = 8, k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val m = 4; val ksub = 8; val sub = Dim / m
+        def subdist(a: String, b: String) =
+          s"""list_sum(list_transform(range(j*$sub + 1, j*$sub + ${sub + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        s"""WITH qvt AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |cb AS (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv
+           |  FROM (SELECT vec_id, qv FROM qvt ORDER BY vec_id LIMIT $ksub)),
+           |js AS (SELECT unnest(range(0, $m)) AS j),
+           |enc AS (
+           |  SELECT vec_id, j, code FROM (
+           |    SELECT v.vec_id, js.j, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, js.j
+           |        ORDER BY ${subdist("v.qv", "c.qv")}, c.code) AS rn
+           |    FROM qvt v CROSS JOIN cb c CROSS JOIN js) t WHERE rn = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS q_id, js.j, c.code,
+           |    ${subdist("q.qv", "c.qv")} AS d
+           |  FROM qvt q CROSS JOIN cb c CROSS JOIN js WHERE q.vec_id < 20),
+           |sc AS (
+           |  SELECT l.q_id, e.vec_id AS n_id, SUM(l.d) AS dist
+           |  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+           |  WHERE l.q_id != e.vec_id GROUP BY 1, 2)
+           |SELECT q_id, n_id, rank, dist FROM (
+           |  SELECT q_id, n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY dist, n_id) AS INT) AS rank,
+           |    CAST(dist AS BIGINT) AS dist
+           |  FROM sc) t
+           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // IVF over REAL k-means centers: 2 Lloyd iterations on integer-
     // quantized vectors (exact in both engines regardless of aggregation
     // order), centers fed through ivfTopK's centroidsDf seam

@@ -139,6 +139,82 @@ object Similarity {
         col("t.score").cast("long").as("score"))
   }
 
+  /** Product-quantization ANN (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)):
+    * split each `dim`-d vector into `m` subvectors, quantize every
+    * subvector to its nearest of `ksub` codewords, and score queries
+    * against the CODES with an asymmetric-distance lookup table — the
+    * query stays full precision, the corpus collapses to `m` small ints
+    * per row.
+    *
+    * This is the memory/bandwidth endgame for ANN at 100 TB: a 64-d
+    * float corpus (256 B/row) becomes m=4 bytes of codes (64× smaller),
+    * and the scan's per-pair cost drops from `dim` multiplies to `m`
+    * array lookups. The corpus is encoded in ONE narrow map-only pass
+    * (the codebook is a literal — no join, no shuffle), scoring is the
+    * same broadcast-queries linear scan as [[cosineTopK]] with the
+    * k-capped heap bounding what crosses the final shuffle. Nothing
+    * anywhere shuffles the corpus.
+    *
+    * Determinism contract (mirrors [[kmeansCentroids]]'s playbook):
+    * vectors are integer-quantized (×1000 round) so every subspace
+    * squared-L2 distance is an exact integer (≤ ~2.6e8 ≪ 2^53 in
+    * double); codewords are the `ksub` smallest-id corpus vectors
+    * (id-space agnostic, oracle-reproducible — a real deployment feeds
+    * k-means centers per subspace through the same literal seam);
+    * encode ties go to the lowest code, ranking ties to the lowest
+    * neighbor id.
+    *
+    * @return (q_id, n_id, rank, dist): k rows per query ranked by
+    *         ascending approximate squared-L2 distance
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      m: Int, ksub: Int, k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub > 0, s"ksub must be positive, got $ksub")
+    val sub = dim / m
+    // codebook: ksub·dim ints — bounded at any corpus size, so collecting
+    // it (one TakeOrdered) and re-emitting it as literals keeps both the
+    // encode pass and the query LUT map-only
+    val cbRows = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(quantize(col(vecCol)).as("qv"))
+      .collect().map(_.getSeq[Long](0))
+    require(cbRows.nonEmpty, "pqTopK: corpus is empty")
+    // the ksub codewords of subspace j, as a literal array<array<long>>
+    def cbLit(j: Int): Column = array(cbRows.map(cw =>
+      array(cw.slice(j * sub, (j + 1) * sub).map(lit(_)): _*)): _*)
+    def subdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    // distances from row's j-th subvector to every codeword of subspace j
+    def dists(j: Int): Column =
+      transform(cbLit(j), c => subdist(slice(col("__qv"), j * sub + 1, sub), c))
+
+    val c = corpus
+      .select(col(idCol).as("n_id"), quantize(col(vecCol)).as("__qv"))
+      .select(col("n_id"), array((0 until m).map { j =>
+        val d = dists(j)
+        // array_position finds the FIRST minimum — lowest-code tie-break
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }: _*).as("codes"))
+    val q = queries
+      .select(col(idCol).as("q_id"), quantize(col(vecCol)).as("__qv"))
+      .select(col("q_id"), array((0 until m).map(dists): _*).as("lut"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      // ADC: Σ_j lut[j][code_j] — m lookups, the whole point of PQ
+      .withColumn("dist", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (cd, row) => element_at(row, cd + 1)),
+        lit(0L), _ + _))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        -col("dist").cast("double"), col("n_id").cast("long"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"),
+        (col("r0") + 1).cast("int").as("rank"),
+        (-col("t.score")).cast("long").as("dist"))
+  }
+
   /** Distributed spherical k-means over integer-quantized vectors (Lloyd
     * iterations: assign to the max-cosine centroid, recompute centers).
     *

@@ -24,6 +24,47 @@ class SimilaritySpec extends SparkTestBase {
       again.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap)
   }
 
+  test("pqTopK: k ranked rows per query, ADC dist consistent and exact") {
+    val q = emb.filter(col("vec_id") < 10)
+    val out = Similarity.pqTopK(q, emb, "vec_id", "embedding", dim,
+      m = 4, ksub = 8, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.groupBy(_._1).size === 10)
+    assert(out.groupBy(_._1).forall(_._2.length == 5))
+    assert(out.forall(r => r._1 != r._2), "self-match must be excluded")
+    for ((_, rows) <- out.groupBy(_._1)) {
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3) === (1 to 5))
+      // dist ascending with rank; ties must break by ascending n_id
+      for (w <- byRank.sliding(2); Array(a, b) = w.toArray)
+        assert(a._4 < b._4 || (a._4 == b._4 && a._2 < b._2))
+    }
+    // a codebook vector queried against the corpus has ADC dist 0 to
+    // itself in every subspace ⇒ its own codeword cell; queries < ksub
+    // ARE codewords here, so some zero-distance neighbor pair may exist —
+    // just assert distances are non-negative (exact integer arithmetic)
+    assert(out.forall(_._4 >= 0L))
+    // deterministic under re-partitioning
+    val again = Similarity.pqTopK(q, emb.repartition(7), "vec_id",
+      "embedding", dim, m = 4, ksub = 8, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSet === again.toSet)
+  }
+
+  test("pqTopK recalls a usable share of exact top-k") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(q, emb, "vec_id", "embedding", dim,
+      m = 4, ksub = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 codewords over 64 dims is a coarse quantizer (and cosine vs L2
+    // disagree on norm outliers) — deterministic data makes this a stable
+    // floor, not a statistical bound
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall was $recall")
+  }
+
   test("IVF with k-means centroids recalls a usable share of exact top-k") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim, k = 5)
