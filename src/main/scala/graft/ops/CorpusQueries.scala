@@ -1385,6 +1385,82 @@ object CorpusQueries {
            |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
       }),
 
+    // IVF-PQ (IVFADC): coarse cells + PQ over residuals. All distances
+    // are exact integers over ×1000-quantized vectors; coarse centers =
+    // 8 smallest-id vectors, codebook = residuals of the 8 smallest-id
+    // vectors; every argmin ties low — both engines rank identically.
+    Q(
+      "ann_ivfpq_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.ivfpqTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", Dim,
+          centroids = 8, nProbe = 2, m = 4, ksub = 8, k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val m = 4; val ksub = 8; val nc = 8; val nProbe = 2
+        val sub = Dim / m
+        def l2full(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, ${Dim + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        def subdist(a: String, b: String) =
+          s"""list_sum(list_transform(range(j*$sub + 1, j*$sub + ${sub + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        s"""WITH qvt AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cid, qv AS cqv FROM qvt ORDER BY vec_id LIMIT $nc),
+           |asgn AS (
+           |  SELECT vec_id, cid, cqv FROM (
+           |    SELECT v.vec_id, c.cid, c.cqv,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2full("v.qv", "c.cqv")}, c.cid) AS rn
+           |    FROM qvt v CROSS JOIN cents c) t WHERE rn = 1),
+           |res AS (
+           |  SELECT v.vec_id, a.cid,
+           |    list_transform(range(1, ${Dim + 1}), i -> v.qv[i] - a.cqv[i]) AS rv
+           |  FROM qvt v JOIN asgn a USING (vec_id)),
+           |cb AS (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, rv
+           |  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT $ksub)),
+           |js AS (SELECT unnest(range(0, $m)) AS j),
+           |enc AS (
+           |  SELECT vec_id, cid, j, code FROM (
+           |    SELECT r.vec_id, r.cid, js.j, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, js.j
+           |        ORDER BY ${subdist("r.rv", "c.rv")}, c.code) AS rn
+           |    FROM res r CROSS JOIN cb c CROSS JOIN js) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS q_id, cid, cqv FROM (
+           |    SELECT v.vec_id, c.cid, c.cqv,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2full("v.qv", "c.cqv")}, c.cid) AS rn
+           |    FROM qvt v CROSS JOIN cents c WHERE v.vec_id < 20) t
+           |  WHERE rn <= $nProbe),
+           |qres AS (
+           |  SELECT p.q_id, p.cid,
+           |    list_transform(range(1, ${Dim + 1}), i -> v.qv[i] - p.cqv[i]) AS rv
+           |  FROM probes p JOIN qvt v ON v.vec_id = p.q_id),
+           |lut AS (
+           |  SELECT q.q_id, q.cid, js.j, c.code,
+           |    ${subdist("q.rv", "c.rv")} AS d
+           |  FROM qres q CROSS JOIN cb c CROSS JOIN js),
+           |sc AS (
+           |  SELECT l.q_id, e.vec_id AS n_id, SUM(l.d) AS dist
+           |  FROM enc e JOIN lut l ON l.cid = e.cid AND l.j = e.j AND l.code = e.code
+           |  WHERE l.q_id != e.vec_id GROUP BY 1, 2)
+           |SELECT q_id, n_id, rank, dist FROM (
+           |  SELECT q_id, n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY dist, n_id) AS INT) AS rank,
+           |    CAST(dist AS BIGINT) AS dist
+           |  FROM sc) t
+           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // IVF over REAL k-means centers: 2 Lloyd iterations on integer-
     // quantized vectors (exact in both engines regardless of aggregation
     // order), centers fed through ivfTopK's centroidsDf seam

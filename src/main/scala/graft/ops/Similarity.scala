@@ -215,6 +215,114 @@ object Similarity {
         (-col("t.score")).cast("long").as("dist"))
   }
 
+  /** IVF-PQ ANN (IVFADC, Jégou et al. 2011 §IV): the FAISS-standard
+    * composite — a coarse inverted-file quantizer restricts each query to
+    * its `nProbe` nearest cells, and within a cell candidates are scored
+    * by product-quantized RESIDUALS (vector − its cell center) via the
+    * same asymmetric-distance LUT as [[pqTopK]]. Residual encoding is
+    * what makes the composite beat flat PQ: residuals concentrate near
+    * zero, so `ksub` codewords cover them far more densely than they
+    * cover raw vectors.
+    *
+    * Scale shape — strictly better than either parent:
+    *   - both the coarse centers (`centroids` rows) and the PQ codebook
+    *     (`ksub` rows) are bounded, collected once, and re-emitted as
+    *     literals, so corpus assignment + residual + encode is ONE narrow
+    *     map-only pass (no join, no shuffle); the corpus at rest is
+    *     (cid, m codes) per row
+    *   - scoring joins on cid against the broadcast probe set, so each
+    *     query pays nProbe/centroids of the corpus instead of a full
+    *     scan, at m LUT lookups per candidate
+    *   - the k-capped heap ([[graft.functions.TopKByScore]]) bounds what
+    *     crosses the only shuffle
+    *
+    * Determinism contract (the [[pqTopK]] playbook): ×1000
+    * integer-quantized vectors make every squared-L2 exact; coarse
+    * centers are the `centroids` smallest-id corpus vectors, the PQ
+    * codebook the residuals of the `ksub` smallest-id corpus vectors
+    * (both id-space agnostic; a real deployment feeds k-means centers
+    * through the same literal seam); every argmin ties to the lowest
+    * cid/code, ranking ties to the lowest neighbor id. A corpus vector
+    * lives in exactly one cell, so no cross-probe candidate dedup is
+    * needed (unlike [[ivfTopK]]'s multi-probe distinct).
+    *
+    * @return (q_id, n_id, rank, dist): ≤ k rows per query ranked by
+    *         ascending approximate squared-L2 residual distance
+    */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      centroids: Int, nProbe: Int, m: Int, ksub: Int, k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(centroids > 0 && nProbe > 0 && ksub > 0,
+      s"centroids/nProbe/ksub must be positive")
+    val sub = dim / m
+    val centRows: Array[(Long, Seq[Long])] =
+      corpus.orderBy(col(idCol)).limit(centroids)
+        .select(col(idCol).cast("long"), quantize(col(vecCol)))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(centRows.nonEmpty, "ivfpqTopK: corpus is empty")
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) =>
+        val d = x - y; d * d }.sum
+    // codebook = residuals of the ksub smallest-id rows vs their own
+    // nearest center (computed driver-side: ksub·dim ints, bounded)
+    val cbRows: Array[Seq[Long]] =
+      corpus.orderBy(col(idCol)).limit(ksub)
+        .select(quantize(col(vecCol)))
+        .collect().map { r =>
+          val v = r.getSeq[Long](0)
+          val cv = centRows.minBy { case (cid, c) => (l2(v, c), cid) }._2
+          v.zip(cv).map { case (x, y) => x - y }
+        }
+    val cidLit = array(centRows.map(c => lit(c._1)): _*)
+    val centVecLit = array(centRows.map(c =>
+      array(c._2.map(lit(_)): _*)): _*)
+    def cbLit(j: Int): Column = array(cbRows.map(cw =>
+      array(cw.slice(j * sub, (j + 1) * sub).map(lit(_)): _*)): _*)
+    def sqdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    // nP nearest cells of __qv as array<struct<d,cid,cv>> — array_sort's
+    // natural struct order (d, then cid) IS the tie-break contract
+    def probes(nP: Int): Column = slice(array_sort(
+      transform(sequence(lit(0), lit(centRows.length - 1)), i => struct(
+        sqdist(col("__qv"), element_at(centVecLit, i + 1)).as("d"),
+        element_at(cidLit, i + 1).as("cid"),
+        element_at(centVecLit, i + 1).as("cv")))), 1, nP)
+    def residual(cv: Column): Column = zip_with(col("__qv"), cv, _ - _)
+    def encode(res: Column): Column = array((0 until m).map { j =>
+      val d = transform(cbLit(j), cw => sqdist(slice(res, j * sub + 1, sub), cw))
+      // array_position finds the FIRST minimum — lowest-code tie-break
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+
+    val c = corpus
+      .select(col(idCol).as("n_id"), quantize(col(vecCol)).as("__qv"))
+      .withColumn("__cell", element_at(probes(1), 1))
+      .select(col("n_id"), col("__cell.cid").as("cid"),
+        encode(residual(col("__cell.cv"))).as("codes"))
+    val q = queries
+      .select(col(idCol).as("q_id"), quantize(col(vecCol)).as("__qv"))
+      .select(col("q_id"), col("__qv"), explode(probes(nProbe)).as("__cell"))
+      .withColumn("__res", residual(col("__cell.cv")))
+      .select(col("q_id"), col("__cell.cid").as("cid"),
+        array((0 until m).map(j => transform(cbLit(j),
+          cw => sqdist(slice(col("__res"), j * sub + 1, sub), cw))): _*)
+          .as("lut"))
+    val scored = c.join(broadcast(q), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dist", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (cd, row) => element_at(row, cd + 1)),
+        lit(0L), _ + _))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        -col("dist").cast("double"), col("n_id").cast("long"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"),
+        (col("r0") + 1).cast("int").as("rank"),
+        (-col("t.score")).cast("long").as("dist"))
+  }
+
   /** Distributed spherical k-means over integer-quantized vectors (Lloyd
     * iterations: assign to the max-cosine centroid, recompute centers).
     *

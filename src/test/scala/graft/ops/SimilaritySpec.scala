@@ -65,6 +65,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall was $recall")
   }
 
+  test("ivfpqTopK: ranked rows per query, one cell per corpus vector") {
+    val q = emb.filter(col("vec_id") < 10)
+    val out = Similarity.ivfpqTopK(q, emb, "vec_id", "embedding", dim,
+      centroids = 8, nProbe = 2, m = 4, ksub = 8, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.groupBy(_._1).size === 10)
+    assert(out.forall(r => r._1 != r._2), "self-match must be excluded")
+    for ((_, rows) <- out.groupBy(_._1)) {
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3) === (1 to byRank.length))
+      // no candidate may surface twice (one cell per corpus vector)
+      assert(rows.map(_._2).distinct.length == rows.length)
+      for (w <- byRank.sliding(2) if w.length == 2; Array(a, b) = w.toArray)
+        assert(a._4 < b._4 || (a._4 == b._4 && a._2 < b._2))
+    }
+    assert(out.forall(_._4 >= 0L))
+    // deterministic under re-partitioning
+    val again = Similarity.ivfpqTopK(q, emb.repartition(7), "vec_id",
+      "embedding", dim, centroids = 8, nProbe = 2, m = 4, ksub = 8, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSet === again.toSet)
+  }
+
+  test("ivfpqTopK recalls a usable share of exact top-k") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfpqTopK(q, emb, "vec_id", "embedding", dim,
+      centroids = 8, nProbe = 4, m = 4, ksub = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // residual PQ inside 4-of-8 probed cells, untrained smallest-id
+    // quantizers (the oracle-reproducible seam; a deployment feeds
+    // k-means centers), cosine-exact vs L2-ADC — a stable floor on
+    // deterministic data, not a statistical bound
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.15, s"recall was $recall")
+  }
+
   test("IVF with k-means centroids recalls a usable share of exact top-k") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim, k = 5)
