@@ -1009,6 +1009,38 @@ object CorpusQueries {
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // exact removal spans (Lee et al. ExactSubstr at token granularity):
+    // duplicated stride-1 windows merged into maximal [start,end] token
+    // intervals per doc — the byte ranges a curation run would cut
+    Q(
+      "dedup_span_exact",
+      (s, dir) =>
+        Dedup.duplicateSpanRanges(table(s, dir, "documents"), "doc_id",
+          "text", window = 8)
+          .orderBy(col("doc_id"), col("span_start")),
+      Some(s"""WITH $toksCte,
+             |pos AS (SELECT doc_id, ws,
+             |  unnest(range(0, greatest(CAST(len(ws) AS BIGINT) - 7, 0))) AS p
+             |  FROM toks),
+             |win AS (SELECT doc_id, p,
+             |  md5(array_to_string(ws[p+1:p+8], ' ')) AS h FROM pos),
+             |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+             |  GROUP BY h HAVING COUNT(*) > 1),
+             |hits AS (SELECT doc_id, p FROM win
+             |  WHERE h IN (SELECT h FROM dup)),
+             |flags AS (SELECT doc_id, p,
+             |  CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+             |    THEN 0 ELSE 1 END AS f
+             |  FROM hits),
+             |isl AS (SELECT doc_id, p,
+             |  SUM(f) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM flags)
+             |SELECT doc_id,
+             |  CAST(MIN(p) AS BIGINT) AS span_start,
+             |  CAST(MAX(p) + 7 AS BIGINT) AS span_end,
+             |  CAST(MAX(p) + 7 - MIN(p) + 1 AS BIGINT) AS span_tokens
+             |FROM isl GROUP BY doc_id, g
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // continuous-crawl span dedup: history (doc_id % 5 != 0) is stored
     // as distinct window hashes, only the new batch (doc_id % 5 == 0)
     // is tokenized, dups = match history OR another new doc

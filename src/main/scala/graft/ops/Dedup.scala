@@ -973,6 +973,52 @@ object Dedup {
       .withColumn("has_cross_dup", col("n_dup_windows") > 0)
   }
 
+  /** Exact removal spans for cross-document duplicated text — the full
+    * Lee et al. 2021 ExactSubstr deliverable at token granularity: the
+    * merged [start, end] token intervals covering every duplicated span
+    * of ≥ `window` tokens. Stride-1 windows make this EXACT, not an
+    * approximation: a duplicated span of m ≥ window tokens contains
+    * m − window + 1 duplicated windows whose union covers precisely its
+    * tokens, and a duplicated window IS a duplicated span of length
+    * `window` — so "tokens under some duplicated window" equals "tokens
+    * inside some duplicated span ≥ window". The paper computes this set
+    * with a single-machine suffix array (reference-scale only); the
+    * shuffle spelling is [[duplicateSpans]]'s one linear explode plus an
+    * island merge.
+    *
+    * Scale shape: [[spanWindows]]'s explode (linear in token count,
+    * 16-byte hashes), duplicated-hash set via partial-aggregated count,
+    * equi-join mark-back, then a per-DOCUMENT window for the island
+    * merge — the partition key is the doc id, so a task holds at most
+    * one document's duplicated positions (bounded by document length,
+    * never by corpus size: the lint-approved window class).
+    *
+    * @return one row per maximal duplicated span: (idCol, span_start,
+    *         span_end, span_tokens), token positions 0-based inclusive
+    */
+  def duplicateSpanRanges(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    val wins = spanWindows(docs, idCol, textCol, window)
+    val dupH = wins.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1).select(col("__h"))
+    val hits = wins.join(dupH, Seq("__h")).select(col(idCol), col("__p"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    hits
+      // two intervals [p1, p1+w-1], [p2, p2+w-1] with p1 < p2 merge
+      // (overlap or touch) iff p2 − p1 ≤ w; first row's null lag falls
+      // through to 1 = new island
+      .withColumn("__new",
+        when(col("__p") - lag(col("__p"), 1).over(byDoc) <= window, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__p")).as("span_start"),
+        (max(col("__p")) + window - 1).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** `window`-token rolling windows of every doc as (idCol, __p, __h)
     * rows — md5 over the joined window text, the shared currency of
     * [[duplicateSpans]], [[spanHashTable]] and

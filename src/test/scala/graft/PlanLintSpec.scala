@@ -23,13 +23,17 @@ class PlanLintSpec extends SparkTestBase {
   // per-vector max_by — the same centroid-assignment shape as the ANN
   // rows.
   private val bnljByDesign = Set("ann_bruteforce_topk", "ann_quantized_topk",
-    "ann_ivf_topk", "ann_ivf_kmeans", "dedup_semantic", "multimodal_ann")
+    "ann_ivf_topk", "ann_ivf_kmeans", "ann_pq_topk", "dedup_semantic",
+    "multimodal_ann")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.
+  // ann_ivfpq_topk's broadcast side is the query batch's probe rows
+  // (≤ nProbe per query) and its scoring join is equi on the cell id,
+  // so it needs only this exemption, not the BNLJ one.
   private val queryBatchBroadcast = Set("ann_bruteforce_topk",
     "ann_quantized_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_kmeans",
-    "multimodal_ann")
+    "ann_pq_topk", "ann_ivfpq_topk", "multimodal_ann")
 
   // Tables that stay broadcastable at ANY scale factor (TPC-H fixes them
   // at 25 / 5 rows). customer/part/supplier/orders/lineitem GROW with SF

@@ -200,6 +200,22 @@ class TextPipelineSpec extends SparkTestBase {
       (4L, 0L, 0L, false)))
   }
 
+  test("duplicateSpanRanges merges stride-1 hits into maximal exact spans") {
+    val docs = Seq(
+      (1L, "a b c d e x y z p q r"), // shares [a b c d e] and [p q r] w/ 2
+      (2L, "a b c d e k l m p q r"),
+      (3L, "u v w u v w u v w")      // repeats only within itself
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanRanges(docs, "doc_id", "text", window = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // dup windows p∈{0,1,2} merge into ONE 5-token span (exactly the
+    // shared run, not a window-rounded superset); p=8 stands alone
+    assert(out === Array(
+      (1L, 0L, 4L, 5L), (1L, 8L, 10L, 3L),
+      (2L, 0L, 4L, 5L), (2L, 8L, 10L, 3L)))
+  }
+
   test("duplicateSpansIncremental checks history and in-batch, not old-old") {
     val history = Dedup.spanHashTable(
       Seq((1L, "stored span here plus tail")).toDF("doc_id", "text"),
