@@ -848,4 +848,85 @@ object Corpus {
       .orderBy(col("dsir_score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Distributed BPE training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): `merges` rounds of
+    * count-every-adjacent-unit-pair → merge the most frequent pair
+    * corpus-wide — the loop a tokenizer trainer actually runs, where
+    * [[encodeWithVocab]] merely applies a finished vocabulary.
+    *
+    * Scale shape is the [[Similarity.kmeansCentroids]] iteration
+    * pattern: each round is one narrow explode of adjacent pairs, a
+    * partial-aggregated count, and a ONE-ROW collect (the argmax pair);
+    * the corpus is then rewritten by a map-only literal string replace.
+    * Nothing reaching the driver grows with the corpus — only with
+    * `merges`.
+    *
+    * Unit-boundary encoding makes the merge a plain `replace`: every
+    * unit is wrapped in '·' markers ('abc' → '·a··b··c·'; words joined
+    * by '|', across which no pattern can match), so merging (u1,u2) is
+    * the literal replace '·u1··u2·' → '·u1u2·'. Adjacent occurrences
+    * never share characters, and leftmost-non-overlapping replace scans
+    * identically in Spark and the SQL oracle, so training is
+    * bit-reproducible in both engines. Pair counts are adjacent INDEX
+    * pairs ('aaa' holds two (a,a) pairs); argmax ties break
+    * lexicographically on (u1, u2).
+    */
+  private def bpeCore(docs: DataFrame, idCol: String, textCol: String,
+      merges: Int): (Seq[(String, String, Long)], DataFrame) = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val wrapped = docs.select(col(idCol),
+      array_join(transform(TextFunctions.tokens(col(textCol)),
+        w => regexp_replace(w, "(.)", "·$1·")), "|").as("__s")).cache()
+    var cur = wrapped
+    val found = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 1 to merges if !exhausted) {
+      val top = cur
+        .select(explode(split(col("__s"), "\\|")).as("__w"))
+        .filter(col("__w") =!= "")
+        .select(split(trim(col("__w"), "·"), "··").as("__us"))
+        .select(col("__us"), explode(when(size(col("__us")) > 1,
+            sequence(lit(1), size(col("__us")) - 1))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+        .select(element_at(col("__us"), col("__i")).as("u1"),
+          element_at(col("__us"), col("__i") + 1).as("u2"))
+        .groupBy(col("u1"), col("u2")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("u1"), col("u2")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (u1, u2, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        found += ((u1, u2, c))
+        cur = cur.withColumn("__s",
+          replace(col("__s"), lit(s"·${u1}··${u2}·"), lit(s"·${u1}${u2}·")))
+      }
+    }
+    // cache lifetime: the loop's counts are done; the returned frame
+    // recomputes the narrow replace chain once when the caller acts
+    wrapped.unpersist()
+    (found.toSeq, cur)
+  }
+
+  /** The learned merge table: (rank, u1, u2, cnt) for `merges` rounds. */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeCore(docs, idCol, textCol, merges)._1.zipWithIndex
+      .map { case ((u1, u2, c), i) => (i + 1, u1, u2, c) }
+      .toDF("rank", "u1", "u2", "cnt")
+  }
+
+  /** Per-doc unit count after applying the `merges` learned merges —
+    * the compression curve a tokenizer trainer watches. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame =
+    bpeCore(docs, idCol, textCol, merges)._2
+      .select(col(idCol),
+        aggregate(
+          transform(filter(split(col("__s"), "\\|"), w => w =!= ""),
+            w => size(split(trim(w, "·"), "··")).cast("long")),
+          lit(0L), (acc, n) => acc + n).as("n_units"))
 }

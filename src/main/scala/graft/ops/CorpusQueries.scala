@@ -1900,6 +1900,37 @@ object CorpusQueries {
              |FROM documents d LEFT JOIN enc e USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // distributed BPE training: BpeMerges rounds of corpus-wide
+    // pair-count → argmax → literal merge (Sennrich et al. 2016). The
+    // oracle is GENERATED as one chained CTE per round from the same
+    // round count, so both engines run the identical training loop —
+    // counts, lexicographic tie-breaks, and leftmost-nonoverlapping
+    // replace are all engine-reproducible (see Corpus.bpeCore scaladoc).
+    Q(
+      "corpus_bpe_merges",
+      (s, dir) =>
+        Corpus.bpeMerges(table(s, dir, "documents"), "doc_id", "text",
+          merges = BpeMerges).orderBy(col("rank")),
+      Some(bpeRoundsSql(BpeMerges) +
+        (1 to BpeMerges).map(k =>
+            s"SELECT $k AS rank, u1, u2, CAST(c AS BIGINT) AS cnt FROM m$k")
+          .mkString("\n", "\nUNION ALL ", "\nORDER BY rank"))),
+
+    // the compression curve of the learned merges: per-doc unit count
+    // after BpeMerges rounds (tokenless docs stay at 0 units)
+    Q(
+      "corpus_bpe_encode",
+      (s, dir) =>
+        Corpus.bpeEncode(table(s, dir, "documents"), "doc_id", "text",
+          merges = BpeMerges).orderBy(col("doc_id")),
+      Some(bpeRoundsSql(BpeMerges) +
+        s"""
+           |SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
+           |    list_filter(string_split(s, '|'), w -> w <> ''),
+           |    w -> len(string_split(trim(w, '·'), '··')))), 0) AS BIGINT)
+           |  AS n_units
+           |FROM s$BpeMerges ORDER BY doc_id""".stripMargin)),
+
     // distinctive terms per source (tf-idf keywords, integer inverse-df
     // weights, deterministic (score desc, term) rank)
     Q(

@@ -617,4 +617,30 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(Corpus.dsirSelect(corpus, "doc_id", "text",
       $"kind" === "tgt", buckets = 64, k = 2).count() === 2L)
   }
+
+  test("bpeMerges learns the textbook merge chain, ties break lexicographic") {
+    val docs = Seq(
+      (1L, "low lower low"),
+      (2L, "lowest low")
+    ).toDF("doc_id", "text")
+    val merges = Corpus.bpeMerges(docs, "doc_id", "text", merges = 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (l,o) and (o,w) both count 5 → lexicographic tie-break;
+    // round 4: all pairs count 1 → (lowe,r) wins on (u1, u2)
+    assert(merges === Array(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
+  }
+
+  test("bpeEncode compresses docs by the learned merges") {
+    val docs = Seq(
+      (1L, "low lower low"), // → [low] [lower] [low] = 3 units
+      (2L, "lowest low"),    // → [lowe s t] [low]   = 4 units
+      (3L, "")               // no tokens → 0 units
+    ).toDF("doc_id", "text")
+    val out = Corpus.bpeEncode(docs, "doc_id", "text", merges = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((1L, 3L), (2L, 4L), (3L, 0L)))
+  }
 }
