@@ -27,6 +27,12 @@ object CorpusQueries {
     * corpus (a tenth of the corpus), shared with the oracle SQL. */
   val JaccardMaxDf = 50
 
+  /** BPE training rounds for the registered queries — enough that the
+    * merge chain leaves single characters (the first rounds) and reaches
+    * multi-unit merges, small enough that the n-round chained-CTE oracle
+    * stays cheap. Shared by the Spark call and the generated oracle. */
+  val BpeMerges = 6
+
   // ---- shared SQL fragments -------------------------------------------
 
   /** ws := non-empty whitespace tokens of text (matches TextFunctions.tokens). */
@@ -112,6 +118,41 @@ object CorpusQueries {
        |c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
        |  FROM qvt WHERE vec_id < $k),
        |$chain""".stripMargin
+  }
+
+  /** BPE training-loop CTE chain `s0, p1, m1, s1, …, s<n>` matching
+    * [[Corpus.bpeCore]] round for round: `s0` is the unit-boundary
+    * encoding (every char wrapped in '·', words joined by '|'); per
+    * round k, `p\$k` explodes adjacent unit pairs of `s\${k-1}`, `m\$k`
+    * is the one-row argmax (count desc, then lexicographic (u1, u2)),
+    * and `s\$k` rewrites the corpus by the same leftmost-non-overlapping
+    * literal replace Spark's `replace` performs. The caller appends its
+    * own final SELECT over `m1..m\$n` or `s\$n`. */
+  private def bpeRoundsSql(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      s"""p$k AS (
+         |  SELECT pr[1] AS u1, pr[2] AS u2 FROM (
+         |    SELECT unnest(list_transform(range(1, len(us)),
+         |        i -> [us[i], us[i + 1]])) AS pr
+         |    FROM (
+         |      SELECT string_split(trim(w, '·'), '··') AS us
+         |      FROM (SELECT unnest(list_filter(string_split(s, '|'),
+         |          x -> x <> '')) AS w FROM s${k - 1})))),
+         |m$k AS (
+         |  SELECT u1, u2, COUNT(*) AS c FROM p$k
+         |  GROUP BY u1, u2 ORDER BY c DESC, u1, u2 LIMIT 1),
+         |s$k AS (
+         |  SELECT doc_id,
+         |    replace(s, '·' || m.u1 || '··' || m.u2 || '·',
+         |               '·' || m.u1 || m.u2 || '·') AS s
+         |  FROM s${k - 1} CROSS JOIN m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s0 AS (
+       |  SELECT doc_id, array_to_string(list_transform(
+       |      list_filter(string_split(text, ' '), x -> x != ''),
+       |      w -> regexp_replace(w, '(.)', '·\\1·', 'g')), '|') AS s
+       |  FROM documents),
+       |$rounds""".stripMargin
   }
 
   /** Near-dup cluster oracle: jaccard pair CTEs + a recursive

@@ -55,15 +55,31 @@ object Relational {
   private val revTermSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
 
-  /** The events table carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default; read nanos as long and convert to a
-    * microsecond timestamp (session timezone is UTC on both engines).
+  /** The events table carries INT64 TIMESTAMP(NANOS). Depending on the
+    * Spark build this arrives as a plain long (older readers honoring
+    * `spark.sql.legacy.parquet.nanosAsLong`) or as TIMESTAMP_NTZ
+    * (4.1.2+ reads TIMESTAMP(NANOS) natively, truncating to micros, and
+    * ignores the legacy conf); both normalize to the same UTC
+    * microsecond instant here (session timezone is UTC on both engines).
     */
   private[ops] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, dir, "events")
+    raw.withColumn("ts", normalizedTs(raw.schema("ts").dataType))
   }
+
+  /** Nanos-as-long → floor-divide to micros; TIMESTAMP_NTZ (UTC wall
+    * clock, already micro-truncated) → reinterpret in the UTC session
+    * zone. Same value either way. */
+  private[ops] def normalizedTs(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts DIV 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col("ts")
+    }
 
   val queries: Seq[Q] = Seq(
     // ---- pricing summary (TPC-H Q1 shape): scan + partial agg + final agg

@@ -22,15 +22,22 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries {
 
-  /** events schema with nanos-as-long ts (Spark rejects TIMESTAMP(NANOS)
-    * otherwise; the long is converted right after the scan). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Streaming source over events.parquet with `ts` normalized to a UTC
+    * micro timestamp. The raw schema is INFERRED by a one-file batch read
+    * rather than hardcoded: events carries INT64 TIMESTAMP(NANOS), which
+    * this Spark build may surface as nanos-as-long (legacy conf honored)
+    * or TIMESTAMP_NTZ (4.1.2+ native read, conf ignored) — the file
+    * stream must declare whichever type the runtime actually produces,
+    * then [[Relational.normalizedTs]] converts it (same instant both
+    * ways). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet") // file source lists a dir
+      .parquet(dir)
+      .withColumn("ts", Relational.normalizedTs(raw("ts").dataType))
+  }
 
   private var streamEpoch = 0
 
@@ -52,10 +59,7 @@ object StreamingQueries {
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
-        val stream = s.readStream.schema(eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet") // file source lists a dir
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val stream = eventsStream(s, dir)
         val agg = stream
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
           .agg(
@@ -90,9 +94,7 @@ object StreamingQueries {
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
-        val stream = s.readStream.schema(eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        val stream = eventsStream(s, dir)
         val agg = stream
           .dropDuplicates("event_type", "user_id")
           .groupBy(col("event_type"))
@@ -120,10 +122,7 @@ object StreamingQueries {
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
-        val raw = s.readStream.schema(eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val raw = eventsStream(s, dir)
         val clicks = raw.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
           .withWatermark("c_ts", "1 hour")
@@ -170,10 +169,7 @@ object StreamingQueries {
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
-        val stream = s.readStream.schema(eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val stream = eventsStream(s, dir)
         val agg = stream
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n_events"))
