@@ -138,6 +138,69 @@ object Corpus {
       .select(df.columns.map(col).toSeq: _*) // using-join moved the key first
   }
 
+  /** Deterministic training-shard manifest — the WebDataset/Megatron
+    * "export the corpus as N shards" bookkeeping step. Shard assignment
+    * is `md5(id) mod nShards` (content-hash deterministic: stable under
+    * repartitioning, engine-reproducible, no RNG), and the manifest is
+    * the per-shard release record a loader consumes: document count,
+    * token count, id range.
+    *
+    * Shape at scale: one map-side-partial aggregate keyed by shard —
+    * nShards result rows regardless of corpus size, corpus never
+    * shuffled beyond the nShards-key aggregate. The writer-side
+    * counterpart is `df.withColumn("shard", …).write.partitionBy
+    * ("shard")`; this query IS its manifest.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // 14 hex chars < 2^56: non-negative in a long, so `%` == pmod
+    val h = conv(substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 14), 16, 10)
+      .cast("long")
+    df.select((h % nShards).cast("int").as("shard"), col(idCol).as("__id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"),
+        min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
+  }
+
+  /** Token-budget mixture PLAN — the "how many epochs of each source do
+    * we train on" table (the LLaMA/Dolma mixing sheet): given target
+    * mixture weights in ppm and a total token budget, report per source
+    * the supply (docs, tokens), the target token count
+    * `budget * w_ppm / 10^6`, and the implied repeat factor in
+    * milli-epochs `target * 1000 / supply` (integer math throughout, so
+    * any engine derives the identical plan; >1000 milli-epochs means
+    * the source repeats, the up-sampling regime the sheet exists to
+    * expose). Complements [[sampleToMixture]], which EXECUTES a
+    * row-level downsample; this op reports the token-level plan.
+    *
+    * One aggregate keyed by source (#sources result rows), weight table
+    * applied as a literal map — the corpus is scanned once and never
+    * shuffled beyond the #sources-key aggregate.
+    */
+  def mixturePlan(df: DataFrame, sourceCol: String, textCol: String,
+      weightsPpm: Seq[(String, Int)], budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(weightsPpm.forall(_._2 >= 0), "weights must be non-negative ppm")
+    val wMap = map(weightsPpm.flatMap {
+      case (s, w) => Seq(lit(s), lit(w.toLong)) }: _*)
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"))
+      .withColumn("weight_ppm", coalesce(element_at(wMap, col("source")), lit(0L)))
+      // integer DIV end to end: budget*ppm stays under 2^63 for budgets
+      // to ~9e12 tokens, and exact integers are what make the plan
+      // engine-reproducible
+      .withColumn("target_tokens",
+        expr(s"${budgetTokens}L * weight_ppm DIV 1000000"))
+      .withColumn("repeat_milli",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("target_tokens * 1000 DIV n_tokens")))
+  }
+
   /** Lexical top-k retrieval with integer inverse-df weighting: score(doc)
     * = Σ over matched query terms of tf(term, doc) * (C / df(term)), with
     * C/df an INTEGER division (C = 1_000_000). Integer weights make the

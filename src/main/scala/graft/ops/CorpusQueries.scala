@@ -462,6 +462,51 @@ object CorpusQueries {
              |  < 16777216 * (SELECT feasible FROM t) * c.wt
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // token-budget mixture plan: the per-source "how many epochs" sheet.
+    // Weights derive from the source name's trailing digits (covers any
+    // source set); integer DIV throughout so both engines derive the
+    // identical plan
+    Q(
+      "corpus_mixture_plan",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sources = docs.select(col("source")).distinct()
+          .collect().map(_.getString(0)).sorted
+        val weights = sources.toSeq.map(src =>
+          src -> (src.drop(3).toInt + 1) * 4761)
+        Corpus.mixturePlan(docs, "source", "text", weights,
+          budgetTokens = 10000000L).orderBy(col("source"))
+      },
+      Some("""WITH a AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens,
+             |    CAST((CAST(substr(source, 4) AS BIGINT) + 1) * 4761 AS BIGINT) AS weight_ppm
+             |  FROM documents GROUP BY source),
+             |b AS (SELECT *, 10000000 * weight_ppm // 1000000 AS target_tokens FROM a)
+             |SELECT source, n_docs, n_tokens, weight_ppm,
+             |  CAST(target_tokens AS BIGINT) AS target_tokens,
+             |  CAST(CASE WHEN n_tokens = 0 THEN 0
+             |       ELSE target_tokens * 1000 // n_tokens END AS BIGINT) AS repeat_milli
+             |FROM b ORDER BY source""".stripMargin)),
+
+    // deterministic shard-export manifest: md5(id) mod N shard
+    // assignment, per-shard doc/token counts and id ranges — the release
+    // record of a `write.partitionBy("shard")` training export
+    Q(
+      "corpus_shard_manifest",
+      (s, dir) =>
+        Corpus.shardManifest(table(s, dir, "documents"), "doc_id", "text",
+          nShards = 8).orderBy(col("shard")),
+      Some("""WITH t AS (
+             |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 8 AS INT) AS shard,
+             |    doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS toks
+             |  FROM documents)
+             |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM t GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // C4-style line-level dedup: documents re-lined into 3-token lines
     // (the synthetic corpus has no newlines — the fixed re-lining is
     // reproduced verbatim in the oracle), then every line appearing in
@@ -1574,6 +1619,82 @@ object CorpusQueries {
            |  JOIN embeddings q ON q.vec_id = c.q_id
            |  JOIN embeddings n ON n.vec_id = c.n_id) t
            |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
+    // metadata-filtered ANN: top-k restricted to a corpus predicate
+    // (label = 2), the "search only the docs matching this filter" shape.
+    // The filter reaches the parquet scan (PushedFilters) BEFORE any
+    // scoring — the pruned corpus is what gets crossed with the
+    // broadcast query batch
+    Q(
+      "ann_filtered_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.cosineTopK(
+          e.filter(col("vec_id") < 20), e.filter(col("label") === 2),
+          "vec_id", "embedding", Dim, k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""SELECT q_id, n_id, rank, cos FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rank,
+             |    ${cosSql("a.embedding", "b.embedding")} AS cos
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.vec_id != b.vec_id AND b.label = 2
+             |  WHERE a.vec_id < 20) t
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // ANN recall report: per-query overlap of the IVF index against the
+    // exact brute-force top-k — the evaluation loop that sizes
+    // nProbe/centroids before a deployment commits to them
+    Q(
+      "ann_recall_ivf",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        Similarity.recallAtK(
+          Similarity.cosineTopK(q, e, "vec_id", "embedding", Dim, k = 5),
+          Similarity.ivfTopK(q, e, "vec_id", "embedding", Dim,
+            centroids = 8, nProbe = 2, k = 5))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val assignRank =
+          s"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid)"
+        s"""WITH ex AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+           |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           |    WHERE a.vec_id < 20) t WHERE rank <= 5),
+           |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |ca AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid, $assignRank AS rn
+           |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+           |qa AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid, $assignRank AS rn
+           |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 20) t WHERE rn <= 2),
+           |cand AS (
+           |  SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS n_id
+           |  FROM qa JOIN ca ON qa.cid = ca.cid
+           |  WHERE qa.vec_id != ca.vec_id),
+           |iv AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT c.q_id, c.n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+           |        ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, c.n_id) AS rank
+           |    FROM cand c
+           |    JOIN embeddings q ON q.vec_id = c.q_id
+           |    JOIN embeddings n ON n.vec_id = c.n_id) t
+           |  WHERE rank <= 5)
+           |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |  CAST(SUM(CASE WHEN iv.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |FROM ex LEFT JOIN iv ON ex.q_id = iv.q_id AND ex.n_id = iv.n_id
+           |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
       }),
 
     // ======== multimodal plumbing (byte-level; decode is stubbed) ========

@@ -437,4 +437,20 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos")).distinct()
     topK(scored, k)
   }
+
+  /** ANN quality report: per-query recall of an approximate result
+    * against the exact one. Both inputs are (q_id, n_id) top-k frames
+    * (any extra columns ignored); output is one row per query with the
+    * exact-neighbor count and how many the approximate index recovered
+    * — recall@k = hits / n_exact, left as integers so the report is
+    * engine-exact. The join is equi on (q_id, n_id) over two k-bounded
+    * frames: #queries × k rows a side no matter the corpus size.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("__hit")),
+        Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
 }

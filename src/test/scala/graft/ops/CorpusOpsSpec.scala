@@ -643,4 +643,50 @@ class CorpusOpsSpec extends SparkTestBase {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out === Array((1L, 3L), (2L, 4L), (3L, 0L)))
   }
+
+  test("shardManifest partitions every doc exactly once with exact counts") {
+    val docs = (0L until 40L).map(i => (i, ("tok " * ((i % 5).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val m = Corpus.shardManifest(docs, "doc_id", "text", nShards = 4)
+      .collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum === 40L)
+    // Σ tokens = Σ (i%5 + 1) over 0..39 = 8 * (1+2+3+4+5) = 120
+    assert(m.map(_.getAs[Long]("n_tokens")).sum === 120L)
+    assert(m.map(_.getAs[Int]("shard")).toSet.subsetOf((0 until 4).toSet))
+    // assignment is content-hash deterministic: repartitioning the input
+    // cannot move a doc to another shard
+    val m2 = Corpus.shardManifest(docs.repartition(7), "doc_id", "text", 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap === m2)
+  }
+
+  test("mixturePlan derives integer targets and repeat factors") {
+    val docs = Seq(
+      (1L, "a b c d", "web"), (2L, "a b", "web"),
+      (3L, "x y z", "code"), (4L, "", "code")
+    ).toDF("doc_id", "text", "source")
+    val plan = Corpus.mixturePlan(docs, "source", "text",
+      Seq("web" -> 750000, "code" -> 250000), budgetTokens = 1200L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // code: 3 tokens supply, target 1200*250000/1e6 = 300 → 100000 milli
+    // web: 6 tokens supply, target 1200*750000/1e6 = 900 → 150000 milli
+    assert(plan === Array(
+      ("code", 2L, 3L, 250000L, 300L, 100000L),
+      ("web", 2L, 6L, 750000L, 900L, 150000L)))
+  }
+
+  test("mixturePlan: unweighted source plans zero, empty source divides safely") {
+    val docs = Seq((1L, "a", "web"), (2L, "", "empty"))
+      .toDF("doc_id", "text", "source")
+    val plan = Corpus.mixturePlan(docs, "source", "text",
+      Seq("web" -> 1000000), budgetTokens = 100L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(plan === Array(
+      ("empty", 0L, 0L, 0L, 0L),
+      ("web", 1L, 1000000L, 100L, 100000L)))
+  }
 }

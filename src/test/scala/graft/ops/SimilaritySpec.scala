@@ -121,4 +121,32 @@ class SimilaritySpec extends SparkTestBase {
     // every reported neighbor must be a genuine corpus id with a sane score
     assert(approx.forall { case (qid, nid) => qid != nid })
   }
+
+  test("recallAtK: self-recall is perfect, disjoint result is zero") {
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim, k = 4)
+    val self = Similarity.recallAtK(exact, exact).collect()
+    assert(self.length === 5)
+    assert(self.forall(r => r.getLong(1) === 4L && r.getLong(2) === 4L))
+    // shifting every neighbor id out of range → zero hits, n_exact kept
+    val none = Similarity.recallAtK(exact,
+      exact.withColumn("n_id", col("n_id") + 1000000L)).collect()
+    assert(none.forall(r => r.getLong(1) === 4L && r.getLong(2) === 0L))
+  }
+
+  test("recallAtK agrees with a hand-computed set intersection") {
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim, k = 5)
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", dim,
+      centroids = 8, nProbe = 2, k = 5)
+    val report = Similarity.recallAtK(exact, ivf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ex = exact.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val iv = ivf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((qid, exSet) <- ex)
+      assert(report(qid) ===
+        (exSet intersect iv.getOrElse(qid, Set.empty)).size.toLong)
+  }
 }
