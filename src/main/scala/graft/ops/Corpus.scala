@@ -227,13 +227,18 @@ object Corpus {
       .select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
       .filter(col("tok").isin(terms: _*))
+    // tf slice is small by construction (≤ matching docs × k terms) but a
+    // stopword-ish term can still match most of the corpus: a window
+    // partitioned by the term would funnel all of that term's rows
+    // through ONE task. Checkpoint the slice once (one corpus scan for
+    // both consumers), partial-aggregate df per term (≤ k rows), and
+    // broadcast it back — every stage stays fully parallel.
     val tf = hits.groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
-    // df as a whole-partition window count over the (tiny) tf set: a
-    // groupBy + self-join spelling recomputes the corpus scan+tokenize
-    // for the df subtree — at 100 TB that is a second full pass
-    val weighted = tf.withColumn("weight",
-      (lit(LexicalWeightScale) /
-        count(lit(1)).over(Window.partitionBy(col("tok")))).cast("long"))
+      .localCheckpoint(true)
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val weighted = tf.join(broadcast(dfTab), "tok")
+      .withColumn("weight",
+        (lit(LexicalWeightScale) / col("df")).cast("long"))
     val scored = weighted
       .groupBy(col("doc")).agg(sum(col("tf") * col("weight")).as("score"))
     // bounded top-k heap aggregate, not a global sort: ≤ k candidates per
@@ -279,8 +284,9 @@ object Corpus {
     * Shape at scale: ONE corpus scan produces both the per-doc token
     * length and the query-term hits (the length rides the explode), the
     * corpus-wide totals (N, Σdl) are two scalars collected once, df is a
-    * window over the tiny tf set, and the final top-k is the bounded
-    * heap aggregate — the corpus is never shuffled.
+    * partial-aggregated ≤k-row table broadcast back onto the tf slice,
+    * and the final top-k is the bounded heap aggregate — the corpus is
+    * never shuffled.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       query: String, k: Int): DataFrame = {
@@ -296,10 +302,14 @@ object Corpus {
       .select(col("doc"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("tok"))
       .filter(col("tok").isin(terms: _*))
+    // same hot-term discipline as [[lexicalTopK]]: checkpoint the tf
+    // slice, partial-aggregate df (≤ k rows), broadcast join-back — no
+    // single task ever holds a whole term's postings
     val tf = hits.groupBy(col("doc"), col("tok"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .localCheckpoint(true)
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val withDf = tf.join(broadcast(dfTab), "tok")
     val scored = withDf
       .withColumn("contrib",
         expr(bm25ContribSql(nn.toString, "df", "tf", "dl", sumdl.toString)))

@@ -473,18 +473,72 @@ object Relational {
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
     // ---- rank-family window functions: ntile / percent_rank / cume_dist
-    //      per segment in one window pass (single shuffle on the segment)
+    //      per segment — DISTRIBUTED two-pass rank. A plain
+    //      Window.partitionBy(c_mktsegment) colocates each whole segment
+    //      in ONE task (5 distinct segments ⇒ 5 tasks sort the entire
+    //      table; ~3M-row single-task sorts at 100× scale). Instead:
+    //      (1) range-partition on the full ordering key, so every
+    //          partition holds a contiguous, bounded slice (~n/P rows);
+    //      (2) local row_number per (partition, segment) — the window key
+    //          includes spark_partition_id(), so no window group exceeds
+    //          a partition;
+    //      (3) global rank = local row number + the segment's cumulative
+    //          row count in all earlier partitions (range partition ids
+    //          are ordered), joined back from a P×|segments|-row
+    //          broadcast table;
+    //      (4) percent_rank/cume_dist/ntile are closed-form in (rank, n)
+    //          because the ordering (c_acctbal, c_custkey) is unique —
+    //          no peers, so rank = row_number and cume counts no ties.
+    //      The eager localCheckpoint is CORRECTNESS, not caching:
+    //      range-partition bounds come from sampling, and the frame feeds
+    //      both the counts subtree and the join-back — recomputing it
+    //      could re-draw bounds and mismatch the partition ids.
     Q(
       "q_window_ranks",
       (s, dir) => {
-        val w = Window.partitionBy(col("c_mktsegment"))
+        val parted = table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .repartitionByRange(
+            col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint(true)
+        // P×|segments| rows — cluster-sized, not data-sized
+        val counts = parted.groupBy(col("__pid"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("__c"))
+        val wSeg = Window.partitionBy(col("c_mktsegment"))
+        val offsets = counts
+          .withColumn("__off", coalesce(
+            sum(col("__c")).over(wSeg.orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("__n", sum(col("__c")).over(wSeg))
+          .select(col("__pid"), col("c_mktsegment"),
+            col("__off"), col("__n"))
+        val wLoc = Window.partitionBy(col("__pid"), col("c_mktsegment"))
           .orderBy(col("c_acctbal"), col("c_custkey"))
-        table(s, dir, "customer")
-          .select(
-            col("c_custkey"), col("c_mktsegment"),
-            ntile(4).over(w).as("quartile"),
-            percent_rank().over(w).as("pct_rank"),
-            cume_dist().over(w).as("cume"))
+        parted
+          .withColumn("__lrn", row_number().over(wLoc).cast("long"))
+          .join(broadcast(offsets), Seq("__pid", "c_mktsegment"))
+          .withColumn("__r", col("__lrn") + col("__off"))
+          // SQL ntile: n%4 front buckets get ceil(n/4) rows, the rest
+          // floor(n/4); both branches are closed-form in (__r, __n).
+          // CaseWhen evaluates lazily, so the DIV-by-zero in the second
+          // branch is unreachable (it requires __n DIV 4 = 0 ⇒ every row
+          // satisfies the first predicate).
+          .withColumn("quartile",
+            when(expr("__r <= (__n % 4) * (__n DIV 4 + 1)"),
+              expr("(__r - 1) DIV (__n DIV 4 + 1) + 1"))
+            .otherwise(expr(
+              "__n % 4 + (__r - (__n % 4) * (__n DIV 4 + 1) - 1) " +
+                "DIV (__n DIV 4) + 1"))
+            .cast("int"))
+          .withColumn("pct_rank",
+            when(col("__n") === 1, lit(0.0)).otherwise(
+              (col("__r") - 1).cast("double") /
+                (col("__n") - 1).cast("double")))
+          .withColumn("cume",
+            col("__r").cast("double") / col("__n").cast("double"))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("quartile"), col("pct_rank"), col("cume"))
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_mktsegment,

@@ -95,12 +95,7 @@ class PlanLintSpec extends SparkTestBase {
     // substring of the hash (16^k buckets, k caller-sized to the corpus),
     // so cardinality is fixed and per-bucket rows are N/16^k — the window
     // is the pairing semantics, not a per-content-group sort
-    "dedup_contrastive_pairs" -> "parameterized hash-bucket window",
-    // df/tf windows evaluated over the slice that already semi-joined
-    // against the BOUNDED query-term set — window input is k terms' rows,
-    // not the corpus index
-    "text_bm25_topk" -> "window over bounded query-term slice",
-    "text_search_topk" -> "window over bounded query-term slice")
+    "dedup_contrastive_pairs" -> "parameterized hash-bucket window")
 
   test("no window partitioned by a corpus-cardinality expression") {
     import org.apache.spark.sql.catalyst.expressions._

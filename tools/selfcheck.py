@@ -30,6 +30,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
     con = duckdb.connect()
+    # modest thread/memory caps: the host caps vm.max_map_count at 65530,
+    # and duckdb's default 32 threads can exhaust mappings mid-run
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.exists():
