@@ -944,7 +944,23 @@ object Corpus {
     * bit-reproducible in both engines. Pair counts are adjacent INDEX
     * pairs ('aaa' holds two (a,a) pairs); argmax ties break
     * lexicographically on (u1, u2).
+    *
+    * PRECONDITION: document text must not contain the marker characters
+    * '·' or '|' — a '·' inside a token is indistinguishable from a unit
+    * boundary and would miscount/mismerge. Strip or remap them upstream
+    * ([[normalizeText]] territory) before training.
+    *
+    * Lineage is linearized every [[BpeCheckpointEvery]] merges: each
+    * round stacks one more `replace` on `cur`, so without a barrier
+    * round r re-executes all r−1 prior replaces from the cached base —
+    * O(merges²) corpus passes and an O(merges)-deep plan, fatal at a
+    * tokenizer-real 30k merges. The eager `localCheckpoint` (the
+    * [[graft.ops.Dedup]] iteration pattern) caps re-execution and plan
+    * depth at the checkpoint interval while keeping every round's
+    * rewrite map-only.
     */
+  val BpeCheckpointEvery = 8
+
   private def bpeCore(docs: DataFrame, idCol: String, textCol: String,
       merges: Int): (Seq[(String, String, Long)], DataFrame) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
@@ -952,6 +968,7 @@ object Corpus {
       array_join(transform(TextFunctions.tokens(col(textCol)),
         w => regexp_replace(w, "(.)", "·$1·")), "|").as("__s")).cache()
     var cur = wrapped
+    var sinceBarrier = 0
     val found = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     for (_ <- 1 to merges if !exhausted) {
@@ -974,6 +991,11 @@ object Corpus {
         found += ((u1, u2, c))
         cur = cur.withColumn("__s",
           replace(col("__s"), lit(s"·${u1}··${u2}·"), lit(s"·${u1}${u2}·")))
+        sinceBarrier += 1
+        if (sinceBarrier >= BpeCheckpointEvery) {
+          cur = cur.localCheckpoint(true)
+          sinceBarrier = 0
+        }
       }
     }
     // cache lifetime: the loop's counts are done; the returned frame

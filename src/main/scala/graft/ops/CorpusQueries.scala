@@ -27,11 +27,13 @@ object CorpusQueries {
     * corpus (a tenth of the corpus), shared with the oracle SQL. */
   val JaccardMaxDf = 50
 
-  /** BPE training rounds for the registered queries — enough that the
-    * merge chain leaves single characters (the first rounds) and reaches
-    * multi-unit merges, small enough that the n-round chained-CTE oracle
-    * stays cheap. Shared by the Spark call and the generated oracle. */
-  val BpeMerges = 6
+  /** BPE training rounds for the registered queries — past the
+    * single-character rounds into multi-unit merges, and far enough past
+    * [[Corpus.BpeCheckpointEvery]] that the gated run crosses several
+    * lineage-linearization barriers (the scale path a 30k-merge train
+    * takes). The n-round chained-CTE oracle runs the identical loop.
+    * Shared by the Spark call and the generated oracle. */
+  val BpeMerges = 32
 
   // ---- shared SQL fragments -------------------------------------------
 
@@ -126,8 +128,15 @@ object CorpusQueries {
     * round k, `p\$k` explodes adjacent unit pairs of `s\${k-1}`, `m\$k`
     * is the one-row argmax (count desc, then lexicographic (u1, u2)),
     * and `s\$k` rewrites the corpus by the same leftmost-non-overlapping
-    * literal replace Spark's `replace` performs. The caller appends its
-    * own final SELECT over `m1..m\$n` or `s\$n`. */
+    * literal replace Spark's `replace` performs. `s\$k` LEFT JOINs the
+    * one-row `m\$k` and COALESCEs back to the unchanged corpus, so an
+    * exhausted round (no adjacent pairs anywhere — possible on tiny
+    * corpora) keeps the last state exactly like `bpeCore`'s `exhausted`
+    * flag instead of zeroing every later CTE. `s\$k` is MATERIALIZED:
+    * each round is referenced twice (next round's pairs + rewrite), so
+    * DuckDB's default CTE inlining would double the scan tree per round
+    * — 2^n scans, "too many open files" well before n = 32. The caller
+    * appends its own final SELECT over `m1..m\$n` or `s\$n`. */
   private def bpeRoundsSql(n: Int): String = {
     val rounds = (1 to n).map { k =>
       s"""p$k AS (
@@ -141,11 +150,11 @@ object CorpusQueries {
          |m$k AS (
          |  SELECT u1, u2, COUNT(*) AS c FROM p$k
          |  GROUP BY u1, u2 ORDER BY c DESC, u1, u2 LIMIT 1),
-         |s$k AS (
+         |s$k AS MATERIALIZED (
          |  SELECT doc_id,
-         |    replace(s, '·' || m.u1 || '··' || m.u2 || '·',
-         |               '·' || m.u1 || m.u2 || '·') AS s
-         |  FROM s${k - 1} CROSS JOIN m$k m)""".stripMargin
+         |    COALESCE(replace(s, '·' || m.u1 || '··' || m.u2 || '·',
+         |               '·' || m.u1 || m.u2 || '·'), s) AS s
+         |  FROM s${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH s0 AS (
        |  SELECT doc_id, array_to_string(list_transform(
