@@ -1706,6 +1706,108 @@ object CorpusQueries {
            |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
       }),
 
+    // ANN recall for the index layout a deployment actually ships:
+    // IVF-PQ whose coarse cells are TRAINED k-means centers (2 Lloyd
+    // iterations → integer-mean centers in quantized space, fed through
+    // ivfpqTopK's centroidsDf seam) — the recall number that sizes
+    // centroids/nProbe/m/ksub before committing a billion-vector index
+    Q(
+      "ann_recall_ivfpq",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        val cents = Similarity.kmeansQuantizedMeans(
+          e, "vec_id", "embedding", Dim, k = 8, iters = 2)
+        Similarity.recallAtK(
+          Similarity.cosineTopK(q, e, "vec_id", "embedding", Dim, k = 5),
+          Similarity.ivfpqTopK(q, e, "vec_id", "embedding", Dim,
+            centroids = 8, nProbe = 2, m = 4, ksub = 8, k = 5,
+            centroidsDf = cents))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val m = 4; val ksub = 8; val nProbe = 2
+        val sub = Dim / m
+        def l2full(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, ${Dim + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        def subdist(a: String, b: String) =
+          s"""list_sum(list_transform(range(j*$sub + 1, j*$sub + ${sub + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        // kmeansCtes yields qvt + the trained centers c2 (sums); am/ms/
+        // cents re-assign the corpus and take per-cell integer means —
+        // floor of an IEEE-exact division, the same BIGINT both engines
+        // compute (see Similarity.kmeansQuantizedMeans)
+        s"""WITH ${kmeansCtes(8, 2)},
+           |am AS (SELECT vec_id, cid, qv FROM (
+           |    SELECT q.vec_id, c.cid, q.qv,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${icosSql("q.qv", "c.cv")} DESC, c.cid) AS rn
+           |    FROM qvt q CROSS JOIN c2 c) t WHERE rn = 1),
+           |ms AS (SELECT cid, i AS d, SUM(qv[i]) AS sx, COUNT(*) AS n
+           |  FROM am CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) dims
+           |  GROUP BY cid, i),
+           |cents AS (SELECT cid,
+           |    list(CAST(floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+           |      ORDER BY d) AS cqv
+           |  FROM ms GROUP BY cid),
+           |asgn AS (
+           |  SELECT vec_id, cid, cqv FROM (
+           |    SELECT v.vec_id, c.cid, c.cqv,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2full("v.qv", "c.cqv")}, c.cid) AS rn
+           |    FROM qvt v CROSS JOIN cents c) t WHERE rn = 1),
+           |res AS (
+           |  SELECT v.vec_id, a.cid,
+           |    list_transform(range(1, ${Dim + 1}), i -> v.qv[i] - a.cqv[i]) AS rv
+           |  FROM qvt v JOIN asgn a USING (vec_id)),
+           |cb AS (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, rv
+           |  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT $ksub)),
+           |js AS (SELECT unnest(range(0, $m)) AS j),
+           |enc AS (
+           |  SELECT vec_id, cid, j, code FROM (
+           |    SELECT r.vec_id, r.cid, js.j, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, js.j
+           |        ORDER BY ${subdist("r.rv", "c.rv")}, c.code) AS rn
+           |    FROM res r CROSS JOIN cb c CROSS JOIN js) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS q_id, cid, cqv FROM (
+           |    SELECT v.vec_id, c.cid, c.cqv,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2full("v.qv", "c.cqv")}, c.cid) AS rn
+           |    FROM qvt v CROSS JOIN cents c WHERE v.vec_id < 20) t
+           |  WHERE rn <= $nProbe),
+           |qres AS (
+           |  SELECT p.q_id, p.cid,
+           |    list_transform(range(1, ${Dim + 1}), i -> v.qv[i] - p.cqv[i]) AS rv
+           |  FROM probes p JOIN qvt v ON v.vec_id = p.q_id),
+           |lut AS (
+           |  SELECT q.q_id, q.cid, js.j, c.code,
+           |    ${subdist("q.rv", "c.rv")} AS d
+           |  FROM qres q CROSS JOIN cb c CROSS JOIN js),
+           |sc AS (
+           |  SELECT l.q_id, e.vec_id AS n_id, SUM(l.d) AS dist
+           |  FROM enc e JOIN lut l ON l.cid = e.cid AND l.j = e.j AND l.code = e.code
+           |  WHERE l.q_id != e.vec_id GROUP BY 1, 2),
+           |iv AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rank
+           |    FROM sc) t WHERE rank <= 5),
+           |ex AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+           |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           |    WHERE a.vec_id < 20) t WHERE rank <= 5)
+           |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |  CAST(SUM(CASE WHEN iv.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |FROM ex LEFT JOIN iv ON ex.q_id = iv.q_id AND ex.n_id = iv.n_id
+           |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+      }),
+
     // ======== multimodal plumbing (byte-level; decode is stubbed) ========
     Q(
       "multimodal_bytes",

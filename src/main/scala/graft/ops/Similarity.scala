@@ -238,27 +238,37 @@ object Similarity {
     *
     * Determinism contract (the [[pqTopK]] playbook): ×1000
     * integer-quantized vectors make every squared-L2 exact; coarse
-    * centers are the `centroids` smallest-id corpus vectors, the PQ
-    * codebook the residuals of the `ksub` smallest-id corpus vectors
-    * (both id-space agnostic; a real deployment feeds k-means centers
-    * through the same literal seam); every argmin ties to the lowest
+    * centers default to the `centroids` smallest-id corpus vectors, the
+    * PQ codebook to the residuals of the `ksub` smallest-id corpus
+    * vectors (both id-space agnostic); every argmin ties to the lowest
     * cid/code, ranking ties to the lowest neighbor id. A corpus vector
     * lives in exactly one cell, so no cross-probe candidate dedup is
     * needed (unlike [[ivfTopK]]'s multi-probe distinct).
+    *
+    * `centroidsDf` is the trained-center seam: a (cid: long,
+    * c_qv: array&lt;long&gt;) frame ALREADY in [[quantize]] space —
+    * [[kmeansQuantizedMeans]] produces exactly this shape. When given,
+    * it replaces the smallest-id coarse centers (the deployment
+    * configuration); the codebook residuals then concentrate around the
+    * trained cells.
     *
     * @return (q_id, n_id, rank, dist): ≤ k rows per query ranked by
     *         ascending approximate squared-L2 residual distance
     */
   def ivfpqTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int,
-      centroids: Int, nProbe: Int, m: Int, ksub: Int, k: Int): DataFrame = {
+      centroids: Int, nProbe: Int, m: Int, ksub: Int, k: Int,
+      centroidsDf: DataFrame = null): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(centroids > 0 && nProbe > 0 && ksub > 0,
       s"centroids/nProbe/ksub must be positive")
     val sub = dim / m
     val centRows: Array[(Long, Seq[Long])] =
-      corpus.orderBy(col(idCol)).limit(centroids)
-        .select(col(idCol).cast("long"), quantize(col(vecCol)))
+      (if (centroidsDf != null)
+        centroidsDf.select(col("cid").cast("long"), col("c_qv"))
+      else
+        corpus.orderBy(col(idCol)).limit(centroids)
+          .select(col(idCol).cast("long"), quantize(col(vecCol))))
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
     require(centRows.nonEmpty, "ivfpqTopK: corpus is empty")
     def l2(a: Seq[Long], b: Seq[Long]): Long =
@@ -382,6 +392,45 @@ object Similarity {
     centsDf(cents)
   }
 
+  /** Trained cell centers as integer MEANS in [[quantize]] space — the
+    * bridge from [[kmeansCentroids]] (whose centers are element-wise
+    * SUMS, fine for cosine but the wrong magnitude for the squared-L2
+    * residuals [[ivfpqTopK]] encodes) to the PQ family's `centroidsDf`
+    * seam.
+    *
+    * One more broadcast assignment pass (same max-cosine/lowest-cid
+    * tie-break as training) then per-cell element-wise `floor(Σqv_i/n)`.
+    * The mean stays engine-exact: the sum and count are exact integers,
+    * IEEE division is correctly rounded — the same double in any engine
+    * — and floor of it is deterministic, unlike an integer DIV whose
+    * negative-operand truncation direction differs across engines.
+    *
+    * @return (cid: long, c_qv: array&lt;long&gt;) — feed straight into
+    *         [[ivfpqTopK]]'s `centroidsDf`
+    */
+  def kmeansQuantizedMeans(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, dim, k, iters)
+    val qv = corpus.select(col(idCol).cast("long").as("vid"),
+      quantize(col(vecCol)).as("qv"))
+    qv.join(broadcast(cents), lit(true))
+      .withColumn("cos",
+        dot(col("qv"), col("c_v"), dim) /
+          (sqrt(dot(col("qv"), col("qv"), dim)) *
+            sqrt(dot(col("c_v"), col("c_v"), dim))))
+      .groupBy(col("vid"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+        first(col("qv")).as("qv"))
+      .select(col("cid"), posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("d"),
+          floor(col("sx").cast("double") / col("n").cast("double"))
+            .cast("long").as("mx")))),
+        e => e.getField("mx")).as("c_qv"))
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned once into
     * `centroids` cells (nearest-centroid assignment — one broadcast pass,
     * no shuffle of the corpus beyond the cell grouping), and each query
@@ -444,11 +493,15 @@ object Similarity {
     * exact-neighbor count and how many the approximate index recovered
     * — recall@k = hits / n_exact, left as integers so the report is
     * engine-exact. The join is equi on (q_id, n_id) over two k-bounded
-    * frames: #queries × k rows a side no matter the corpus size.
+    * frames: #queries × k rows a side no matter the corpus size. The
+    * approx side is deduped first so a caller passing a frame with
+    * repeated (q_id, n_id) rows cannot fan out the join and silently
+    * inflate both counts.
     */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("q_id"), col("n_id"))
-      .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("__hit")),
+      .join(approx.select(col("q_id"), col("n_id")).distinct()
+          .withColumn("__hit", lit(1L)),
         Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_exact"),
