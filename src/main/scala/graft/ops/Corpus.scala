@@ -15,7 +15,9 @@ object Corpus {
   /** Deterministic stratified (systematic) sampling: keep every `nth` row
     * per stratum in `orderCol` order. Unlike `sample()`, reproducible
     * across engines and runs — the property a training-mix spec needs.
-    * One shuffle on the stratum key; each stratum sorts only its own rows.
+    * Ranks are [[TwoPass.rank]] distributed: strata are usually
+    * fixed-cardinality (languages, sources), so a whole-stratum window
+    * would sort corpus-scale groups in single tasks.
     *
     * `orderCol` MUST order rows uniquely within each stratum (a row id):
     * with ties, row_number's tie order depends on partition layout and
@@ -26,8 +28,7 @@ object Corpus {
   def stratifiedEveryNth(df: DataFrame, stratumCol: String, orderCol: String,
       nth: Int): DataFrame = {
     require(nth >= 1, s"nth must be >= 1, got $nth")
-    val w = Window.partitionBy(col(stratumCol)).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
+    TwoPass.rank(df, Seq(stratumCol), Seq(col(orderCol)), "__rn")
       .filter((col("__rn") - 1) % nth === 0)
       .drop("__rn")
   }
@@ -42,9 +43,8 @@ object Corpus {
   def hashSamplePerStratum(df: DataFrame, stratumCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+    TwoPass.rank(df, Seq(stratumCol),
+      Seq(md5(col(idCol).cast("string").cast("binary")), col(idCol)), "__rn")
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
@@ -56,17 +56,20 @@ object Corpus {
     * pure integer math over a running sum, so shard ids are exact and a
     * doc larger than the budget still lands in exactly one shard.
     *
-    * Scale: the window is PARTITIONED by group (source, shard-prefix, …) —
-    * never a global sort. Packing across the whole corpus would serialize;
-    * per-source packing is what a real pipeline does anyway.
+    * Scale: the running sum is [[TwoPass.prefixSum]] distributed — pack
+    * groups (source, shard-prefix, …) are usually fixed-cardinality, so
+    * a whole-group window would serialize each group through one task.
+    * Packing across the whole corpus in ONE group still serializes
+    * semantically (every shard id depends on all earlier rows), which is
+    * why the group key is the caller's contract.
     */
   def packByTokenBudget(df: DataFrame, groupCol: String, orderCol: String,
       textCol: String, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    TwoPass.prefixSum(
+      df.withColumn("n_tokens",
+        TextFunctions.tokenCount(col(textCol)).cast("long")),
+      Seq(groupCol), Seq(col(orderCol)), col("n_tokens"), "__cum")
       // DIV keeps the whole computation integral — no float rounding near
       // shard boundaries
       .withColumn("shard", expr(s"__cum DIV $budget"))
@@ -184,6 +187,11 @@ object Corpus {
       weightsPpm: Seq[(String, Int)], budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     require(weightsPpm.forall(_._2 >= 0), "weights must be non-negative ppm")
+    // ppm by definition caps at 1_000_000; checking it here turns the
+    // documented budget*ppm < 2^63 overflow bound (budgets to ~9e12
+    // tokens) into an enforced one instead of a silent wrong plan
+    require(weightsPpm.forall(_._2 <= 1000000),
+      "weights are parts-per-million and must be <= 1000000")
     val wMap = map(weightsPpm.flatMap {
       case (s, w) => Seq(lit(s), lit(w.toLong)) }: _*)
     df.groupBy(col(sourceCol).as("source"))
@@ -491,17 +499,18 @@ object Corpus {
     * stratum — the distribution-clipping filter (drop the shortest 5% and
     * longest 5% per language) spelled in EXACT integer arithmetic:
     * rank·100 vs n·pct avoids every float-threshold edge case, so the
-    * kept set is bit-reproducible. One shuffle on the stratum; each
-    * stratum ranks only its own rows.
+    * kept set is bit-reproducible. Ranks and stratum counts come from
+    * [[TwoPass.rank]] — strata are fixed-cardinality (languages), so a
+    * whole-stratum window would sort corpus-scale groups in single
+    * tasks. [[clipByLengthApprox]] remains the cheaper histogram-cut
+    * variant; this is the exact one.
     */
   def clipByLengthRank(df: DataFrame, stratumCol: String, lenCol: String,
       idCol: String, loPct: Int, hiPct: Int): DataFrame = {
     require(0 <= loPct && loPct < hiPct && hiPct <= 100,
       s"need 0 <= lo < hi <= 100, got $loPct/$hiPct")
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(col(lenCol), col(idCol))
-    df.withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+    TwoPass.rank(df, Seq(stratumCol), Seq(col(lenCol), col(idCol)),
+      "__rn", countOut = Some("__n"))
       .filter(col("__rn") * 100 > col("__n") * loPct &&
         col("__rn") * 100 <= col("__n") * hiPct)
       .drop("__rn", "__n")

@@ -473,52 +473,22 @@ object Relational {
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
     // ---- rank-family window functions: ntile / percent_rank / cume_dist
-    //      per segment — DISTRIBUTED two-pass rank. A plain
-    //      Window.partitionBy(c_mktsegment) colocates each whole segment
-    //      in ONE task (5 distinct segments ⇒ 5 tasks sort the entire
-    //      table; ~3M-row single-task sorts at 100× scale). Instead:
-    //      (1) range-partition on the full ordering key, so every
-    //          partition holds a contiguous, bounded slice (~n/P rows);
-    //      (2) local row_number per (partition, segment) — the window key
-    //          includes spark_partition_id(), so no window group exceeds
-    //          a partition;
-    //      (3) global rank = local row number + the segment's cumulative
-    //          row count in all earlier partitions (range partition ids
-    //          are ordered), joined back from a P×|segments|-row
-    //          broadcast table;
-    //      (4) percent_rank/cume_dist/ntile are closed-form in (rank, n)
-    //          because the ordering (c_acctbal, c_custkey) is unique —
-    //          no peers, so rank = row_number and cume counts no ties.
-    //      The eager localCheckpoint is CORRECTNESS, not caching:
-    //      range-partition bounds come from sampling, and the frame feeds
-    //      both the counts subtree and the join-back — recomputing it
-    //      could re-draw bounds and mismatch the partition ids.
+    //      per segment — DISTRIBUTED two-pass rank (TwoPass.rank). A
+    //      plain Window.partitionBy(c_mktsegment) colocates each whole
+    //      segment in ONE task (5 distinct segments ⇒ 5 tasks sort the
+    //      entire table; ~3M-row single-task sorts at 100× scale); the
+    //      two-pass spelling bounds every task by a range partition.
+    //      percent_rank/cume_dist/ntile are closed-form in (rank, n)
+    //      because the ordering (c_acctbal, c_custkey) is unique — no
+    //      peers, so rank = row_number and cume counts no ties.
     Q(
       "q_window_ranks",
       (s, dir) => {
-        val parted = table(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-          .repartitionByRange(
-            col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
-          .withColumn("__pid", spark_partition_id())
-          .localCheckpoint(true)
-        // P×|segments| rows — cluster-sized, not data-sized
-        val counts = parted.groupBy(col("__pid"), col("c_mktsegment"))
-          .agg(count(lit(1)).as("__c"))
-        val wSeg = Window.partitionBy(col("c_mktsegment"))
-        val offsets = counts
-          .withColumn("__off", coalesce(
-            sum(col("__c")).over(wSeg.orderBy(col("__pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("__n", sum(col("__c")).over(wSeg))
-          .select(col("__pid"), col("c_mktsegment"),
-            col("__off"), col("__n"))
-        val wLoc = Window.partitionBy(col("__pid"), col("c_mktsegment"))
-          .orderBy(col("c_acctbal"), col("c_custkey"))
-        parted
-          .withColumn("__lrn", row_number().over(wLoc).cast("long"))
-          .join(broadcast(offsets), Seq("__pid", "c_mktsegment"))
-          .withColumn("__r", col("__lrn") + col("__off"))
+        TwoPass.rank(
+          table(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+          Seq("c_mktsegment"), Seq(col("c_acctbal"), col("c_custkey")),
+          "__r", countOut = Some("__n"))
           // SQL ntile: n%4 front buckets get ceil(n/4) rows, the rest
           // floor(n/4); both branches are closed-form in (__r, __n).
           // CaseWhen evaluates lazily, so the DIV-by-zero in the second

@@ -11,4 +11,9 @@ object GraftSqlShims {
     classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+  /** A DataFrame over an arbitrary analyzed subtree — lets the plan
+    * lint measure properties (cardinalities) of a window's input. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

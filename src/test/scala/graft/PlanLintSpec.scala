@@ -141,6 +141,96 @@ class PlanLintSpec extends SparkTestBase {
       }
   }
 
+  // The q_window_ranks class: a window partitioned by a PLAIN column
+  // whose cardinality is fixed (a segment, a language, a source) over an
+  // input that grows with the data — each whole group funnels one task.
+  // "Provably fixed" is measured, not guessed: the same window's
+  // partition-key NDV at sf0.001 vs sf0.01 — a key that stays tiny
+  // (≤ NdvCap, no growth) while the input rows grow ≥ 4× is an enum-like
+  // key over a data-scaled input. The scale-safe spelling is
+  // TwoPass.rank/prefixSum (range-partition + per-partition windows +
+  // broadcast offsets). Exemptions: spec contains a content hash or a
+  // generator output (the other window rule owns those); spec contains
+  // the TwoPass partition-id column (bounded by a range partition by
+  // construction); input already aggregated/limited (bounded).
+  private val NdvCap = 24
+  private val windowNdvAllow = Map.empty[String, String]
+
+  test("no window partitioned by a fixed-cardinality column over data-scaled input") {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.functions.{count, count_distinct, lit, struct}
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, GlobalLimit, LogicalPlan, Window => WindowOp}
+    val dirS = "/root/testdata/sf0.001"
+    val dirL = "/root/testdata/sf0.01"
+
+    def candidates(plan: LogicalPlan): Seq[(LogicalPlan, Seq[Expression])] = {
+      val aliases = plan.collect { case p =>
+        p.expressions.flatMap(_.collect { case a: Alias => a.exprId -> a.child })
+      }.flatten.toMap
+      val generated = plan.collect { case g: Generate =>
+        g.generatorOutput.map(_.exprId)
+      }.flatten.toSet
+      def inline(e: Expression, depth: Int): Expression =
+        if (depth <= 0) e
+        else e.transformUp {
+          case a: AttributeReference if aliases.contains(a.exprId) =>
+            inline(aliases(a.exprId), depth - 1)
+        }
+      plan.collect {
+        case w: WindowOp if w.partitionSpec.nonEmpty =>
+          val otherRulesOwn = w.partitionSpec.map(inline(_, 8)).exists(_.exists {
+            case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 | _: Murmur3Hash |
+                 _: XxHash64 | _: SparkPartitionID => true
+            case a: AttributeReference =>
+              generated(a.exprId) || a.name == "__tp_pid"
+            case _ => false
+          })
+          val boundedInput = w.child.collectFirst {
+            case _: Aggregate => (); case _: GlobalLimit => ()
+          }.isDefined
+          if (otherRulesOwn || boundedInput) None
+          else Some((w.child, w.partitionSpec))
+      }.flatten
+    }
+
+    def measure(child: LogicalPlan, spec: Seq[Expression]): (Long, Long) = {
+      val df = GraftSqlShims.ofRows(spark, child)
+      val key = struct(spec.map(GraftSqlShims.toColumn): _*)
+      val r = df.agg(count_distinct(key).cast("long"),
+        count(lit(1)).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    SparkEntry.all
+      .filterNot(q => skip(q.name) || q.name.startsWith("stream_"))
+      .foreach { q =>
+        val candsS = candidates(q.run(spark, dirS).queryExecution.analyzed)
+        if (candsS.nonEmpty) {
+          val candsL = candidates(q.run(spark, dirL).queryExecution.analyzed)
+          var tripped = false
+          candsS.zip(candsL).foreach { case ((cS, sS), (cL, sL)) =>
+            val (ndvS, nS) = measure(cS, sS)
+            val (ndvL, nL) = measure(cL, sL)
+            val fixedCard = ndvL <= NdvCap && ndvL <= ndvS * 2
+            val dataScaled = nL >= nS * 4
+            if (fixedCard && dataScaled) {
+              tripped = true
+              assert(windowNdvAllow.contains(q.name),
+                s"${q.name} partitions a window by a fixed-cardinality key " +
+                  s"(ndv $ndvS@sf0.001 -> $ndvL@sf0.01) over a data-scaled " +
+                  s"input ($nS -> $nL rows): each whole group funnels one " +
+                  "task at scale. Respell with TwoPass.rank/prefixSum.")
+            }
+          }
+          if (windowNdvAllow.contains(q.name))
+            assert(tripped,
+              s"${q.name} is ndv-window-allowlisted but no window trips " +
+                "the detector — remove the stale entry")
+        }
+      }
+  }
+
   test("no cartesian products; nested-loop joins only where designed") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.all
