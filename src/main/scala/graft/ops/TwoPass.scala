@@ -70,8 +70,12 @@ object TwoPass {
     val p = parted(df, groupCols, orderCols)
     val wLoc = Window.partitionBy((col(Pid) +: groupCols.map(col)): _*)
       .orderBy(orderCols: _*)
+    // the Seq-keyed broadcast join moves (pid, group) to the front;
+    // restore the caller's column order — positional consumers must see
+    // the input schema plus the appended columns
     withOffsets(p, groupCols, count(lit(1)),
       row_number().over(wLoc).cast("long"), out, countOut)
+      .select((df.columns.toSeq ++ Seq(out) ++ countOut).map(col): _*)
   }
 
   /** EXCLUSIVE running sum of `value` within each group in `orderCols`
@@ -88,6 +92,6 @@ object TwoPass {
       .rowsBetween(Window.unboundedPreceding, -1)
     withOffsets(p, groupCols, sum(col("__tp_v")),
       coalesce(sum(col("__tp_v")).over(wLoc), lit(0L)), out, None)
-      .drop("__tp_v")
+      .select((df.columns.toSeq :+ out).map(col): _*)
   }
 }
