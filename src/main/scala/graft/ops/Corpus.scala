@@ -937,32 +937,40 @@ object Corpus {
     * corpus-wide — the loop a tokenizer trainer actually runs, where
     * [[encodeWithVocab]] merely applies a finished vocabulary.
     *
-    * Scale shape is the [[Similarity.kmeansCentroids]] iteration
-    * pattern: each round is one narrow explode of adjacent pairs, a
-    * partial-aggregated count, and a ONE-ROW collect (the argmax pair);
-    * the corpus is then rewritten by a map-only literal string replace.
-    * Nothing reaching the driver grows with the corpus — only with
-    * `merges`.
+    * Trains on the distinct-word HISTOGRAM, not the corpus: adjacent
+    * pairs never cross word boundaries, so the corpus-wide count of a
+    * pair equals its count over distinct words weighted by word
+    * frequency — identical integers, identical argmax, identical
+    * tie-breaks. One corpus scan builds the (word, count) table; every
+    * training round then touches |vocab| rows instead of n_tokens (the
+    * layout every production tokenizer trainer uses, and the only one
+    * that survives 100 TB: the histogram shrinks ~1000× and is itself
+    * distributed — nothing driver-side grows with corpus OR vocab).
+    *
+    * Scale shape per round is the [[Similarity.kmeansCentroids]]
+    * iteration pattern: one narrow explode of adjacent pairs over the
+    * histogram, a partial-aggregated weighted count, and a ONE-ROW
+    * collect (the argmax pair); the histogram is then rewritten by a
+    * map-only literal string replace.
     *
     * Unit-boundary encoding makes the merge a plain `replace`: every
-    * unit is wrapped in '·' markers ('abc' → '·a··b··c·'; words joined
-    * by '|', across which no pattern can match), so merging (u1,u2) is
-    * the literal replace '·u1··u2·' → '·u1u2·'. Adjacent occurrences
-    * never share characters, and leftmost-non-overlapping replace scans
-    * identically in Spark and the SQL oracle, so training is
-    * bit-reproducible in both engines. Pair counts are adjacent INDEX
-    * pairs ('aaa' holds two (a,a) pairs); argmax ties break
+    * unit is wrapped in '·' markers ('abc' → '·a··b··c·'), so merging
+    * (u1,u2) is the literal replace '·u1··u2·' → '·u1u2·'. Adjacent
+    * occurrences never share characters, and leftmost-non-overlapping
+    * replace scans identically in Spark and the SQL oracle, so training
+    * is bit-reproducible in both engines. Pair counts are adjacent
+    * INDEX pairs ('aaa' holds two (a,a) pairs); argmax ties break
     * lexicographically on (u1, u2).
     *
-    * PRECONDITION: document text must not contain the marker characters
-    * '·' or '|' — a '·' inside a token is indistinguishable from a unit
+    * PRECONDITION: document text must not contain the marker character
+    * '·' — a '·' inside a token is indistinguishable from a unit
     * boundary and would miscount/mismerge. Strip or remap them upstream
     * ([[normalizeText]] territory) before training.
     *
     * Lineage is linearized every [[BpeCheckpointEvery]] merges: each
     * round stacks one more `replace` on `cur`, so without a barrier
     * round r re-executes all r−1 prior replaces from the cached base —
-    * O(merges²) corpus passes and an O(merges)-deep plan, fatal at a
+    * O(merges²) histogram passes and an O(merges)-deep plan, fatal at a
     * tokenizer-real 30k merges. The eager `localCheckpoint` (the
     * [[graft.ops.Dedup]] iteration pattern) caps re-execution and plan
     * depth at the checkpoint interval while keeping every round's
@@ -970,27 +978,30 @@ object Corpus {
     */
   val BpeCheckpointEvery = 8
 
+  /** (learned merges, final histogram (__w original word, __cnt corpus
+    * frequency, __s '·'-wrapped unit string after all merges)). */
   private def bpeCore(docs: DataFrame, idCol: String, textCol: String,
       merges: Int): (Seq[(String, String, Long)], DataFrame) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
-    val wrapped = docs.select(col(idCol),
-      array_join(transform(TextFunctions.tokens(col(textCol)),
-        w => regexp_replace(w, "(.)", "·$1·")), "|").as("__s")).cache()
-    var cur = wrapped
+    val hist = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__s", regexp_replace(col("__w"), "(.)", "·$1·"))
+      .localCheckpoint(true)
+    var cur = hist
     var sinceBarrier = 0
     val found = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     for (_ <- 1 to merges if !exhausted) {
       val top = cur
-        .select(explode(split(col("__s"), "\\|")).as("__w"))
-        .filter(col("__w") =!= "")
-        .select(split(trim(col("__w"), "·"), "··").as("__us"))
-        .select(col("__us"), explode(when(size(col("__us")) > 1,
+        .select(split(trim(col("__s"), "·"), "··").as("__us"), col("__cnt"))
+        .select(col("__us"), col("__cnt"),
+          explode(when(size(col("__us")) > 1,
             sequence(lit(1), size(col("__us")) - 1))
           .otherwise(array().cast("array<int>"))).as("__i"))
         .select(element_at(col("__us"), col("__i")).as("u1"),
-          element_at(col("__us"), col("__i") + 1).as("u2"))
-        .groupBy(col("u1"), col("u2")).agg(count(lit(1)).as("cnt"))
+          element_at(col("__us"), col("__i") + 1).as("u2"), col("__cnt"))
+        .groupBy(col("u1"), col("u2")).agg(sum(col("__cnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("u1"), col("u2")).limit(1)
         .collect()
       if (top.isEmpty) exhausted = true
@@ -1007,9 +1018,6 @@ object Corpus {
         }
       }
     }
-    // cache lifetime: the loop's counts are done; the returned frame
-    // recomputes the narrow replace chain once when the caller acts
-    wrapped.unpersist()
     (found.toSeq, cur)
   }
 
@@ -1024,13 +1032,36 @@ object Corpus {
   }
 
   /** Per-doc unit count after applying the `merges` learned merges —
-    * the compression curve a tokenizer trainer watches. */
+    * the compression curve a tokenizer trainer watches. Tokenless docs
+    * stay at 0 units. One corpus token scan equi-joined against the
+    * per-word unit-count table from the trained histogram (map-side
+    * broadcast when the vocab is small; a plain shuffle join otherwise
+    * — never a per-round corpus rewrite). */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-      merges: Int): DataFrame =
+      merges: Int): DataFrame = {
+    val wordUnits = bpeCore(docs, idCol, textCol, merges)._2
+      .select(col("__w"),
+        size(split(trim(col("__s"), "·"), "··")).cast("long").as("__u"))
+    val perDoc = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .join(wordUnits, Seq("__w"))
+      .groupBy(col(idCol)).agg(sum(col("__u")).as("__n"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__n"), lit(0L)).as("n_units"))
+  }
+
+  /** The learned subword vocabulary: corpus-wide frequency of every
+    * unit after `merges` training rounds, top-`k` by (count desc,
+    * unit). Folds over the trained histogram — |vocab| rows, never the
+    * corpus. */
+  def bpeVocab(docs: DataFrame, idCol: String, textCol: String,
+      merges: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     bpeCore(docs, idCol, textCol, merges)._2
-      .select(col(idCol),
-        aggregate(
-          transform(filter(split(col("__s"), "\\|"), w => w =!= ""),
-            w => size(split(trim(w, "·"), "··")).cast("long")),
-          lit(0L), (acc, n) => acc + n).as("n_units"))
+      .select(explode(split(trim(col("__s"), "·"), "··")).as("unit"),
+        col("__cnt"))
+      .groupBy(col("unit")).agg(sum(col("__cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("unit")).limit(k)
+  }
 }

@@ -123,13 +123,14 @@ object CorpusQueries {
   }
 
   /** BPE training-loop CTE chain `s0, p1, m1, s1, …, s<n>` matching
-    * [[Corpus.bpeCore]] round for round: `s0` is the unit-boundary
-    * encoding (every char wrapped in '·', words joined by '|'); per
-    * round k, `p\$k` explodes adjacent unit pairs of `s\${k-1}`, `m\$k`
-    * is the one-row argmax (count desc, then lexicographic (u1, u2)),
-    * and `s\$k` rewrites the corpus by the same leftmost-non-overlapping
+    * [[Corpus.bpeCore]] round for round over the distinct-word
+    * HISTOGRAM: `s0` is the (word, count, unit-boundary encoding)
+    * table; per round k, `p\$k` explodes adjacent unit pairs of
+    * `s\${k-1}` carrying the word count, `m\$k` is the one-row weighted
+    * argmax (count desc, then lexicographic (u1, u2)), and `s\$k`
+    * rewrites the histogram by the same leftmost-non-overlapping
     * literal replace Spark's `replace` performs. `s\$k` LEFT JOINs the
-    * one-row `m\$k` and COALESCEs back to the unchanged corpus, so an
+    * one-row `m\$k` and COALESCEs back to the unchanged histogram, so an
     * exhausted round (no adjacent pairs anywhere — possible on tiny
     * corpora) keeps the last state exactly like `bpeCore`'s `exhausted`
     * flag instead of zeroing every later CTE. `s\$k` is MATERIALIZED:
@@ -140,27 +141,26 @@ object CorpusQueries {
   private def bpeRoundsSql(n: Int): String = {
     val rounds = (1 to n).map { k =>
       s"""p$k AS (
-         |  SELECT pr[1] AS u1, pr[2] AS u2 FROM (
-         |    SELECT unnest(list_transform(range(1, len(us)),
+         |  SELECT pr[1] AS u1, pr[2] AS u2, cnt FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(us)),
          |        i -> [us[i], us[i + 1]])) AS pr
-         |    FROM (
-         |      SELECT string_split(trim(w, '·'), '··') AS us
-         |      FROM (SELECT unnest(list_filter(string_split(s, '|'),
-         |          x -> x <> '')) AS w FROM s${k - 1})))),
+         |    FROM (SELECT cnt, string_split(trim(s, '·'), '··') AS us
+         |          FROM s${k - 1}))),
          |m$k AS (
-         |  SELECT u1, u2, COUNT(*) AS c FROM p$k
+         |  SELECT u1, u2, CAST(SUM(cnt) AS BIGINT) AS c FROM p$k
          |  GROUP BY u1, u2 ORDER BY c DESC, u1, u2 LIMIT 1),
          |s$k AS MATERIALIZED (
-         |  SELECT doc_id,
+         |  SELECT w, cnt,
          |    COALESCE(replace(s, '·' || m.u1 || '··' || m.u2 || '·',
          |               '·' || m.u1 || m.u2 || '·'), s) AS s
          |  FROM s${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""WITH s0 AS (
-       |  SELECT doc_id, array_to_string(list_transform(
-       |      list_filter(string_split(text, ' '), x -> x != ''),
-       |      w -> regexp_replace(w, '(.)', '·\\1·', 'g')), '|') AS s
-       |  FROM documents),
+    s"""WITH s0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    regexp_replace(w, '(.)', '·\\1·', 'g') AS s
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+       |      x -> x != '')) AS w FROM documents)
+       |  GROUP BY w),
        |$rounds""".stripMargin
   }
 
@@ -2190,7 +2190,8 @@ object CorpusQueries {
           .mkString("\n", "\nUNION ALL ", "\nORDER BY rank"))),
 
     // the compression curve of the learned merges: per-doc unit count
-    // after BpeMerges rounds (tokenless docs stay at 0 units)
+    // after BpeMerges rounds (tokenless docs stay at 0 units) — one
+    // corpus token scan joined against the trained per-word unit counts
     Q(
       "corpus_bpe_encode",
       (s, dir) =>
@@ -2198,11 +2199,29 @@ object CorpusQueries {
           merges = BpeMerges).orderBy(col("doc_id")),
       Some(bpeRoundsSql(BpeMerges) +
         s"""
-           |SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
-           |    list_filter(string_split(s, '|'), w -> w <> ''),
-           |    w -> len(string_split(trim(w, '·'), '··')))), 0) AS BIGINT)
-           |  AS n_units
-           |FROM s$BpeMerges ORDER BY doc_id""".stripMargin)),
+           |, enc AS (SELECT w,
+           |    CAST(len(string_split(trim(s, '·'), '··')) AS BIGINT) AS u
+           |  FROM s$BpeMerges),
+           |docw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+           |    x -> x != '')) AS w FROM documents),
+           |du AS (SELECT dw.doc_id, e.u FROM docw dw JOIN enc e USING (w))
+           |SELECT d.doc_id, CAST(COALESCE(SUM(du.u), 0) AS BIGINT) AS n_units
+           |FROM documents d LEFT JOIN du ON d.doc_id = du.doc_id
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // the learned subword vocabulary: unit frequencies after training,
+    // folded over the |vocab|-row histogram (top-50, ties broken on unit)
+    Q(
+      "corpus_bpe_vocab",
+      (s, dir) =>
+        Corpus.bpeVocab(table(s, dir, "documents"), "doc_id", "text",
+          merges = BpeMerges, k = 50),
+      Some(bpeRoundsSql(BpeMerges) +
+        s"""
+           |SELECT unit, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+           |  SELECT unnest(string_split(trim(s, '·'), '··')) AS unit, cnt
+           |  FROM s$BpeMerges)
+           |GROUP BY unit ORDER BY cnt DESC, unit LIMIT 50""".stripMargin)),
 
     // distinctive terms per source (tf-idf keywords, integer inverse-df
     // weights, deterministic (score desc, term) rank)
