@@ -209,6 +209,44 @@ object Corpus {
           .otherwise(expr("target_tokens * 1000 DIV n_tokens")))
   }
 
+  /** Temperature-scaled mixture plan (α = 1/2 — the mT5/UniMax "T = 2"
+    * rebalance): instead of an externally supplied mixing sheet, the
+    * weights derive from the source supplies themselves,
+    * w_i ∝ floor(sqrt(n_tokens_i)), flattening the head sources and
+    * up-weighting the tail. Reports the same plan columns as
+    * [[mixturePlan]] with `weight_ppm` computed, not given.
+    *
+    * Engine-reproducible despite the sqrt: IEEE-754 requires sqrt to be
+    * correctly rounded, so Spark (java.lang.Math.sqrt) and the oracle's
+    * C sqrt produce the identical double for any n_tokens < 2^53, and
+    * the floor / integer-DIV pipeline after it is exact. The ppm
+    * normalizer folds in an unpartitioned window over the #sources-row
+    * aggregate — bounded by construction, like the [[dsirSelect]]
+    * totals.
+    */
+  def mixtureTemperaturePlan(df: DataFrame, sourceCol: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(budgetTokens <= Long.MaxValue / 1000000L,
+      "budgetTokens * ppm must stay under 2^63")
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"))
+      .withColumn("__s",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    per.withColumn("__tot", sum(col("__s")).over(Window.partitionBy()))
+      .withColumn("weight_ppm",
+        when(col("__tot") === 0, lit(0L))
+          .otherwise(expr("__s * 1000000 DIV __tot")))
+      .withColumn("target_tokens",
+        expr(s"${budgetTokens}L * weight_ppm DIV 1000000"))
+      .withColumn("repeat_milli",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("target_tokens * 1000 DIV n_tokens")))
+      .drop("__s", "__tot")
+  }
+
   /** Lexical top-k retrieval with integer inverse-df weighting: score(doc)
     * = Σ over matched query terms of tf(term, doc) * (C / df(term)), with
     * C/df an INTEGER division (C = 1_000_000). Integer weights make the

@@ -498,6 +498,30 @@ object CorpusQueries {
              |       ELSE target_tokens * 1000 // n_tokens END AS BIGINT) AS repeat_milli
              |FROM b ORDER BY source""".stripMargin)),
 
+    // temperature-scaled mixture (α = 1/2): weights ∝ floor(sqrt(supply)),
+    // the UniMax-style head-flattening rebalance, derived from the corpus
+    // itself — exact cross-engine because IEEE sqrt is correctly rounded
+    Q(
+      "corpus_mixture_temperature",
+      (s, dir) =>
+        Corpus.mixtureTemperaturePlan(table(s, dir, "documents"),
+          "source", "text", budgetTokens = 10000000L)
+          .orderBy(col("source")),
+      Some("""WITH a AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s FROM a),
+             |t AS (SELECT *, SUM(s) OVER () AS tot FROM w),
+             |b AS (SELECT *, CAST(CASE WHEN tot = 0 THEN 0
+             |         ELSE s * 1000000 // tot END AS BIGINT) AS weight_ppm FROM t),
+             |c AS (SELECT *, 10000000 * weight_ppm // 1000000 AS target_tokens FROM b)
+             |SELECT source, n_docs, n_tokens, weight_ppm,
+             |  CAST(target_tokens AS BIGINT) AS target_tokens,
+             |  CAST(CASE WHEN n_tokens = 0 THEN 0
+             |       ELSE target_tokens * 1000 // n_tokens END AS BIGINT) AS repeat_milli
+             |FROM c ORDER BY source""".stripMargin)),
+
     // deterministic shard-export manifest: md5(id) mod N shard
     // assignment, per-shard doc/token counts and id ranges — the release
     // record of a `write.partitionBy("shard")` training export
@@ -1017,6 +1041,69 @@ object CorpusQueries {
            |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
            |ORDER BY d1, d2""".stripMargin
       }),
+
+    // LSH candidate-generation recall vs exact-Jaccard ground truth at
+    // the same shingle settings — the S-curve check that sizes
+    // (bands, rowsPerBand) before a corpus-wide near-dup run
+    Q(
+      "dedup_minhash_recall",
+      (s, dir) =>
+        Dedup.minhashRecall(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = JaccardMaxDf,
+          bands = 4, rowsPerBand = 3),
+      Some(s"""WITH $toksCte, $shingleCte,
+             |shx0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |dfx AS (SELECT shingle, COUNT(*) AS df FROM shx0 GROUP BY shingle),
+             |shx AS (SELECT s.doc_id, s.shingle FROM shx0 s
+             |        JOIN dfx USING (shingle) WHERE df <= $JaccardMaxDf),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+             |common AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+             |  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |truth AS (
+             |  SELECT d1, d2 FROM common
+             |  JOIN sizes sa ON sa.doc_id = d1
+             |  JOIN sizes sb ON sb.doc_id = d2
+             |  WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5),
+             |$minhashCtes,
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+             |j AS (
+             |  SELECT t.d1 AS td1, c.d1 AS cd1
+             |  FROM truth t FULL OUTER JOIN cand c
+             |    ON t.d1 = c.d1 AND t.d2 = c.d2),
+             |agg AS (
+             |  SELECT CAST(COUNT(td1) AS BIGINT) AS n_true,
+             |    CAST(COUNT(cd1) AS BIGINT) AS n_candidates,
+             |    CAST(SUM(CASE WHEN td1 IS NOT NULL AND cd1 IS NOT NULL
+             |         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+             |  FROM j)
+             |SELECT n_true, n_candidates, n_hit,
+             |  CAST(CASE WHEN n_true = 0 THEN 0
+             |       ELSE n_hit * 1000000 // n_true END AS BIGINT) AS recall_ppm
+             |FROM agg""".stripMargin)),
+
+    // per-source duplication health: corpus-wide exact-dup rate by
+    // source (a doc first seen in another source counts as this
+    // source's duplicate — exposes cross-source copying)
+    Q(
+      "dedup_rate_by_source",
+      (s, dir) =>
+        Dedup.duplicateRateByGroup(table(s, dir, "documents"),
+          "doc_id", "text", "source")
+          .orderBy(col("source")),
+      Some("""WITH keyed AS (
+             |  SELECT doc_id, source, md5(text) AS h FROM documents),
+             |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM keyed GROUP BY h)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN k.doc_id != p.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+             |  CAST(SUM(CASE WHEN k.doc_id != p.keep_id THEN 1 ELSE 0 END) * 1000000
+             |    // COUNT(*) AS BIGINT) AS dup_ppm
+             |FROM keyed k JOIN keep p USING (h)
+             |GROUP BY source ORDER BY source""".stripMargin)),
 
     // incremental dedup: docs >= 400 arrive as the NEW batch, history
     // (< 400) joins as its STORED signature table (signed once when it
@@ -1703,6 +1790,43 @@ object CorpusQueries {
            |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
            |  CAST(SUM(CASE WHEN iv.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
            |FROM ex LEFT JOIN iv ON ex.q_id = iv.q_id AND ex.n_id = iv.n_id
+           |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+      }),
+
+    // ANN recall for the hyperplane-LSH index: per-query hit count of
+    // the bucketed scan against brute-force truth — the number that
+    // sizes `planes` (bucket count vs recall) before deploying the
+    // random-projection layout
+    Q(
+      "ann_recall_lsh",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        Similarity.recallAtK(
+          Similarity.cosineTopK(q, e, "vec_id", "embedding", Dim, k = 5),
+          Similarity.lshTopK(q, e, "vec_id", "embedding", Dim,
+            planes = 4, k = 5))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        s"""WITH ex AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+           |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           |    WHERE a.vec_id < 20) t WHERE rank <= 5),
+           |bk AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
+           |ap AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+           |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+           |    WHERE a.vec_id < 20) t WHERE rank <= 5)
+           |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |  CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
            |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
       }),
 

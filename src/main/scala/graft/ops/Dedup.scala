@@ -48,6 +48,26 @@ object Dedup {
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     dropDuplicatesByPriority(df, textCol, Seq(col(idCol)))
 
+  /** Per-`groupCol` duplication health report: docs, corpus-wide exact
+    * duplicates (non-first occurrence of their content hash, [[exact]]'s
+    * survivor rule), and the duplicate rate in ppm — the per-crawl /
+    * per-source table a curation run reads to decide which inputs are
+    * rotting. Duplication is CORPUS-wide (a doc whose text first
+    * appeared in another source counts as that source's duplicate), so
+    * the rates expose cross-source copying, not just self-duplication.
+    *
+    * Same scale shape as [[exact]] (partial-aggregated hash groupBy +
+    * AQE-splittable join-back) followed by a #groups-row aggregate.
+    */
+  def duplicateRateByGroup(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(idCol), col(groupCol))
+      .join(exact(df, idCol, textCol), idCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_ppm", expr("n_dups * 1000000 DIV n_docs"))
+
   /** Priority-aware exact dedup: among rows with identical text, keep the
     * one ranked first by `priorityCols` (e.g. source quality tier, then
     * id for determinism) — the curation rule "when Wikipedia and a crawl
@@ -666,6 +686,36 @@ object Dedup {
     minhashCandidatesScored(df, idCol, textCol, n, bands, rowsPerBand,
       materialize = false)
       .filter(col("jaccard") >= threshold)
+
+  /** Candidate-generation RECALL report for MinHash-LSH against exact
+    * n-gram-Jaccard ground truth at the same shingle settings: ONE row
+    * (n_true, n_candidates, n_hit, recall_ppm) with recall_ppm =
+    * n_hit·10⁶ DIV n_true — integer, engine-exact. The dedup-side
+    * analogue of [[Similarity.recallAtK]]: the number that sizes
+    * (bands, rowsPerBand) against the LSH S-curve before committing a
+    * corpus-wide near-dup run.
+    *
+    * Scale shape: both sides are the existing scale-safe pair
+    * pipelines; the comparison is a full-outer equi-join on the pair
+    * key plus one aggregate — pair-set-sized, never corpus-sized, and
+    * all three counts fold in the same pass (no 1-row cross join).
+    */
+  def minhashRecall(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000,
+      bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val truth = ngramJaccard(df, idCol, textCol, n, threshold, maxDf)
+      .select(col("d1"), col("d2")).withColumn("__t", lit(1L))
+    val cand = minhashLsh(df, idCol, textCol, n, bands, rowsPerBand)
+      .select(col("d1"), col("d2")).withColumn("__c", lit(1L))
+    truth.join(cand, Seq("d1", "d2"), "full_outer")
+      .agg(sum(coalesce(col("__t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_candidates"),
+        sum(when(col("__t").isNotNull && col("__c").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .withColumn("recall_ppm",
+        when(col("n_true") === 0, lit(0L))
+          .otherwise(expr("n_hit * 1000000 DIV n_true")))
+  }
 
   /** Contrastive training-pair mining for embedding models, from the
     * dedup machinery the corpus already runs: POSITIVES are the verified

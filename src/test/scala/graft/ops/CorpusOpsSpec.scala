@@ -689,4 +689,43 @@ class CorpusOpsSpec extends SparkTestBase {
       ("empty", 0L, 0L, 0L, 0L),
       ("web", 1L, 1000000L, 100L, 100000L)))
   }
+
+  test("mixtureTemperaturePlan: sqrt weights flatten the head source") {
+    // web: 16 tokens, code: 4 tokens → raw 80/20 but sqrt 4/2 → 666666/333333
+    val docs = Seq(
+      (1L, ("t " * 16).trim, "web"),
+      (2L, ("t " * 4).trim, "code")
+    ).toDF("doc_id", "text", "source")
+    val plan = Corpus.mixtureTemperaturePlan(docs, "source", "text",
+      budgetTokens = 600L).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(plan === Array(
+      ("code", 4L, 333333L, 199L),
+      ("web", 16L, 666666L, 399L)))
+  }
+
+  test("duplicateRateByGroup: cross-source copy counts against the copier") {
+    val docs = Seq(
+      (1L, "original text", "wiki"),
+      (2L, "original text", "crawl"), // copied from wiki (higher id)
+      (3L, "fresh text", "crawl")
+    ).toDF("doc_id", "text", "source")
+    val rates = Dedup.duplicateRateByGroup(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rates === Array(
+      ("crawl", 2L, 1L, 500000L),
+      ("wiki", 1L, 0L, 0L)))
+  }
+
+  test("minhashRecall: identical docs are always caught, counts stay exact") {
+    // docs 1 and 3 are identical → jaccard 1 AND identical signatures,
+    // so the pair is both a truth pair and an LSH candidate
+    val r = Dedup.minhashRecall(docs, "doc_id", "text").collect()
+    assert(r.length === 1)
+    val (nTrue, nCand, nHit, ppm) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(nTrue >= 1 && nHit >= 1 && nHit <= nTrue && nHit <= nCand)
+    assert(ppm === nHit * 1000000L / nTrue)
+  }
 }
