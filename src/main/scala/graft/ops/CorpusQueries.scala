@@ -1223,6 +1223,51 @@ object CorpusQueries {
              |FROM isl GROUP BY doc_id, g
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // the ACTION step of span dedup: excise the maximal duplicate spans
+    // at token granularity. Untouched docs keep their original text
+    // byte-for-byte; rewritten docs re-join survivors with single spaces
+    Q(
+      "corpus_span_removal",
+      (s, dir) =>
+        Dedup.removeDuplicateSpans(table(s, dir, "documents"), "doc_id",
+          "text", window = 8)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $toksCte,
+             |pos AS (SELECT doc_id, ws,
+             |  unnest(range(0, greatest(CAST(len(ws) AS BIGINT) - 7, 0))) AS p
+             |  FROM toks),
+             |win AS (SELECT doc_id, p,
+             |  md5(array_to_string(ws[p+1:p+8], ' ')) AS h FROM pos),
+             |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+             |  GROUP BY h HAVING COUNT(*) > 1),
+             |hits AS (SELECT doc_id, p FROM win
+             |  WHERE h IN (SELECT h FROM dup)),
+             |flags AS (SELECT doc_id, p,
+             |  CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+             |    THEN 0 ELSE 1 END AS f
+             |  FROM hits),
+             |isl AS (SELECT doc_id, p,
+             |  SUM(f) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM flags),
+             |spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 7 AS e
+             |  FROM isl GROUP BY doc_id, g),
+             |nr AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+             |  FROM spans GROUP BY doc_id),
+             |tokidx AS (SELECT doc_id, ws,
+             |  unnest(range(0, CAST(len(ws) AS BIGINT))) AS i FROM toks),
+             |keep AS (SELECT t.doc_id, t.ws[t.i+1] AS w, t.i FROM tokidx t
+             |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+             |    WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e)),
+             |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS ct
+             |  FROM keep GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CASE WHEN nr.doc_id IS NOT NULL THEN COALESCE(a.ct, '')
+             |       ELSE d.text END AS clean_text,
+             |  CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed
+             |FROM documents d
+             |LEFT JOIN nr ON d.doc_id = nr.doc_id
+             |LEFT JOIN agg a ON d.doc_id = a.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // continuous-crawl span dedup: history (doc_id % 5 != 0) is stored
     // as distinct window hashes, only the new batch (doc_id % 5 == 0)
     // is tokenized, dups = match history OR another new doc
@@ -1824,6 +1869,65 @@ object CorpusQueries {
            |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
            |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
            |    WHERE a.vec_id < 20) t WHERE rank <= 5)
+           |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |  CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+           |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+      }),
+
+    // ANN recall for the plain-PQ scan vs brute-force cosine truth —
+    // quantifies the asymmetric-distance approximation alone (no coarse
+    // cells), isolating the (m, ksub) loss from the IVF probe loss
+    Q(
+      "ann_recall_pq",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        Similarity.recallAtK(
+          Similarity.cosineTopK(q, e, "vec_id", "embedding", Dim, k = 5),
+          Similarity.pqTopK(q, e, "vec_id", "embedding", Dim,
+            m = 4, ksub = 8, k = 5))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val m = 4; val ksub = 8; val sub = Dim / m
+        def subdist(a: String, b: String) =
+          s"""list_sum(list_transform(range(j*$sub + 1, j*$sub + ${sub + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        s"""WITH ex AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+           |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           |    WHERE a.vec_id < 20) t WHERE rank <= 5),
+           |qvt AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |cb AS (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv
+           |  FROM (SELECT vec_id, qv FROM qvt ORDER BY vec_id LIMIT $ksub)),
+           |js AS (SELECT unnest(range(0, $m)) AS j),
+           |enc AS (
+           |  SELECT vec_id, j, code FROM (
+           |    SELECT v.vec_id, js.j, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, js.j
+           |        ORDER BY ${subdist("v.qv", "c.qv")}, c.code) AS rn
+           |    FROM qvt v CROSS JOIN cb c CROSS JOIN js) t WHERE rn = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS q_id, js.j, c.code,
+           |    ${subdist("q.qv", "c.qv")} AS d
+           |  FROM qvt q CROSS JOIN cb c CROSS JOIN js WHERE q.vec_id < 20),
+           |sc AS (
+           |  SELECT l.q_id, e.vec_id AS n_id, SUM(l.d) AS dist
+           |  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+           |  WHERE l.q_id != e.vec_id GROUP BY 1, 2),
+           |ap AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY dist, n_id) AS rank FROM sc) t
+           |  WHERE rank <= 5)
            |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
            |  CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
            |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id

@@ -1069,6 +1069,42 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** The ACTION step of span dedup (Lee et al. 2021's "deduplicating
+    * training data" removal): rewrite each document with its maximal
+    * duplicate spans ([[duplicateSpanRanges]]) excised at token
+    * granularity. Docs with no duplicate span keep their ORIGINAL text
+    * byte-for-byte (whitespace preserved); rewritten docs re-join the
+    * surviving tokens with single spaces (the canonical form every
+    * downstream token-level op in this engine already assumes).
+    *
+    * @return (idCol, clean_text, n_removed tokens)
+    *
+    * Scale shape: ranges fold to one per-doc array via a
+    * partial-aggregated `collect_list` (bounded by doc length, never
+    * corpus-keyed), the rewrite is a map-only higher-order filter over
+    * the token array, and docs without ranges skip the rewrite via the
+    * left join's null arm.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    val ranges = duplicateSpanRanges(docs, idCol, textCol, window)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__rs"))
+    docs.join(ranges, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__rs").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(tokens(col(textCol)), (_, i) =>
+              !exists(col("__rs"), r =>
+                i.cast("long") >= r("span_start") &&
+                  i.cast("long") <= r("span_end"))),
+            " ")).as("clean_text"),
+        coalesce(aggregate(col("__rs"), lit(0L),
+            (acc, r) => acc + r("span_end") - r("span_start") + 1),
+          lit(0L)).as("n_removed"))
+  }
+
   /** `window`-token rolling windows of every doc as (idCol, __p, __h)
     * rows — md5 over the joined window text, the shared currency of
     * [[duplicateSpans]], [[spanHashTable]] and

@@ -216,6 +216,21 @@ class TextPipelineSpec extends SparkTestBase {
       (2L, 0L, 4L, 5L), (2L, 8L, 10L, 3L)))
   }
 
+  test("removeDuplicateSpans excises ranges, untouched docs keep raw text") {
+    val docs = Seq(
+      (1L, "a b c d e x y z p q r"), // loses [a b c d e] and [p q r]
+      (2L, "a b c d e k l m p q r"),
+      (3L, "u  v   w unique spacing") // untouched → original whitespace
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out === Array(
+      (1L, "x y z", 8L),
+      (2L, "k l m", 8L),
+      (3L, "u  v   w unique spacing", 0L)))
+  }
+
   test("duplicateSpansIncremental checks history and in-batch, not old-old") {
     val history = Dedup.spanHashTable(
       Seq((1L, "stored span here plus tail")).toDF("doc_id", "text"),
