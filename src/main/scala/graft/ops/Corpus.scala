@@ -247,6 +247,40 @@ object Corpus {
       .drop("__s", "__tot")
   }
 
+  /** Materialize a [[mixturePlan]] into the epoch-expanded corpus the
+    * trainer actually reads: each document appears `repeat_milli DIV
+    * 1000` whole times, plus one more with probability
+    * `(repeat_milli % 1000) / 1000` decided by a deterministic content
+    * hash — so the expanded token count converges to the plan's
+    * per-source targets with zero RNG and bit-identical output on any
+    * engine, any partitioning, any run.
+    *
+    * Shape at scale: the plan is a #sources-row aggregate broadcast
+    * back onto the corpus; the expansion itself is a map-only
+    * `explode(sequence(...))` whose fan-out IS the requested epoch
+    * count — no shuffle is added over reading the corpus once. Output
+    * rows carry (id, source, epoch); downstream writers append epoch to
+    * the shard key so repeated copies spread across shards.
+    */
+  def epochExpand(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, weightsPpm: Seq[(String, Int)],
+      budgetTokens: Long): DataFrame = {
+    val plan = mixturePlan(df, sourceCol, textCol, weightsPpm, budgetTokens)
+      .select(col("source").as("__src"), col("repeat_milli"))
+    // same 24-bit md5-prefix hash as sampleToMixture: keep iff
+    // h * 1000 < 2^24 * (repeat_milli % 1000)
+    val h = conv(substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long")
+    df.join(broadcast(plan), col(sourceCol) === col("__src"))
+      .withColumn("__n", expr("repeat_milli DIV 1000") +
+        when(h * lit(1000L) < lit(1L << 24) * (col("repeat_milli") % 1000),
+          lit(1L)).otherwise(lit(0L)))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(0L), col("__n") - 1)).as("epoch"))
+  }
+
   /** Lexical top-k retrieval with integer inverse-df weighting: score(doc)
     * = Σ over matched query terms of tf(term, doc) * (C / df(term)), with
     * C/df an INTEGER division (C = 1_000_000). Integer weights make the

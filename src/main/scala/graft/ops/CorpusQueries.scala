@@ -522,6 +522,47 @@ object CorpusQueries {
              |       ELSE target_tokens * 1000 // n_tokens END AS BIGINT) AS repeat_milli
              |FROM c ORDER BY source""".stripMargin)),
 
+    // epoch expansion: MATERIALIZE the mixture plan — every doc emitted
+    // floor(repeat_milli/1000) times plus a deterministic-hash
+    // fractional epoch, so the expanded corpus hits the plan's
+    // per-source token targets with zero RNG. Budget 30000 exercises
+    // both the <1-epoch (hash-thinned) and >1-epoch (exploded) paths.
+    Q(
+      "corpus_epoch_expand",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sources = docs.select(col("source")).distinct()
+          .collect().map(_.getString(0)).sorted
+        val weights = sources.toSeq.map(src =>
+          src -> (src.drop(3).toInt + 1) * 4761)
+        Corpus.epochExpand(docs, "source", "doc_id", "text", weights,
+          budgetTokens = 30000L)
+          .orderBy(col("doc_id"), col("epoch"))
+      },
+      Some("""WITH a AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens,
+             |    CAST((CAST(substr(source, 4) AS BIGINT) + 1) * 4761 AS BIGINT) AS weight_ppm
+             |  FROM documents GROUP BY source),
+             |p AS (
+             |  SELECT source,
+             |    CASE WHEN n_tokens = 0 THEN 0
+             |      ELSE (30000 * weight_ppm // 1000000) * 1000 // n_tokens
+             |    END AS repeat_milli
+             |  FROM a),
+             |d AS (
+             |  SELECT doc_id, d.source, p.repeat_milli,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS h
+             |  FROM documents d JOIN p USING (source)),
+             |n AS (
+             |  SELECT doc_id, source,
+             |    repeat_milli // 1000 +
+             |      CASE WHEN h * 1000 < 16777216 * (repeat_milli % 1000)
+             |        THEN 1 ELSE 0 END AS n_rep
+             |  FROM d)
+             |SELECT doc_id, source, CAST(unnest(range(0, n_rep)) AS BIGINT) AS epoch
+             |FROM n WHERE n_rep > 0 ORDER BY doc_id, epoch""".stripMargin)),
+
     // deterministic shard-export manifest: md5(id) mod N shard
     // assignment, per-shard doc/token counts and id ranges — the release
     // record of a `write.partitionBy("shard")` training export
@@ -2035,6 +2076,41 @@ object CorpusQueries {
            |FROM ex LEFT JOIN iv ON ex.q_id = iv.q_id AND ex.n_id = iv.n_id
            |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
       }),
+
+    // pairwise cosine between per-label embedding CENTROIDS: the
+    // label-affinity report that sizes cross-domain dedup thresholds.
+    // Milli-unit integer quantization, un-normalized integer sums as
+    // centroids (cosine is scale-invariant), one fixed double shape for
+    // the final cos_micro — engine-exact end to end.
+    Q(
+      "emb_label_centroid_sim",
+      (s, dir) =>
+        Similarity.labelCentroidSimilarity(
+          table(s, dir, "embeddings"), "label", "embedding")
+          .orderBy(col("la"), col("lb")),
+      Some(s"""WITH x AS (
+             |  SELECT label,
+             |    unnest(range(1, ${Dim + 1})) AS pos,
+             |    unnest(list_transform(embedding, e ->
+             |      CAST(FLOOR(CAST(e AS DOUBLE) * 1000.0) AS BIGINT))) AS qv
+             |  FROM embeddings),
+             |cen AS (
+             |  SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS c
+             |  FROM x GROUP BY label, pos),
+             |nrm AS (
+             |  SELECT label, CAST(SUM(c*c) AS BIGINT) AS nrm
+             |  FROM cen GROUP BY label),
+             |dots AS (
+             |  SELECT a.label AS la, b.label AS lb,
+             |    CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+             |  FROM cen a JOIN cen b ON a.pos = b.pos AND a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT la, lb,
+             |  CAST(FLOOR(CAST(dot AS DOUBLE) /
+             |    (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+             |    * 1000000.0) AS BIGINT) AS cos_micro
+             |FROM dots JOIN nrm na ON na.label = la JOIN nrm nb ON nb.label = lb
+             |ORDER BY la, lb""".stripMargin)),
 
     // ======== multimodal plumbing (byte-level; decode is stubbed) ========
     Q(

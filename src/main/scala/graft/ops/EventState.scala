@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log state operators: the lakehouse "current state" and
+  * "history table" derivations every CDC/analytics pipeline needs on
+  * top of an append-only event stream, plus a two-pass anomaly gate.
+  *
+  * Scale notes (the 100 TB contract):
+  *   - [[latestSnapshot]] is ONE partial-aggregated `groupBy(key)` —
+  *     `max_by` combines map-side, so the shuffle carries one row per
+  *     key per map task, never the raw event volume. No window.
+  *   - [[scd2Intervals]] uses windows partitioned by the ENTITY key,
+  *     whose cardinality grows with the data (users, devices, rows of
+  *     a CDC'd table) — per-key row counts stay bounded by per-entity
+  *     activity, so no fixed-cardinality single-task funnel (the
+  *     q_window_ranks anti-pattern) can form.
+  *   - [[anomalies]] never sorts or windows: per-group moments come
+  *     from one partial-aggregated scan and join back as a broadcast
+  *     (#groups rows). The outlier test is integer cross-multiplied —
+  *     engine-exact, no sqrt, no epsilon.
+  */
+object EventState {
+
+  /** Latest row per key — the "current state" view of an append-only
+    * log (CDC compaction, device shadow, last-touch attribution).
+    *
+    * Deterministic: rows are ordered by (`tsCol`, `tieCol`); the tie
+    * column (an event id / LSN) makes the ordering total even when
+    * timestamps collide. Emits the key, the winning row's timestamp as
+    * `last_ts_us` (µs since epoch), and the payload columns.
+    */
+  def latestSnapshot(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    val pick = struct((tsCol +: payloadCols).map(col): _*)
+    val ord = struct(col(tsCol), col(tieCol))
+    df.groupBy(col(keyCol))
+      .agg(max_by(pick, ord).as("__last"))
+      .select(col(keyCol) +:
+        unix_micros(col(s"__last.$tsCol")).as("last_ts_us") +:
+        payloadCols.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
+  /** Slowly-changing-dimension type-2 history: compress the event log
+    * to one row per (key, state run), stamped with the half-open
+    * validity interval [`valid_from_us`, `valid_to_us`) — `valid_to_us`
+    * is NULL for each key's current state.
+    *
+    * Two windows, both partitioned by the data-scaled entity key: a
+    * `lag` to detect state changes, then a `lead` over the surviving
+    * change rows to close each interval at the NEXT change (not at the
+    * next raw event — consecutive same-state events extend the run).
+    */
+  def scd2Intervals(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.select(col(keyCol), col(tsCol), col(tieCol), col(stateCol))
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+      .withColumn("valid_to_us", unix_micros(lead(col(tsCol), 1).over(w)))
+      .select(col(keyCol), col(stateCol).as("state"),
+        unix_micros(col(tsCol)).as("valid_from_us"), col("valid_to_us"))
+  }
+
+  /** Per-group 3-sigma outliers by exact integer arithmetic: quantize
+    * the measure to deci-units (`floor(value * 10)` — the same double
+    * product and floor in any IEEE engine), aggregate count / sum /
+    * sum-of-squares per group, and flag rows where
+    * `(n*v - S)^2 > 9 * (n*SS - S^2)` — the cross-multiplied form of
+    * `|v - mean| > 3 * stddev`, with no division, sqrt, or float
+    * accumulation anywhere. A zero-variance group flags nothing
+    * (0 > 0 is false).
+    *
+    * Bounds: with |v| <= 5e5 deci-units and n <= 1e7 rows per group,
+    * every intermediate stays under 2^63. Beyond that (true 100 TB
+    * groups) the moments upgrade to DECIMAL(38,0) sums — the integer
+    * comparison is unchanged.
+    */
+  def anomalies(df: DataFrame, groupCol: String, valueCol: String,
+      keepCols: Seq[String]): DataFrame = {
+    val q = df.withColumn("__v",
+      floor(col(valueCol) * lit(10.0)).cast("long"))
+    val stats = q.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__v")).as("__s"),
+      sum(col("__v") * col("__v")).as("__ss"))
+    val dev: Column = col("__n") * col("__v") - col("__s")
+    q.join(broadcast(stats), groupCol)
+      .filter(dev * dev > lit(9L) * (col("__n") * col("__ss") - col("__s") * col("__s")))
+      .select((groupCol +: keepCols).map(col): _*)
+  }
+}

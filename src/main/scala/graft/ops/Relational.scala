@@ -858,6 +858,73 @@ object Relational {
              |  (SELECT COUNT(*) FROM t0) AS users
              |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t1)
              |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t2)
-             |ORDER BY step""".stripMargin))
+             |ORDER BY step""".stripMargin)),
+
+    // ---- latest row per user (CDC compaction / "current state" view):
+    //      ONE partial-aggregated max_by keyed by user — no window, the
+    //      shuffle carries one candidate per key per map task. Both
+    //      engines order by the µs-truncated timestamp with event_id
+    //      breaking collisions, so the winner is total-order unique.
+    Q(
+      "q_latest_snapshot",
+      (s, dir) =>
+        EventState.latestSnapshot(events(s, dir), "user_id", "ts",
+          "event_id", Seq("event_type", "value"))
+          .select(col("user_id"), col("last_ts_us"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy(col("user_id")),
+      Some("""WITH r AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, epoch_us(t) AS last_ts_us,
+             |  event_type AS last_type, value AS last_value
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- SCD2 history compression: one row per (user, state run) with
+    //      half-open validity intervals; the windows partition by the
+    //      DATA-SCALED user key (never a fixed-cardinality funnel)
+    Q(
+      "q_scd2_intervals",
+      (s, dir) =>
+        EventState.scd2Intervals(events(s, dir), "user_id", "ts",
+          "event_id", "event_type")
+          .orderBy(col("user_id"), col("valid_from_us"), col("state")),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type
+             |  FROM events),
+             |c AS (
+             |  SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id) AS prev FROM e),
+             |ch AS (
+             |  SELECT user_id, t, event_id, event_type FROM c
+             |  WHERE prev IS NULL OR prev != event_type)
+             |SELECT user_id, event_type AS state, epoch_us(t) AS valid_from_us,
+             |  epoch_us(LEAD(t) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id)) AS valid_to_us
+             |FROM ch ORDER BY user_id, valid_from_us, state""".stripMargin)),
+
+    // ---- per-type 3-sigma outliers, engine-exact: deci-unit integer
+    //      quantization, one partial-aggregated moment pass, broadcast
+    //      join-back, cross-multiplied comparison (no sqrt/division)
+    Q(
+      "q_event_anomaly",
+      (s, dir) =>
+        EventState.anomalies(events(s, dir), "event_type", "value",
+          Seq("event_id", "value"))
+          .select(col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id")),
+      Some("""WITH v AS (
+             |  SELECT event_id, event_type, value,
+             |    CAST(FLOOR(value * 10.0) AS BIGINT) AS q FROM events),
+             |st AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q*q) AS BIGINT) AS ss
+             |  FROM v GROUP BY 1)
+             |SELECT event_id, event_type, value
+             |FROM v JOIN st USING (event_type)
+             |WHERE (n*q - s)*(n*q - s) > 9*(n*ss - s*s)
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -506,4 +506,46 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+
+  /** Pairwise cosine similarity between per-label embedding centroids —
+    * the "how close are my sources/classes in embedding space" report
+    * that sizes cross-domain dedup thresholds and flags label leakage
+    * (two labels with cos ≈ 1 are the same distribution twice).
+    *
+    * Engine-exact by the repo's integer discipline: components quantize
+    * to milli-units (`floor(e * 1000)` — exact double product + floor in
+    * any IEEE engine), per-(label, dim) sums are exact integers, and the
+    * UN-normalized integer sum serves as the centroid — cosine is
+    * scale-invariant, so skipping the count division avoids any floor-
+    * vs-truncate ambiguity across engines. The final cosine is one
+    * fixed shape of correctly-rounded double ops quantized to
+    * `cos_micro`.
+    *
+    * Shape at scale: `posexplode` is a narrow map (rows × dim), the only
+    * shuffle is the partial-aggregated (label, dim) sum, and everything
+    * after folds a #labels × dim table — bounded, broadcast-sized.
+    * Bounds: |e| ≤ 1 ⇒ component sums stay < 2^53/dim up to ~10^11 rows
+    * per label; beyond that the sums upgrade to DECIMAL(38,0).
+    */
+  def labelCentroidSimilarity(emb: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val cen = emb
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .withColumn("qv", floor(col("e").cast("double") * lit(1000.0)).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv")).as("c"))
+    val norms = cen.groupBy(col("label"))
+      .agg(sum(col("c") * col("c")).as("nrm"))
+    val a = cen.select(col("label").as("la"), col("pos"), col("c").as("ca"))
+    val b = cen.select(col("label").as("lb"), col("pos"), col("c").as("cb"))
+    a.join(b, Seq("pos")).filter(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(broadcast(norms.select(col("label").as("la"), col("nrm").as("na"))), "la")
+      .join(broadcast(norms.select(col("label").as("lb"), col("nrm").as("nb"))), "lb")
+      .select(col("la"), col("lb"),
+        floor(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) *
+            lit(1000000.0)).cast("long").as("cos_micro"))
+  }
 }
