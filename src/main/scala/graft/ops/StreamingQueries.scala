@@ -325,6 +325,42 @@ object StreamingQueries {
              |  FROM gapped)
              |SELECT user_id, session_id, COUNT(*) AS n_events,
              |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
-             |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // streaming CDC "current state": the same partial-aggregated max_by
+    // as EventState.latestSnapshot, maintained INCREMENTALLY by the
+    // streaming aggregation state store — the materialized-view form of
+    // the latest-row-per-key compaction. Complete-mode drain equals the
+    // batch answer (q_latest_snapshot's oracle) by construction.
+    Q(
+      "stream_latest_snapshot",
+      (s, dir) => {
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val stream = eventsStream(s, dir)
+        val agg = stream.groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("ts"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("__last"))
+          .select(col("user_id"),
+            unix_micros(col("__last.ts")).as("last_ts_us"),
+            col("__last.event_type").as("last_type"),
+            col("__last.value").as("last_value"))
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name).orderBy(col("user_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, epoch_us(t) AS last_ts_us,
+             |  event_type AS last_type, value AS last_value
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin))
   )
 }
