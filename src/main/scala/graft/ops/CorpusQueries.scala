@@ -563,6 +563,92 @@ object CorpusQueries {
              |SELECT doc_id, source, CAST(unnest(range(0, n_rep)) AS BIGINT) AS epoch
              |FROM n WHERE n_rep > 0 ORDER BY doc_id, epoch""".stripMargin)),
 
+    // deterministic HyperLogLog: per-language distinct-SHINGLE estimate
+    // pinned bit-for-bit by the oracle (md5-derived registers, exact
+    // power-of-two harmonic sum) next to the exact NDV — the one-pass
+    // kilobyte-state cardinality profile a 100 TB scan runs where
+    // count_distinct would shuffle every shingle. 5-gram shingles put
+    // every language (3.2k-10.9k NDV at sf0.01) in the raw-estimator
+    // regime (NDV > 2.5m), where the log-free estimator is the
+    // operative branch — expected error 1.04/sqrt(1024) ≈ 3%.
+    Q(
+      "sketch_hll_ndv",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val t = docs
+          .select(col("lang"), TextFunctions.tokens(col("text")).as("__ws"))
+          .select(col("lang"),
+            explode(TextFunctions.shinglesFromTokens(col("__ws"), 5)).as("shingle"))
+        Sketches.hllDistinct(t, "lang", "shingle").orderBy(col("lang"))
+      },
+      Some(s"""WITH stoks AS (
+             |  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS ws
+             |  FROM documents),
+             |shd AS (
+             |  SELECT lang,
+             |    list_distinct(list_transform(range(1, len(ws) - 3),
+             |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingles
+             |  FROM stoks WHERE len(ws) >= 5),
+             |t AS (SELECT lang, unnest(shingles) AS shingle FROM shd),
+             |hx AS (
+             |  SELECT lang, shingle,
+             |    ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h
+             |  FROM t),
+             |rb AS (
+             |  SELECT lang, h >> 38 AS bucket,
+             |    CASE WHEN h % (1::BIGINT << 38) = 0 THEN 39
+             |      ELSE 39 - length(bin(h % (1::BIGINT << 38))) END AS rho
+             |  FROM hx),
+             |regs AS (
+             |  SELECT lang, bucket, MAX(rho) AS m FROM rb GROUP BY 1, 2),
+             |e AS (
+             |  SELECT lang, COUNT(*) AS n_occ,
+             |    SUM(CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << m) AS DOUBLE)) AS s_occ
+             |  FROM regs GROUP BY 1),
+             |x AS (
+             |  SELECT lang,
+             |    CAST(1024 - n_occ AS DOUBLE) + s_occ AS sum_inv
+             |  FROM e)
+             |SELECT x.lang,
+             |  CAST(FLOOR(CAST(0.7213 AS DOUBLE) /
+             |    (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE)) *
+             |    CAST(1048576.0 AS DOUBLE) / sum_inv) AS BIGINT) AS est_ndv,
+             |  nd.exact_ndv
+             |FROM x JOIN (
+             |  SELECT lang, COUNT(DISTINCT shingle) AS exact_ndv FROM t GROUP BY 1
+             |) nd USING (lang)
+             |ORDER BY lang""".stripMargin)),
+
+    // deterministic count-min sketch: estimated counts of the true
+    // top-10 tokens from a 4×1024-cell counter table — est >= true by
+    // construction, and the oracle pins the exact cell values, so the
+    // ESTIMATOR is under test, not just its error bound
+    Q(
+      "sketch_cms_topk",
+      (s, dir) => {
+        val t = table(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        Sketches.cmsHeavyHitters(t, "tok", k = 10)
+          .orderBy(col("true_count").desc, col("item"))
+      },
+      Some(s"""WITH $toksCte,
+             |t AS (SELECT unnest(ws) AS tok FROM toks),
+             |pairs AS (
+             |  SELECT i, ('0x' || substr(md5(tok), 1 + 3*i, 3))::BIGINT % 1024 AS bucket
+             |  FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii),
+             |counters AS (
+             |  SELECT i, bucket, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+             |top AS (
+             |  SELECT tok AS item, COUNT(*) AS true_count FROM t GROUP BY 1
+             |  ORDER BY true_count DESC, item LIMIT 10),
+             |probe AS (
+             |  SELECT item, true_count, i,
+             |    ('0x' || substr(md5(item), 1 + 3*i, 3))::BIGINT % 1024 AS bucket
+             |  FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii)
+             |SELECT p.item, p.true_count, CAST(MIN(c.cnt) AS BIGINT) AS est_count
+             |FROM probe p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
+             |GROUP BY 1, 2 ORDER BY true_count DESC, item""".stripMargin)),
+
     // deterministic shard-export manifest: md5(id) mod N shard
     // assignment, per-shard doc/token counts and id ranges — the release
     // record of a `write.partitionBy("shard")` training export

@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass bounded-memory sketches — the cardinality and frequency
+  * estimators a 100 TB profiling pass runs where exact answers would
+  * shuffle the corpus (HyperLogLog: Flajolet et al. 2007; count-min:
+  * Cormode & Muthukrishnan 2005).
+  *
+  * Both sketches here are DETERMINISTIC (md5-derived hash bits, no RNG)
+  * and engine-exact: every register/counter is an integer, and the only
+  * floating-point step — HLL's harmonic mean — sums exact powers of two
+  * whose 53-bit mantissa span makes the double sum order-independent,
+  * then applies one fixed shape of correctly-rounded ops. An oracle can
+  * therefore reproduce the ESTIMATES bit-for-bit, not just bound them —
+  * the estimator itself is under test, not only its error.
+  *
+  * Shape at scale: the corpus is scanned once; the shuffle carries
+  * partial-aggregated (group, register) rows bounded by #groups × m
+  * (HLL) or depth × width (CMS) — kilobytes of state per group no
+  * matter the input size. That bounded state is also why both sketches
+  * MERGE: register-wise max / counter-wise sum across shards, days, or
+  * clusters.
+  */
+object Sketches {
+
+  /** HLL registers per group: m = 1024 buckets (top 10 bits of a 48-bit
+    * md5 prefix), register = max over items of (leading zeros of the
+    * remaining 38 bits + 1). One partial-aggregated max per
+    * (group, bucket).
+    */
+  private def hllRegisters(items: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    val h = conv(substring(
+      md5(col(itemCol).cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    val r = h % lit(1L << 38)
+    // rho = leading zeros of the 38-bit remainder + 1; bin() has no
+    // leading zeros in either engine, so length(bin(r)) = floor(log2)+1
+    val rho = when(r === 0, lit(39))
+      .otherwise(lit(39) - length(bin(r)))
+    items
+      .select(col(groupCol), shiftright(h, 38).as("bucket"), rho.as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** HLL distinct-count estimate per group, next to the exact NDV for
+    * the report. Empty buckets contribute 2^0 = 1 to the harmonic sum
+    * without materializing a bucket spine: sum_inv = (1024 - occupied)
+    * + Σ 2^-register, every term an exact power of two (computed as
+    * 1.0 / (1 << m) — shift, cast, divide are all exact), the total
+    * spanning ≤ 50 mantissa bits so the double sum is exact in any
+    * order. The raw HLL estimator only (no small-range linear-counting
+    * correction: that needs ln, which is not correctly rounded across
+    * libms — at the sketch's design scale the raw estimator is the
+    * operative branch anyway).
+    *
+    * The exact-NDV column is the report's calibration at test scale; at
+    * 100 TB a caller drops it and keeps the one-pass sketch.
+    */
+  def hllDistinct(items: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    val regs = hllRegisters(items, groupCol, itemCol)
+    val est = regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_occ"),
+        sum(lit(1.0) /
+            expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"))
+          .as("s_occ"))
+      .withColumn("sum_inv",
+        (lit(1024L) - col("n_occ")).cast("double") + col("s_occ"))
+      .select(col(groupCol),
+        floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)) *
+            lit(1048576.0) / col("sum_inv")).cast("long").as("est_ndv"))
+    val exact = items.groupBy(col(groupCol))
+      .agg(count_distinct(col(itemCol)).as("exact_ndv"))
+    est.join(exact, groupCol)
+  }
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** The CMS bucket row for hash row `i`: 12 md5 hex chars per row,
+    * folded mod width. */
+  private def cmsBucket(itemHex: Column, i: Int): Column =
+    conv(substring(itemHex, 1 + 3 * i, 3), 16, 10).cast("long") % CmsWidth
+
+  /** Count-min heavy-hitter report: estimated counts for the true
+    * top-k items, next to the true counts. The counter table is one
+    * partial-aggregated count over (row, bucket) — depth × width = 4096
+    * cells regardless of input size — and the probe side is the
+    * bounded top-k, so the join is broadcast × k rows. The one-sided
+    * error guarantee (est ≥ true, est ≤ true + εN with prob. 1 - δ) is
+    * asserted by SketchesSpec; the oracle pins the exact cell values.
+    */
+  def cmsHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hexed = items.select(col(itemCol).as("item"),
+      md5(col(itemCol).cast("string").cast("binary")).as("__h"))
+    val counters = hexed
+      .select(posexplode(array((0 until CmsDepth).map(i =>
+        cmsBucket(col("__h"), i)): _*)).as(Seq("i", "bucket")))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = items.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("item"))
+      .limit(k)
+    top
+      .withColumn("__h", md5(col("item").cast("string").cast("binary")))
+      .select(col("item"), col("true_count"),
+        posexplode(array((0 until CmsDepth).map(i =>
+          cmsBucket(col("__h"), i)): _*)).as(Seq("i", "bucket")))
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col("item"), col("true_count"))
+      .agg(min(col("cnt")).as("est_count"))
+  }
+}
