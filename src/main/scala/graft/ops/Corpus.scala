@@ -281,6 +281,54 @@ object Corpus {
         explode(sequence(lit(0L), col("__n") - 1)).as("epoch"))
   }
 
+  /** Top-k adjacent-token collocations by pointwise mutual information —
+    * the "multi-word expression" miner that feeds tokenizer vocab
+    * decisions and phrase-aware dedup. PMI's log is rank-irrelevant
+    * (log is monotone), so the score is the scaled integer rational
+    * core: `pmi_ppm = c_ab * N * 10^6 DIV (c_a * c_b)` — exact in any
+    * aggregation order, engine-identical, no libm anywhere.
+    *
+    * Shape at scale: bigram construction is a map-only per-doc
+    * transform (no self-join on position); pair and unigram counts are
+    * partial-aggregated; the marginal join is equi on the word key; the
+    * final top-k is a bounded TakeOrderedAndProject. `minCount` prunes
+    * the hapax tail BEFORE the marginal join — the pair table that
+    * survives is the interesting head, not the corpus.
+    *
+    * Bounds: c_ab·N·10^6 < 2^63 holds for corpora to ~10^8 tokens with
+    * head pairs at ~10^3; beyond that drop the ppm scale or go
+    * DECIMAL(38,0) — the ranking is unchanged.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(TextFunctions.tokens(lower(col(textCol))).as("ws"))
+    // one corpus scalar (token total) — the bm25TopK precedent
+    val n = toks.agg(sum(size(col("ws")).cast("long"))).head().getLong(0)
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = toks
+      // Spark's sequence() runs DESCENDING when end < start, so the
+      // short-doc guard is load-bearing (unlike the oracle's range())
+      .select(explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .otherwise(expr("array()").cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .withColumn("pmi_ppm",
+        expr(s"c_ab * ${n}L * 1000000L DIV (c_a * c_b)"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Lexical top-k retrieval with integer inverse-df weighting: score(doc)
     * = Σ over matched query terms of tf(term, doc) * (C / df(term)), with
     * C/df an INTEGER division (C = 1_000_000). Integer weights make the

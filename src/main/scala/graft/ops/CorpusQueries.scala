@@ -1017,6 +1017,36 @@ object CorpusQueries {
            |WHERE rank <= 10 ORDER BY rank""".stripMargin
       }),
 
+    // top-30 PMI collocations: adjacent-pair counts vs unigram
+    // marginals, ranked by the scaled integer rational core of PMI
+    // (the log is monotone, so it never needs computing) — map-only
+    // bigram build, partial-aggregated counts, bounded top-k
+    Q(
+      "text_pmi_pairs",
+      (s, dir) =>
+        Corpus.pmiCollocations(table(s, dir, "documents"), "text",
+          minCount = 5L, k = 30),
+      Some("""WITH lt AS (
+             |  SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+             |  FROM documents),
+             |n AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n FROM lt),
+             |uni AS (
+             |  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(ws) AS tok FROM lt) GROUP BY 1),
+             |bl AS (
+             |  SELECT list_transform(range(1, len(ws)),
+             |    i -> ws[i] || ' ' || ws[i+1]) AS bs
+             |  FROM lt),
+             |bp AS (SELECT unnest(bs) AS b FROM bl),
+             |pc AS (
+             |  SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+             |    CAST(COUNT(*) AS BIGINT) AS c_ab
+             |  FROM bp GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             |SELECT w1, w2, c_ab,
+             |  CAST(c_ab * (SELECT n FROM n) * 1000000 // (ua.c * ub.c) AS BIGINT) AS pmi_ppm
+             |FROM pc JOIN uni ua ON ua.w = pc.w1 JOIN uni ub ON ub.w = pc.w2
+             |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 30""".stripMargin)),
+
     // BM25 ranking: doc-length normalization + saturating tf, engine-
     // exact via the SHARED fixed-point contribution expression
     // (Corpus.bm25ContribSql — same SQL string on both sides, floor-
