@@ -381,6 +381,49 @@ object Corpus {
         col("t.score").cast("long").as("score"))
   }
 
+  /** "More like this": top-k documents sharing rare features with a
+    * probe document — the sparse-lexical sibling of the dense ANN
+    * family (related-documents panels, near-dup triage, citation
+    * suggestion). `features` is any per-doc array<string> — distinct
+    * tokens for topical match, word shingles for near-dup retrieval.
+    * Score = Σ over shared DISTINCT features of `10^6 DIV df(feature)`:
+    * exact integers, rare shared features dominate, ties break to the
+    * lower doc id.
+    *
+    * Shape at scale: the probe's feature set is a one-doc filter
+    * (predicate pushdown on the id column) and broadcasts; the corpus
+    * side is the (feature, doc) inverted index semi-joined to those ≤
+    * |probe| features BEFORE any counting, so df aggregation and
+    * scoring touch only matching postings. `maxDf` drops stop-features
+    * (df > maxDf) — the same frequent-set discipline as the line/ngram
+    * dedup family: without it one universal feature drags the whole
+    * corpus into the candidate set. Final top-k is the bounded heap
+    * aggregate.
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, features: Column,
+      probeId: Long, k: Int, maxDf: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val index = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(features)).as("tok"))
+    val probe = index.filter(col("doc") === probeId)
+      .select(col("tok"))
+    val postings = index.join(broadcast(probe), "tok")
+    val dfTab = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val scored = postings.filter(col("doc") =!= probeId)
+      .join(broadcast(dfTab), "tok")
+      .groupBy(col("doc"))
+      .agg(sum(expr("1000000L DIV df")).as("score"))
+    scored
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("score").cast("double"), col("doc").cast("long"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("t.id").as("doc"),
+        (col("r0") + 1).cast("int").as("rank"),
+        col("t.score").cast("long").as("score"))
+  }
+
   /** BM25 per-(doc, term) contribution as ONE SQL expression string,
     * shared verbatim by the Spark side (`expr`) and the DuckDB oracle:
     * IEEE +,-,*,/ are correctly rounded, so the same expression tree on

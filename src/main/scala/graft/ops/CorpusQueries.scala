@@ -1017,6 +1017,36 @@ object CorpusQueries {
            |WHERE rank <= 10 ORDER BY rank""".stripMargin
       }),
 
+    // "more like this" for doc 42 over 3-gram SHINGLE features: rare
+    // shared shingles rank near-dups first, topical overlaps after —
+    // probe features broadcast, postings semi-joined before any
+    // counting, stop-shingles dropped at the scale-proportional cut
+    // df > nDocs/2, bounded top-k
+    Q(
+      "text_more_like_this",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Corpus.moreLikeThis(docs, "doc_id",
+          TextFunctions.shingles(col("text"), 3),
+          probeId = 42L, k = 10, maxDf = docs.count() / 2)
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH $toksCte, $shingleCte,
+             |idx AS (SELECT doc_id AS doc, unnest(shingles) AS tok FROM sh),
+             |probe AS (SELECT tok FROM idx WHERE doc = 42),
+             |post AS (SELECT i.doc, i.tok FROM idx i JOIN probe USING (tok)),
+             |dfreq AS (
+             |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM post
+             |  GROUP BY 1
+             |  HAVING COUNT(*) <= (SELECT COUNT(*) FROM documents) // 2),
+             |sc AS (
+             |  SELECT doc, CAST(SUM(1000000 // df) AS BIGINT) AS score
+             |  FROM post JOIN dfreq USING (tok) WHERE doc != 42 GROUP BY doc)
+             |SELECT doc, rank, score FROM (
+             |  SELECT doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT) AS rank, score
+             |  FROM sc) t
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
     // top-30 PMI collocations: adjacent-pair counts vs unigram
     // marginals, ranked by the scaled integer rational core of PMI
     // (the log is monotone, so it never needs computing) — map-only
