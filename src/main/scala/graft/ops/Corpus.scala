@@ -141,6 +141,35 @@ object Corpus {
       .select(df.columns.map(col).toSeq: _*) // using-join moved the key first
   }
 
+  /** Small-file compaction plan: assign existing shards to merged
+    * output files of ~`targetTokens` each by a greedy running sum in
+    * shard order — the maintenance pass every long-lived 100 TB table
+    * needs when ingestion has left thousands of undersized files.
+    * Returns one row per planned output: shard range, file count,
+    * token total (the instruction sheet for a rewrite job).
+    *
+    * The unpartitioned window is over the MANIFEST (one row per shard,
+    * already aggregated) — #shards rows regardless of corpus size, the
+    * same bounded-input exemption as the mixture normalizers. Greedy
+    * next-fit in id order (not first-fit-decreasing) is deliberate:
+    * it preserves shard locality in the merged files and is
+    * deterministic under any partitioning.
+    */
+  def compactionPlan(manifest: DataFrame, shardCol: String,
+      tokensCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    val w = Window.orderBy(col(shardCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest
+      .withColumn("__before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("out_id", expr(s"__before DIV ${targetTokens}L"))
+      .groupBy(col("out_id"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col(tokensCol)).as("n_tokens"),
+        min(col(shardCol)).as("first_shard"),
+        max(col(shardCol)).as("last_shard"))
+  }
+
   /** Deterministic training-shard manifest — the WebDataset/Megatron
     * "export the corpus as N shards" bookkeeping step. Shard assignment
     * is `md5(id) mod nShards` (content-hash deterministic: stable under

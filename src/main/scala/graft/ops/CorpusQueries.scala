@@ -667,6 +667,35 @@ object CorpusQueries {
              |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
              |FROM t GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // small-file compaction plan over a 64-shard manifest: greedy
+    // next-fit running sum in shard order packs undersized shards into
+    // ~4000-token outputs — the window folds the 64-row manifest, never
+    // the corpus
+    Q(
+      "corpus_compaction_plan",
+      (s, dir) =>
+        Corpus.compactionPlan(
+          Corpus.shardManifest(table(s, dir, "documents"), "doc_id", "text",
+            nShards = 64),
+          "shard", "n_tokens", targetTokens = 4000L)
+          .orderBy(col("out_id")),
+      Some("""WITH t AS (
+             |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 64 AS INT) AS shard,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT shard, CAST(SUM(toks) AS BIGINT) AS n_tokens
+             |  FROM t GROUP BY shard),
+             |r AS (
+             |  SELECT shard, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shard
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+             |  FROM m)
+             |SELECT bef // 4000 AS out_id, COUNT(*) AS n_shards,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |  MIN(shard) AS first_shard, MAX(shard) AS last_shard
+             |FROM r GROUP BY 1 ORDER BY out_id""".stripMargin)),
+
     // C4-style line-level dedup: documents re-lined into 3-token lines
     // (the synthetic corpus has no newlines — the fixed re-lining is
     // reproduced verbatim in the oracle), then every line appearing in

@@ -860,6 +860,27 @@ object Relational {
              |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t2)
              |ORDER BY step""".stripMargin)),
 
+    // ---- SLIDING event-time windows (6h width, 2h slide): each event
+    //      lands in exactly 3 windows — Spark's window() expands them
+    //      map-only before the partial-aggregated count, the same shape
+    //      as a 3x explode; completes the window family next to the
+    //      tumbling stream_window_counts
+    Q(
+      "q_sliding_window",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+            col("event_type"), col("n_events"))
+          .orderBy(col("win_start"), col("event_type")),
+      Some("""SELECT strftime(time_bucket(INTERVAL '2 hours', ts)
+             |    - k * INTERVAL '2 hours', '%Y-%m-%d %H:%M') AS win_start,
+             |  event_type, COUNT(*) AS n_events
+             |FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k) ks
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- latest row per user (CDC compaction / "current state" view):
     //      ONE partial-aggregated max_by keyed by user — no window, the
     //      shuffle carries one candidate per key per map task. Both

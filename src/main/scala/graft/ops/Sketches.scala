@@ -63,8 +63,36 @@ object Sketches {
     */
   def hllDistinct(items: DataFrame, groupCol: String,
       itemCol: String): DataFrame = {
-    val regs = hllRegisters(items, groupCol, itemCol)
-    val est = regs.groupBy(col(groupCol))
+    val est = hllEstimate(hllRegisters(items, groupCol, itemCol), groupCol)
+    val exact = items.groupBy(col(groupCol))
+      .agg(count_distinct(col(itemCol)).as("exact_ndv"))
+    est.join(exact, groupCol)
+  }
+
+  /** The (group, bucket, register) table of [[hllDistinct]] exposed for
+    * incremental pipelines: persist it per shard/day, then [[hllMerge]]
+    * rolls shards up without rescanning items. */
+  def hllSketch(items: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = hllRegisters(items, groupCol, itemCol)
+
+  /** Merge HLL sketch tables register-wise (max) — the union sketch.
+    * EXACT, not approximate-on-approximate: registers are max-folds of
+    * item hashes, so max over shards equals the registers of the
+    * concatenated input bit-for-bit (asserted by SketchesEventStateSpec).
+    * One partial-aggregated max over #groups × 1024 rows per input —
+    * the daily rollup touches sketches, never items.
+    */
+  def hllMerge(sketches: Seq[DataFrame], groupCol: String): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("m")).as("m"))
+  }
+
+  /** Estimate from a stored/merged register table — the second half of
+    * [[hllDistinct]] without the exact-NDV calibration column. */
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame =
+    regs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_occ"),
         sum(lit(1.0) /
             expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"))
@@ -74,10 +102,6 @@ object Sketches {
       .select(col(groupCol),
         floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)) *
             lit(1048576.0) / col("sum_inv")).cast("long").as("est_ndv"))
-    val exact = items.groupBy(col(groupCol))
-      .agg(count_distinct(col(itemCol)).as("exact_ndv"))
-    est.join(exact, groupCol)
-  }
 
   private val CmsDepth = 4
   private val CmsWidth = 1024

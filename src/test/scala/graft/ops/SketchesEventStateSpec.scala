@@ -39,6 +39,19 @@ class SketchesEventStateSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("HLL merge of shard sketches equals the union sketch bit-for-bit") {
+    val a = (1 to 2000).map(i => ("g", s"v$i")).toDF("g", "item")
+    val b = (1500 to 3500).map(i => ("g", s"v$i")).toDF("g", "item")
+    val merged = Sketches.hllMerge(
+      Seq(Sketches.hllSketch(a, "g", "item"),
+        Sketches.hllSketch(b, "g", "item")), "g")
+    val direct = Sketches.hllSketch(a.unionByName(b), "g", "item")
+    assert(rows(merged.orderBy("bucket")).toSet ===
+      rows(direct.orderBy("bucket")).toSet)
+    assert(rows(Sketches.hllEstimate(merged, "g")) ===
+      rows(Sketches.hllEstimate(direct, "g")))
+  }
+
   test("latestSnapshot breaks timestamp collisions by the tie column") {
     val df = Seq(
       (1L, 100L, 1L, "a", 1.0),
