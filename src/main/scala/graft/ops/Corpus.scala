@@ -141,6 +141,49 @@ object Corpus {
       .select(df.columns.map(col).toSeq: _*) // using-join moved the key first
   }
 
+  /** Train/validation distribution-drift monitor: hash-split the corpus
+    * (same md5-threshold rule as [[splitByHash]]), hash every token
+    * into `buckets` feature cells (the [[dsirSelect]] trick), and
+    * report per source the scaled L1 distance between the two halves'
+    * bucket distributions — `drift_ppm = Σ_cells |a·Nb − b·Na| · 10^6
+    * DIV (Na·Nb)`, all integer, 0 for identical distributions, up to
+    * 2·10^6 for disjoint ones. A healthy random split reads near 0; a
+    * time- or source-correlated leak reads high — the pre-training
+    * check that the held-out set actually matches the train
+    * distribution.
+    *
+    * Shape at scale: ONE token-level aggregate keyed by (source,
+    * bucket) with both halves counted conditionally in the same pass
+    * (no per-half scans, no join of halves); everything after folds
+    * the bounded #sources × buckets table. Bounds: Σ|a·Nb − b·Na| ≤
+    * 2·Na·Nb, so the ppm product stays under 2^63 for per-source
+    * token counts to ~10^8; beyond that the sums upgrade to
+    * DECIMAL(38,0).
+    */
+  def splitDrift(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, valBound: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val cells = docs
+      .withColumn("__val", h < lit(valBound))
+      .select(col(sourceCol), col("__val"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("__b",
+        conv(substring(md5(col("tok").cast("binary")), 1, 6), 16, 10)
+          .cast("long") % buckets)
+      .groupBy(col(sourceCol), col("__b"))
+      .agg(count(when(!col("__val"), 1)).as("a"),
+        count(when(col("__val"), 1)).as("b"))
+    val totals = cells.groupBy(col(sourceCol))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    cells.join(broadcast(totals), sourceCol)
+      .groupBy(col(sourceCol), col("na"), col("nb"))
+      .agg(sum(abs(col("a") * col("nb") - col("b") * col("na"))).as("__l1"))
+      .select(col(sourceCol), col("na").as("n_train"), col("nb").as("n_val"),
+        when(col("na") * col("nb") === 0, lit(null).cast("long"))
+          .otherwise(expr("__l1 * 1000000L DIV (na * nb)")).as("drift_ppm"))
+  }
+
   /** Small-file compaction plan: assign existing shards to merged
     * output files of ~`targetTokens` each by a greedy running sum in
     * shard order — the maintenance pass every long-lived 100 TB table

@@ -2608,6 +2608,41 @@ object CorpusQueries {
              |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // split-drift monitor: per-source scaled L1 distance between the
+    // train and val halves' hashed-token distributions — one
+    // conditional-count aggregate over (source, bucket), bounded
+    // folding after; near-0 means the held-out set matches
+    Q(
+      "corpus_split_drift",
+      (s, dir) =>
+        Corpus.splitDrift(table(s, dir, "documents"), "source", "doc_id",
+          "text", valBound = "40", buckets = 64)
+          .orderBy(col("source")),
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    md5(CAST(doc_id AS VARCHAR)) < '40' AS isval,
+             |    list_filter(string_split(text, ' '), x -> x != '') AS ws
+             |  FROM documents),
+             |t AS (
+             |  SELECT source, isval,
+             |    ('0x' || substr(md5(tok), 1, 6))::BIGINT % 64 AS b
+             |  FROM (SELECT source, isval, unnest(ws) AS tok FROM d)),
+             |c AS (
+             |  SELECT source, b,
+             |    CAST(COUNT(CASE WHEN NOT isval THEN 1 END) AS BIGINT) AS a,
+             |    CAST(COUNT(CASE WHEN isval THEN 1 END) AS BIGINT) AS bb
+             |  FROM t GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT source, CAST(SUM(a) AS BIGINT) AS na,
+             |    CAST(SUM(bb) AS BIGINT) AS nb
+             |  FROM c GROUP BY 1)
+             |SELECT c.source, t2.na AS n_train, t2.nb AS n_val,
+             |  CASE WHEN t2.na * t2.nb = 0 THEN NULL
+             |    ELSE CAST(SUM(abs(a * t2.nb - bb * t2.na)) * 1000000
+             |      // (t2.na * t2.nb) AS BIGINT) END AS drift_ppm
+             |FROM c JOIN tot t2 USING (source)
+             |GROUP BY c.source, t2.na, t2.nb ORDER BY source""".stripMargin)),
+
     // global vocabulary top-k: canonical word count (partial aggs → one
     // shuffle) + TakeOrderedAndProject bounded top-k, never a full sort
     Q(
