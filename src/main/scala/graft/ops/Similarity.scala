@@ -527,6 +527,57 @@ object Similarity {
     * Bounds: |e| ≤ 1 ⇒ component sums stay < 2^53/dim up to ~10^11 rows
     * per label; beyond that the sums upgrade to DECIMAL(38,0).
     */
+  /** Embedding outliers per label: rows whose cosine to their OWN
+    * label's centroid sits more than `sigmas` standard deviations
+    * below the label mean — the mislabeled-or-noise screen run before
+    * treating labels as supervision (SemDeDup's pruning cousin).
+    *
+    * Engine-exact end to end: milli-unit integer vectors, un-normalized
+    * integer-sum centroids (cosine scale-invariance again), one fixed
+    * double shape quantized to `cos_micro`, then LOW-TAIL-only
+    * cross-multiplied moments on those integers —
+    * `(S - n·v) > 0 AND (n·v - S)^2 > sigmas^2 · (n·SS - S^2)` — no
+    * sqrt, no division, no float accumulation.
+    *
+    * Shape at scale: centroids are the bounded #labels × dim table
+    * (broadcast); scoring is map-only against it; the moment pass is
+    * one partial-aggregated fold keyed by label. Bounds: |cos_micro| ≤
+    * 10^6 keeps every moment under 2^63 to ~10^6 rows per label;
+    * beyond, DECIMAL(38,0) sums.
+    */
+  def labelOutliers(emb: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, sigmas: Int): DataFrame = {
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val qvt = emb.select(col(idCol), col(labelCol).as("label"),
+      expr(s"transform($vecCol, e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000.0D) AS BIGINT))")
+        .as("qv"))
+    val cen = qvt
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+        .as("cv"))
+    val scored = qvt.join(broadcast(cen), "label")
+      .withColumn("__a", col("qv").cast("array<double>"))
+      .withColumn("__b", col("cv").cast("array<double>"))
+      .withColumn("cos_micro",
+        floor(dot(col("__a"), col("__b"), 0) /
+            (sqrt(dot(col("__a"), col("__a"), 0)) * sqrt(dot(col("__b"), col("__b"), 0))) *
+            lit(1000000.0)).cast("long"))
+      .select(col(idCol), col("label"), col("cos_micro"))
+    val stats = scored.groupBy(col("label")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("cos_micro")).as("__s"),
+      sum(col("cos_micro") * col("cos_micro")).as("__ss"))
+    val dev = col("__n") * col("cos_micro") - col("__s")
+    scored.join(broadcast(stats), "label")
+      .filter((col("__s") - col("__n") * col("cos_micro")) > 0 &&
+        dev * dev > lit(sigmas.toLong * sigmas) *
+          (col("__n") * col("__ss") - col("__s") * col("__s")))
+      .select(col(idCol), col("label"), col("cos_micro"))
+  }
+
   def labelCentroidSimilarity(emb: DataFrame, labelCol: String,
       vecCol: String): DataFrame = {
     val cen = emb

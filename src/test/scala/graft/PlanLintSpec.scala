@@ -49,10 +49,13 @@ class PlanLintSpec extends SparkTestBase {
     */
   private def boundedSubtree(
       sub: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LocalRelation}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // Deduplicate is distinct() before the optimizer rewrites it to an
+    // Aggregate — same key-bounding semantics, analyzed-plan spelling
     val boundingOp = sub.collectFirst {
       case _: Aggregate => (); case _: GlobalLimit => ()
+      case _: Deduplicate => ()
     }.isDefined
     boundingOp || sub.collectLeaves().forall {
       case _: LocalRelation => true
