@@ -476,15 +476,25 @@ object Corpus {
       probeId: Long, k: Int, maxDf: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    // CALLER CONTRACT (the Dedup.shingleRows lesson): build `features`
+    // on a MATERIALIZED column of `docs` (e.g. pre-tokenize into its
+    // own projection), not directly on raw text — higher-order feature
+    // expressions are interpreted, and CollapseProject would otherwise
+    // inline the tokenizer into every element reference, re-splitting
+    // the text O(len) times per row. The explode below is the Generate
+    // barrier that keeps the caller's projection separate.
     val index = docs.select(col(idCol).as("doc"),
       explode(array_distinct(features)).as("tok"))
-    // distinct() is a semantic no-op (features are distinct per doc) but
-    // makes the probe side bounded BY CONSTRUCTION — an aggregate over
-    // one document's features — which is what the broadcast lint (and a
-    // reviewer) can verify without trusting the id predicate
-    val probe = index.filter(col("doc") === probeId)
-      .select(col("tok")).distinct()
-    val postings = index.join(broadcast(probe), "tok")
+    // probe side: filter BEFORE exploding — one document read under the
+    // id pushdown, not a corpus-wide feature explode; distinct() is a
+    // semantic no-op (features are distinct per doc) but makes the
+    // broadcast bounded BY CONSTRUCTION for the lint and the reviewer
+    val probe = docs.filter(col(idCol) === probeId)
+      .select(explode(array_distinct(features)).as("tok")).distinct()
+    // both consumers (df counting, scoring) share the checkpointed
+    // postings slice — small by construction (docs sharing a probe
+    // feature), same discipline as lexicalTopK's tf slice
+    val postings = index.join(broadcast(probe), "tok").localCheckpoint(true)
     val dfTab = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val scored = postings.filter(col("doc") =!= probeId)

@@ -1055,8 +1055,13 @@ object CorpusQueries {
       "text_more_like_this",
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        Corpus.moreLikeThis(docs, "doc_id",
-          TextFunctions.shingles(col("text"), 3),
+        // pre-tokenize into a materialized projection (the caller
+        // contract on moreLikeThis: never hand it features over raw
+        // text — see the CollapseProject note there)
+        val toked = docs.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("__ws"))
+        Corpus.moreLikeThis(toked, "doc_id",
+          TextFunctions.shinglesFromTokens(col("__ws"), 3),
           probeId = 42L, k = 10, maxDf = docs.count() / 2)
           .orderBy(col("rank"))
       },
