@@ -333,11 +333,28 @@ object Corpus {
     * count — no shuffle is added over reading the corpus once. Output
     * rows carry (id, source, epoch); downstream writers append epoch to
     * the shard key so repeated copies spread across shards.
+    *
+    * Each row materializes a `sequence(0, n-1)` array before exploding,
+    * so a pathological plan (a near-empty source given a huge budget →
+    * thousands of epochs per doc) would build giant per-row arrays; the
+    * `maxRepeat` guard fails fast with the offending sources instead.
+    * Training mixtures repeat sources a handful of times (4 epochs is
+    * already heavy re-use), so the default cap of 1000 is generous.
     */
   def epochExpand(df: DataFrame, sourceCol: String, idCol: String,
       textCol: String, weightsPpm: Seq[(String, Int)],
-      budgetTokens: Long): DataFrame = {
-    val plan = mixturePlan(df, sourceCol, textCol, weightsPpm, budgetTokens)
+      budgetTokens: Long, maxRepeat: Long = 1000L): DataFrame = {
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
+    val planAll = mixturePlan(df, sourceCol, textCol, weightsPpm, budgetTokens)
+    // #sources rows — validating on the driver costs nothing and turns
+    // an executor OOM (a giant per-row sequence array) into a plan error
+    val over = planAll
+      .filter(col("repeat_milli") > maxRepeat * 1000L)
+      .select(col("source"), col("repeat_milli")).collect()
+    require(over.isEmpty,
+      s"plan repeats exceed maxRepeat=$maxRepeat epochs for: " +
+        over.map(r => s"${r.getString(0)} (${r.getLong(1)} milli)").mkString(", "))
+    val plan = planAll
       .select(col("source").as("__src"), col("repeat_milli"))
     // same 24-bit md5-prefix hash as sampleToMixture: keep iff
     // h * 1000 < 2^24 * (repeat_milli % 1000)
