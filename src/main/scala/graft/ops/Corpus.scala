@@ -141,6 +141,34 @@ object Corpus {
       .select(df.columns.map(col).toSeq: _*) // using-join moved the key first
   }
 
+  /** Per-source Simpson diversity of the token distribution:
+    * `1 - Σ (c_i/N)^2` in exact ppm integers — the log-free cousin of
+    * entropy (Simpson/Gini concentration), high when vocabulary use is
+    * spread, collapsing toward 0 for template/boilerplate sources. The
+    * corpus-health number that catches a source of near-identical
+    * documents before any dedup pass runs.
+    *
+    * Shape at scale: one partial-aggregated (source, token) count, one
+    * #sources-row fold. Bounds: Σc² ≤ N², so the ppm product stays
+    * under 2^63 for per-source token counts to ~3·10^6; beyond,
+    * DECIMAL(38,0) sums (ranking unchanged).
+    */
+  def simpsonDiversity(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("__s2"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        (lit(1000000L) - expr("__s2 * 1000000L DIV (n_tokens * n_tokens)"))
+          .as("diversity_ppm"))
+  }
+
   /** Train/validation distribution-drift monitor: hash-split the corpus
     * (same md5-threshold rule as [[splitByHash]]), hash every token
     * into `buckets` feature cells (the [[dsirSelect]] trick), and

@@ -2655,6 +2655,26 @@ object CorpusQueries {
              |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Simpson token diversity per source: the log-free entropy cousin
+    // (1 - sum of squared token shares, exact ppm) — near 1e6 for
+    // spread vocabulary, collapsing for template/boilerplate sources
+    Q(
+      "corpus_simpson_diversity",
+      (s, dir) =>
+        Corpus.simpsonDiversity(table(s, dir, "documents"), "source", "text")
+          .orderBy(col("source")),
+      Some("""WITH t AS (
+             |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM t GROUP BY 1, 2)
+             |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |  1000000 - CAST(SUM(c*c) AS BIGINT) * 1000000
+             |    // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS diversity_ppm
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
     // split-drift monitor: per-source scaled L1 distance between the
     // train and val halves' hashed-token distributions — one
     // conditional-count aggregate over (source, bucket), bounded

@@ -80,7 +80,8 @@ object EventState {
     * comparison is unchanged.
     */
   def anomalies(df: DataFrame, groupCol: String, valueCol: String,
-      keepCols: Seq[String]): DataFrame = {
+      keepCols: Seq[String], sigmas: Int = 3): DataFrame = {
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
     val q = df.withColumn("__v",
       floor(col(valueCol) * lit(10.0)).cast("long"))
     val stats = q.groupBy(col(groupCol)).agg(
@@ -89,7 +90,8 @@ object EventState {
       sum(col("__v") * col("__v")).as("__ss"))
     val dev: Column = col("__n") * col("__v") - col("__s")
     q.join(broadcast(stats), groupCol)
-      .filter(dev * dev > lit(9L) * (col("__n") * col("__ss") - col("__s") * col("__s")))
+      .filter(dev * dev > lit(sigmas.toLong * sigmas) *
+        (col("__n") * col("__ss") - col("__s") * col("__s")))
       .select((groupCol +: keepCols).map(col): _*)
   }
 }

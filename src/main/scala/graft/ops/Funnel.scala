@@ -24,10 +24,13 @@ object Funnel {
   /** Per-user step-completion times: one row per user who reached step 0,
     * columns `t_<step>` (null = never reached). */
   def stepTimes(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"steps must be distinct, got $steps")
+    require(maxGapSeconds.forall(_ >= 1),
+      s"maxGapSeconds must be >= 1, got $maxGapSeconds")
     val relevant = events
       .filter(col(typeCol).isin(steps.map(lit): _*))
       .select(col(userCol), col(tsCol).as("__ts"), col(typeCol).as("__tp"))
@@ -39,9 +42,19 @@ object Funnel {
       val fields = steps.zipWithIndex.map { case (st, i) =>
         val qualifies =
           if (i == 0) e.getField("__tp") === st
-          else acc.getField(s"t${i - 1}").isNotNull &&
-            e.getField("__tp") === st &&
-            e.getField("__ts") > acc.getField(s"t${i - 1}")
+          else {
+            val after = acc.getField(s"t${i - 1}").isNotNull &&
+              e.getField("__tp") === st &&
+              e.getField("__ts") > acc.getField(s"t${i - 1}")
+            // windowed funnel: step i must land within the gap of the
+            // user's FIRST step i-1 time (the chained-greedy contract —
+            // same semantics as the oracle's MIN-chain with the bound).
+            // Compared at MICROSECOND precision: cast-to-long would
+            // floor to seconds and disagree with an interval compare.
+            maxGapSeconds.fold(after)(g => after &&
+              unix_micros(e.getField("__ts")) <=
+                unix_micros(acc.getField(s"t${i - 1}")) + g * 1000000L)
+          }
         coalesce(acc.getField(s"t$i"),
           when(qualifies, e.getField("__ts"))).as(s"t$i")
       }
@@ -97,8 +110,9 @@ object Funnel {
   /** Funnel conversion counts: (step ordinal, step name, users reaching
     * it). One extra single-row aggregate over [[stepTimes]]. */
   def conversionCounts(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
-    val st = stepTimes(events, userCol, tsCol, typeCol, steps)
+      typeCol: String, steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): DataFrame = {
+    val st = stepTimes(events, userCol, tsCol, typeCol, steps, maxGapSeconds)
     val counts = st.agg(
       count(col(s"t_${steps.head}")).as("c0"),
       steps.tail.zipWithIndex.map { case (s, i) =>

@@ -860,6 +860,38 @@ object Relational {
              |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t2)
              |ORDER BY step""".stripMargin)),
 
+    // ---- WINDOWED funnel: each step must land within 48h of the
+    //      user's first prior-step time (the standard conversion-window
+    //      constraint) — same single-shuffle per-user fold, the bound
+    //      compared at microsecond precision on both engines
+    Q(
+      "q_funnel_windowed",
+      (s, dir) =>
+        Funnel.conversionCounts(events(s, dir), "user_id", "ts",
+          "event_type", Seq("signup", "click", "purchase"),
+          maxGapSeconds = Some(172800L))
+          .orderBy(col("step")),
+      Some("""WITH t0 AS (
+             |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |t1 AS (
+             |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+             |  FROM events e JOIN t0 USING (user_id)
+             |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t0.t
+             |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= epoch_us(t0.t) + 172800000000
+             |  GROUP BY 1),
+             |t2 AS (
+             |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+             |  FROM events e JOIN t1 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t1.t
+             |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= epoch_us(t1.t) + 172800000000
+             |  GROUP BY 1)
+             |SELECT 1 AS step, 'signup' AS event_type,
+             |  (SELECT COUNT(*) FROM t0) AS users
+             |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t1)
+             |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t2)
+             |ORDER BY step""".stripMargin)),
+
     // ---- SLIDING event-time windows (6h width, 2h slide): each event
     //      lands in exactly 3 windows — Spark's window() expands them
     //      map-only before the partial-aggregated count, the same shape
@@ -925,6 +957,37 @@ object Relational {
              |  epoch_us(LEAD(t) OVER (PARTITION BY user_id
              |    ORDER BY t, event_id)) AS valid_to_us
              |FROM ch ORDER BY user_id, valid_from_us, state""".stripMargin)),
+
+    // ---- daily-volume anomaly monitor: the same cross-multiplied
+    //      moments run over the (type, day) AGGREGATE — flags days whose
+    //      event count departs >2 sigma from that type's daily norm;
+    //      the moment pass folds a #types x #days table
+    Q(
+      "q_daily_anomaly",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("n_events"))
+        EventState.anomalies(daily, "event_type", "n_events",
+          Seq("day", "n_events"), sigmas = 2)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_events").cast("long").as("n_events"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |v AS (SELECT event_type, day, n, n * 10 AS q FROM d),
+             |st AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |    CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q*q) AS BIGINT) AS ss
+             |  FROM v GROUP BY 1)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n AS n_events
+             |FROM v JOIN st USING (event_type)
+             |WHERE (cnt*q - s)*(cnt*q - s) > 4*(cnt*ss - s*s)
+             |ORDER BY event_type, day""".stripMargin)),
 
     // ---- per-type 3-sigma outliers, engine-exact: deci-unit integer
     //      quantization, one partial-aggregated moment pass, broadcast
