@@ -1351,6 +1351,49 @@ object CorpusQueries {
            |ORDER BY d1, d2""".stripMargin
       }),
 
+    // ordered-ingest near-dup dedup driven as 4 successive id-range
+    // batches against a growing stored (signature, shingle-set) table —
+    // the continuous-ingest contract (greedy arrival-order drops,
+    // accepted ids immutable). The oracle is the ONE-PASS form — ∃ an
+    // earlier verified near-dup — which the batch driving must equal
+    // for any split of the id order.
+    Q(
+      "dedup_ingest_ordered",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val bounds = Seq(maxId / 4, maxId / 2, 3 * maxId / 4)
+        Dedup.ingestDedup(docs, "doc_id", "text", bounds,
+          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH $toksCte, $shingleCte,
+           |$minhashCtes,
+           |cands AS (
+           |  SELECT DISTINCT b.doc_id AS e, a.doc_id AS d
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bsig = b.bsig AND b.doc_id < a.doc_id),
+           |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+           |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shx GROUP BY doc_id),
+           |common AS (
+           |  SELECT c.e, c.d, COUNT(*) AS common
+           |  FROM cands c
+           |  JOIN shx s1 ON s1.doc_id = c.e
+           |  JOIN shx s2 ON s2.doc_id = c.d AND s2.shingle = s1.shingle
+           |  GROUP BY c.e, c.d),
+           |dropped AS (
+           |  SELECT DISTINCT d FROM common
+           |  JOIN sizes se ON se.doc_id = e
+           |  JOIN sizes sd ON sd.doc_id = d
+           |  WHERE CAST(common AS DOUBLE) / CAST(se.nsh + sd.nsh - common AS DOUBLE) >= 0.5)
+           |SELECT source, COUNT(*) AS n_kept FROM documents
+           |WHERE doc_id NOT IN (SELECT d FROM dropped)
+           |GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // two-stage dedup: banded minhash candidates verified by EXACT
     // jaccard over the full shingle sets — the production propose/verify
     // composition (precision 1.0 above the threshold)

@@ -619,6 +619,95 @@ object Dedup {
       .distinct()
   }
 
+  /** Ordered-ingest near-dup dedup — the continuously-ingesting
+    * pipeline's contract, driven here over id-ranged batches arriving
+    * in order: a document is DROPPED iff a verified near-dup (banded
+    * LSH candidate AND exact Jaccard ≥ threshold over full shingle
+    * sets) exists among ANY earlier-ingested document — survivor or
+    * not — including earlier ids in its own batch. This greedy
+    * arrival-order rule is deliberately NOT batch keep-min-per-cluster:
+    * a cluster connected only through later arrivals never retro-drops
+    * an already-accepted doc, so accepted ids are immutable — the
+    * property an incremental ingest needs. Because candidates and
+    * verification depend only on content, the result is INDEPENDENT of
+    * the batch partitioning: any split of the id order yields the same
+    * survivor set as one pass (the oracle checks the one-pass form).
+    *
+    * Per batch: only the new docs are shingled and signed; history
+    * joins as its stored (signature, shingle-set) table; the store
+    * grows append-only and is localCheckpoint'd each round so lineage
+    * stays flat over an unbounded ingest history.
+    *
+    * @return surviving ids (one column, `idCol`)
+    */
+  def ingestDedup(docs: DataFrame, idCol: String, textCol: String,
+      batchBounds: Seq[Long], n: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(batchBounds == batchBounds.sorted,
+      s"batchBounds must be ascending, got $batchBounds")
+    val k = bands * rowsPerBand
+    val los = Long.MinValue +: batchBounds
+    val his = batchBounds :+ Long.MaxValue
+    var store: DataFrame = null // (idCol, sig, shingles) of ALL ingested
+    var survivors: DataFrame = null
+    require(k <= MinhashMaxK,
+      s"k=$k would overflow the h1 + i*h2 derivation (max $MinhashMaxK)")
+    for ((lo, hi) <- los.zip(his)) {
+      val batch = docs.filter(col(idCol) >= lo && col(idCol) < hi)
+      // ONE tokenize+shingle pass per batch: the checkpointed shingle
+      // sets feed both the signature derivation (map-only explode of
+      // the stored arrays) and the verify join — signing via
+      // minhashSignatureTable would re-shingle the batch text
+      val shSets = shingleRows(batch, idCol, textCol, n)
+        .groupBy(col("doc"))
+        .agg(collect_set(col("shingle")).as("shingles"))
+        .localCheckpoint(true)
+      val hashed = shSets
+        .select(col("doc"), explode(col("shingles")).as("shingle"))
+        .select(col("doc"),
+          minhashH1(col("shingle")).as("__h1"),
+          minhashH2(col("shingle")).as("__h2"))
+      val mins = (0 until k).map(i =>
+        min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"__s$i"))
+      val newSigs = hashed.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+        .select(col("doc").as(idCol),
+          array((0 until k).map(i => col(s"__s$i")): _*).as("sig"))
+      val allSigs =
+        if (store == null) newSigs
+        else newSigs.unionByName(store.select(col(idCol), col("sig")))
+      val cands = bandedFromSigs(newSigs, idCol, bands, rowsPerBand).as("a")
+        .join(bandedFromSigs(allSigs, idCol, bands, rowsPerBand).as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+            col("b.doc") < col("a.doc"))
+        .select(col("b.doc").as("e"), col("a.doc").as("d")).distinct()
+      val eSets =
+        (if (store == null) shSets.select(col("doc").as(idCol), col("shingles"))
+         else store.select(col(idCol), col("shingles"))
+           .unionByName(shSets.select(col("doc").as(idCol), col("shingles"))))
+        .select(col(idCol).as("e"), col("shingles").as("esh"))
+      val dropped = cands
+        .join(shSets.select(col("doc").as("d"), col("shingles").as("dsh")), "d")
+        .join(eSets, "e")
+        .withColumn("__common",
+          size(array_intersect(col("dsh"), col("esh"))).cast("long"))
+        .filter(col("__common").cast("double") /
+          (size(col("dsh")) + size(col("esh")) - col("__common")).cast("double")
+          >= threshold)
+        .select(col("d")).distinct()
+      val kept = batch.select(col(idCol))
+        .join(dropped.withColumnRenamed("d", idCol), Seq(idCol), "left_anti")
+      survivors =
+        (if (survivors == null) kept else survivors.unionByName(kept))
+          .localCheckpoint(true)
+      val newStore = newSigs
+        .join(shSets.withColumnRenamed("doc", idCol), idCol)
+      store =
+        (if (store == null) newStore else store.unionByName(newStore))
+          .localCheckpoint(true)
+    }
+    survivors
+  }
+
   /** The production two-stage near-dup pipeline: banded minhash PROPOSES
     * candidate pairs (cheap, recall tuned by bands × rowsPerBand), exact
     * Jaccard over ONLY those pairs DISPOSES (precision 1.0 at the
