@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.Q.table
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -80,6 +80,25 @@ object Relational {
         col("ts").cast(org.apache.spark.sql.types.TimestampType)
       case _ => col("ts")
     }
+
+  /** Morton (Z-order) code: interleave the low `bits` of two
+    * non-negative ints — the multi-dimensional clustering key behind
+    * data-skipping layouts. `df.repartitionByRange(zOrderCode(a, b))
+    * .sortWithinPartitions(...)` before a write makes every output file
+    * cover a small rectangle in (a, b) space, so min/max file stats
+    * prune scans filtered on EITHER column — the layout step a 100 TB
+    * table pays once to make every later query cheaper. Composed from
+    * shift/and/or primitives, so it stays inside whole-stage codegen;
+    * bit-identical in any engine.
+    */
+  def zOrderCode(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      val xb = shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+      val yb = shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      xb.bitwiseOR(yb)
+    }.reduce(_ bitwiseOR _)
+  }
 
   val queries: Seq[Q] = Seq(
     // ---- pricing summary (TPC-H Q1 shape): scan + partial agg + final agg
@@ -891,6 +910,39 @@ object Relational {
              |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t1)
              |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t2)
              |ORDER BY step""".stripMargin)),
+
+    // ---- Z-order layout profile: orders keyed by interleaved
+    //      (custkey, order-day) bits, rolled up per 64x64 z-bucket —
+    //      every bucket's min/max rectangle is tight in BOTH dims,
+    //      which is exactly why file-level stats prune scans filtered
+    //      on either column after a z-ordered write
+    Q(
+      "q_zorder_layout",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val x = (col("o_custkey") % 1024).cast("long")
+        val y = (datediff(col("o_orderdate"), to_date(lit("1970-01-01"))) % 1024)
+          .cast("long")
+        o.select(x.as("x"), y.as("y"))
+          .withColumn("zbucket", shiftright(zOrderCode(col("x"), col("y"), 10), 12))
+          .groupBy(col("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+            min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+          .orderBy(col("zbucket"))
+      },
+      Some("""WITH p AS (
+             |  SELECT CAST(o_custkey % 1024 AS BIGINT) AS x,
+             |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) % 1024 AS BIGINT) AS y
+             |  FROM orders),
+             |z AS (
+             |  SELECT x, y,
+             |    CAST(list_sum(list_transform(range(0, 10),
+             |      i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zcode
+             |  FROM p)
+             |SELECT zcode >> 12 AS zbucket, COUNT(*) AS n,
+             |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+             |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin)),
 
     // ---- SLIDING event-time windows (6h width, 2h slide): each event
     //      lands in exactly 3 windows — Spark's window() expands them

@@ -327,6 +327,36 @@ object StreamingQueries {
              |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
              |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // SLIDING windows under the state store: the streaming form of
+    // q_sliding_window — each event updates its 3 overlapping window
+    // states incrementally; complete-mode drain equals the batch answer
+    Q(
+      "stream_sliding_counts",
+      (s, dir) => {
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val stream = eventsStream(s, dir)
+        val agg = stream
+          .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name)
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+            col("event_type"), col("n_events"))
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      Some("""SELECT strftime(time_bucket(INTERVAL '2 hours', ts)
+             |    - k * INTERVAL '2 hours', '%Y-%m-%d %H:%M') AS win_start,
+             |  event_type, COUNT(*) AS n_events
+             |FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k) ks
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // streaming CDC "current state": the same partial-aggregated max_by
     // as EventState.latestSnapshot, maintained INCREMENTALLY by the
     // streaming aggregation state store — the materialized-view form of
