@@ -1351,6 +1351,46 @@ object CorpusQueries {
            |ORDER BY d1, d2""".stripMargin
       }),
 
+    // winnowing fingerprints (the MOSS selection rule): min hash per
+    // sliding 4-hash window with rightmost-position ties folded into
+    // the integer — every shared >=6-token substring shares a selected
+    // fingerprint at ~2/5 the storage of the full hash set
+    Q(
+      "dedup_winnow_fingerprints",
+      (s, dir) =>
+        Dedup.winnowFingerprints(table(s, dir, "documents"), "doc_id",
+          "text", k = 3, w = 4)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $toksCte,
+             |g0 AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, len(ws) - 1),
+             |      i -> array_to_string(ws[i:i+2], ' ')) AS gs
+             |  FROM toks WHERE len(ws) >= 3),
+             |g AS (
+             |  SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
+             |    unnest(gs) AS gram
+             |  FROM g0),
+             |v AS (
+             |  SELECT doc_id, pos,
+             |    ('0x' || substr(md5(gram), 1, 9))::BIGINT * 1048576
+             |      + (1048575 - pos) AS v
+             |  FROM g),
+             |sel AS (
+             |  SELECT doc_id, pos,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+             |    MIN(v) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minv
+             |  FROM v),
+             |fp AS (
+             |  SELECT DISTINCT doc_id, minv >> 20 AS fp
+             |  FROM sel WHERE pos <= greatest(n - 3, 1))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+             |  md5(array_to_string(
+             |    list_transform(list_sort(list(fp)), x -> CAST(x AS VARCHAR)),
+             |    ',')) AS fp_md5
+             |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ordered-ingest near-dup dedup driven as 4 successive id-range
     // batches against a growing stored (signature, shingle-set) table —
     // the continuous-ingest contract (greedy arrival-order drops,

@@ -619,6 +619,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS selection
+    * rule): hash every positional token k-gram, slide a w-hash window,
+    * and keep the window minimum with ties to the RIGHTMOST position —
+    * the guarantee is every shared substring of length ≥ w+k-1 tokens
+    * shares at least one selected fingerprint, at ~2/(w+1) storage of
+    * the full hash set. The robust local-similarity fingerprint that
+    * [[duplicateSpans]]' every-window scan trades storage for.
+    *
+    * Engine-exactness: the tie rule is folded INTO the integer —
+    * `v = h·2^20 + (2^20-1-pos)` (h = 36 md5 bits), so a plain window
+    * MIN picks (min hash, max position) and the fingerprint recovers as
+    * `v >> 20`. Positions therefore must stay under 2^20 grams per doc
+    * (a million tokens — far past any sane document; chunk longer ones
+    * upstream).
+    *
+    * Shape at scale: map-only positional gram build, ONE window
+    * partitioned by the data-scaled doc id, distinct + one aggregate.
+    * Docs shorter than w grams keep their global-min hash (pos 1's
+    * truncated window), so every non-empty doc fingerprints.
+    *
+    * @return (idCol, n_fingerprints, fp_md5) — count and an
+    *         order-independent digest of the selected hash set
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val toks = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("__ws"))
+    val gramExpr = expr(
+      s"""transform(sequence(1, size(__ws) - ${k - 1}),
+         |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(__ws, i + $j)").mkString(", ")}))""".stripMargin)
+    val grams = toks
+      .filter(size(col("__ws")) >= k)
+      .select(col("doc"), posexplode(gramExpr).as(Seq("p0", "gram")))
+      .select(col("doc"), (col("p0") + 1).as("pos"),
+        conv(substring(md5(col("gram").cast("binary")), 1, 9), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("v",
+        col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
+    val byDoc = Window.partitionBy(col("doc"))
+    val sel = grams
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__minv", min(col("v")).over(
+        byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)))
+      .filter(col("pos") <= greatest(col("__n") - (w - 1), lit(1L)))
+      .select(col("doc"), shiftright(col("__minv"), 20).as("fp"))
+      .distinct()
+    sel.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(fp)), x -> CAST(x AS STRING))"),
+          ",").cast("binary")).as("fp_md5"))
+      .withColumnRenamed("doc", idCol)
+  }
+
   /** Ordered-ingest near-dup dedup — the continuously-ingesting
     * pipeline's contract, driven here over id-ranged batches arriving
     * in order: a document is DROPPED iff a verified near-dup (banded
