@@ -1391,6 +1391,52 @@ object CorpusQueries {
              |    ',')) AS fp_md5
              |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // winnow-fingerprint near-dup candidates through the inverted
+    // index: docs sharing >=2 surviving fingerprints, boilerplate
+    // fingerprints dropped at the scale-proportional df > nDocs/10 cut
+    // (partial-aggregated count + broadcast anti-join, never a
+    // quadratic bucket)
+    Q(
+      "dedup_winnow_pairs",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.winnowPairs(docs, "doc_id", "text", k = 3, w = 4,
+          minShared = 2, maxDf = docs.count() / 10)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH $toksCte,
+             |g0 AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, len(ws) - 1),
+             |      i -> array_to_string(ws[i:i+2], ' ')) AS gs
+             |  FROM toks WHERE len(ws) >= 3),
+             |g AS (
+             |  SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
+             |    unnest(gs) AS gram
+             |  FROM g0),
+             |v AS (
+             |  SELECT doc_id, pos,
+             |    ('0x' || substr(md5(gram), 1, 9))::BIGINT * 1048576
+             |      + (1048575 - pos) AS v
+             |  FROM g),
+             |sel AS (
+             |  SELECT doc_id, pos,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+             |    MIN(v) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minv
+             |  FROM v),
+             |fp AS (
+             |  SELECT DISTINCT doc_id, minv >> 20 AS fp
+             |  FROM sel WHERE pos <= greatest(n - 3, 1)),
+             |keepfp AS (
+             |  SELECT fp FROM fp GROUP BY fp
+             |  HAVING COUNT(*) <= (SELECT COUNT(*) FROM documents) // 10),
+             |fpp AS (SELECT f.doc_id, f.fp FROM fp f JOIN keepfp USING (fp))
+             |SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |  CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY d1, d2""".stripMargin)),
+
     // ordered-ingest near-dup dedup driven as 4 successive id-range
     // batches against a growing stored (signature, shingle-set) table —
     // the continuous-ingest contract (greedy arrival-order drops,

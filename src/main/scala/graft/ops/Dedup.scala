@@ -642,7 +642,9 @@ object Dedup {
     * @return (idCol, n_fingerprints, fp_md5) — count and an
     *         order-independent digest of the selected hash set
     */
-  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+  /** The selected (doc, fp) fingerprint rows — the building block
+    * [[winnowFingerprints]] digests and [[winnowPairs]] joins. */
+  def winnowRows(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
@@ -659,20 +661,48 @@ object Dedup {
       .withColumn("v",
         col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
     val byDoc = Window.partitionBy(col("doc"))
-    val sel = grams
+    grams
       .withColumn("__n", count(lit(1)).over(byDoc))
       .withColumn("__minv", min(col("v")).over(
         byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)))
       .filter(col("pos") <= greatest(col("__n") - (w - 1), lit(1L)))
       .select(col("doc"), shiftright(col("__minv"), 20).as("fp"))
       .distinct()
-    sel.groupBy(col("doc"))
+  }
+
+  /** Near-dup candidate pairs through the fingerprint INVERTED INDEX:
+    * docs sharing ≥ `minShared` selected fingerprints. The same
+    * df-capped discipline as [[ngramJaccard]] — a fingerprint present
+    * in more than `maxDf` docs (boilerplate) is dropped via a
+    * partial-aggregated count + broadcast anti-join BEFORE the
+    * self-join, so no bucket goes quadratic on a stop-fingerprint.
+    * Winnowing's coverage theorem makes the recall floor explicit:
+    * any pair sharing a run of ≥ w+k-1 tokens (with a surviving
+    * fingerprint) appears.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2, maxDf: Long = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val fp = winnowRows(docs, idCol, textCol, k, w).localCheckpoint(true)
+    val frequent = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("fp"))
+    val pruned = fp.join(broadcast(frequent), Seq("fp"), "left_anti")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    winnowRows(docs, idCol, textCol, k, w).groupBy(col("doc"))
       .agg(count(lit(1)).as("n_fingerprints"),
         md5(array_join(
           expr("transform(array_sort(collect_list(fp)), x -> CAST(x AS STRING))"),
           ",").cast("binary")).as("fp_md5"))
       .withColumnRenamed("doc", idCol)
-  }
 
   /** Ordered-ingest near-dup dedup — the continuously-ingesting
     * pipeline's contract, driven here over id-ranged batches arriving

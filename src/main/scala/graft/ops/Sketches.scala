@@ -119,15 +119,29 @@ object Sketches {
     * error guarantee (est ≥ true, est ≤ true + εN with prob. 1 - δ) is
     * asserted by SketchesSpec; the oracle pins the exact cell values.
     */
-  def cmsHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val hexed = items.select(col(itemCol).as("item"),
-      md5(col(itemCol).cast("string").cast("binary")).as("__h"))
-    val counters = hexed
+  /** The (row, bucket, count) counter table — persist per shard/day and
+    * roll up with [[cmsMerge]] without rescanning items. */
+  def cmsSketch(items: DataFrame, itemCol: String): DataFrame =
+    items
+      .select(md5(col(itemCol).cast("string").cast("binary")).as("__h"))
       .select(posexplode(array((0 until CmsDepth).map(i =>
         cmsBucket(col("__h"), i)): _*)).as(Seq("i", "bucket")))
       .groupBy(col("i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Merge CMS counter tables cell-wise (sum) — exact: counters are
+    * count-folds, so summing shard sketches equals the union sketch
+    * bit-for-bit (asserted by SketchesEventStateSpec). */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  def cmsHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counters = cmsSketch(items, itemCol)
     val top = items.groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("item"))

@@ -52,6 +52,15 @@ class SketchesEventStateSpec extends SparkTestBase {
       rows(Sketches.hllEstimate(direct, "g")))
   }
 
+  test("CMS merge of shard sketches equals the union sketch bit-for-bit") {
+    val a = (1 to 800).map(i => s"t${i % 90}").toDF("item")
+    val b = (1 to 600).map(i => s"t${i % 70}").toDF("item")
+    val merged = Sketches.cmsMerge(
+      Seq(Sketches.cmsSketch(a, "item"), Sketches.cmsSketch(b, "item")))
+    val direct = Sketches.cmsSketch(a.unionByName(b), "item")
+    assert(rows(merged).toSet === rows(direct).toSet)
+  }
+
   test("latestSnapshot breaks timestamp collisions by the tie column") {
     val df = Seq(
       (1L, 100L, 1L, "a", 1.0),
