@@ -111,8 +111,15 @@ object Funnel {
     * it). One extra single-row aggregate over [[stepTimes]]. */
   def conversionCounts(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
-      maxGapSeconds: Option[Long] = None): DataFrame = {
-    val st = stepTimes(events, userCol, tsCol, typeCol, steps, maxGapSeconds)
+      maxGapSeconds: Option[Long] = None): DataFrame =
+    conversionCountsFromStepTimes(
+      stepTimes(events, userCol, tsCol, typeCol, steps, maxGapSeconds), steps)
+
+  /** The counting tail over an ALREADY-MATERIALIZED step-times table —
+    * split out so the streaming form can drain [[stepTimes]] (its one
+    * allowed streaming aggregation) and count batch-side. */
+  def conversionCountsFromStepTimes(st: DataFrame,
+      steps: Seq[String]): DataFrame = {
     val counts = st.agg(
       count(col(s"t_${steps.head}")).as("c0"),
       steps.tail.zipWithIndex.map { case (s, i) =>

@@ -357,6 +357,47 @@ object StreamingQueries {
              |FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k) ks
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // streaming funnel: the per-user step-time FOLD (sorted collect +
+    // aggregate HOF) maintained as the one streaming aggregation,
+    // drained in complete mode; the 3-row conversion report is the
+    // batch tail over that materialized per-user view — same oracle as
+    // the batch q_funnel
+    Q(
+      "stream_funnel",
+      (s, dir) => {
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val steps = Seq("signup", "click", "purchase")
+        val stream = eventsStream(s, dir)
+        val st = Funnel.stepTimes(stream, "user_id", "ts", "event_type", steps)
+        withStreamShuffle(s, 4) {
+          val q = st.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        Funnel.conversionCountsFromStepTimes(s.table(name), steps)
+          .orderBy(col("step"))
+      },
+      Some("""WITH t0 AS (
+             |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |t1 AS (
+             |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+             |  FROM events e JOIN t0 USING (user_id)
+             |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t0.t
+             |  GROUP BY 1),
+             |t2 AS (
+             |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+             |  FROM events e JOIN t1 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t1.t
+             |  GROUP BY 1)
+             |SELECT 1 AS step, 'signup' AS event_type,
+             |  (SELECT COUNT(*) FROM t0) AS users
+             |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t1)
+             |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t2)
+             |ORDER BY step""".stripMargin)),
+
     // streaming CDC "current state": the same partial-aggregated max_by
     // as EventState.latestSnapshot, maintained INCREMENTALLY by the
     // streaming aggregation state store — the materialized-view form of
