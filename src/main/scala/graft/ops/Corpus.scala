@@ -309,6 +309,37 @@ object Corpus {
           .otherwise(expr("target_tokens * 1000 DIV n_tokens")))
   }
 
+  /** Padding-efficiency PLAN for length-bucketed batching — the
+    * "how much compute do we burn on pad tokens" sheet every inference
+    * or fixed-shape training job consults before picking bucket
+    * boundaries. Docs are bucketed by token count rounded UP to the
+    * next `bucketTokens` multiple (the shapes the serving stack
+    * compiles); per bucket the report gives doc count, batch count at
+    * `batchSize`, real vs padded token totals, and the pad-waste share
+    * in ppm. Sweep `bucketTokens` and compare `waste_ppm` to choose the
+    * bucket grid.
+    *
+    * Shape at scale: one map-only projection (token count → bucket) and
+    * one partial-aggregated groupBy on the bucket id — #buckets result
+    * rows regardless of corpus size, integer arithmetic end to end.
+    */
+  def paddingPlan(df: DataFrame, textCol: String, bucketTokens: Int,
+      batchSize: Int): DataFrame = {
+    require(bucketTokens >= 1, s"bucketTokens must be >= 1, got $bucketTokens")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    df.select(TextFunctions.tokenCount(col(textCol)).cast("long").as("__toks"))
+      .withColumn("bucket_len",
+        expr(s"((__toks + ${bucketTokens - 1}) DIV $bucketTokens) * $bucketTokens"))
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("real_tokens"))
+      .withColumn("n_batches", expr(s"(n_docs + ${batchSize - 1}) DIV $batchSize"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket_len"))
+      .withColumn("waste_ppm",
+        when(col("padded_tokens") === 0, lit(0L))
+          .otherwise(expr(
+            "(padded_tokens - real_tokens) * 1000000 DIV padded_tokens")))
+  }
+
   /** Temperature-scaled mixture plan (α = 1/2 — the mT5/UniMax "T = 2"
     * rebalance): instead of an externally supplied mixing sheet, the
     * weights derive from the source supplies themselves,
@@ -496,6 +527,45 @@ object Corpus {
       .select(col("t.id").as("doc"),
         (col("r0") + 1).cast("int").as("rank"),
         col("t.score").cast("long").as("score"))
+  }
+
+  /** Exact PHRASE search over a positional inverted index: top-k
+    * documents by number of occurrences of the exact token sequence
+    * `phrase` (adjacent, in order). The operator a quoted query hits in
+    * any search engine — and the decontamination probe for verbatim
+    * benchmark prompts where shingle overlap is too coarse.
+    *
+    * Why an index probe and not a per-doc text rescan: at corpus scale
+    * the (token, doc, position) index is built ONCE and probed per
+    * phrase; the probe filters the index to the phrase's words — an
+    * equality filter Catalyst pushes below the generate via the isin —
+    * so each phrase costs tf(w₁)+…+tf(wₘ) rows, not a corpus scan. An
+    * occurrence at start position p is the m-way equi-join of word i's
+    * positions shifted by −i on (doc, start): each join input is one
+    * word's posting list, partial-shuffled on a compact key; repeated
+    * phrase words work because the shift, not the word, disambiguates.
+    * Final top-k is the bounded heap aggregate (no global sort).
+    */
+  def phraseSearchTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String, k: Int): DataFrame = {
+    val words = phrase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(words.size >= 2, "phrase needs at least 2 tokens")
+    val pos = docs
+      .select(col(idCol).as("doc"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("p", "tok")))
+      .filter(col("tok").isin(words.distinct: _*))
+      .localCheckpoint(true)
+    val starts = words.zipWithIndex.map { case (w, i) =>
+      pos.filter(col("tok") === w).select(col("doc"), (col("p") - i).as("start"))
+    }
+    val occ = starts.reduce((a, b) => a.join(b, Seq("doc", "start")))
+    occ.groupBy(col("doc")).agg(count(lit(1)).as("occurrences"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("occurrences").cast("double"), col("doc").cast("long"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("t.id").as("doc"),
+        (col("r0") + 1).cast("int").as("rank"),
+        col("t.score").cast("long").as("occurrences"))
   }
 
   /** "More like this": top-k documents sharing rare features with a

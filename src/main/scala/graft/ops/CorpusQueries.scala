@@ -498,6 +498,29 @@ object CorpusQueries {
              |       ELSE target_tokens * 1000 // n_tokens END AS BIGINT) AS repeat_milli
              |FROM b ORDER BY source""".stripMargin)),
 
+    // padding-efficiency plan: docs bucketed to 16-token shape multiples,
+    // per-bucket batch counts at batchSize 32 and pad-waste ppm — one
+    // map-only projection + one bucket-keyed aggregate
+    Q(
+      "corpus_padding_plan",
+      (s, dir) =>
+        Corpus.paddingPlan(table(s, dir, "documents"), "text",
+          bucketTokens = 16, batchSize = 32)
+          .orderBy(col("bucket_len")),
+      Some("""WITH b AS (
+             |  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS t
+             |  FROM documents),
+             |g AS (SELECT ((t + 15) // 16) * 16 AS bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |        CAST(SUM(t) AS BIGINT) AS real_tokens
+             |      FROM b GROUP BY 1)
+             |SELECT bucket_len, n_docs, real_tokens,
+             |  CAST((n_docs + 31) // 32 AS BIGINT) AS n_batches,
+             |  CAST(n_docs * bucket_len AS BIGINT) AS padded_tokens,
+             |  CAST(CASE WHEN n_docs * bucket_len = 0 THEN 0
+             |       ELSE (n_docs * bucket_len - real_tokens) * 1000000 // (n_docs * bucket_len)
+             |       END AS BIGINT) AS waste_ppm
+             |FROM g ORDER BY bucket_len""".stripMargin)),
+
     // temperature-scaled mixture (α = 1/2): weights ∝ floor(sqrt(supply)),
     // the UniMax-style head-flattening rebalance, derived from the corpus
     // itself — exact cross-engine because IEEE sqrt is correctly rounded
@@ -1142,6 +1165,29 @@ object CorpusQueries {
            |WHERE rank <= 10 ORDER BY rank""".stripMargin
       }),
 
+    // exact phrase search over the positional inverted index: top-10
+    // docs by occurrences of the adjacent token sequence "table scan";
+    // the oracle recounts every doc's token array directly — the index
+    // probe must reproduce the rescan truth exactly
+    Q(
+      "text_phrase_topk",
+      (s, dir) =>
+        Corpus.phraseSearchTopK(table(s, dir, "documents"), "doc_id", "text",
+          phrase = "table scan", k = 10)
+          .orderBy(col("rank")),
+      Some(s"""WITH $toksCte,
+             |occ AS (
+             |  SELECT doc_id AS doc,
+             |    CAST(len(list_filter(range(1, len(ws)),
+             |      i -> ws[i] = 'table' AND ws[i+1] = 'scan')) AS BIGINT) AS occurrences
+             |  FROM toks)
+             |SELECT doc, rank, occurrences FROM (
+             |  SELECT doc,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, doc) AS INT) AS rank,
+             |    occurrences
+             |  FROM occ WHERE occurrences > 0) t
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
     // ======== dedup ========
     Q(
       "dedup_exact",
@@ -1189,6 +1235,32 @@ object CorpusQueries {
              |JOIN sizes sa ON sa.doc_id = d1
              |JOIN sizes sb ON sb.doc_id = d2
              |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // EXACT all-pairs shingle-set Jaccard via prefix filtering: no df
+    // cap, no false negatives — the oracle computes the unfiltered
+    // pairwise truth, proving the prefix join prunes without losing a
+    // pair (threshold 0.40 decided by integer ppm cross-multiplication
+    // on both sides; the double jaccard is identical arithmetic)
+    Q(
+      "dedup_prefix_pairs",
+      (s, dir) =>
+        Dedup.prefixFilterPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, thresholdPpm = 400000L)
+          .orderBy(col("d1"), col("d2")),
+      Some(s"""WITH $toksCte, $shingleCte,
+             |idx AS (SELECT doc_id AS doc, unnest(shingles) AS tok FROM sh),
+             |sizes AS (SELECT doc, COUNT(*) AS n FROM idx GROUP BY doc),
+             |common AS (
+             |  SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+             |  FROM idx a JOIN idx b ON a.tok = b.tok AND a.doc < b.doc
+             |  GROUP BY 1, 2)
+             |SELECT d1, d2,
+             |  CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+             |FROM common
+             |JOIN sizes sa ON sa.doc = d1
+             |JOIN sizes sb ON sb.doc = d2
+             |WHERE common * 1000000 >= 400000 * (sa.n + sb.n - common)
              |ORDER BY d1, d2""".stripMargin)),
 
     // benchmark decontamination: per-training-doc share of distinct

@@ -148,6 +148,84 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** EXACT all-pairs token-set similarity self-join by PREFIX FILTERING
+    * (the PPJoin/AllPairs family, Chaudhuri et al. 2006 / Xiao et al.
+    * 2008) — the no-false-negative counterpart to [[minhashLsh]]: every
+    * pair with Jaccard ≥ threshold over the docs' DISTINCT word-n-gram
+    * shingle sets is returned, with the exact similarity. Unlike
+    * [[ngramJaccard]] there is NO df cap — boilerplate shingles stay in
+    * the similarity universe; prefix order keeps them out of the join.
+    *
+    * Why a prefix prunes exactly: order every doc's token set by one
+    * GLOBAL total order (document frequency ascending, then token — the
+    * rarest-first convention, shared with the oracle). If
+    * J(A,B) ≥ t then |A∩B| ≥ ceil(t·|A|), so A cannot skip its
+    * |A| − ceil(t·|A|) + 1 first tokens and still intersect B enough —
+    * two qualifying docs MUST share at least one PREFIX token. Joining
+    * only prefix rows (≈ (1−t)·|A| rarest tokens per doc) instead of the
+    * whole inverted index is what makes the exact join feasible: the
+    * high-df tokens that would drive the O(df²) candidate blowup are
+    * exactly the ones prefix order pushes out of the join.
+    *
+    * Shape at scale: one df aggregate (map-side partials) + equi-join
+    * back; the per-doc rarest-first rank is a window partitioned by the
+    * DOC id — partition size is bounded by document length, never by
+    * corpus size (the safe window class). Candidates join on prefix
+    * tokens only, then a size filter (t·max ≤ min, integer ppm
+    * cross-multiplied) drops impossible pairs before verification; the
+    * verify join fans each surviving pair by |A| index rows — bounded by
+    * candidates × doc length. No all-pairs product anywhere.
+    *
+    * Trade vs [[minhashLsh]]: exact recall, but candidate count tracks
+    * true near-dup density — on a corpus where everything resembles
+    * everything (low threshold, templated text) LSH's banded buckets
+    * bound work harder. Run this where missing a duplicate is the
+    * expensive outcome (eval decontamination, license dedup).
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdPpm: Long = 500000L): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000,
+      s"thresholdPpm must be in [1, 1000000], got $thresholdPpm")
+    // distinct shingles by construction (shinglesFromTokens dedupes);
+    // checkpointed because the df count, rank, sizes, and verify join
+    // all re-read it
+    val idx = shingleRows(df, idCol, textCol, n)
+      .withColumnRenamed("shingle", "tok").localCheckpoint(true)
+    val dfTab = idx.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    // rarest-first rank inside each doc; prefix keeps the tokens a
+    // qualifying partner cannot avoid sharing
+    val w = Window.partitionBy(col("doc")).orderBy(col("__df"), col("tok"))
+    val prefix = idx.join(dfTab, "tok")
+      .withColumn("__r", row_number().over(w))
+      .join(sizes, "doc")
+      // prefixLen = n - ceil(t*n) + 1, all-integer ceil
+      .filter(col("__r") <=
+        col("n") - expr(s"CAST((n * ${thresholdPpm}L + 999999) DIV 1000000 AS BIGINT)") + 1)
+      .select(col("doc"), col("tok"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc") &&
+          // J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+          col("a.n") * lit(1000000L) >= lit(thresholdPpm) * col("b.n") &&
+          col("b.n") * lit(1000000L) >= lit(thresholdPpm) * col("a.n"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2")).distinct()
+    val common = cand
+      .join(idx.withColumnRenamed("doc", "d1").withColumnRenamed("tok", "t1"), "d1")
+      .join(idx.withColumnRenamed("doc", "__bd").withColumnRenamed("tok", "t2"),
+        col("__bd") === col("d2") && col("t1") === col("t2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n", "na"), "d1")
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n", "nb"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+      // ppm cross-multiplication decides; the double is only reported
+      .filter(col("common") * lit(1000000L) >=
+        lit(thresholdPpm) * (col("na") + col("nb") - col("common")))
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** Benchmark decontamination: for every training document, the share
     * of its distinct word n-gram shingles that also appear anywhere in
     * the evaluation corpus — the standard "is my test set leaking into

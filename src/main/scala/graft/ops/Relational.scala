@@ -81,6 +81,37 @@ object Relational {
       case _ => col("ts")
     }
 
+  /** The [[Graph.pageRank]] rounds unrolled as chained CTEs — the same
+    * integer ppm update per round (base 150000, damping 850000, `//`
+    * and `DIV` both floor on non-negative BIGINTs), over the
+    * bidirectional part↔supplier edge list. */
+  private def pageRankSql(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(150000 + 850000 * COALESCE(inf.s, 0) // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM(rp.r // deg.d) AS s
+         |    FROM e JOIN r${i - 1} rp ON rp.node = e.src
+         |    JOIN deg ON deg.node = e.src
+         |    GROUP BY e.dst) inf ON inf.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+       |nodes AS (SELECT node FROM deg),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, rank, pr_ppm FROM (
+       |  SELECT node,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INT) AS rank,
+       |    r AS pr_ppm
+       |  FROM r$iters) t
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   /** Morton (Z-order) code: interleave the low `bits` of two
     * non-negative ints — the multi-dimensional clustering key behind
     * data-skipping layouts. `df.repartitionByRange(zOrderCode(a, b))
@@ -943,6 +974,28 @@ object Relational {
              |SELECT zcode >> 12 AS zbucket, COUNT(*) AS n,
              |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
              |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin)),
+
+    // ---- integer PageRank over the part↔supplier co-purchase graph
+    //      (undirected, fed as both directions): 4 exact ppm rounds in
+    //      Graph.pageRank vs the same rounds unrolled as chained CTEs —
+    //      link-analysis quality priors, verified bit-for-bit
+    Q(
+      "graph_pagerank",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val e = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+        Graph.pageRank(e, iters = 4)
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+            col("pr_ppm").cast("double"), col("node"), 30).as("top"))
+          .select(posexplode(col("top")).as(Seq("r0", "t")))
+          .select(col("t.id").as("node"),
+            (col("r0") + 1).cast("int").as("rank"),
+            col("t.score").cast("long").as("pr_ppm"))
+      },
+      Some(pageRankSql(iters = 4, k = 30))),
 
     // ---- SLIDING event-time windows (6h width, 2h slide): each event
     //      lands in exactly 3 windows — Spark's window() expands them
