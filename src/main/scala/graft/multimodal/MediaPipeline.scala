@@ -426,6 +426,45 @@ object MediaPipeline {
     frames.mapPartitions(_.map(f => decoder.resize(f, w, h)))
   }
 
+  /** Perceptual difference hash (dHash) over decoded RGB frames: the
+    * image near-dup fingerprint — per row of the grayscale raster, one
+    * bit per adjacent-column comparison (gray[c] > gray[c+1]), packed
+    * into a long. A re-encode, brightness shift, or mild noise leaves
+    * most gradient signs intact, so visually-identical images collide
+    * where a byte hash would not; width×height ≤ 8×8 keeps the
+    * fingerprint in (width−1)·height ≤ 56 bits.
+    *
+    * Runs where the decode ran — a map over the frame Dataset, no
+    * shuffle; downstream grouping shuffles only (id, 8-byte hash).
+    * Grayscale is the integer mean (r+g+b) DIV 3, so the fingerprint is
+    * engine-exact for any decoder that reproduces the raster bytes.
+    */
+  def dHash(frames: Dataset[DecodedFrame])(
+      implicit spark: SparkSession): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    frames.map { f =>
+      val w = f.width
+      val g = new Array[Int](w * f.height)
+      var p = 0
+      while (p < g.length) {
+        g(p) = ((f.pixels(3 * p) & 0xff) + (f.pixels(3 * p + 1) & 0xff) +
+          (f.pixels(3 * p + 2) & 0xff)) / 3
+        p += 1
+      }
+      var fp = 0L
+      var r = 0
+      while (r < f.height) {
+        var c = 0
+        while (c < w - 1) {
+          if (g(r * w + c) > g(r * w + c + 1)) fp |= 1L << (r * (w - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      (f.id, fp)
+    }
+  }
+
   /** Media tables should be range-partitioned by id (or bucketed) so a
     * decode pass never skews one executor with all the large blobs; the
     * metadata-only projection prunes the binary column entirely.

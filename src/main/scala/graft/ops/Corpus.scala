@@ -529,6 +529,72 @@ object Corpus {
         col("t.score").cast("long").as("score"))
   }
 
+  /** Independence deviation of a categorical crosstab — the "is my
+    * language mix independent of my source mix" release check (a
+    * chi-square-style screen with the monotone square kept un-taken):
+    * per (a, b) cell, the observed share and the
+    * independence-expected share in ppm, and their absolute deviation.
+    * Cells with large `dev_ppm` are the source×language (or
+    * format×split, domain×bucket) imbalances a mixture plan has to
+    * address before training.
+    *
+    * All-integer and overflow-safe to budgets of ~9·10^12 rows: shares
+    * are floored ppm (`x·10^6 DIV total`), the expected share is the
+    * product of two ppms floored back to ppm — each term is the same
+    * fixed shape in both engines, so the report is engine-exact.
+    * One cell aggregate scans the corpus once; the marginals and the
+    * total fold as windows OVER THE AGGREGATE (#a × #b rows, the
+    * bounded-input window exemption the mixture normalizers use) — no
+    * join, no cross product.
+    */
+  def independenceDeviation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cell = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n"))
+    cell
+      .withColumn("r", sum(col("n")).over(Window.partitionBy(col(aCol))))
+      .withColumn("c", sum(col("n")).over(Window.partitionBy(col(bCol))))
+      .withColumn("t", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("obs_ppm", expr("n * 1000000 DIV t"))
+      .withColumn("exp_ppm",
+        expr("(r * 1000000 DIV t) * (c * 1000000 DIV t) DIV 1000000"))
+      .select(col(aCol), col(bCol), col("n"), col("obs_ppm"), col("exp_ppm"),
+        abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+  }
+
+  /** Deterministic weight-proportional sample of k documents — priority
+    * sampling (Duffield, Lund & Thorup 2007) with the random tag
+    * replaced by a content hash: each doc draws priority
+    * `q = hash(id) DIV weight` (weight = token count + 1) and the k
+    * SMALLEST priorities win, so long documents are proportionally more
+    * likely to be kept, the sample is reproducible across engines,
+    * runs, and partitionings, and adding documents never changes the
+    * relative order of existing ones (the property that makes the
+    * sample maintainable incrementally: a newcomer either displaces the
+    * current maximum or leaves the sample untouched).
+    *
+    * Shape at scale: one map-only projection (hash, weight, divide) and
+    * one bounded top-k heap aggregate — ≤ k candidates per partition
+    * cross the final shuffle, no global sort, nothing driver-side.
+    * Priorities are < 2^48 (12 hex chars), exact in double.
+    */
+  def prioritySample(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pri = df.select(col(idCol).cast("long").as("doc"),
+        (TextFunctions.tokenCount(col(textCol)).cast("long") + 1).as("w"))
+      .withColumn("q",
+        conv(substring(md5(col("doc").cast("string").cast("binary")), 1, 12),
+          16, 10).cast("long"))
+      .withColumn("q", expr("q DIV w"))
+    pri
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        -col("q").cast("double"), col("doc"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("t.id").as("doc"),
+        (col("r0") + 1).cast("int").as("rank"),
+        (-col("t.score")).cast("long").as("priority"))
+  }
+
   /** Exact PHRASE search over a positional inverted index: top-k
     * documents by number of occurrences of the exact token sequence
     * `phrase` (adjacent, in order). The operator a quoted query hits in

@@ -521,6 +521,51 @@ object CorpusQueries {
              |       END AS BIGINT) AS waste_ppm
              |FROM g ORDER BY bucket_len""".stripMargin)),
 
+    // lang x source independence screen: floored-ppm observed vs
+    // expected shares, all BIGINT — the mixture-imbalance report
+    Q(
+      "corpus_independence_dev",
+      (s, dir) =>
+        Corpus.independenceDeviation(table(s, dir, "documents"),
+          "lang", "source")
+          .orderBy(col("lang"), col("source")),
+      Some("""WITH cell AS (
+             |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM cell GROUP BY 1),
+             |ct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM cell GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cell)
+             |SELECT lang, source, n,
+             |  n * 1000000 // t AS obs_ppm,
+             |  ((r * 1000000 // t) * (c * 1000000 // t)) // 1000000 AS exp_ppm,
+             |  abs(n * 1000000 // t
+             |    - ((r * 1000000 // t) * (c * 1000000 // t)) // 1000000) AS dev_ppm
+             |FROM cell JOIN rt USING (lang) JOIN ct USING (source), tot
+             |ORDER BY lang, source""".stripMargin)),
+
+    // deterministic priority sample: 100 docs by hash-DIV-weight
+    // priority (weight = tokens + 1) — weight-proportional inclusion,
+    // reproducible across engines and incrementally maintainable
+    Q(
+      "corpus_priority_sample",
+      (s, dir) =>
+        Corpus.prioritySample(table(s, dir, "documents"), "doc_id", "text",
+          k = 100)
+          .orderBy(col("rank")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) + 1 AS w
+             |  FROM documents),
+             |p AS (SELECT doc_id,
+             |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT // w AS q
+             |  FROM t)
+             |SELECT doc, rank, priority FROM (
+             |  SELECT doc_id AS doc,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY q, doc_id) AS INT) AS rank,
+             |    q AS priority
+             |  FROM p) t
+             |WHERE rank <= 100 ORDER BY rank""".stripMargin)),
+
     // temperature-scaled mixture (α = 1/2): weights ∝ floor(sqrt(supply)),
     // the UniMax-style head-flattening rebalance, derived from the corpus
     // itself — exact cross-engine because IEEE sqrt is correctly rounded
@@ -1239,7 +1284,8 @@ object CorpusQueries {
 
     // EXACT all-pairs shingle-set Jaccard via prefix filtering: no df
     // cap, no false negatives — the oracle computes the unfiltered
-    // pairwise truth, proving the prefix join prunes without losing a
+    // pairwise truth (same 56-bit shingle hashing, so agreement is by
+    // construction), proving the prefix join prunes without losing a
     // pair (threshold 0.40 decided by integer ppm cross-multiplication
     // on both sides; the double jaccard is identical arithmetic)
     Q(
@@ -1249,7 +1295,9 @@ object CorpusQueries {
           n = 3, thresholdPpm = 400000L)
           .orderBy(col("d1"), col("d2")),
       Some(s"""WITH $toksCte, $shingleCte,
-             |idx AS (SELECT doc_id AS doc, unnest(shingles) AS tok FROM sh),
+             |idx AS (SELECT doc_id AS doc,
+             |  ('0x' || substr(md5(tok0), 1, 14))::BIGINT AS tok
+             |  FROM (SELECT doc_id, unnest(shingles) AS tok0 FROM sh)),
              |sizes AS (SELECT doc, COUNT(*) AS n FROM idx GROUP BY doc),
              |common AS (
              |  SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
@@ -1262,6 +1310,64 @@ object CorpusQueries {
              |JOIN sizes sb ON sb.doc = d2
              |WHERE common * 1000000 >= 400000 * (sa.n + sb.n - common)
              |ORDER BY d1, d2""".stripMargin)),
+
+    // content-defined chunking: hash-selected token boundaries (divisor
+    // 16), cross-doc duplicated-chunk inventory — the insertion-robust
+    // dedup granularity; oracle replays the same boundary rule with a
+    // SQL running sum
+    Q(
+      "dedup_cdc_chunks",
+      (s, dir) =>
+        Dedup.cdcChunkDuplicates(table(s, dir, "documents"), "doc_id", "text",
+          divisor = 16)
+          .orderBy(col("chunk_hash")),
+      Some(s"""WITH $toksCte,
+             |pos AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i,
+             |          unnest(ws) AS tok FROM toks),
+             |b AS (SELECT doc_id, i, tok,
+             |  CASE WHEN ('0x'||substr(md5(tok),1,14))::BIGINT % 16 = 0
+             |       THEN 1 ELSE 0 END AS bd FROM pos),
+             |ch AS (SELECT doc_id, i, tok,
+             |  COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+             |  FROM b),
+             |chunks AS (
+             |  SELECT doc_id, cid, md5(string_agg(tok, ' ' ORDER BY i)) AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS n_toks
+             |  FROM ch GROUP BY 1, 2)
+             |SELECT h AS chunk_hash,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+             |  MIN(n_toks) AS n_tokens
+             |FROM chunks GROUP BY 1
+             |HAVING COUNT(DISTINCT doc_id) >= 2
+             |ORDER BY chunk_hash""".stripMargin)),
+
+    // directed containment pairs at 0.7 over the df-capped shingle
+    // universe: doc-in-doc detection the symmetric Jaccard family
+    // structurally misses
+    Q(
+      "dedup_containment_pairs",
+      (s, dir) =>
+        Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, thresholdPpm = 700000L, maxDf = JaccardMaxDf)
+          .orderBy(col("d_in"), col("d_out")),
+      Some(s"""WITH $toksCte, $shingleCte,
+             |shx0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |dfx AS (SELECT shingle, COUNT(*) AS df FROM shx0 GROUP BY 1),
+             |shx AS (SELECT s.doc_id, s.shingle FROM shx0 s
+             |        JOIN dfx USING (shingle) WHERE df <= $JaccardMaxDf),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1),
+             |common AS (
+             |  SELECT a.doc_id AS d_in, b.doc_id AS d_out, COUNT(*) AS c
+             |  FROM shx a JOIN shx b
+             |    ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d_in, d_out,
+             |  CAST(c AS DOUBLE) / CAST(s.n AS DOUBLE) AS containment
+             |FROM common JOIN sizes s ON s.doc_id = d_in
+             |WHERE c * 1000000 >= 700000 * s.n
+             |ORDER BY d_in, d_out""".stripMargin)),
 
     // benchmark decontamination: per-training-doc share of distinct
     // shingles that leak from the "eval" slice (doc_id >= 450 stands in
@@ -2584,6 +2690,46 @@ object CorpusQueries {
              |  CAST(list_sum(list_transform(range(0, 192),
              |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
              |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // perceptual image near-dup: REAL PPM decode → integer-grayscale
+    // dHash (one gradient-sign bit per adjacent pixel pair) → exact
+    // fingerprint grouping; the oracle recomputes the 56-bit hash from
+    // the raw bytes, so the whole decode+hash pipeline is bit-gated
+    Q(
+      "multimodal_phash_dups",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.{ImageDecoder, MediaRow}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 192)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 192).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          MediaRow(id, "image", MediaPipeline.encodePpm(8, 8, px), "ppm", 8, 8, 0L)
+        }
+        MediaPipeline.dHash(
+          MediaPipeline.sampleFrames(media, new ImageDecoder, 1)(s))(s)
+          .toDF("doc_id", "fp")
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .filter(col("n_docs") >= 2)
+          .select(col("fp").as("phash"), col("n_docs"), col("min_doc"))
+          .orderBy(col("phash"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, substr(hex(encode(text)), 1, 384) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 192),
+             |g AS (SELECT doc_id, list_transform(range(0, 64), p ->
+             |  ((('0x' || substr(hx, 6*p + 1, 2))::BIGINT
+             |    + ('0x' || substr(hx, 6*p + 3, 2))::BIGINT
+             |    + ('0x' || substr(hx, 6*p + 5, 2))::BIGINT) // 3)) AS gray FROM h),
+             |f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), b ->
+             |  CASE WHEN gray[(b // 7) * 8 + (b % 7) + 1] > gray[(b // 7) * 8 + (b % 7) + 2]
+             |       THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS fp FROM g)
+             |SELECT fp AS phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MIN(doc_id) AS min_doc
+             |FROM f GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY phash""".stripMargin)),
 
     // decode → featurize → ANN across the media and similarity surfaces:
     // PPM images decoded by the real byte-level decoder, pooled into a

@@ -148,6 +148,43 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Directed CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ threshold over
+    * distinct word-n-gram shingle sets — the asymmetric complement to
+    * [[ngramJaccard]]. A short document quoted whole inside a long
+    * aggregator page has high containment but low Jaccard (the union is
+    * dominated by the big doc), so symmetric dedup never pairs them;
+    * containment is how quote farms, scraped-with-chrome copies, and
+    * doc-in-doc embeddings are actually caught.
+    *
+    * Same scale spelling as [[ngramJaccard]]: df-capped inverted index
+    * (partial-aggregated df, broadcast anti-join of the tiny stop set),
+    * candidate pairs only where a shingle is shared, and the denominator
+    * |A| counted over the surviving shingle universe so the ratio is
+    * consistent. Output is DIRECTED: (d_in, d_out) appears when d_in's
+    * shingles are ≥ threshold contained in d_out — both directions can
+    * hold (near-identical docs).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdPpm: Long = 700000L, maxDf: Int = 10000): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000,
+      s"thresholdPpm must be in [1, 1000000], got $thresholdPpm")
+    val sh0 = shingleRows(df, idCol, textCol, n).localCheckpoint(true)
+    val stop = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("shingle"))
+    val sh = sh0.join(stop, Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") =!= col("b.doc"))
+      .groupBy(col("a.doc").as("d_in"), col("b.doc").as("d_out"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc", "d_in"), "d_in")
+      .filter(col("common") * lit(1000000L) >= lit(thresholdPpm) * col("n"))
+      .select(col("d_in"), col("d_out"),
+        (col("common").cast("double") / col("n").cast("double"))
+          .as("containment"))
+  }
+
   /** EXACT all-pairs token-set similarity self-join by PREFIX FILTERING
     * (the PPJoin/AllPairs family, Chaudhuri et al. 2006 / Xiao et al.
     * 2008) — the no-false-negative counterpart to [[minhashLsh]]: every
@@ -171,52 +208,80 @@ object Dedup {
     * back; the per-doc rarest-first rank is a window partitioned by the
     * DOC id — partition size is bounded by document length, never by
     * corpus size (the safe window class). Candidates join on prefix
-    * tokens only, then a size filter (t·max ≤ min, integer ppm
-    * cross-multiplied) drops impossible pairs before verification; the
-    * verify join fans each surviving pair by |A| index rows — bounded by
-    * candidates × doc length. No all-pairs product anywhere.
+    * tokens only, pruned by TWO exact filters before any verification:
+    * the size filter (J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|)) and
+    * PPJoin's positional filter (all shared elements rank at or after
+    * the first shared token, so min(|A|−rₐ, |B|−r_b)+1 bounds |A∩B| —
+    * rows violating ⌈t/(1+t)·(|A|+|B|)⌉ can't be a qualifying pair's
+    * first shared token). Verification then joins each surviving PAIR
+    * to its two pre-materialized shingle ARRAYS (equi-joins on the doc
+    * id) and intersects them map-side — candidates × O(doc length)
+    * comparisons with no index fan-out shuffle. No all-pairs product
+    * anywhere.
     *
     * Trade vs [[minhashLsh]]: exact recall, but candidate count tracks
     * true near-dup density — on a corpus where everything resembles
     * everything (low threshold, templated text) LSH's banded buckets
     * bound work harder. Run this where missing a duplicate is the
     * expensive outcome (eval decontamination, license dedup).
+    *
+    * Shingle identity is its 56-bit md5 prefix — 8-byte keys through
+    * every shuffle and 8-byte array elements through the verify joins
+    * instead of ~25-byte strings (the same discipline as the span-dedup
+    * family). The oracle hashes identically, so the two engines agree
+    * by construction; a hash collision needs ~10^8 distinct shingles
+    * (birthday at 2^56) — widen to two hash words past that.
     */
   def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thresholdPpm: Long = 500000L): DataFrame = {
     require(thresholdPpm >= 1 && thresholdPpm <= 1000000,
       s"thresholdPpm must be in [1, 1000000], got $thresholdPpm")
-    // distinct shingles by construction (shinglesFromTokens dedupes);
-    // checkpointed because the df count, rank, sizes, and verify join
-    // all re-read it
-    val idx = shingleRows(df, idCol, textCol, n)
-      .withColumnRenamed("shingle", "tok").localCheckpoint(true)
+    // per-doc DISTINCT shingle array, materialized once (the df count,
+    // the prefix ranks, and the verify arrays all derive from it); the
+    // single-element explode is the Generate barrier that stops
+    // CollapseProject from re-splitting the text per shingle position
+    val base = df
+      .select(col(idCol).as("doc"),
+        explode(array(tokens(col(textCol)))).as("__ws"))
+      .select(col("doc"),
+        sort_array(transform(shinglesFromTokens(col("__ws"), n),
+          s => conv(substring(md5(s.cast("binary")), 1, 14), 16, 10)
+            .cast("long"))).as("arr"))
+      .localCheckpoint(true)
+    // n travels on every index row — no sizes join anywhere downstream
+    val idx = base.select(col("doc"), size(col("arr")).cast("long").as("n"),
+      explode(col("arr")).as("tok"))
     val dfTab = idx.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
-    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     // rarest-first rank inside each doc; prefix keeps the tokens a
     // qualifying partner cannot avoid sharing
     val w = Window.partitionBy(col("doc")).orderBy(col("__df"), col("tok"))
     val prefix = idx.join(dfTab, "tok")
-      .withColumn("__r", row_number().over(w))
-      .join(sizes, "doc")
+      .withColumn("__r", row_number().over(w).cast("long"))
       // prefixLen = n - ceil(t*n) + 1, all-integer ceil
       .filter(col("__r") <=
         col("n") - expr(s"CAST((n * ${thresholdPpm}L + 999999) DIV 1000000 AS BIGINT)") + 1)
-      .select(col("doc"), col("tok"), col("n"))
+      .select(col("doc"), col("tok"), col("n"), col("__r"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc") &&
-          // J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+          // size filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
           col("a.n") * lit(1000000L) >= lit(thresholdPpm) * col("b.n") &&
-          col("b.n") * lit(1000000L) >= lit(thresholdPpm) * col("a.n"))
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2")).distinct()
-    val common = cand
-      .join(idx.withColumnRenamed("doc", "d1").withColumnRenamed("tok", "t1"), "d1")
-      .join(idx.withColumnRenamed("doc", "__bd").withColumnRenamed("tok", "t2"),
-        col("__bd") === col("d2") && col("t1") === col("t2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n", "na"), "d1")
-      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n", "nb"), "d2")
+          col("b.n") * lit(1000000L) >= lit(thresholdPpm) * col("a.n") &&
+          // positional filter: every shared element ranks at or after the
+          // FIRST shared token, so min remaining suffix bounds |A∩B|;
+          // (m >= ceil(t(na+nb)/(1e6+t))) cross-multiplied, m integer
+          (least(col("a.n") - col("a.__r"), col("b.n") - col("b.__r")) + 1) *
+            lit(1000000L + thresholdPpm) >=
+            lit(thresholdPpm) * (col("a.n") + col("b.n")))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    // verify: fetch both pre-materialized arrays by doc id and intersect
+    // map-side — no index fan-out, candidates x O(doc length) work
+    cand
+      .join(base.select(col("doc").as("d1"), col("arr").as("__aa")), "d1")
+      .join(base.select(col("doc").as("d2"), col("arr").as("__ab")), "d2")
+      .withColumn("common",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"))
@@ -224,6 +289,55 @@ object Dedup {
       .filter(col("common") * lit(1000000L) >=
         lit(thresholdPpm) * (col("na") + col("nb") - col("common")))
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Content-defined chunking (CDC) duplicate report — the rsync/LBFS
+    * trick at token granularity: a token whose hash ≡ 0 (mod `divisor`)
+    * ENDS a chunk, so chunk boundaries are decided by content, not
+    * position, and an insertion near the top of a document shifts no
+    * boundary after the next hash-selected token. Fixed-stride spans
+    * ([[duplicateSpans]]) lose alignment after any edit; CDC chunks
+    * re-synchronize — the granularity storage dedup and diff transfer
+    * actually use. Expected chunk length = `divisor` tokens.
+    *
+    * Returns the chunks appearing in ≥ 2 distinct documents: chunk
+    * hash, distinct-doc count, occurrence count, token length — the
+    * shared-content inventory a chunk-level dedup store would key on.
+    *
+    * Shape at scale: chunk assignment is a running boundary count in a
+    * window partitioned by the DOC id (size bounded by document length,
+    * the safe window class); chunk text reassembly is a (doc, chunk)
+    * aggregate; the cross-doc report is one partial-aggregated groupBy
+    * on the 16-byte chunk hash. The distinct-doc count rewrites to a
+    * two-level aggregate (hash, doc) → hash, so no duplicate group
+    * funnels one task.
+    */
+  def cdcChunkDuplicates(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    val pos = df
+      .select(col(idCol).as("doc"),
+        posexplode(tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("doc"), (col("p0") + 1).as("i"), col("tok"))
+    val b = pos.withColumn("bd",
+      when(conv(substring(md5(col("tok").cast("binary")), 1, 14), 16, 10)
+        .cast("long") % divisor === 0, 1L).otherwise(0L))
+    // boundary token ends its chunk: chunk id = boundaries strictly before
+    val w = Window.partitionBy(col("doc")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = b
+      .withColumn("cid", coalesce(sum(col("bd")).over(w), lit(0L)))
+      .groupBy(col("doc"), col("cid"))
+      .agg(
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok")), " ").cast("binary")).as("chunk_hash"),
+        count(lit(1)).as("n_toks"))
+    chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("n_toks")).as("n_tokens"))
+      .filter(col("n_docs") >= 2)
   }
 
   /** Benchmark decontamination: for every training document, the share
