@@ -2691,6 +2691,46 @@ object CorpusQueries {
              |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // int8-quantization recall report: completes the recall family —
+    // the fp32-vs-int8 quality number a user consults before flipping
+    // the quantized index on
+    Q(
+      "ann_recall_int8",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        Similarity.recallAtK(
+          Similarity.cosineTopK(q, e, "vec_id", "embedding", Dim, k = 5),
+          Similarity.quantizedTopK(q, e, "vec_id", "embedding", k = 5))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH ex AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+             |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+             |    WHERE a.vec_id < 20) t WHERE rank <= 5),
+             |z AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x ->
+             |      CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+             |           ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT) END) AS qv
+             |  FROM (SELECT vec_id, embedding,
+             |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             |        FROM embeddings)),
+             |qz AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |        ORDER BY ${idotSql("a.qv", "b.qv")} DESC, b.vec_id) AS rank
+             |    FROM z a JOIN z b ON a.vec_id != b.vec_id
+             |    WHERE a.vec_id < 20) t WHERE rank <= 5)
+             |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+             |  CAST(SUM(CASE WHEN qz.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+             |FROM ex LEFT JOIN qz USING (q_id, n_id)
+             |GROUP BY ex.q_id ORDER BY q_id""".stripMargin)),
+
     // perceptual image near-dup: REAL PPM decode → integer-grayscale
     // dHash (one gradient-sign bit per adjacent pixel pair) → exact
     // fingerprint grouping; the oracle recomputes the 56-bit hash from
@@ -3340,6 +3380,39 @@ object CorpusQueries {
              |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
              |  FROM documents) t
              |WHERE rn <= 30 ORDER BY doc_id""".stripMargin)),
+
+    // per-language top-10 vocabulary via the SAME k-capped heap as the
+    // domain cap, keyed by a 56-bit (lang, token) hash id — the
+    // per-group top-k spelling for non-numeric keys (never a per-group
+    // sort); the oracle replicates the hash to pin heap tie-breaks
+    Q(
+      "corpus_vocab_by_lang",
+      (s, dir) => {
+        val counts = table(s, dir, "documents")
+          .select(col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("__id",
+            conv(substring(md5(concat_ws("|", col("lang"), col("tok"))
+              .cast("binary")), 1, 14), 16, 10).cast("long"))
+          .localCheckpoint(true)
+        Corpus.capPerGroup(counts, "lang", "__id", col("cnt"), k = 10)
+          .select(col("lang"), col("tok"), col("cnt"))
+          .orderBy(col("lang"), col("cnt").desc, col("tok"))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+             |    SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+             |    FROM documents) GROUP BY 1, 2),
+             |p AS (SELECT lang, tok, cnt,
+             |    ('0x' || substr(md5(lang || '|' || tok), 1, 14))::BIGINT AS id
+             |  FROM c),
+             |r AS (SELECT lang, tok, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, id) AS rn
+             |  FROM p)
+             |SELECT lang, tok, cnt FROM r WHERE rn <= 10
+             |ORDER BY lang, cnt DESC, tok""".stripMargin)),
 
     // hashed-feature linear quality model: every token md5-hashes into
     // one of 64 buckets, score = mean bucket weight; weights here are a

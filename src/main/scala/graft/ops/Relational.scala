@@ -997,6 +997,38 @@ object Relational {
       },
       Some(pageRankSql(iters = 4, k = 30))),
 
+    // ---- hot-key skew profile: top-20 heaviest join keys with their
+    //      traffic share — the diagnostic run before choosing a salting
+    //      factor. ONE global aggregate computes the bounded top-k heap
+    //      AND the grand total together, so the share needs no join
+    //      (and no one-row cross product) at all
+    Q(
+      "q_hot_keys",
+      (s, dir) => {
+        val counts = events(s, dir)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        counts
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+              col("cnt").cast("double"), col("user_id"), 20).as("top"),
+            sum(col("cnt")).as("t"))
+          .select(col("t"), posexplode(col("top")).as(Seq("r0", "e")))
+          .select(col("e.id").as("user_id"),
+            (col("r0") + 1).cast("int").as("rank"),
+            col("e.score").cast("long").as("cnt"), col("t"))
+          .select(col("user_id"), col("rank"), col("cnt"),
+            expr("cnt * 1000000 DIV t").as("share_ppm"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM c),
+             |r AS (SELECT user_id, cnt,
+             |    ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rank
+             |  FROM c)
+             |SELECT user_id, CAST(rank AS INT) AS rank, cnt,
+             |  CAST(cnt * 1000000 // tt AS BIGINT) AS share_ppm
+             |FROM r, t WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     // ---- SLIDING event-time windows (6h width, 2h slide): each event
     //      lands in exactly 3 windows — Spark's window() expands them
     //      map-only before the partial-aggregated count, the same shape
