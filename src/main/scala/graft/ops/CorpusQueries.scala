@@ -2564,6 +2564,27 @@ object CorpusQueries {
            |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
       }),
 
+    // deterministic J-L random projection 64 -> 8: milli-quantized
+    // inputs x the (d, j)-derived integer weight lattice, every output
+    // an exact integer — the cheap-index/full-rerank reduction pass
+    Q(
+      "emb_random_projection",
+      (s, dir) =>
+        Similarity.randomProjection(table(s, dir, "embeddings"),
+          "vec_id", "embedding", Dim, outDim = 8)
+          .orderBy(col("vec_id")),
+      Some {
+        val cols = (0 until 8).map { j =>
+          (0 until Dim).map { d =>
+            s"CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * 1000) AS BIGINT)" +
+              s" * (${Similarity.planeWeight(d, j)})"
+          }.mkString(" + ") + s" AS p$j"
+        }
+        s"""SELECT vec_id,
+           |${cols.mkString(",\n")}
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }),
+
     // pairwise cosine between per-label embedding CENTROIDS: the
     // label-affinity report that sizes cross-domain dedup thresholds.
     // Milli-unit integer quantization, un-normalized integer sums as

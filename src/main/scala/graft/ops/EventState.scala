@@ -94,4 +94,33 @@ object EventState {
         (col("__n") * col("__ss") - col("__s") * col("__s")))
       .select((groupCol +: keepCols).map(col): _*)
   }
+
+  /** Per-key aggregate STATE (count / sum / min / max over integer
+    * cents) — the materialized-view row an incremental pipeline stores.
+    * Every field is a partial-aggregatable algebra, which is the whole
+    * point: see [[mergeAggStates]].
+    */
+  def aggState(df: DataFrame, keyCol: String, cents: Column): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(cents).as("total_cents"),
+        min(cents).as("min_cents"), max(cents).as("max_cents"))
+
+  /** Incremental aggregate-view maintenance: merge stored [[aggState]]
+    * tables (yesterday's view + today's delta, or one per shard/region)
+    * WITHOUT rescanning any base data — counts and sums add, mins and
+    * maxes fold. The merge is itself one partial-aggregated `groupBy`
+    * over #states × #keys rows, and because every field is algebraic
+    * the result is bit-identical to a full recompute over the unioned
+    * inputs — which is exactly what the oracle checks. (avg and
+    * variance derive from (n, sum) / (n, sum, sum-of-squares) at read
+    * time; never store a ratio, it doesn't merge.)
+    */
+  def mergeAggStates(keyCol: String, states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n"), sum(col("total_cents")).as("total_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+  }
 }

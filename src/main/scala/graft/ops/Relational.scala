@@ -1072,6 +1072,64 @@ object Relational {
              |  event_type AS last_type, value AS last_value
              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // ---- incremental aggregate-view maintenance: two stored per-type
+    //      agg states (event_id split) merged WITHOUT rescanning base
+    //      data; the oracle is the full single-pass recompute, so the
+    //      algebraic merge is proven bit-identical to the truth
+    Q(
+      "q_incremental_agg",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val cents = expr("CAST(floor(value * 100) AS BIGINT)")
+        EventState.mergeAggStates("event_type",
+          EventState.aggState(ev.filter(col("event_id") < 5000),
+            "event_type", cents),
+          EventState.aggState(ev.filter(col("event_id") >= 5000),
+            "event_type", cents))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             |  MIN(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+             |  MAX(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- log2-bucket quantile sketch: two half-sketches (value parity
+    //      split) MERGED then estimated — p50/p90/p99 upper bounds from
+    //      <= 64 integer counters per type; the oracle sketches the
+    //      whole table in one pass, so merge == whole is the gate
+    Q(
+      "sketch_quantile",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_type"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+        val a = Sketches.quantileBuckets(
+          ev.filter(col("v") % 2 === 0), "event_type", col("v"))
+        val b = Sketches.quantileBuckets(
+          ev.filter(col("v") % 2 =!= 0), "event_type", col("v"))
+        Sketches.quantileEstimate(
+          Sketches.quantileMerge("event_type", Seq(a, b)),
+          "event_type", Seq(500000L, 900000L, 990000L))
+          .orderBy(col("event_type"), col("p_ppm"))
+      },
+      Some("""WITH v AS (
+             |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |b AS (SELECT event_type, CAST(length(bin(v)) AS INT) AS bucket,
+             |        CAST(COUNT(*) AS BIGINT) AS cnt
+             |      FROM v GROUP BY 1, 2),
+             |c AS (SELECT event_type, bucket, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM b),
+             |p AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS p_ppm),
+             |sel AS (
+             |  SELECT event_type, p_ppm, MIN(bucket) AS bucket, MAX(n) AS n
+             |  FROM c, p WHERE cum * 1000000 >= p_ppm * n GROUP BY 1, 2)
+             |SELECT event_type, p_ppm, CAST(bucket AS INT) AS bucket, n,
+             |  CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS upper_bound
+             |FROM sel ORDER BY event_type, p_ppm""".stripMargin)),
+
     // ---- SCD2 history compression: one row per (user, state run) with
     //      half-open validity intervals; the windows partition by the
     //      DATA-SCALED user key (never a fixed-cardinality funnel)

@@ -487,6 +487,37 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Deterministic random-projection dimensionality reduction — the
+    * Johnson–Lindenstrauss sketch of the embedding column: out[j] =
+    * Σ_d floor(e[d]·1000) · w(d, j), with the same integer weight
+    * lattice as the hyperplane LSH ([[planeWeight]]: zero-mean values
+    * in [−6, 6] derived from (d, j) alone, so any engine regenerates
+    * the matrix from two loop indices — nothing is stored or shipped).
+    * Milli-quantizing the inputs first makes every output an exact
+    * integer: the projection is engine-reproducible and mergeable
+    * downstream (a dot product in projected space is still an integer).
+    *
+    * Use it to cut ANN/clustering cost ~dim/outDim while approximately
+    * preserving pairwise distances (J-L): project once, index the
+    * short vectors, re-rank survivors against the full vectors.
+    *
+    * Map-only — no shuffle, no state. The unrolled element_at chain is
+    * fine for a one-off projection pass; if this enters a per-query hot
+    * path, generalize [[graft.functions.HyperplaneBucket]]'s native
+    * loop (same fold, accumulating sums instead of sign bits).
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int): DataFrame = {
+    require(dim >= 1 && outDim >= 1, s"dims must be >= 1, got $dim/$outDim")
+    val comps = (0 until outDim).map { j =>
+      (0 until dim).map { d =>
+        expr(s"CAST(floor(CAST(element_at($vecCol, ${d + 1}) AS DOUBLE)" +
+          s" * 1000) AS BIGINT) * ${planeWeight(d, j)}L")
+      }.reduce(_ + _).as(s"p$j")
+    }
+    df.select(col(idCol) +: comps: _*)
+  }
+
   /** ANN quality report: per-query recall of an approximate result
     * against the exact one. Both inputs are (q_id, n_id) top-k frames
     * (any extra columns ignored); output is one row per query with the

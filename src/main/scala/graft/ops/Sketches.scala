@@ -139,6 +139,55 @@ object Sketches {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Log₂-bucket quantile sketch registers: one count per
+    * (group, bucket) where bucket = `length(bin(v))` — floor(log₂ v)+1
+    * computed exactly via the binary-string length (no float log, both
+    * engines agree on every boundary). ≤ 64 buckets per group no matter
+    * the input size; values must be non-negative integers (quantize
+    * money to cents, durations to µs). Relative error of a reported
+    * bound is at most 2× (one octave) — the SRE-histogram trade.
+    */
+  def quantileBuckets(df: DataFrame, groupCol: String,
+      value: Column): DataFrame =
+    df.select(col(groupCol), length(bin(value)).cast("int").as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge stored [[quantileBuckets]] sketches — counts add, like the
+    * CMS cells; per-day or per-shard sketches fold into the global one
+    * with one #groups × 64-key aggregate. */
+  def quantileMerge(groupCol: String, sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile estimates from a bucket sketch: for each requested
+    * p (ppm), the smallest bucket whose cumulative count reaches
+    * ceil(p·n) (decided by integer cross-multiplication: cum·10⁶ ≥ p·n)
+    * and its inclusive upper bound 2^bucket − 1. The cumulative fold is
+    * windows OVER THE SKETCH (≤ 64 rows per group — the bounded-input
+    * exemption), and the p list expands map-only via explode.
+    */
+  def quantileEstimate(buckets: DataFrame, groupCol: String,
+      pPpm: Seq[Long]): DataFrame = {
+    require(pPpm.nonEmpty && pPpm.forall(p => p >= 1 && p <= 1000000),
+      s"pPpm must be in [1, 1000000], got $pPpm")
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy(col(groupCol))
+    buckets
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wn))
+      .withColumn("p_ppm", explode(array(pPpm.map(lit): _*)))
+      .filter(col("cum") * lit(1000000L) >= col("p_ppm") * col("n"))
+      .groupBy(col(groupCol), col("p_ppm"))
+      .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n"))
+      .withColumn("upper_bound", expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1"))
+  }
+
   def cmsHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val counters = cmsSketch(items, itemCol)
