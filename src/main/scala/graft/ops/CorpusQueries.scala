@@ -2564,6 +2564,30 @@ object CorpusQueries {
            |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
       }),
 
+    // full-corpus kNN graph by LSH blocking: corpus-as-queries, both
+    // join sides shuffled on the bucket id (no broadcast anywhere) —
+    // the plan that survives when "queries" means a billion vectors
+    Q(
+      "ann_knn_graph",
+      (s, dir) =>
+        Similarity.knnGraph(table(s, dir, "embeddings"),
+          "vec_id", "embedding", Dim, planes = 4, k = 3)
+          .orderBy(col("q_id"), col("rank")),
+      Some(s"""WITH bk AS (
+             |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
+             |  FROM embeddings),
+             |d AS (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    ${cosSql("a.embedding", "b.embedding")} AS cos
+             |  FROM bk a JOIN bk b
+             |    ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+             |SELECT q_id, n_id, rank, cos FROM (
+             |  SELECT q_id, n_id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY cos DESC, n_id) AS INT) AS rank, cos
+             |  FROM d) t
+             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
     // deterministic J-L random projection 64 -> 8: milli-quantized
     // inputs x the (d, j)-derived integer weight lattice, every output
     // an exact integer — the cheap-index/full-rerank reduction pass

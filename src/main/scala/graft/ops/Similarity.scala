@@ -101,6 +101,32 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Full-corpus k-NN GRAPH by LSH blocking — every vector gets its
+    * top-k bucket-mates, the input SemDeDup-style embedding dedup and
+    * graph clustering consume. Unlike the `ann_*` probes there is NO
+    * broadcast side: both join inputs are the corpus, hash-shuffled on
+    * the bucket id, so the plan holds when "the queries" are a billion
+    * rows. Work per bucket is |bucket|², which makes `planes` the
+    * scale knob: size 2^planes ≈ rows/10³ so buckets stay in the
+    * thousands (collision probability per plane is cos-angle-
+    * monotone, so near neighbors keep colliding as planes grow).
+    * Single-probe recall — size it with [[recallAtK]] against a
+    * sampled exact truth.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, k: Int): DataFrame = {
+    val b = lshBuckets(corpus, idCol, vecCol, dim, planes)
+    val q = b.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      col("bucket"), sqrt(dot(col(vecCol), col(vecCol), dim)).as("q_nrm"))
+    val c = b.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      col("bucket"), sqrt(dot(col(vecCol), col(vecCol), dim)).as("n_nrm"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
+    topK(scored, k)
+  }
+
   /** Quantize a float vector to integers: round(v*1000). Every later
     * k-means aggregate then runs on exact integers — element sums are
     * order-independent and exact in double below 2^53, so Spark and the

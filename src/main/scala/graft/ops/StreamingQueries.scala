@@ -113,6 +113,51 @@ object StreamingQueries {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // streaming quantile sketch: the log2-bucket registers are exactly a
+    // streaming-legal aggregation (<= 64 counters per type in the state
+    // store, updated incrementally); the estimate is a batch read over
+    // the drained sketch — monitor latency quantiles without ever
+    // sorting or retaining raw values
+    Q(
+      "stream_quantile",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val agg = eventsStream(s, dir)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+          .select(col("event_type"), length(bin(col("v"))).cast("int").as("bucket"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        Sketches.quantileEstimate(s.table(name), "event_type",
+          Seq(500000L, 900000L, 990000L))
+          .orderBy(col("event_type"), col("p_ppm"))
+      },
+      Some("""WITH v AS (
+             |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |b AS (SELECT event_type, CAST(length(bin(v)) AS INT) AS bucket,
+             |        CAST(COUNT(*) AS BIGINT) AS cnt
+             |      FROM v GROUP BY 1, 2),
+             |c AS (SELECT event_type, bucket, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM b),
+             |p AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS p_ppm),
+             |sel AS (
+             |  SELECT event_type, p_ppm, MIN(bucket) AS bucket, MAX(n) AS n
+             |  FROM c, p WHERE cum * 1000000 >= p_ppm * n GROUP BY 1, 2)
+             |SELECT event_type, p_ppm, CAST(bucket AS INT) AS bucket, n,
+             |  CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS upper_bound
+             |FROM sel ORDER BY event_type, p_ppm""".stripMargin)),
+
     // stream-stream interval join: clicks joined to same-user purchases
     // in the preceding hour. Watermarks bound the join state on both
     // sides; inner matches emit as both sides arrive, so the drained
