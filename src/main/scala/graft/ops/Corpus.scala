@@ -529,6 +529,38 @@ object Corpus {
         col("t.score").cast("long").as("score"))
   }
 
+  /** Deterministic feature-hashed document embedding — the "bag of
+    * hashed tokens" vector (Weinberger et al. 2009 feature hashing):
+    * token t adds sign(t) (±1 from one md5 bit) to component
+    * `md5(t) mod dim`. No model, no vocabulary, no training — yet dot
+    * products approximate token-overlap similarity, which is exactly
+    * what a retrieval/dedup pipeline needs BEFORE a learned encoder
+    * exists (and the schema/plumbing is identical when one replaces
+    * this column with real model output). All-integer components ⇒
+    * engine-exact.
+    *
+    * Shape at scale: explode → one partial-aggregated (doc, component)
+    * sum → one per-doc fold into the fixed-width array. Both shuffles
+    * key on the doc id; the array build sorts ≤ dim entries per doc.
+    */
+  def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val h = conv(substring(md5(col("tok").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    df.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc"), (h % dim).cast("int").as("j"),
+        when(h % 2 === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy(col("doc"), col("j")).agg(sum(col("s")).as("v"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("j"), col("v")))).as("__jv"))
+      // dense array: absent components are exact zeros
+      .select(col("doc").as(idCol),
+        expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+          "coalesce(element_at(map_from_entries(__jv), i), 0L))").as("hvec"))
+  }
+
   /** Independence deviation of a categorical crosstab — the "is my
     * language mix independent of my source mix" release check (a
     * chi-square-style screen with the monotone square kept un-taken):

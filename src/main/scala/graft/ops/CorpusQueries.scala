@@ -2564,6 +2564,55 @@ object CorpusQueries {
            |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
       }),
 
+    // text -> hashed embedding -> retrieval, end to end with no model:
+    // feature-hashed ±1 bag-of-tokens vectors (engine-exact integers),
+    // integer dot-product top-5 for 10 probe docs; swapping in a real
+    // encoder changes only the vector column
+    Q(
+      "text_ann_topk",
+      (s, dir) => {
+        val emb = Corpus.hashedEmbedding(table(s, dir, "documents"),
+          "doc_id", "text", dim = 16).localCheckpoint(true)
+        val q = emb.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("q_id"), col("hvec").as("q_v"))
+        val c = emb.select(col("doc_id").as("n_id"), col("hvec").as("n_v"))
+        c.join(broadcast(q), col("q_id") =!= col("n_id"))
+          .withColumn("score",
+            expr("aggregate(zip_with(q_v, n_v, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+            col("score").cast("double"), col("n_id"), 5).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
+          .select(col("q_id"), col("t.id").as("n_id"),
+            (col("r0") + 1).cast("int").as("rank"),
+            col("t.score").cast("long").as("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val dense = (0 until 16).map(i =>
+          s"CAST(SUM(CASE WHEN j = $i THEN v ELSE 0 END) AS BIGINT)")
+          .mkString("[", ", ", "]")
+        val idot = "list_sum(list_transform(range(1, 17), i -> a.hv[i] * b.hv[i]))"
+        s"""WITH $toksCte,
+           |idx AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+           |hv0 AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM idx),
+           |comp AS (SELECT doc_id, CAST(h % 16 AS INT) AS j,
+           |    CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+           |  FROM hv0 GROUP BY 1, 2),
+           |dense AS (SELECT doc_id, $dense AS hv FROM comp GROUP BY doc_id),
+           |d AS (
+           |  SELECT a.doc_id AS q_id, b.doc_id AS n_id,
+           |    CAST($idot AS BIGINT) AS score
+           |  FROM dense a JOIN dense b ON a.doc_id != b.doc_id
+           |  WHERE a.doc_id < 10)
+           |SELECT q_id, n_id, rank, score FROM (
+           |  SELECT q_id, n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY score DESC, n_id) AS INT) AS rank, score
+           |  FROM d) t
+           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // full-corpus kNN graph by LSH blocking: corpus-as-queries, both
     // join sides shuffled on the bucket id (no broadcast anywhere) —
     // the plan that survives when "queries" means a billion vectors

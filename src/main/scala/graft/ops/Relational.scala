@@ -987,7 +987,10 @@ object Relational {
             (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
         val e = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
-        Graph.pageRank(e, iters = 4)
+        // checkpointEvery = iters: at 4 rounds the lineage is shallow
+        // enough to skip the mid-loop barrier (it exists for 30+-round
+        // runs); saves one eager materialization per execution
+        Graph.pageRank(e, iters = 4, checkpointEvery = 4)
           .agg(graft.functions.TopKByScore.top_k_by_score(
             col("pr_ppm").cast("double"), col("node"), 30).as("top"))
           .select(posexplode(col("top")).as(Seq("r0", "t")))
