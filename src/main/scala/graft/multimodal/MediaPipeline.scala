@@ -312,6 +312,43 @@ object MediaPipeline {
     }
   }
 
+  /** Audio energy-gradient fingerprint — the waveform counterpart of
+    * [[dHash]]: the clip splits into `bands` equal windows (integer
+    * bounds w·n DIV bands, so any engine draws the same edges), window
+    * energy = Σ|sample| (exact integers), and the fingerprint packs one
+    * gradient-sign bit per adjacent window pair. The energy ENVELOPE
+    * shape survives re-encoding and level-preserving copies, so
+    * duplicate clips collide where a byte hash would not; bands ≤ 64
+    * keeps the fingerprint in (bands−1) bits of a long.
+    *
+    * Runs where the decode runs — a flatMap over the media rows, no
+    * shuffle; grouping downstream shuffles only (id, 8-byte hash).
+    */
+  def audioFingerprint(media: Dataset[MediaRow], bands: Int)(
+      implicit spark: SparkSession): Dataset[(Long, Long)] = {
+    require(bands >= 2 && bands <= 64, s"bands must be in [2, 64], got $bands")
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWav(r.bytes).map { case (_, _, samples) =>
+        val n = samples.length.toLong
+        val e = Array.tabulate(bands) { w =>
+          var s = 0L
+          var i = (w * n / bands).toInt
+          val end = ((w + 1) * n / bands).toInt
+          while (i < end) { s += math.abs(samples(i)); i += 1 }
+          s
+        }
+        var fp = 0L
+        var w = 0
+        while (w < bands - 1) {
+          if (e(w) > e(w + 1)) fp |= 1L << w
+          w += 1
+        }
+        (r.id, fp)
+      }
+    })
+  }
+
   /** Encode packed RGB24 as PPM P6 bytes (the inverse of
     * [[ImageDecoder]]'s PPM path — handy for tests and for writing
     * decoded frames back out). */

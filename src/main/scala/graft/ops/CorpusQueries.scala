@@ -1343,6 +1343,42 @@ object CorpusQueries {
              |HAVING COUNT(DISTINCT doc_id) >= 2
              |ORDER BY chunk_hash""".stripMargin)),
 
+    // the EXACT-recall keep deliverable: prefix-filter pairs (no false
+    // negatives) -> star CC -> min-id survivor; the oracle closes the
+    // unfiltered pairwise truth with a recursive walk
+    Q(
+      "dedup_prefix_keep",
+      (s, dir) =>
+        Dedup.prefixDupKeep(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, thresholdPpm = 400000L)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $toksCte, $shingleCte,
+             |idx AS (SELECT doc_id AS doc,
+             |  ('0x' || substr(md5(tok0), 1, 14))::BIGINT AS tok
+             |  FROM (SELECT doc_id, unnest(shingles) AS tok0 FROM sh)),
+             |sizes AS (SELECT doc, COUNT(*) AS n FROM idx GROUP BY doc),
+             |common AS (
+             |  SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+             |  FROM idx a JOIN idx b ON a.tok = b.tok AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT d1, d2 FROM common
+             |  JOIN sizes sa ON sa.doc = d1
+             |  JOIN sizes sb ON sb.doc = d2
+             |  WHERE common * 1000000 >= 400000 * (sa.n + sb.n - common)),
+             |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+             |      UNION SELECT d2 AS a, d1 AS b FROM pairs),
+             |walk(src, dst) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT w.src, e.b FROM walk w JOIN e ON w.dst = e.a),
+             |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster
+             |         FROM walk GROUP BY src),
+             |szs AS (SELECT cluster, COUNT(*) AS sz FROM comp GROUP BY cluster)
+             |SELECT c.doc_id, CAST(s.sz - 1 AS BIGINT) AS n_absorbed
+             |FROM comp c JOIN szs s USING (cluster)
+             |WHERE c.doc_id = c.cluster ORDER BY c.doc_id""".stripMargin)),
+
     // directed containment pairs at 0.7 over the df-capped shingle
     // universe: doc-in-doc detection the symmetric Jaccard family
     // structurally misses
@@ -2995,6 +3031,67 @@ object CorpusQueries {
              |  CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak_abs,
              |  CAST(list_sum(smp) AS BIGINT) AS sum_samples
              |FROM sm ORDER BY doc_id""".stripMargin)),
+
+    // audio near-dup via the energy-gradient fingerprint: REAL WAV
+    // decode → 16 integer-bounded energy windows → 15 gradient-sign
+    // bits; the oracle recomputes the fingerprint from the hex bytes,
+    // bit-gating the whole decode+fingerprint path
+    Q(
+      "multimodal_audio_dups",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.MediaRow
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >=
+            lit(128) + (col("doc_id") % 33) * 2)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 192).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          val n = (64 + id % 33).toInt
+          val samples = Array.tabulate(n) { i =>
+            val v = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8)
+            if (v >= 32768) v - 65536 else v
+          }
+          MediaRow(id, "audio", MediaPipeline.encodeWav(8000, 1, samples),
+            "wav", 0, 0, 0L)
+        }
+        implicit val sp = s
+        MediaPipeline.audioFingerprint(media, bands = 16)
+          .toDF("doc_id", "afp")
+          .groupBy(col("afp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("afp"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n,
+             |    substr(hex(encode(text)), 1, CAST(4 * (64 + doc_id % 33) AS INT)) AS hx
+             |  FROM documents
+             |  WHERE octet_length(encode(text)) >= 128 + (doc_id % 33) * 2),
+             |sm AS (
+             |  SELECT doc_id, n, list_transform(range(0, n),
+             |    i -> CASE WHEN ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+             |                   + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT >= 32768
+             |      THEN ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+             |           + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT - 65536
+             |      ELSE ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+             |           + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT END) AS smp
+             |  FROM h),
+             |en AS (
+             |  SELECT doc_id, list_transform(range(0, 16), w ->
+             |    COALESCE(list_sum(list_transform(
+             |      range(w * n // 16, (w + 1) * n // 16),
+             |      i -> abs(smp[i + 1]))), 0)) AS e
+             |  FROM sm),
+             |f AS (
+             |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 15), w ->
+             |    CASE WHEN e[w + 1] > e[w + 2] THEN (1::BIGINT << w)
+             |         ELSE 0 END)) AS BIGINT) AS afp
+             |  FROM en)
+             |SELECT afp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MIN(doc_id) AS min_doc
+             |FROM f GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY afp""".stripMargin)),
 
     // REAL video decode + strided frame sampling: each doc's first bytes
     // become 2-5 raw RGB24 4x4 frames in a GVID container (the codec-free

@@ -1568,6 +1568,26 @@ object Dedup {
       .select(col("id").as(idCol), (col("__sz") - 1).as("n_absorbed"))
   }
 
+  /** The keep-one dedup deliverable with EXACT recall: prefix-filter
+    * pairs ([[prefixFilterPairs]] — no false negatives at the
+    * threshold) → large/small-star connected components → min-id
+    * survivor with the absorbed count. The must-not-miss counterpart of
+    * [[nearDupKeep]] (whose MinHash propose step can drop true pairs):
+    * run THIS over the slice where a missed duplicate is the expensive
+    * outcome, the MinHash form over the open web crawl.
+    */
+  def prefixDupKeep(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdPpm: Long = 500000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = prefixFilterPairs(docs, idCol, textCol, n, thresholdPpm)
+    val cc = connectedComponentsStar(docs.select(col(idCol)), idCol, pairs,
+      checkpointDir = checkpointDir)
+    val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+    cc.filter(col("id") === col("cluster"))
+      .join(sizes, Seq("cluster"))
+      .select(col("id").as(idCol), (col("__sz") - 1).as("n_absorbed"))
+  }
+
   /** SemDeDup-style semantic dedup (the public construction from Abbas
     * et al. 2023, arXiv:2303.09540): cluster the embedding space with
     * spherical k-means, then look for cosine-near pairs WITHIN each

@@ -1075,6 +1075,49 @@ object Relational {
              |  event_type AS last_type, value AS last_value
              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // ---- time-series resample / gap fill: per-user daily totals with
+    //      every missing day between that user's first and last
+    //      activity materialized as an explicit zero row — the regular
+    //      grid every downstream window/forecast op assumes. The date
+    //      spine is a map-only sequence+explode bounded by each user's
+    //      own span (never a global calendar cross join); the fill is
+    //      one (user, day) equi-join
+    Q(
+      "q_resample",
+      (s, dir) => {
+        val daily = events(s, dir).filter(col("user_id") < 20)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+          .localCheckpoint(true) // the span aggregate and the fill join both read it
+        val spine = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            coalesce(col("cents"), lit(0L)).as("cents"),
+            col("cents").isNull.as("is_gap"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE user_id < 20),
+             |daily AS (
+             |  SELECT user_id, day, CAST(SUM(cents) AS BIGINT) AS cents
+             |  FROM e GROUP BY 1, 2),
+             |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+             |         FROM daily GROUP BY 1),
+             |spine AS (
+             |  SELECT user_id,
+             |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM span)
+             |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+             |  COALESCE(d.cents, 0) AS cents, d.cents IS NULL AS is_gap
+             |FROM spine s LEFT JOIN daily d USING (user_id, day)
+             |ORDER BY s.user_id, day""".stripMargin)),
+
     // ---- incremental aggregate-view maintenance: two stored per-type
     //      agg states (event_id split) merged WITHOUT rescanning base
     //      data; the oracle is the full single-pass recompute, so the
