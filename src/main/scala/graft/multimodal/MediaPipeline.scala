@@ -312,6 +312,53 @@ object MediaPipeline {
     }
   }
 
+  /** Per-frame perceptual fingerprint for VIDEO near-dup: [[dHash]]'s
+    * horizontal gradient bits plus the vertical ones — (w−1)·h + w·(h−1)
+    * bits per frame (24 at 4×4), enough to make accidental collisions
+    * rare while the gradient-sign robustness is kept. Two videos
+    * sharing ≥ k distinct frame fingerprints are near-dup candidates
+    * (re-encodes, trims, watermark overlays keep most frame gradients).
+    * Emits (id, frameIndex, fingerprint); a flatMap where the decode
+    * runs, no shuffle.
+    */
+  def frameFingerprints(frames: Dataset[DecodedFrame])(
+      implicit spark: SparkSession): Dataset[(Long, Int, Long)] = {
+    import spark.implicits._
+    frames.map { f =>
+      val w = f.width
+      val hh = f.height
+      val g = new Array[Int](w * hh)
+      var p = 0
+      while (p < g.length) {
+        g(p) = ((f.pixels(3 * p) & 0xff) + (f.pixels(3 * p + 1) & 0xff) +
+          (f.pixels(3 * p + 2) & 0xff)) / 3
+        p += 1
+      }
+      var fp = 0L
+      var r = 0
+      while (r < hh) {
+        var c = 0
+        while (c < w - 1) {
+          if (g(r * w + c) > g(r * w + c + 1)) fp |= 1L << (r * (w - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      val off = (w - 1) * hh
+      var c = 0
+      while (c < w) {
+        var r2 = 0
+        while (r2 < hh - 1) {
+          if (g(r2 * w + c) > g((r2 + 1) * w + c))
+            fp |= 1L << (off + c * (hh - 1) + r2)
+          r2 += 1
+        }
+        c += 1
+      }
+      (f.id, f.frameIndex, fp)
+    }
+  }
+
   /** Audio energy-gradient fingerprint — the waveform counterpart of
     * [[dHash]]: the clip splits into `bands` equal windows (integer
     * bounds w·n DIV bands, so any engine draws the same edges), window

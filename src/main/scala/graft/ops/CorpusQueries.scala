@@ -3138,6 +3138,65 @@ object CorpusQueries {
              |    j -> ('0x' || substr(hx, 2*j + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // video near-dup: REAL GVID decode → 24-bit per-frame gradient
+    // fingerprints → videos sharing >= 2 distinct frame hashes pair up
+    // through the fingerprint inverted index; completes perceptual
+    // dedup across all three modalities, bit-gated from raw bytes
+    Q(
+      "multimodal_video_dups",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.{MediaRow, VideoDecoder}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 240)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 240).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          val n = (2 + id % 4).toInt
+          val frames = (0 until n).map(i => px.slice(i * 48, (i + 1) * 48))
+          MediaRow(id, "video", MediaPipeline.encodeGvid(4, 4, frames),
+            "gvid", 4, 4, n * 1000L)
+        }
+        implicit val sp = s
+        val fps = MediaPipeline.frameFingerprints(
+            MediaPipeline.sampleFrames(media, new VideoDecoder, 1)(s))(s)
+          .toDF("doc_id", "fi", "fp")
+          .select(col("doc_id"), col("fp")).distinct()
+          .localCheckpoint(true)
+        fps.as("a").join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, CAST(2 + doc_id % 4 AS BIGINT) AS n,
+             |    substr(hex(encode(text)), 1, 480) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 240),
+             |fr AS (SELECT doc_id, unnest(range(0, n)) AS fi, hx FROM h),
+             |g AS (SELECT doc_id, fi, list_transform(range(0, 16), p ->
+             |   ((('0x' || substr(hx, 96*fi + 6*p + 1, 2))::BIGINT
+             |   + ('0x' || substr(hx, 96*fi + 6*p + 3, 2))::BIGINT
+             |   + ('0x' || substr(hx, 96*fi + 6*p + 5, 2))::BIGINT) // 3)) AS gray
+             |  FROM fr),
+             |f AS (SELECT doc_id, fi,
+             |  CAST(list_sum(list_transform(range(0, 12), b ->
+             |    CASE WHEN gray[(b // 3) * 4 + (b % 3) + 1] > gray[(b // 3) * 4 + (b % 3) + 2]
+             |         THEN (1::BIGINT << b) ELSE 0 END)) +
+             |  list_sum(list_transform(range(0, 12), b ->
+             |    CASE WHEN gray[(b % 3) * 4 + (b // 3) + 1] > gray[(b % 3 + 1) * 4 + (b // 3) + 1]
+             |         THEN (1::BIGINT << (12 + b)) ELSE 0 END)) AS BIGINT) AS fp
+             |  FROM g),
+             |df AS (SELECT DISTINCT doc_id, fp FROM f),
+             |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |        CAST(COUNT(*) AS BIGINT) AS n_shared
+             |      FROM df a JOIN df b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT d1, d2, n_shared FROM p WHERE n_shared >= 2
+             |ORDER BY d1, d2""".stripMargin)),
+
     // priority-aware dedup: among identical texts keep the preferred
     // source's copy (tie-break doc_id) — the "trusted source wins" rule
     Q(
