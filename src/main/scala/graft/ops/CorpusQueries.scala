@@ -3631,6 +3631,22 @@ object CorpusQueries {
              |  FROM documents) t
              |WHERE rn <= 30 ORDER BY doc_id""".stripMargin)),
 
+    // GLOBAL curriculum rank: every document's position in the corpus-
+    // wide (n_chars DESC, doc_id) order via the distributed two-pass
+    // rank — range partitions + P-row offset fold, so no single task
+    // ever sorts the whole corpus (the global-sort-at-scale spelling;
+    // a window would funnel everything through one task)
+    Q(
+      "corpus_global_rank",
+      (s, dir) =>
+        TwoPass.rank(
+          table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(), Seq(col("n_chars").desc, col("doc_id")), "rank")
+          .orderBy(col("rank")),
+      Some("""SELECT doc_id, n_chars,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+             |FROM documents ORDER BY rank""".stripMargin)),
+
     // per-language top-10 vocabulary via the SAME k-capped heap as the
     // domain cap, keyed by a 56-bit (lang, token) hash id — the
     // per-group top-k spelling for non-numeric keys (never a per-group

@@ -113,6 +113,47 @@ object StreamingQueries {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // streaming hot-key monitor: per-key counts maintained by the state
+    // store, the bounded top-k heap + grand total folded over the
+    // drained counts in one batch aggregate — the live skew dashboard
+    Q(
+      "stream_hot_keys",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val agg = eventsStream(s, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name)
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+              col("cnt").cast("double"), col("user_id"), 20).as("top"),
+            sum(col("cnt")).as("t"))
+          .select(col("t"), posexplode(col("top")).as(Seq("r0", "e")))
+          .select(col("e.id").as("user_id"),
+            (col("r0") + 1).cast("int").as("rank"),
+            col("e.score").cast("long").as("cnt"), col("t"))
+          .select(col("user_id"), col("rank"), col("cnt"),
+            expr("cnt * 1000000 DIV t").as("share_ppm"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM c),
+             |r AS (SELECT user_id, cnt,
+             |    ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rank
+             |  FROM c)
+             |SELECT user_id, CAST(rank AS INT) AS rank, cnt,
+             |  CAST(cnt * 1000000 // tt AS BIGINT) AS share_ppm
+             |FROM r, t WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     // streaming quantile sketch: the log2-bucket registers are exactly a
     // streaming-legal aggregation (<= 64 counters per type in the state
     // store, updated incrementally); the estimate is a batch read over
