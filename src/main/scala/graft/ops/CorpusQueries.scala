@@ -1405,6 +1405,53 @@ object CorpusQueries {
              |WHERE c * 1000000 >= 700000 * s.n
              |ORDER BY d_in, d_out""".stripMargin)),
 
+    // composed curation v3 over the round-6 operators: drop docs
+    // >= 0.7-contained in a LOWER-id doc (one deterministic pass of the
+    // directed containment screen), then priority-sample 100 survivors
+    // — engine-exact end to end through the composition
+    Q(
+      "corpus_curation_v3",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val dropped = Dedup.containmentPairs(docs, "doc_id", "text",
+            n = 3, thresholdPpm = 700000L, maxDf = JaccardMaxDf)
+          .filter(col("d_out") < col("d_in"))
+          .select(col("d_in").as("doc_id")).distinct()
+        val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+        Corpus.prioritySample(kept, "doc_id", "text", k = 100)
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH $toksCte, $shingleCte,
+             |shx0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |dfx AS (SELECT shingle, COUNT(*) AS df FROM shx0 GROUP BY 1),
+             |shx AS (SELECT s.doc_id, s.shingle FROM shx0 s
+             |        JOIN dfx USING (shingle) WHERE df <= $JaccardMaxDf),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1),
+             |dropped AS (
+             |  SELECT DISTINCT d_in AS doc_id FROM (
+             |    SELECT a.doc_id AS d_in, COUNT(*) AS c, MIN(s.n) AS n
+             |    FROM shx a JOIN shx b
+             |      ON a.shingle = b.shingle AND b.doc_id < a.doc_id
+             |    JOIN sizes s ON s.doc_id = a.doc_id
+             |    GROUP BY a.doc_id, b.doc_id, s.n
+             |    HAVING COUNT(*) * 1000000 >= 700000 * MIN(s.n)) x),
+             |kept AS (
+             |  SELECT d.doc_id, d.text FROM documents d
+             |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)),
+             |t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) + 1 AS w
+             |  FROM kept),
+             |p AS (SELECT doc_id,
+             |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT // w AS q
+             |  FROM t)
+             |SELECT doc, rank, priority FROM (
+             |  SELECT doc_id AS doc,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY q, doc_id) AS INT) AS rank,
+             |    q AS priority
+             |  FROM p) t2
+             |WHERE rank <= 100 ORDER BY rank""".stripMargin)),
+
     // benchmark decontamination: per-training-doc share of distinct
     // shingles that leak from the "eval" slice (doc_id >= 450 stands in
     // for a held-out benchmark)
