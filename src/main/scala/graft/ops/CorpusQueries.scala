@@ -2948,6 +2948,44 @@ object CorpusQueries {
              |  MIN(doc_id) AS min_doc
              |FROM f GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY phash""".stripMargin)),
 
+    // image near-dup beyond exact collisions: the 56-bit dHash through
+    // the pigeonhole block index at hamming <= 3 (exact recall by the
+    // pigeonhole argument; the oracle runs the all-pairs truth)
+    Q(
+      "multimodal_phash_pairs",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.{ImageDecoder, MediaRow}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 192)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 192).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          MediaRow(id, "image", MediaPipeline.encodePpm(8, 8, px), "ppm", 8, 8, 0L)
+        }
+        val fps = MediaPipeline.dHash(
+            MediaPipeline.sampleFrames(media, new ImageDecoder, 1)(s))(s)
+          .toDF("doc_id", "fp")
+        Dedup.fingerprintPairs(fps, "doc_id", "fp", bits = 56, maxHamming = 3)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, substr(hex(encode(text)), 1, 384) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 192),
+             |g AS (SELECT doc_id, list_transform(range(0, 64), p ->
+             |  ((('0x' || substr(hx, 6*p + 1, 2))::BIGINT
+             |    + ('0x' || substr(hx, 6*p + 3, 2))::BIGINT
+             |    + ('0x' || substr(hx, 6*p + 5, 2))::BIGINT) // 3)) AS gray FROM h),
+             |f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), b ->
+             |  CASE WHEN gray[(b // 7) * 8 + (b % 7) + 1] > gray[(b // 7) * 8 + (b % 7) + 2]
+             |       THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS fp FROM g)
+             |SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+             |FROM f a JOIN f b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+             |ORDER BY d1, d2""".stripMargin)),
+
     // decode → featurize → ANN across the media and similarity surfaces:
     // PPM images decoded by the real byte-level decoder, pooled into a
     // 12-dim integer feature (2×2 grid of 4×4 blocks × RGB — sums ≤ 4080,

@@ -1219,6 +1219,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup pairs among arbitrary ≤64-bit FINGERPRINTS at hamming
+    * distance ≤ `maxHamming` — [[simhashPairs]]'s pigeonhole block
+    * index generalized to any fingerprint column (image dHash, audio
+    * energy hash, video frame hashes): with maxHamming+1 blocks, any
+    * pair within the budget matches exactly in at least one block, so
+    * the index join is exact-recall and the all-pairs product never
+    * exists. One narrow explode (maxHamming+1 rows per doc), one
+    * equi-join on (block index, block value), a codegen'd XOR popcount
+    * verify.
+    */
+  def fingerprintPairs(fps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, maxHamming: Int = 3): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, bits), got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val blockSize = math.ceil(bits.toDouble / nBlocks).toInt
+    val blockMask = (1L << blockSize) - 1
+    val blocked = fps.select(col(idCol).as("doc"), col(fpCol).as("fp"),
+      posexplode(array((0 until nBlocks).map { b =>
+        shiftright(col(fpCol), b * blockSize).bitwiseAND(lit(blockMask))
+      }: _*)).as(Seq("blk_i", "blk_v")))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk_i") === col("b.blk_i") && col("a.blk_v") === col("b.blk_v") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding near-dup pairs by cosine ≥ threshold within a blocking key
     * (label, cluster id, LSH bucket, …). The block join keeps the pair
     * count at Σ_b n_b² instead of n².

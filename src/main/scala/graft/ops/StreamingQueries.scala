@@ -113,6 +113,36 @@ object StreamingQueries {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // streaming incremental aggregate state: the SAME algebraic
+    // count/sum/min/max fields q_incremental_agg merges batchwise,
+    // maintained here by the streaming state store — the materialized
+    // view is identical whichever path built it (the oracle is the one
+    // full recompute both must equal)
+    Q(
+      "stream_incremental_agg",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val cents = expr("CAST(floor(value * 100) AS BIGINT)")
+        val agg = eventsStream(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents).as("total_cents"),
+            min(cents).as("min_cents"), max(cents).as("max_cents"))
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             |  MIN(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+             |  MAX(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // streaming hot-key monitor: per-key counts maintained by the state
     // store, the bounded top-k heap + grand total folded over the
     // drained counts in one batch aggregate — the live skew dashboard
