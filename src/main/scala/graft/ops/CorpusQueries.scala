@@ -1379,6 +1379,42 @@ object CorpusQueries {
              |FROM comp c JOIN szs s USING (cluster)
              |WHERE c.doc_id = c.cluster ORDER BY c.doc_id""".stripMargin)),
 
+    // incremental CDC chunk dedup: only the NEW batch (doc_id >= 400)
+    // is tokenized and chunked; the stored history contributes chunk
+    // hashes only — per-new-doc known-content share at CDC granularity
+    Q(
+      "dedup_cdc_incremental",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val store = Dedup.cdcStore(docs.filter(col("doc_id") < 400),
+          "doc_id", "text", divisor = 16)
+        Dedup.cdcIncremental(docs.filter(col("doc_id") >= 400), store,
+          "doc_id", "text", divisor = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksCte,
+             |pos AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i,
+             |          unnest(ws) AS tok FROM toks),
+             |b AS (SELECT doc_id, i, tok,
+             |  CASE WHEN ('0x'||substr(md5(tok),1,14))::BIGINT % 16 = 0
+             |       THEN 1 ELSE 0 END AS bd FROM pos),
+             |ch AS (SELECT doc_id, i, tok,
+             |  COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+             |  FROM b),
+             |chunks AS (
+             |  SELECT doc_id, cid, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+             |  FROM ch GROUP BY 1, 2),
+             |known AS (SELECT DISTINCT h FROM chunks WHERE doc_id < 400),
+             |nw AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |    CAST(SUM(CASE WHEN h IN (SELECT h FROM known)
+             |             THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+             |  FROM chunks WHERE doc_id >= 400 GROUP BY 1)
+             |SELECT doc_id, n_chunks, n_known,
+             |  CAST(n_known * 1000000 // n_chunks AS BIGINT) AS known_ppm
+             |FROM nw ORDER BY doc_id""".stripMargin)),
+
     // directed containment pairs at 0.7 over the df-capped shingle
     // universe: doc-in-doc detection the symmetric Jaccard family
     // structurally misses

@@ -312,8 +312,11 @@ object Dedup {
     * two-level aggregate (hash, doc) → hash, so no duplicate group
     * funnels one task.
     */
-  def cdcChunkDuplicates(df: DataFrame, idCol: String, textCol: String,
-      divisor: Int = 16): DataFrame = {
+  /** (doc, cid, chunk_hash, n_toks) rows of a corpus under the CDC
+    * boundary rule — the shared chunker behind [[cdcChunkDuplicates]]
+    * and [[cdcIncremental]]. */
+  private def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int): DataFrame = {
     require(divisor >= 1, s"divisor must be >= 1, got $divisor")
     val pos = df
       .select(col(idCol).as("doc"),
@@ -325,20 +328,53 @@ object Dedup {
     // boundary token ends its chunk: chunk id = boundaries strictly before
     val w = Window.partitionBy(col("doc")).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = b
-      .withColumn("cid", coalesce(sum(col("bd")).over(w), lit(0L)))
+    b.withColumn("cid", coalesce(sum(col("bd")).over(w), lit(0L)))
       .groupBy(col("doc"), col("cid"))
       .agg(
         md5(array_join(
           transform(sort_array(collect_list(struct(col("i"), col("tok")))),
             x => x.getField("tok")), " ").cast("binary")).as("chunk_hash"),
         count(lit(1)).as("n_toks"))
-    chunks.groupBy(col("chunk_hash"))
+  }
+
+  def cdcChunkDuplicates(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    cdcChunks(df, idCol, textCol, divisor).groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc")).as("n_docs"),
         count(lit(1)).as("n_occ"),
         min(col("n_toks")).as("n_tokens"))
       .filter(col("n_docs") >= 2)
   }
+
+  /** Incremental CDC chunk dedup against a STORED chunk-hash table:
+    * only the NEW batch is tokenized and chunked; the history
+    * contributes its (already materialized) chunk hashes as one
+    * distinct set and is never re-read as text. Per new document:
+    * chunk count, chunks already known to the store, and the known
+    * share in ppm — the "how much of this crawl increment is content
+    * we already have" triage report, at the insertion-robust CDC
+    * granularity (same store-reuse contract as the span and minhash
+    * incremental paths).
+    */
+  def cdcIncremental(newDocs: DataFrame, storeHashes: DataFrame,
+      idCol: String, textCol: String, divisor: Int = 16): DataFrame = {
+    val known = storeHashes.select(col("chunk_hash")).distinct()
+      .withColumn("__k", lit(1))
+    cdcChunks(newDocs, idCol, textCol, divisor)
+      .join(known, Seq("chunk_hash"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_chunks"), count(col("__k")).as("n_known"))
+      .select(col("doc").as(idCol), col("n_chunks"), col("n_known"),
+        expr("n_known * 1000000 DIV n_chunks").as("known_ppm"))
+  }
+
+  /** Chunk-hash store rows for [[cdcIncremental]] — what a production
+    * pipeline persists after each ingest (one row per chunk occurrence;
+    * the incremental path distincts the hashes). */
+  def cdcStore(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame =
+    cdcChunks(df, idCol, textCol, divisor)
+      .select(col("doc").as(idCol), col("cid"), col("chunk_hash"))
 
   /** Benchmark decontamination: for every training document, the share
     * of its distinct word n-gram shingles that also appear anywhere in

@@ -1118,6 +1118,53 @@ object Relational {
              |FROM spine s LEFT JOIN daily d USING (user_id, day)
              |ORDER BY s.user_id, day""".stripMargin)),
 
+    // ---- rolling 7-day totals over the gap-filled grid: the window
+    //      only means "last 7 days" if missing days exist as zero rows
+    //      (q_resample's spine); per-user windows partition on the
+    //      data-scaled key — bounded by each user's own span
+    Q(
+      "q_rolling_agg",
+      (s, dir) => {
+        val daily = events(s, dir).filter(col("user_id") < 20)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+          .localCheckpoint(true)
+        val spine = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val filled = spine.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("cents"), lit(0L)).as("cents"))
+        val w7 = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(-6, 0)
+        filled
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("cents"), sum(col("cents")).over(w7).as("cents_7d"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE user_id < 20),
+             |daily AS (
+             |  SELECT user_id, day, CAST(SUM(cents) AS BIGINT) AS cents
+             |  FROM e GROUP BY 1, 2),
+             |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+             |         FROM daily GROUP BY 1),
+             |spine AS (
+             |  SELECT user_id,
+             |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM span),
+             |filled AS (
+             |  SELECT s.user_id, s.day, COALESCE(d.cents, 0) AS cents
+             |  FROM spine s LEFT JOIN daily d USING (user_id, day))
+             |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cents,
+             |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d
+             |FROM filled ORDER BY user_id, day""".stripMargin)),
+
     // ---- incremental aggregate-view maintenance: two stored per-type
     //      agg states (event_id split) merged WITHOUT rescanning base
     //      data; the oracle is the full single-pass recompute, so the
