@@ -3752,6 +3752,45 @@ object CorpusQueries {
              |  FROM documents) t
              |WHERE rn <= 30 ORDER BY doc_id""".stripMargin)),
 
+    // Zipf coverage curve: share of all token OCCURRENCES covered by
+    // the top-k vocabulary for k in {5, 10, 20} — the
+    // tokenizer/vocab sizing sheet. Heap AND grand total from one
+    // global aggregate over the (token, count) table; ties pinned by
+    // the token hash on both engines
+    Q(
+      "corpus_vocab_coverage",
+      (s, dir) => {
+        val counts = table(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .withColumn("__id",
+            conv(substring(md5(col("tok").cast("binary")), 1, 14), 16, 10)
+              .cast("long"))
+        counts
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+              col("cnt").cast("double"), col("__id"), 20).as("top"),
+            sum(col("cnt")).as("t"))
+          .select(col("t"), posexplode(col("top")).as(Seq("r0", "e")))
+          .withColumn("k", explode(array(lit(5), lit(10), lit(20))))
+          .filter(col("r0") < col("k"))
+          .groupBy(col("k"), col("t"))
+          .agg(sum(col("e.score")).cast("long").as("covered"))
+          .select(col("k"), col("covered"),
+            expr("covered * 1000000 DIV t").as("coverage_ppm"))
+          .orderBy(col("k"))
+      },
+      Some(s"""WITH $toksCte,
+             |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+             |      FROM (SELECT unnest(ws) AS tok FROM toks) GROUP BY 1),
+             |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM c),
+             |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC,
+             |    ('0x' || substr(md5(tok), 1, 14))::BIGINT) AS rn
+             |  FROM c),
+             |k AS (SELECT unnest([5, 10, 20]) AS k)
+             |SELECT k, CAST(SUM(cnt) AS BIGINT) AS covered,
+             |  CAST(CAST(SUM(cnt) AS BIGINT) * 1000000 // tt AS BIGINT) AS coverage_ppm
+             |FROM r, k, t WHERE rn <= k GROUP BY k, tt ORDER BY k""".stripMargin)),
+
     // GLOBAL curriculum rank: every document's position in the corpus-
     // wide (n_chars DESC, doc_id) order via the distributed two-pass
     // rank — range partitions + P-row offset fold, so no single task
