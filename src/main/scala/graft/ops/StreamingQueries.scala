@@ -443,6 +443,65 @@ object StreamingQueries {
              |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
              |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // session-DURATION quantiles: gaps-and-islands sessions fold into
+    // the log2-bucket sketch — p50/p90/p99 session length without a
+    // global sort (the product-analytics engagement report)
+    Q(
+      "q_session_stats",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = ev
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        val durs = sess.groupBy(col("user_id"), col("session_id"))
+          .agg((max(col("ts").cast("long")) -
+            min(col("ts").cast("long"))).as("dur_s"))
+          .withColumn("g", lit("all"))
+        Sketches.quantileEstimate(
+          Sketches.quantileBuckets(durs, "g", col("dur_s")), "g",
+          Seq(500000L, 900000L, 990000L))
+          .orderBy(col("p_ppm"))
+      },
+      Some("""WITH gapped AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM gapped),
+             |d AS (
+             |  SELECT user_id, session_id,
+             |    MAX(CAST(floor(epoch(ts)) AS BIGINT))
+             |      - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS v
+             |  FROM sess GROUP BY 1, 2),
+             |b AS (SELECT 'all' AS g, CAST(length(bin(v)) AS INT) AS bucket,
+             |        CAST(COUNT(*) AS BIGINT) AS cnt
+             |      FROM d GROUP BY 1, 2),
+             |c AS (SELECT g, bucket, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+             |  FROM b),
+             |p AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS p_ppm),
+             |sel AS (
+             |  SELECT g, p_ppm, MIN(bucket) AS bucket, MAX(n) AS n
+             |  FROM c, p WHERE cum * 1000000 >= p_ppm * n GROUP BY 1, 2)
+             |SELECT g, p_ppm, CAST(bucket AS INT) AS bucket, n,
+             |  CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS upper_bound
+             |FROM sel ORDER BY p_ppm""".stripMargin)),
+
     // SLIDING windows under the state store: the streaming form of
     // q_sliding_window — each event updates its 3 overlapping window
     // states incrementally; complete-mode drain equals the batch answer
