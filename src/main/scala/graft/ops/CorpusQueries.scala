@@ -3752,6 +3752,35 @@ object CorpusQueries {
              |  FROM documents) t
              |WHERE rn <= 30 ORDER BY doc_id""".stripMargin)),
 
+    // per-language length quantiles through the GROUPED log2-bucket
+    // sketch: p50/p99 document-length bounds per language from <= 64
+    // counters per group — the clip-threshold sizing sheet without any
+    // per-language sort
+    Q(
+      "corpus_length_quantiles",
+      (s, dir) =>
+        Sketches.quantileEstimate(
+          Sketches.quantileBuckets(
+            table(s, dir, "documents").select(col("lang"), col("n_chars")),
+            "lang", col("n_chars")),
+          "lang", Seq(500000L, 990000L))
+          .orderBy(col("lang"), col("p_ppm")),
+      Some("""WITH b AS (
+             |  SELECT lang, CAST(length(bin(n_chars)) AS INT) AS bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM documents GROUP BY 1, 2),
+             |c AS (SELECT lang, bucket, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+             |  FROM b),
+             |p AS (SELECT CAST(unnest([500000, 990000]) AS BIGINT) AS p_ppm),
+             |sel AS (
+             |  SELECT lang, p_ppm, MIN(bucket) AS bucket, MAX(n) AS n
+             |  FROM c, p WHERE cum * 1000000 >= p_ppm * n GROUP BY 1, 2)
+             |SELECT lang, p_ppm, CAST(bucket AS INT) AS bucket, n,
+             |  CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS upper_bound
+             |FROM sel ORDER BY lang, p_ppm""".stripMargin)),
+
     // Zipf coverage curve: share of all token OCCURRENCES covered by
     // the top-k vocabulary for k in {5, 10, 20} — the
     // tokenizer/vocab sizing sheet. Heap AND grand total from one
