@@ -3781,6 +3781,47 @@ object CorpusQueries {
              |  CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS upper_bound
              |FROM sel ORDER BY lang, p_ppm""".stripMargin)),
 
+    // mixture-concentration report: per-source token share (ppm) and
+    // the Herfindahl-Hirschman index of the whole mixture — the "is
+    // one source dominating training" health check. One
+    // partial-aggregated #sources-row groupBy; the unpartitioned
+    // windows fold that bounded table (house precedent: dsirSelect,
+    // crosstab). Integer-exact ppm via floor division on both
+    // engines; n_tokens * 1e6 bounds the corpus at ~9e12 tokens, the
+    // same documented ceiling as mixturePlan
+    Q(
+      "corpus_source_hhi",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = table(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount(col("text")).cast("long"))
+              .as("n_tokens"))
+        val wAll = Window.partitionBy()
+        per
+          .withColumn("__tot", sum(col("n_tokens")).over(wAll))
+          .withColumn("share_ppm",
+            expr("n_tokens * 1000000L DIV __tot"))
+          .withColumn("__sq",
+            sum(col("share_ppm") * col("share_ppm")).over(wAll))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("share_ppm"),
+            expr("__sq DIV 1000000L").as("hhi_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |s AS (
+             |  SELECT source, n_docs, n_tokens,
+             |    CAST(n_tokens * 1000000 // CAST(SUM(n_tokens) OVER () AS BIGINT) AS BIGINT) AS share_ppm
+             |  FROM per)
+             |SELECT source, n_docs, n_tokens, share_ppm,
+             |  CAST(SUM(share_ppm * share_ppm) OVER () // 1000000 AS BIGINT) AS hhi_ppm
+             |FROM s ORDER BY source""".stripMargin)),
+
     // Zipf coverage curve: share of all token OCCURRENCES covered by
     // the top-k vocabulary for k in {5, 10, 20} — the
     // tokenizer/vocab sizing sheet. Heap AND grand total from one
