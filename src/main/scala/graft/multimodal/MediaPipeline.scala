@@ -327,6 +327,11 @@ object MediaPipeline {
     frames.map { f =>
       val w = f.width
       val hh = f.height
+      // (w-1)*h + w*(h-1) bits must fit one Long; past 64 the shift
+      // below wraps mod 64 and bits silently collide — fail loud instead
+      require((w - 1) * hh + w * (hh - 1) <= 64,
+        s"frame ${w}x$hh needs ${(w - 1) * hh + w * (hh - 1)} gradient " +
+          "bits > 64; resize frames (<= 5x5) before fingerprinting")
       val g = new Array[Int](w * hh)
       var p = 0
       while (p < g.length) {

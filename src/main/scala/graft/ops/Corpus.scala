@@ -531,8 +531,8 @@ object Corpus {
 
   /** Deterministic feature-hashed document embedding — the "bag of
     * hashed tokens" vector (Weinberger et al. 2009 feature hashing):
-    * token t adds sign(t) (±1 from one md5 bit) to component
-    * `md5(t) mod dim`. No model, no vocabulary, no training — yet dot
+    * token t adds sign(t) (±1 from an md5 bit disjoint from the bucket
+    * bits) to component `md5(t) mod dim`. No model, no vocabulary, no training — yet dot
     * products approximate token-overlap similarity, which is exactly
     * what a retrieval/dedup pipeline needs BEFORE a learned encoder
     * exists (and the schema/plumbing is identical when one replaces
@@ -548,10 +548,18 @@ object Corpus {
     require(dim >= 2, s"dim must be >= 2, got $dim")
     val h = conv(substring(md5(col("tok").cast("binary")), 1, 12), 16, 10)
       .cast("long")
+    // The ±1 sign must be independent of the component index or the
+    // Weinberger unbiasedness property dies: with sign = h % 2 and
+    // component = h % dim, any even dim makes the sign a function of the
+    // component (same parity class), so colliding tokens ALWAYS add
+    // constructively and dot products are biased upward. Use a hash bit
+    // the bucket never sees: the 13th hex char of the same md5.
+    val sb = conv(substring(md5(col("tok").cast("binary")), 13, 1), 16, 10)
+      .cast("long")
     df.select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("doc"), (h % dim).cast("int").as("j"),
-        when(h % 2 === 0, 1L).otherwise(-1L).as("s"))
+        when(sb % 2 === 0, 1L).otherwise(-1L).as("s"))
       .groupBy(col("doc"), col("j")).agg(sum(col("s")).as("v"))
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(struct(col("j"), col("v")))).as("__jv"))
@@ -893,11 +901,15 @@ object Corpus {
     * engines share), top-k per group by (score desc, term).
     *
     * Scale shape: one token explode into a (group, term) count — the
-    * only corpus-width work; df is a second aggregate over that (small)
-    * count table; the rank window partitions by group over the
-    * aggregated rows, never corpus rows. Group cardinality is the
-    * caller's contract (sources/languages — bounded); the window
-    * sorts |vocab ∩ group| rows per group.
+    * only corpus-width work; df is a second aggregate over that count
+    * table. The per-group top-k is a BOUNDED HEAP aggregate (k entries
+    * per partition cross the shuffle), keyed by a 56-bit (group, term)
+    * hash id with a broadcast decode join-back — NOT a window: a
+    * window partitioned by the group would sort that group's entire
+    * distinct vocabulary in one task, and a web-scale source's vocab
+    * (typos, URLs, code identifiers) is 10⁸–10⁹ terms. Same pattern as
+    * [[capPerGroup]] / the per-language vocab query. Ties break by the
+    * hash id (score desc, id asc) — deterministic and engine-shared.
     *
     * @return (groupCol, rank 1..k, term, score)
     */
@@ -909,13 +921,23 @@ object Corpus {
       .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("__tf"))
     val df0 = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("__df")) // groups containing the term
+    // checkpoint once: both the heap and the decode join-back read it
     val scored = tf.join(df0, Seq("term"))
       .withColumn("score",
         col("__tf") * expr(s"${LexicalWeightScale} DIV __df"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("score").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+      .withColumn("__id",
+        conv(substring(md5(concat_ws("|", col(groupCol), col("term"))
+          .cast("binary")), 1, 14), 16, 10).cast("long"))
+      .localCheckpoint(true)
+    // scores are exact integers < 2^53, so the double heap is exact
+    val top = scored.groupBy(col(groupCol))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("score").cast("double"), col("__id"), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__r0", "__t")))
+      .select(col(groupCol), (col("__r0") + 1).cast("int").as("rank"),
+        col("__t").getField("id").as("__id"))
+    // winners are ≤ #groups × k rows — broadcast them back for decode
+    scored.join(broadcast(top), Seq(groupCol, "__id"))
       .select(col(groupCol), col("rank"), col("term"), col("score"))
   }
 

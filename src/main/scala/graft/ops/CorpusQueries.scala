@@ -2714,9 +2714,10 @@ object CorpusQueries {
         val idot = "list_sum(list_transform(range(1, 17), i -> a.hv[i] * b.hv[i]))"
         s"""WITH $toksCte,
            |idx AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
-           |hv0 AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM idx),
+           |hv0 AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h,
+           |    ('0x' || substr(md5(tok), 13, 1))::BIGINT AS sb FROM idx),
            |comp AS (SELECT doc_id, CAST(h % 16 AS INT) AS j,
-           |    CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+           |    CAST(SUM(CASE WHEN sb % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
            |  FROM hv0 GROUP BY 1, 2),
            |dense AS (SELECT doc_id, $dense AS hv FROM comp GROUP BY doc_id),
            |d AS (
@@ -3584,7 +3585,9 @@ object CorpusQueries {
              |SELECT source, rank, term, CAST(score AS BIGINT) AS score FROM (
              |  SELECT source, term, score,
              |    CAST(ROW_NUMBER() OVER (PARTITION BY source
-             |      ORDER BY score DESC, term) AS INT) AS rank
+             |      ORDER BY score DESC,
+             |        ('0x' || substr(md5(source || '|' || term), 1, 14))::BIGINT
+             |      ) AS INT) AS rank
              |  FROM scored) t
              |WHERE rank <= 3 ORDER BY source, rank""".stripMargin)),
 

@@ -1240,7 +1240,9 @@ object Dedup {
     val nBlocks = maxHamming + 1
     val bits = 64
     val blockSize = math.ceil(bits.toDouble / nBlocks).toInt
-    val blockMask = (1L << blockSize) - 1
+    // maxHamming=0 makes blockSize=64 and (1L << 64) wraps to 1L,
+    // zeroing the mask and degenerating the block join to all-pairs
+    val blockMask = if (blockSize >= 64) -1L else (1L << blockSize) - 1
     val blocked = s.select(col("doc"), col("sh"),
       posexplode(array((0 until nBlocks).map { b =>
         // arithmetic shiftright sign-extends; the mask strips it
@@ -1272,7 +1274,10 @@ object Dedup {
       s"maxHamming must be in [0, bits), got $maxHamming")
     val nBlocks = maxHamming + 1
     val blockSize = math.ceil(bits.toDouble / nBlocks).toInt
-    val blockMask = (1L << blockSize) - 1
+    // bits=64 with maxHamming=0 gives blockSize=64; (1L << 64) wraps to
+    // 1L so the mask would be 0 and every row would share block value 0
+    // — a silent n² join. A full-width mask keeps the index exact.
+    val blockMask = if (blockSize >= 64) -1L else (1L << blockSize) - 1
     val blocked = fps.select(col(idCol).as("doc"), col(fpCol).as("fp"),
       posexplode(array((0 until nBlocks).map { b =>
         shiftright(col(fpCol), b * blockSize).bitwiseAND(lit(blockMask))

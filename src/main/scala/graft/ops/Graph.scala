@@ -35,9 +35,12 @@ object Graph {
     * reused across all rounds); rank lineage is cut every
     * `checkpointEvery` rounds exactly like the connected-components
     * loop, so plan depth stays bounded at any iteration count. Nothing
-    * ever reaches the driver. Overflow bound: damping·Σcontrib needs
-    * in-deg(v)·10^6·damping < 2^63, i.e. in-degrees to ~10^12 — beyond
-    * any real graph's hottest sink.
+    * ever reaches the driver. Overflow bound: rank is conserved-ish mass,
+    * so a single hub can accumulate up to the TOTAL graph mass ≈ n·10^6
+    * ppm (not 10^6 per contributor) — the safe condition is
+    * dampingPpm · n · 10^6 < 2^63, i.e. n up to ~10^10 nodes at
+    * damping 0.85. Star-like graphs approach the bound fastest; shard the
+    * rank scale (smaller ppm base) past that size.
     *
     * @param edges (src: long, dst: long) directed edge list; duplicate
     *              edges count twice (pre-distinct if that's not wanted)

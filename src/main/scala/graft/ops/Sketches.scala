@@ -149,7 +149,14 @@ object Sketches {
     */
   def quantileBuckets(df: DataFrame, groupCol: String,
       value: Column): DataFrame =
-    df.select(col(groupCol), length(bin(value)).cast("int").as("bucket"))
+    // a negative value would bin() to 64 two's-complement chars and the
+    // upper-bound shiftleft would wrap to 0 — fail loud, not quietly
+    df.select(col(groupCol),
+        when(value >= 0, length(bin(value)).cast("int"))
+          .otherwise(raise_error(concat(
+            lit("quantileBuckets: negative value "), value.cast("string"),
+            lit(" — quantize to a non-negative integer first")))
+            .cast("int")).as("bucket"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
