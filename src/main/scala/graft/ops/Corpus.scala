@@ -268,6 +268,36 @@ object Corpus {
         min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
   }
 
+  /** The ACTUAL partitioned training export [[shardManifest]] describes,
+    * plus its own audit: assign `shard = md5(id) mod nShards`, write the
+    * corpus `partitionBy("shard")` to `outDir` (one directory per shard —
+    * the WebDataset/Megatron layout a loader globs), read the files back,
+    * and RE-DERIVE the manifest from the round-tripped rows. The result
+    * hash-matching [[shardManifest]]'s proves the writer path end to end:
+    * no row lost or misrouted, text intact (token counts recompute from
+    * the read-back text), partition values recovered from the directory
+    * names.
+    *
+    * Shape at scale: the write is one map-only pass fanned out by the
+    * partition writer (executors write their own files, nothing funnels);
+    * the audit aggregate is the same nShards-key fold as the manifest.
+    */
+  def exportShards(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = conv(substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 14), 16, 10)
+      .cast("long")
+    df.withColumn("shard", (h % nShards).cast("int"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val back = df.sparkSession.read.parquet(outDir)
+    back.select(col("shard").cast("int").as("shard"), col(idCol).as("__id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"),
+        min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
+  }
+
   /** Token-budget mixture PLAN — the "how many epochs of each source do
     * we train on" table (the LLaMA/Dolma mixing sheet): given target
     * mixture weights in ppm and a total token budget, report per source
@@ -1150,20 +1180,34 @@ object Corpus {
     * 100 TB: the shuffled payload after the first aggregate is
     * |group| × |distinct values| rows — for lengths, scores, star
     * ratings &c. this is thousands of rows regardless of corpus size.
-    * For unbounded/continuous domains use [[clipByLengthApprox]]'s
-    * sketch instead; this operator is the exact complement.
+    * The bound is CHECKED, not assumed: a group whose distinct-value
+    * count exceeds `maxDomain` fails the job loudly (an unbounded
+    * `valueCol` would otherwise silently degenerate the per-group window
+    * into a full sort). For unbounded/continuous domains use
+    * [[clipByLengthApprox]]'s sketch instead; this operator is the exact
+    * complement.
     */
   def percentilesByCounting(df: DataFrame, groupCol: String, valueCol: String,
-      pcts: Seq[Int]): DataFrame = {
+      pcts: Seq[Int], maxDomain: Int = 65536): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100], got $pcts")
+    require(maxDomain >= 1, s"maxDomain must be >= 1, got $maxDomain")
     val counts = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(groupCol))
+    // the contract check rides the same unbounded-frame window that
+    // computes __n: zero when honored, a loud failure when not (folded
+    // into __cum so column pruning cannot drop it)
+    val domainGuard = when(count(lit(1)).over(wAll) > maxDomain,
+      raise_error(concat(lit("percentilesByCounting: group "),
+        col(groupCol).cast("string"),
+        lit(s" has more than $maxDomain distinct values of $valueCol — " +
+          "not a bounded domain; use the quantile sketch instead")))
+        .cast("long")).otherwise(lit(0L))
     val cum = counts
-      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__cum", sum(col("__c")).over(w) + domainGuard)
       .withColumn("__n", sum(col("__c")).over(wAll))
     val picks = pcts.map { p =>
       // rank = ceil(n*p/100) = (n*p + 99) DIV 100 — all operands positive,

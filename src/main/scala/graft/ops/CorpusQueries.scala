@@ -735,6 +735,28 @@ object CorpusQueries {
              |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
              |FROM t GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // the writer path the manifest describes, gated end to end: write
+    // partitionBy(shard) to disk, read the files back, re-derive the
+    // manifest from the round-tripped rows — same oracle as
+    // corpus_shard_manifest, so a lost/misrouted row or corrupted text
+    // breaks the hash match
+    Q(
+      "corpus_shard_export",
+      (s, dir) =>
+        Corpus.exportShards(table(s, dir, "documents"), "doc_id", "text",
+          nShards = 8,
+          outDir = "/tmp/graft_shard_export_" +
+            new java.io.File(dir).getName).orderBy(col("shard")),
+      Some("""WITH t AS (
+             |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 8 AS INT) AS shard,
+             |    doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS toks
+             |  FROM documents)
+             |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM t GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // small-file compaction plan over a 64-shard manifest: greedy
     // next-fit running sum in shard order packs undersized shards into
     // ~4000-token outputs — the window folds the 64-row manifest, never

@@ -28,21 +28,41 @@ object IntervalJoin {
     * numeric on one shared axis (day numbers, epoch seconds, ...).
     * Zero-length and negative intervals match nothing, as a half-open
     * range should.
+    *
+    * `giantBuckets = Some(g)` enables the hybrid from the scaladoc above:
+    * intervals spanning more than `g` buckets skip grid replication and
+    * instead join from a small BROADCAST side with the exact range
+    * predicate (a deliberate bounded nested-loop: such intervals are few
+    * by the caller's contract — a handful of "all of history" windows —
+    * and replicating each across 10⁴+ buckets would dominate the grid).
+    * The split is exact, so results are identical either way.
     */
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, giantBuckets: Option[Long] = None): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    giantBuckets.foreach(g =>
+      require(g >= 1, s"giantBuckets must be >= 1, got $g"))
     val b = lit(bucketWidth)
+    val nonEmpty =
+      intervals.filter(col(endCol) > col(startCol)) // empty range: no buckets
+    val span = floor((col(endCol) - 1) / b) - floor(col(startCol) / b) + 1
+    val gridIv = giantBuckets.fold(nonEmpty)(g => nonEmpty.filter(span <= g))
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / b).cast("long"))
-    val iv = intervals
-      .filter(col(endCol) > col(startCol)) // empty range: no buckets at all
+    val iv = gridIv
       .withColumn("__bucket", explode(sequence(
         floor(col(startCol) / b).cast("long"),
         floor((col(endCol) - 1) / b).cast("long"))))
-    p.join(iv, Seq("__bucket"))
+    val grid = p.join(iv, Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
+    giantBuckets match {
+      case None => grid
+      case Some(g) =>
+        val giants = points.join(broadcast(nonEmpty.filter(span > g)),
+          col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+        grid.unionByName(giants)
+    }
   }
 }

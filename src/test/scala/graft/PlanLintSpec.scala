@@ -13,9 +13,10 @@ package graft
 class PlanLintSpec extends SparkTestBase {
 
   // queries whose construction has side effects (JDBC DDL, streaming
-  // drains) — their plan shape is covered by their own oracle queries
+  // drains, a partitioned file export) — their plan shape is covered by
+  // their own oracle queries
   private val skip = Set("dsl_jdbc_roundtrip", "dsl_chunked_upsert",
-    "dsl_generated_ids")
+    "dsl_generated_ids", "corpus_shard_export")
 
   // intentional bounded broadcast crossings (see scaladoc above);
   // dedup_semantic crosses the corpus with the k COLLECTED k-means

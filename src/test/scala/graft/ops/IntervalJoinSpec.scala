@@ -48,4 +48,32 @@ class IntervalJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       IntervalJoin.pointInInterval(points, "p", intervals, "s", "e", 0L))
   }
+
+  test("giant-interval hybrid routes wide spans to broadcast, same result") {
+    // one interval spanning the whole domain (10k buckets at width 1)
+    // plus the regular fixture set; the hybrid must produce exactly the
+    // grid-only answer at every threshold, including thresholds that
+    // push several intervals onto the broadcast side
+    val wide = intervals.unionByName(
+      Seq((15L, -5000L, 5000L)).toDF("iid", "s", "e"))
+    val gridOnly = IntervalJoin
+      .pointInInterval(points, "p", wide, "s", "e", 1L)
+      .select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gridOnly.count(_._2 == 15L) === points.count()) // hits every point
+    Seq(1L, 3L, 9999L).foreach { g =>
+      val hybrid = IntervalJoin
+        .pointInInterval(points, "p", wide, "s", "e", 1L, Some(g))
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hybrid === gridOnly, s"giantBuckets $g")
+    }
+    // the giant interval must actually take the broadcast path: with the
+    // threshold at 9999 buckets only iid=15 (span 10000) qualifies, and
+    // the plan carries the bounded nested-loop stage for it
+    val plan = IntervalJoin
+      .pointInInterval(points, "p", wide, "s", "e", 1L, Some(9999L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -90,6 +90,21 @@ class TextPipelineSpec extends SparkTestBase {
     assert(out === Array(("a", 5, 9, 10), ("b", 1, 1, 100)))
   }
 
+  test("percentilesByCounting rejects a domain wider than its contract") {
+    val wide = (1 to 50).map(v => ("a", v)).toDF("g", "v")
+    // bound honored: fine
+    Corpus.percentilesByCounting(wide, "g", "v", Seq(50), maxDomain = 50)
+      .collect()
+    // 50 distinct values against a 10-value promise: the in-plan guard
+    // must fail the job instead of silently sorting the whole domain
+    val ex = intercept[Exception] {
+      Corpus.percentilesByCounting(wide, "g", "v", Seq(50), maxDomain = 10)
+        .collect()
+    }
+    assert(ex.getMessage.contains("not a bounded domain") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not a bounded domain")))
+  }
+
   test("funnel stepTimes enforces strict ordering and first-qualifying wins") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val events = Seq(
