@@ -1477,9 +1477,23 @@ object Corpus {
     *
     * Scale shape per round is the [[Similarity.kmeansCentroids]]
     * iteration pattern: one narrow explode of adjacent pairs over the
-    * histogram, a partial-aggregated weighted count, and a ONE-ROW
-    * collect (the argmax pair); the histogram is then rewritten by a
-    * map-only literal string replace.
+    * histogram, a partial-aggregated weighted count, and a bounded
+    * collect of the top-[[BpeBatchCandidates]] candidate pairs; the
+    * histogram is then rewritten by map-only literal string replaces.
+    *
+    * Merge selection is BATCHED (the standard frequency-batched BPE
+    * variant every production trainer uses to cut synchronization
+    * rounds): of the top-m candidates, a pair is accepted iff its units
+    * are disjoint from EVERY higher-ranked candidate's units — a
+    * non-iterative rule both engines express identically. Disjoint-unit
+    * pairs cannot overlap in the marker encoding (an overlap would have
+    * to align on a shared unit occurrence) and a merge can neither
+    * create nor destroy an adjacency between two OTHER units, so the
+    * batch applies in any order with exactly the snapshot counts — the
+    * accepted sequence is identical to running those merges one
+    * synchronization round each. Driver round-trips shrink from
+    * `merges` to `merges / |accepted per round|` (the rank-1 candidate
+    * is always accepted, so progress is guaranteed).
     *
     * Unit-boundary encoding makes the merge a plain `replace`: every
     * unit is wrapped in '·' markers ('abc' → '·a··b··c·'), so merging
@@ -1506,6 +1520,11 @@ object Corpus {
     */
   val BpeCheckpointEvery = 8
 
+  /** Candidate window per batched-BPE round: the top-m pairs by
+    * (count desc, u1, u2) collected per round (m rows to the driver —
+    * bounded). Shared with the generated SQL oracle. */
+  val BpeBatchCandidates = 16
+
   /** (learned merges, final histogram (__w original word, __cnt corpus
     * frequency, __s '·'-wrapped unit string after all merges)). */
   private def bpeCore(docs: DataFrame, idCol: String, textCol: String,
@@ -1520,8 +1539,8 @@ object Corpus {
     var sinceBarrier = 0
     val found = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
-    for (_ <- 1 to merges if !exhausted) {
-      val top = cur
+    while (found.size < merges && !exhausted) {
+      val cands = cur
         .select(split(trim(col("__s"), "·"), "··").as("__us"), col("__cnt"))
         .select(col("__us"), col("__cnt"),
           explode(when(size(col("__us")) > 1,
@@ -1530,16 +1549,24 @@ object Corpus {
         .select(element_at(col("__us"), col("__i")).as("u1"),
           element_at(col("__us"), col("__i") + 1).as("u2"), col("__cnt"))
         .groupBy(col("u1"), col("u2")).agg(sum(col("__cnt")).as("cnt"))
-        .orderBy(col("cnt").desc, col("u1"), col("u2")).limit(1)
+        .orderBy(col("cnt").desc, col("u1"), col("u2"))
+        .limit(BpeBatchCandidates)
         .collect()
-      if (top.isEmpty) exhausted = true
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cands.isEmpty) exhausted = true
       else {
-        val (u1, u2, c) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        found += ((u1, u2, c))
-        cur = cur.withColumn("__s",
-          replace(col("__s"), lit(s"·${u1}··${u2}·"), lit(s"·${u1}${u2}·")))
-        sinceBarrier += 1
+        // accept a candidate iff unit-disjoint from EVERY higher-ranked
+        // candidate (accepted or not) — see the batching proof above
+        val accepted = cands.zipWithIndex.filter { case ((u1, u2, _), i) =>
+          cands.take(i).forall { case (v1, v2, _) =>
+            v1 != u1 && v1 != u2 && v2 != u1 && v2 != u2 }
+        }.map(_._1).take(merges - found.size)
+        accepted.foreach { case (u1, u2, c) =>
+          found += ((u1, u2, c))
+          cur = cur.withColumn("__s",
+            replace(col("__s"), lit(s"·${u1}··${u2}·"), lit(s"·${u1}${u2}·")))
+        }
+        sinceBarrier += accepted.size
         if (sinceBarrier >= BpeCheckpointEvery) {
           cur = cur.localCheckpoint(true)
           sinceBarrier = 0

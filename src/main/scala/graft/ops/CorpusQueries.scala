@@ -28,12 +28,14 @@ object CorpusQueries {
   val JaccardMaxDf = 50
 
   /** BPE training rounds for the registered queries — past the
-    * single-character rounds into multi-unit merges, and far enough past
+    * single-character rounds into multi-unit merges, far enough past
     * [[Corpus.BpeCheckpointEvery]] that the gated run crosses several
-    * lineage-linearization barriers (the scale path a 30k-merge train
-    * takes). The n-round chained-CTE oracle runs the identical loop.
+    * lineage-linearization barriers, and large enough that batched
+    * selection demonstrably cuts driver round-trips to a fraction of
+    * the merge count (the scale path a 30k-merge train takes). The
+    * n-round chained-CTE oracle runs the identical batched loop.
     * Shared by the Spark call and the generated oracle. */
-  val BpeMerges = 32
+  val BpeMerges = 128
 
   // ---- shared SQL fragments -------------------------------------------
 
@@ -122,38 +124,66 @@ object CorpusQueries {
        |$chain""".stripMargin
   }
 
-  /** BPE training-loop CTE chain `s0, p1, m1, s1, …, s<n>` matching
-    * [[Corpus.bpeCore]] round for round over the distinct-word
-    * HISTOGRAM: `s0` is the (word, count, unit-boundary encoding)
-    * table; per round k, `p\$k` explodes adjacent unit pairs of
-    * `s\${k-1}` carrying the word count, `m\$k` is the one-row weighted
-    * argmax (count desc, then lexicographic (u1, u2)), and `s\$k`
-    * rewrites the histogram by the same leftmost-non-overlapping
-    * literal replace Spark's `replace` performs. `s\$k` LEFT JOINs the
-    * one-row `m\$k` and COALESCEs back to the unchanged histogram, so an
-    * exhausted round (no adjacent pairs anywhere — possible on tiny
-    * corpora) keeps the last state exactly like `bpeCore`'s `exhausted`
-    * flag instead of zeroing every later CTE. `s\$k` is MATERIALIZED:
-    * each round is referenced twice (next round's pairs + rewrite), so
-    * DuckDB's default CTE inlining would double the scan tree per round
-    * — 2^n scans, "too many open files" well before n = 32. The caller
-    * appends its own final SELECT over `m1..m\$n` or `s\$n`. */
+  /** Batched-BPE training-loop CTE chain matching [[Corpus.bpeCore]]
+    * round for round over the distinct-word HISTOGRAM. `s0` is the
+    * (word, count, unit-boundary encoding) table; per round k:
+    *  - `p\$k` explodes adjacent unit pairs of `s\${k-1}` with counts;
+    *  - `c\$k` ranks the weighted pair counts and keeps the top
+    *    [[Corpus.BpeBatchCandidates]] by (count desc, u1, u2);
+    *  - `f\$k` accepts candidates unit-disjoint from EVERY higher-ranked
+    *    candidate (the same non-iterative rule bpeCore's driver filter
+    *    applies), re-ranks the survivors `ak = 1..`, and truncates to
+    *    the remaining merge budget `n − tot\${k-1}`;
+    *  - `t\$k` folds the running accepted total (1 row, MATERIALIZED —
+    *    it is referenced twice, and default inlining would re-bind the
+    *    whole prefix chain per reference: exponential binder work that
+    *    trips DuckDB's recursion guard long before n = 128);
+    *  - `s\$k` rewrites the histogram by the accepted merges as a chain
+    *    of [[Corpus.BpeBatchCandidates]] literal replaces — slot j pulls
+    *    accepted merge `ak = j` via a scalar subquery and COALESCEs to a
+    *    chr(1) never-matching pattern when the slot is empty, so the
+    *    accumulator string appears ONCE per level (no 2^m expression
+    *    blowup) and absent slots are no-ops. Accepted pairs are
+    *    unit-disjoint, so the replace chain cannot interact and equals
+    *    Spark's sequential application exactly.
+    * Budget-exhausted and pair-exhausted tail rounds produce empty
+    * `f\$k` and copy `s\$k = s\${k-1}` unchanged, mirroring bpeCore's
+    * loop exit. `c/f/s` are MATERIALIZED (each is referenced more than
+    * once; default inlining would double the scan tree per round — 2^n
+    * scans, "too many open files" well before n = 32). The caller
+    * appends its own final SELECT over `f1..f\$n`/`t0..t\$n` or `s\$n`;
+    * the global rank of an accepted merge is `tot\${k-1} + ak`. */
   private def bpeRoundsSql(n: Int): String = {
+    val m = Corpus.BpeBatchCandidates
     val rounds = (1 to n).map { k =>
+      val applied = (1 to m).foldLeft("s") { (acc, j) =>
+        s"""replace($acc,
+           |      COALESCE((SELECT '·' || u1 || '··' || u2 || '·' FROM f$k WHERE ak = $j), chr(1)),
+           |      COALESCE((SELECT '·' || u1 || u2 || '·' FROM f$k WHERE ak = $j), ''))""".stripMargin
+      }
       s"""p$k AS (
          |  SELECT pr[1] AS u1, pr[2] AS u2, cnt FROM (
          |    SELECT cnt, unnest(list_transform(range(1, len(us)),
          |        i -> [us[i], us[i + 1]])) AS pr
          |    FROM (SELECT cnt, string_split(trim(s, '·'), '··') AS us
          |          FROM s${k - 1}))),
-         |m$k AS (
-         |  SELECT u1, u2, CAST(SUM(cnt) AS BIGINT) AS c FROM p$k
-         |  GROUP BY u1, u2 ORDER BY c DESC, u1, u2 LIMIT 1),
+         |c$k AS MATERIALIZED (
+         |  SELECT u1, u2, c, ROW_NUMBER() OVER (ORDER BY c DESC, u1, u2) AS rk
+         |  FROM (SELECT u1, u2, CAST(SUM(cnt) AS BIGINT) AS c FROM p$k
+         |        GROUP BY u1, u2 ORDER BY c DESC, u1, u2 LIMIT $m) z),
+         |f$k AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT u1, u2, c, ROW_NUMBER() OVER (ORDER BY rk) AS ak
+         |    FROM c$k x
+         |    WHERE NOT EXISTS (SELECT 1 FROM c$k b WHERE b.rk < x.rk
+         |        AND (b.u1 IN (x.u1, x.u2) OR b.u2 IN (x.u1, x.u2))))
+         |  WHERE ak <= $n - (SELECT tot FROM t${k - 1})),
+         |t$k AS MATERIALIZED (SELECT (SELECT tot FROM t${k - 1}) +
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f$k) AS tot),
          |s$k AS MATERIALIZED (
          |  SELECT w, cnt,
-         |    COALESCE(replace(s, '·' || m.u1 || '··' || m.u2 || '·',
-         |               '·' || m.u1 || m.u2 || '·'), s) AS s
-         |  FROM s${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
+         |    $applied AS s
+         |  FROM s${k - 1})""".stripMargin
     }.mkString(",\n")
     s"""WITH s0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -161,6 +191,7 @@ object CorpusQueries {
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
        |      x -> x != '')) AS w FROM documents)
        |  GROUP BY w),
+       |t0 AS (SELECT CAST(0 AS BIGINT) AS tot),
        |$rounds""".stripMargin
   }
 
@@ -3535,12 +3566,15 @@ object CorpusQueries {
              |FROM documents d LEFT JOIN enc e USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
-    // distributed BPE training: BpeMerges rounds of corpus-wide
-    // pair-count → argmax → literal merge (Sennrich et al. 2016). The
-    // oracle is GENERATED as one chained CTE per round from the same
-    // round count, so both engines run the identical training loop —
-    // counts, lexicographic tie-breaks, and leftmost-nonoverlapping
-    // replace are all engine-reproducible (see Corpus.bpeCore scaladoc).
+    // distributed BPE training: BpeMerges merges learned by BATCHED
+    // rounds of corpus-wide pair-count → top-m unit-disjoint accept →
+    // literal merges (Sennrich et al. 2016, frequency-batched). The
+    // oracle is GENERATED as one chained CTE group per round from the
+    // same round count, so both engines run the identical training
+    // loop — counts, lexicographic tie-breaks, the disjointness rule,
+    // budget truncation, and leftmost-nonoverlapping replace are all
+    // engine-reproducible (see Corpus.bpeCore scaladoc). Ranks are
+    // global: round offset tot$(k-1) + within-round accepted rank.
     Q(
       "corpus_bpe_merges",
       (s, dir) =>
@@ -3548,7 +3582,8 @@ object CorpusQueries {
           merges = BpeMerges).orderBy(col("rank")),
       Some(bpeRoundsSql(BpeMerges) +
         (1 to BpeMerges).map(k =>
-            s"SELECT $k AS rank, u1, u2, CAST(c AS BIGINT) AS cnt FROM m$k")
+            s"SELECT CAST((SELECT tot FROM t${k - 1}) + ak AS INT) AS rank, " +
+              s"u1, u2, CAST(c AS BIGINT) AS cnt FROM f$k")
           .mkString("\n", "\nUNION ALL ", "\nORDER BY rank"))),
 
     // the compression curve of the learned merges: per-doc unit count
