@@ -62,7 +62,7 @@ object Relational {
     * ignores the legacy conf); both normalize to the same UTC
     * microsecond instant here (session timezone is UTC on both engines).
     */
-  private[ops] def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, dir, "events")
     raw.withColumn("ts", normalizedTs(raw.schema("ts").dataType))

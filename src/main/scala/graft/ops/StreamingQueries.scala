@@ -41,6 +41,112 @@ object StreamingQueries {
 
   private var streamEpoch = 0
 
+  /** Stage the events table as a THREE-micro-batch file stream under
+    * `out`: the on-time slice (`ts >= cutoff`) split by event-id parity
+    * into batches 0 and 1, then the late slice (`ts < cutoff`) as
+    * batch 2, with modification times 60 s apart so the file source
+    * (oldest-first) delivers them in order. Three batches, not two,
+    * because Spark filters late input with the PREVIOUS micro-batch's
+    * watermark (`eventTimeWatermarkForLateEvents` lags one batch so
+    * data arriving alongside the advance is not dropped): the watermark
+    * learned from batch 0 only gates input from batch 2 on. Batch 1 is
+    * still entirely on-time, so it is unaffected by the lagged gate,
+    * and every batch-2 row is months behind it — the deterministic
+    * late-arrival scenario the watermark queries need. Timestamps are
+    * pre-normalized to micro TIMESTAMP on write, so the stream schema
+    * has no nanos ambiguity. Returns the staged schema. */
+  private def buildLateArrivalDir(s: SparkSession, dir: String,
+      cutoff: String, out: String): StructType = {
+    val outPath = new java.io.File(out)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (outPath.exists()) rm(outPath)
+    outPath.mkdirs()
+    val ev = Relational.events(s, dir)
+    def stage(df: DataFrame, name: String, modTime: Long): Unit = {
+      val tmp = new java.io.File(outPath, s"__stage_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(outPath, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(modTime)
+      rm(tmp)
+    }
+    val onTime = ev.filter(col("ts") >= lit(cutoff).cast("timestamp"))
+    val t0 = System.currentTimeMillis() - 600000L
+    stage(onTime.filter(col("event_id") % 2 === 0), "batch0_ontime_a", t0)
+    stage(onTime.filter(col("event_id") % 2 === 1),
+      "batch1_ontime_b", t0 + 60000L)
+    stage(ev.filter(col("ts") < lit(cutoff).cast("timestamp")),
+      "batch2_late", t0 + 120000L)
+    s.read.parquet(s"$out/batch0_ontime_a.parquet").schema
+  }
+
+  /** Cutoff splitting the 2024-01 events month into the on-time slice
+    * (second half, delivered first) and the late slice (first half,
+    * delivered after the watermark has advanced past it). Every late
+    * row's 6-hour window then ends ≥ 13 days before the watermark, so
+    * the drop set is the whole late slice — no boundary-precision
+    * coupling between the engines. */
+  private val WatermarkCutoff = "2024-01-15 00:00:00"
+
+  /** The deployment spelling of [[queries]]' `stream_window_counts`: the
+    * same event-time tumbling aggregate with `withWatermark` + UPDATE
+    * output mode — late rows behind the watermark are dropped by
+    * contract and window state older than the watermark is evicted, so
+    * state is bounded on an unbounded stream (complete mode, by
+    * contrast, is the batch-parity harness for a bounded corpus).
+    * Returns the drained per-window result and the total
+    * `numRowsDroppedByWatermark` across micro-batches so the spec can
+    * assert eviction actually happened.
+    *
+    * The memory sink accumulates one row PER UPDATE of a key; the final
+    * value of each (window, type) key is its row with the largest
+    * n_events (counts only grow), folded with max/max_by. */
+  private[graft] def watermarkWindowCounts(s: SparkSession,
+      dir: String): (DataFrame, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    val streamDir =
+      s"/tmp/graft_stream_wm_${new java.io.File(dir).getName}"
+    val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val agg = stream
+      .withWatermark("ts", "3 hours")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    var dropped = 0L
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try {
+        q.processAllAvailable()
+        dropped = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("sum_value"), col("n_events")).as("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+    (out, dropped)
+  }
+
   /** Run a streaming drain with few shuffle partitions: the state-store
     * partition count is frozen from `spark.sql.shuffle.partitions` at
     * query START, and these queries keep tiny state (hundreds of keys) —
@@ -84,6 +190,24 @@ object StreamingQueries {
              |  event_type, COUNT(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // the UNBOUNDED-stream spelling: watermark + update mode over a
+    // deterministic staged delivery (second half of the month across
+    // two batches, then the first half arriving 13+ days late). The
+    // watermark learned from the on-time batches is far past every late
+    // window, so the late slice is dropped by contract — the oracle is
+    // the batch aggregate over the on-time subset. The late drop
+    // (numRowsDroppedByWatermark > 0) is asserted in
+    // StatefulStreamingSpec over the same drain.
+    Q(
+      "stream_window_counts_watermark",
+      (s, dir) => watermarkWindowCounts(s, dir)._1,
+      Some(s"""SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M') AS win_start,
+             |  event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE ts >= TIMESTAMP '$WatermarkCutoff'
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // streaming exact dedup: dropDuplicates state + downstream aggregation

@@ -46,6 +46,30 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(rows("00:00") === 1L)
   }
 
+  test("update-mode watermark drain drops the late slice and bounds state") {
+    // the registry drain at sf0.001: on-time half-month in batch 1, the
+    // earlier half arriving late in batch 2 — every late row is behind
+    // the watermark, so the state store must report them dropped and the
+    // drained result must equal the batch aggregate of the on-time slice
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (out, dropped) =
+      graft.ops.StreamingQueries.watermarkWindowCounts(spark, dir)
+    assert(dropped > 0L,
+      "watermark evicted nothing — late rows were not dropped")
+    val got = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expect = graft.ops.Relational.events(spark, dir)
+      .filter($"ts" >= "2024-01-15 00:00:00")
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm"),
+        $"event_type", $"n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === expect)
+  }
+
   test("flatMapGroupsWithState sessionizes per key with custom state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
