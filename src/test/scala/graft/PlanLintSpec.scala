@@ -158,83 +158,164 @@ class PlanLintSpec extends SparkTestBase {
   // broadcast offsets). Exemptions: spec contains a content hash or a
   // generator output (the other window rule owns those); spec contains
   // the TwoPass partition-id column (bounded by a range partition by
-  // construction); input already aggregated/limited (bounded).
+  // construction); input limited (bounded).
+  //
+  // An AGGREGATED input is NOT a blanket exemption (the corpus_keywords
+  // class): an aggregate bounds rows PER KEY but not the key count —
+  // a per-(source, term) tf table is still a source's whole distinct
+  // vocabulary, and a window partitioned by the source sorts it in one
+  // task. Aggregated-input windows are instead held to a measured ratio
+  // rule: partition-key NDV < 1% of the window's input rows at sf0.001.
+  // No growth precondition — the documents table is deliberately
+  // SF-static in this testdata, so a growth gate would blind the rule
+  // to exactly the vocabulary windows it exists to police. Per-group
+  // windows over genuinely bounded aggregates (≤ 64-bucket sketches,
+  // crosstab cells, per-source normalizers over #sources rows) land at
+  // or above 1/64 ≈ 1.6% and pass untouched.
   private val NdvCap = 24
   private val windowNdvAllow = Map.empty[String, String]
+  private val aggWindowAllow = Map.empty[String, String]
 
-  test("no window partitioned by a fixed-cardinality column over data-scaled input") {
+  import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr}
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan => CatalystPlan}
+
+  /** Windows measurable by the NDV rules: (child, partitionSpec,
+    * aggregatedInput). Excludes windows owned by the content-hash /
+    * generator rule, TwoPass pid windows, and limit-bounded inputs. */
+  private def ndvCandidates(
+      plan: CatalystPlan): Seq[(CatalystPlan, Seq[CatalystExpr], Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, GlobalLimit, Window => WindowOp}
+    val aliases = plan.collect { case p =>
+      p.expressions.flatMap(_.collect { case a: Alias => a.exprId -> a.child })
+    }.flatten.toMap
+    val generated = plan.collect { case g: Generate =>
+      g.generatorOutput.map(_.exprId)
+    }.flatten.toSet
+    def inline(e: Expression, depth: Int): Expression =
+      if (depth <= 0) e
+      else e.transformUp {
+        case a: AttributeReference if aliases.contains(a.exprId) =>
+          inline(aliases(a.exprId), depth - 1)
+      }
+    plan.collect {
+      case w: WindowOp if w.partitionSpec.nonEmpty =>
+        val otherRulesOwn = w.partitionSpec.map(inline(_, 8)).exists(_.exists {
+          case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 | _: Murmur3Hash |
+               _: XxHash64 | _: SparkPartitionID => true
+          case a: AttributeReference =>
+            generated(a.exprId) || a.name == "__tp_pid"
+          case _ => false
+        })
+        val limited = w.child.collectFirst { case _: GlobalLimit => () }.isDefined
+        val aggregated = w.child.collectFirst { case _: Aggregate => () }.isDefined
+        if (otherRulesOwn || limited) None
+        else Some((w.child, w.partitionSpec, aggregated))
+    }.flatten
+  }
+
+  private def measureNdv(child: CatalystPlan,
+      spec: Seq[CatalystExpr]): (Long, Long) = {
     import org.apache.spark.sql.GraftSqlShims
     import org.apache.spark.sql.functions.{count, count_distinct, lit, struct}
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, GlobalLimit, LogicalPlan, Window => WindowOp}
+    val df = GraftSqlShims.ofRows(spark, child)
+    val key = struct(spec.map(GraftSqlShims.toColumn): _*)
+    val r = df.agg(count_distinct(key).cast("long"),
+      count(lit(1)).cast("long")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The aggregated-input ratio rule, factored out so the synthetic
+    * regression test below can drive it directly. */
+  private def aggRatioTrips(ndvS: Long, nS: Long): Boolean =
+    ndvS * 100 < nS
+
+  test("no window partitioned by a fixed-cardinality column over data-scaled input") {
     val dirS = "/root/testdata/sf0.001"
     val dirL = "/root/testdata/sf0.01"
-
-    def candidates(plan: LogicalPlan): Seq[(LogicalPlan, Seq[Expression])] = {
-      val aliases = plan.collect { case p =>
-        p.expressions.flatMap(_.collect { case a: Alias => a.exprId -> a.child })
-      }.flatten.toMap
-      val generated = plan.collect { case g: Generate =>
-        g.generatorOutput.map(_.exprId)
-      }.flatten.toSet
-      def inline(e: Expression, depth: Int): Expression =
-        if (depth <= 0) e
-        else e.transformUp {
-          case a: AttributeReference if aliases.contains(a.exprId) =>
-            inline(aliases(a.exprId), depth - 1)
-        }
-      plan.collect {
-        case w: WindowOp if w.partitionSpec.nonEmpty =>
-          val otherRulesOwn = w.partitionSpec.map(inline(_, 8)).exists(_.exists {
-            case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 | _: Murmur3Hash |
-                 _: XxHash64 | _: SparkPartitionID => true
-            case a: AttributeReference =>
-              generated(a.exprId) || a.name == "__tp_pid"
-            case _ => false
-          })
-          val boundedInput = w.child.collectFirst {
-            case _: Aggregate => (); case _: GlobalLimit => ()
-          }.isDefined
-          if (otherRulesOwn || boundedInput) None
-          else Some((w.child, w.partitionSpec))
-      }.flatten
-    }
-
-    def measure(child: LogicalPlan, spec: Seq[Expression]): (Long, Long) = {
-      val df = GraftSqlShims.ofRows(spark, child)
-      val key = struct(spec.map(GraftSqlShims.toColumn): _*)
-      val r = df.agg(count_distinct(key).cast("long"),
-        count(lit(1)).cast("long")).head()
-      (r.getLong(0), r.getLong(1))
-    }
 
     SparkEntry.all
       .filterNot(q => skip(q.name) || q.name.startsWith("stream_"))
       .foreach { q =>
-        val candsS = candidates(q.run(spark, dirS).queryExecution.analyzed)
+        val candsS = ndvCandidates(q.run(spark, dirS).queryExecution.analyzed)
         if (candsS.nonEmpty) {
-          val candsL = candidates(q.run(spark, dirL).queryExecution.analyzed)
+          val candsL = ndvCandidates(q.run(spark, dirL).queryExecution.analyzed)
           var tripped = false
-          candsS.zip(candsL).foreach { case ((cS, sS), (cL, sL)) =>
-            val (ndvS, nS) = measure(cS, sS)
-            val (ndvL, nL) = measure(cL, sL)
-            val fixedCard = ndvL <= NdvCap && ndvL <= ndvS * 2
-            val dataScaled = nL >= nS * 4
-            if (fixedCard && dataScaled) {
-              tripped = true
-              assert(windowNdvAllow.contains(q.name),
-                s"${q.name} partitions a window by a fixed-cardinality key " +
-                  s"(ndv $ndvS@sf0.001 -> $ndvL@sf0.01) over a data-scaled " +
-                  s"input ($nS -> $nL rows): each whole group funnels one " +
-                  "task at scale. Respell with TwoPass.rank/prefixSum.")
-            }
+          var aggTripped = false
+          candsS.zip(candsL).foreach {
+            case ((cS, sS, false), (cL, sL, _)) =>
+              val (ndvS, nS) = measureNdv(cS, sS)
+              val (ndvL, nL) = measureNdv(cL, sL)
+              val fixedCard = ndvL <= NdvCap && ndvL <= ndvS * 2
+              val dataScaled = nL >= nS * 4
+              if (fixedCard && dataScaled) {
+                tripped = true
+                assert(windowNdvAllow.contains(q.name),
+                  s"${q.name} partitions a window by a fixed-cardinality key " +
+                    s"(ndv $ndvS@sf0.001 -> $ndvL@sf0.01) over a data-scaled " +
+                    s"input ($nS -> $nL rows): each whole group funnels one " +
+                    "task at scale. Respell with TwoPass.rank/prefixSum.")
+              }
+            case ((cS, sS, true), _) =>
+              val (ndvS, nS) = measureNdv(cS, sS)
+              if (aggRatioTrips(ndvS, nS)) {
+                aggTripped = true
+                assert(aggWindowAllow.contains(q.name),
+                  s"${q.name} partitions a window by a key with NDV $ndvS " +
+                    s"over an AGGREGATED input of $nS rows at sf0.001 " +
+                    "(< 1%): the aggregate bounds rows per key, not the " +
+                    "key count — a whole vocabulary-sized group funnels " +
+                    "one task at scale. Respell with the TopKByScore heap " +
+                    "or TwoPass.rank.")
+              }
           }
           if (windowNdvAllow.contains(q.name))
             assert(tripped,
               s"${q.name} is ndv-window-allowlisted but no window trips " +
                 "the detector — remove the stale entry")
+          if (aggWindowAllow.contains(q.name))
+            assert(aggTripped,
+              s"${q.name} is agg-window-allowlisted but no window trips " +
+                "the detector — remove the stale entry")
         }
       }
+  }
+
+  test("agg-window detector flags the retired corpus_keywords spelling") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the pre-r7 distinctiveTerms shape: a per-(enum key, item) count
+    // aggregate, then a rank window partitioned by the enum key — the
+    // window input is the key's whole distinct item universe. The
+    // synthetic vocabulary here is lineitem's (returnflag, partkey)
+    // pairs, which (unlike the deliberately SF-static documents text)
+    // scales with the data: 3 flags over hundreds of parts at sf0.001,
+    // thousands at sf0.01. The detector must classify the window as
+    // aggregated-input and the ratio rule must trip on it.
+    def badPlan(dir: String) = {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val tf = li.groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(count(lit(1)).as("n"))
+      tf.withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("n").desc, col("l_partkey"))))
+        .filter(col("rank") <= 3)
+    }
+    val candsS = ndvCandidates(badPlan("/root/testdata/sf0.001")
+      .queryExecution.analyzed)
+    assert(candsS.nonEmpty && candsS.forall(_._3),
+      "the regressed spelling must surface as an aggregated-input window")
+    val (ndvS, nS) = measureNdv(candsS.head._1, candsS.head._2)
+    assert(aggRatioTrips(ndvS, nS),
+      s"ratio rule failed to flag ndv=$ndvS rows=$nS")
+    // and the SHIPPED corpus_keywords must not reintroduce any window the
+    // ratio rule would flag
+    assert(ndvCandidates(SparkEntry.all.find(_.name == "corpus_keywords").get
+      .run(spark, "/root/testdata/sf0.001").queryExecution.analyzed)
+      .forall { case (c, s, agg) =>
+        !agg || { val (ndv, n) = measureNdv(c, s); !aggRatioTrips(ndv, n) }
+      })
   }
 
   test("no cartesian products; nested-loop joins only where designed") {
