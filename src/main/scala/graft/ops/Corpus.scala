@@ -1619,4 +1619,58 @@ object Corpus {
       .groupBy(col("unit")).agg(sum(col("__cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("unit")).limit(k)
   }
+
+  /** Tokenize-for-training, completed: every document as its BPE-unit
+    * ID SEQUENCE under the trained merges — the tensor a data loader
+    * actually consumes ([[bpeEncode]] reports only the compression
+    * curve; [[encodeWithVocab]] encodes whole words). Unit ids are
+    * 1..k by (corpus frequency desc, unit) over the trained histogram
+    * — the [[bpeVocab]] ranking — with out-of-vocabulary units
+    * encoding as 0 and counted per doc (the vocab-size sizing signal).
+    *
+    * Shape at scale: the word → unit-array table is VOCAB-scale and
+    * therefore shuffle-joined (never broadcast — a web corpus's vocab
+    * is 10⁸ rows) onto the one corpus token explode; the k-row unit-id
+    * table broadcasts; reassembly is one groupBy(doc) carrying
+    * (tokenPos, unitPos, id) triples sorted per doc. No window
+    * anywhere; the id table's rank runs over k rows by construction.
+    *
+    * @return (idCol, n_units, n_oov, ids_md5 — md5 of the
+    *         comma-joined id sequence in token-then-unit order)
+    */
+  def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hist = bpeCore(docs, idCol, textCol, merges)._2
+    val wordUnits = hist.select(col("__w"),
+      split(trim(col("__s"), "·"), "··").as("__us"))
+    val unitVocab = hist
+      .select(explode(split(trim(col("__s"), "·"), "··")).as("unit"),
+        col("__cnt"))
+      .groupBy(col("unit")).agg(sum(col("__cnt")).as("__c"))
+      .orderBy(col("__c").desc, col("unit")).limit(k)
+      // k rows by construction — the bounded-input rank
+      .withColumn("__uid", row_number()
+        .over(Window.orderBy(col("__c").desc, col("unit"))).cast("long"))
+      .select(col("unit"), col("__uid"))
+    val tokpos = docs.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val units = tokpos.join(wordUnits, Seq("__w"))
+      .select(col(idCol), col("__pos"),
+        posexplode(col("__us")).as(Seq("__j", "unit")))
+    val enc = units.join(broadcast(unitVocab), Seq("unit"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        count(when(col("__uid").isNull, 1)).as("__oov"),
+        sort_array(collect_list(struct(col("__pos"), col("__j"),
+          coalesce(col("__uid"), lit(0L)).as("__id")))).as("__seq"))
+    docs.select(col(idCol))
+      .join(enc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_units"),
+        coalesce(col("__oov"), lit(0L)).as("n_oov"),
+        md5(coalesce(
+          array_join(expr("transform(__seq, e -> CAST(e.__id AS STRING))"),
+            ","), lit("")).cast("binary")).as("ids_md5"))
+  }
 }

@@ -1598,6 +1598,38 @@ object CorpusQueries {
           .orderBy(col("doc_id")),
       Some(clustersOracleSql)),
 
+    // same clusters a THIRD way: incrementally — stored labels from the
+    // old batch (doc_id < 400), the new batch's pairs folded in by
+    // contracting old clusters to their roots, so the solver touches
+    // new ids + affected roots only, never history. Identical oracle:
+    // the incremental algebra must equal the full-recompute closure,
+    // including old clusters MERGED by bridging new docs.
+    Q(
+      "dedup_clusters_incremental",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        // one pair discovery (the pair-seam; incremental SIGNING is
+        // dedup_minhash_incremental's gate), split by batch membership
+        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+          .localCheckpoint(true)
+        val cut = lit(400L)
+        val oldIds = docs.filter(col("doc_id") < cut).select(col("doc_id"))
+        // the persisted state a previous run would have left behind
+        val stored = Dedup.connectedComponentsStar(oldIds, "doc_id",
+          pairs.filter(col("d1") < cut && col("d2") < cut))
+          .withColumnRenamed("id", "doc_id")
+          .localCheckpoint(true)
+        val updated = Dedup.incrementalComponents(stored, "doc_id",
+          docs.filter(col("doc_id") >= cut).select(col("doc_id")),
+          pairs.filter(col("d1") >= cut || col("d2") >= cut))
+        updated
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+            (col("id") === col("cluster")).as("is_canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some(clustersOracleSql)),
+
     Q(
       "dedup_minhash_lsh",
       (s, dir) =>
@@ -3619,6 +3651,43 @@ object CorpusQueries {
            |  SELECT unnest(string_split(trim(s, '·'), '··')) AS unit, cnt
            |  FROM s$BpeMerges)
            |GROUP BY unit ORDER BY cnt DESC, unit LIMIT 50""".stripMargin)),
+
+    // tokenize-for-training completed: per-doc BPE-unit ID SEQUENCES
+    // under the trained merges (unit ids 1..200 by frequency, OOV -> 0
+    // and counted), checksummed in token-then-unit order — the loader
+    // tensor, not just the compression curve
+    Q(
+      "corpus_bpe_ids",
+      (s, dir) =>
+        Corpus.bpeEncodeIds(table(s, dir, "documents"), "doc_id", "text",
+          merges = BpeMerges, k = 200).orderBy(col("doc_id")),
+      Some(bpeRoundsSql(BpeMerges) +
+        s"""
+           |, wu AS (SELECT w, string_split(trim(s, '·'), '··') AS us FROM s$BpeMerges),
+           |uv0 AS (SELECT unit, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+           |    SELECT unnest(string_split(trim(s, '·'), '··')) AS unit, cnt
+           |    FROM s$BpeMerges)
+           |  GROUP BY unit ORDER BY c DESC, unit LIMIT 200),
+           |uv AS (SELECT unit, ROW_NUMBER() OVER (ORDER BY c DESC, unit) AS uid
+           |  FROM uv0),
+           |dtoks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           |  FROM documents),
+           |tp0 AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM dtoks),
+           |tp AS (SELECT doc_id, pos, ws[pos] AS w FROM tp0),
+           |tu0 AS (SELECT doc_id, pos, unnest(range(1, len(us) + 1)) AS j, us
+           |  FROM tp JOIN wu USING (w)),
+           |tu AS (SELECT doc_id, pos, j, us[j] AS unit FROM tu0),
+           |enc AS (
+           |  SELECT t.doc_id, COUNT(*) AS n,
+           |    COUNT(CASE WHEN v.uid IS NULL THEN 1 END) AS oov,
+           |    list(COALESCE(v.uid, 0) ORDER BY t.pos, t.j) AS ids
+           |  FROM tu t LEFT JOIN uv v USING (unit) GROUP BY t.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(COALESCE(e.n, 0) AS BIGINT) AS n_units,
+           |  CAST(COALESCE(e.oov, 0) AS BIGINT) AS n_oov,
+           |  md5(COALESCE(array_to_string(e.ids, ','), '')) AS ids_md5
+           |FROM documents d LEFT JOIN enc e USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin)),
 
     // distinctive terms per source (tf-idf keywords, integer inverse-df
     // weights, deterministic (score desc, term) rank)

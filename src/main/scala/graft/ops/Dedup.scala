@@ -662,6 +662,62 @@ object Dedup {
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
   }
 
+  /** Incrementally MAINTAIN near-dup cluster labels across batches: fold
+    * a NEW batch's pairs into a STORED (id, cluster) label table without
+    * re-running any solver over history. Each new edge endpoint is
+    * contracted through its stored root (two hash joins), the iterative
+    * solver runs on the CONTRACTED graph — whose node set is the new ids
+    * plus the few old roots the new pairs touch, never history scale —
+    * and the answer joins back over the stored labels in one pass.
+    * Bridging pairs merge old clusters exactly as a full recompute
+    * would: contraction preserves connectivity, and because every stored
+    * root is already the min id of its old component, the contracted
+    * min is the true union-component min — so the output is identical
+    * to [[connectedComponentsStar]] over the union pair set (the
+    * registry gate proves this against the full-recompute closure
+    * oracle).
+    *
+    * Pair-discovery drift (df caps, thresholds recomputed as the corpus
+    * grows) is the incremental-SIGNING operators' concern
+    * ([[minhashIncremental]] &c.); this operator owns the label algebra.
+    *
+    * @param storedLabels (idCol, cluster) for every historical id,
+    *        cluster = min id of its component
+    * @param newIds the new batch's id column (disjoint from stored)
+    * @param newPairs pairs with at least one NEW endpoint (new-new and
+    *        new-old); old-old pairs are already folded into
+    *        storedLabels and must not be resupplied
+    * @return (id, cluster) over old ∪ new, cluster = component min id
+    */
+  def incrementalComponents(storedLabels: DataFrame, idCol: String,
+      newIds: DataFrame, newPairs: DataFrame,
+      aCol: String = "d1", bCol: String = "d2",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val stored = storedLabels.select(col(idCol).as("__sid"),
+      col("cluster").as("__sroot"))
+    val ea = newPairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(stored, col("__a") === col("__sid"), "left")
+      .select(coalesce(col("__sroot"), col("__a")).as("a"), col("__b"))
+    val ec = ea.join(stored, col("__b") === col("__sid"), "left")
+      .select(col("a"), coalesce(col("__sroot"), col("__b")).as("b"))
+    // contracted node set: touched roots arrive as edge endpoints; the
+    // union with newIds covers singleton new docs
+    val nodes = ec.select(col("a").as("n"))
+      .unionByName(ec.select(col("b").as("n")))
+      .unionByName(newIds.select(col(idCol).as("n"))).distinct()
+    val solved = connectedComponentsStar(nodes, "n", ec, "a", "b",
+      checkpointDir = checkpointDir)
+    val rootMap = solved.select(col("id").as("__r"), col("cluster").as("__rc"))
+    val oldOut = storedLabels
+      .select(col(idCol).as("id"), col("cluster").as("__old"))
+      .join(rootMap, col("__old") === col("__r"), "left")
+      .select(col("id"), coalesce(col("__rc"), col("__old")).as("cluster"))
+    val newOut = newIds.select(col(idCol).as("id"))
+      .join(rootMap, col("id") === col("__r"), "left")
+      .select(col("id"), coalesce(col("__rc"), col("id")).as("cluster"))
+    oldOut.unionByName(newOut)
+  }
+
   /** Near-duplicate clusters: df-capped n-gram Jaccard pairs →
     * connected components → (id, cluster_id, is_canonical). Keeping only
     * `is_canonical` rows is the standard "one document per near-dup

@@ -225,6 +225,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("incrementalComponents merges bridged old clusters and matches recompute") {
+    // old world: {0,1} and {10,11} are separate clusters; 20 is a singleton
+    val oldIds = Seq(0L, 1L, 10L, 11L, 20L).toDF("id")
+    val oldPairs = Seq((0L, 1L), (10L, 11L)).toDF("d1", "d2")
+    val stored = Dedup.connectedComponentsStar(oldIds, "id", oldPairs)
+    // new batch: 30 BRIDGES the two old clusters (30-1, 30-11); 31 links
+    // to the old singleton; 32 is a new singleton
+    val newIds = Seq(30L, 31L, 32L).toDF("id")
+    val newPairs = Seq((30L, 1L), (30L, 11L), (31L, 20L)).toDF("d1", "d2")
+    val inc = Dedup.incrementalComponents(stored, "id", newIds, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full recompute over the union pair set must agree exactly
+    val full = Dedup.connectedComponentsStar(
+      oldIds.unionByName(newIds), "id",
+      oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    // and the merge really happened: 0,1,10,11,30 all label 0 — including
+    // old members 10/11 whose STORED label (10) had to change
+    assert(Seq(0L, 1L, 10L, 11L, 30L).forall(inc(_) == 0L))
+    assert(inc(20L) === 20L && inc(31L) === 20L && inc(32L) === 32L)
+  }
+
   test("nearDupClusters keeps one canonical doc per near-dup group") {
     val out = Dedup.nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .orderBy("doc_id").collect()
