@@ -860,6 +860,38 @@ object Relational {
           .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }),
 
+    // ---- equi-depth histogram: the 8 o_totalprice boundary values at
+    //      exact global ranks ceil(n*i/8) via the distributed two-pass
+    //      rank — the planner/file-layout statistic (equi-depth bins
+    //      beat equi-width under skew) computed with NO single-task
+    //      sort: range partitions + per-partition windows + broadcast
+    //      offsets, then a map-only 8-way boundary probe
+    Q(
+      "q_equidepth_hist",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val ranked = TwoPass.rank(o, Seq(),
+          Seq(col("o_totalprice"), col("o_orderkey")), "rank",
+          countOut = Some("n"))
+        ranked
+          .withColumn("bucket", explode(array((1 to 8).map(lit): _*)))
+          .filter(col("rank") === expr("(n * bucket + 7) DIV 8"))
+          .select(col("bucket").cast("int").as("bucket"), col("rank"),
+            col("o_totalprice").as("upper_value"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_totalprice,
+             |    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rank,
+             |    COUNT(*) OVER () AS n
+             |  FROM orders)
+             |SELECT CAST(b AS INT) AS bucket, CAST(rank AS BIGINT) AS rank,
+             |  o_totalprice AS upper_value
+             |FROM r, (SELECT unnest(range(1, 9)) AS b)
+             |WHERE rank = (n * b + 7) // 8
+             |ORDER BY bucket""".stripMargin)),
+
     // ---- next-event-prediction examples: per-user ordered sequences
     //      (ts µs-truncated on both engines, event_id tie-break), every
     //      3-event window + the event that followed. One shuffle on the

@@ -55,8 +55,14 @@ object StreamingQueries {
     * late-arrival scenario the watermark queries need. Timestamps are
     * pre-normalized to micro TIMESTAMP on write, so the stream schema
     * has no nanos ambiguity. Returns the staged schema. */
-  private def buildLateArrivalDir(s: SparkSession, dir: String,
-      cutoff: String, out: String): StructType = {
+  /** Write each slice as one parquet file under `out`, modification
+    * times 60 s apart in sequence order, so the file source
+    * (oldest-first, maxFilesPerTrigger=1) delivers exactly these
+    * micro-batches in exactly this order. Empty slices are legal (a
+    * zero-row file still forms a batch — the watermark-advancing "gap"
+    * batch). Returns the staged schema. */
+  private def stageBatches(s: SparkSession, out: String,
+      slices: Seq[(String, DataFrame)]): StructType = {
     val outPath = new java.io.File(out)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -64,24 +70,27 @@ object StreamingQueries {
     }
     if (outPath.exists()) rm(outPath)
     outPath.mkdirs()
-    val ev = Relational.events(s, dir)
-    def stage(df: DataFrame, name: String, modTime: Long): Unit = {
+    val t0 = System.currentTimeMillis() - 600000L
+    slices.zipWithIndex.foreach { case ((name, df), i) =>
       val tmp = new java.io.File(outPath, s"__stage_$name")
       df.coalesce(1).write.parquet(tmp.toString)
       val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(outPath, s"$name.parquet")
+      val dst = new java.io.File(outPath, s"batch${i}_$name.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(modTime)
+      dst.setLastModified(t0 + i * 60000L)
       rm(tmp)
     }
+    s.read.parquet(s"$out/batch0_${slices.head._1}.parquet").schema
+  }
+
+  private def buildLateArrivalDir(s: SparkSession, dir: String,
+      cutoff: String, out: String): StructType = {
+    val ev = Relational.events(s, dir)
     val onTime = ev.filter(col("ts") >= lit(cutoff).cast("timestamp"))
-    val t0 = System.currentTimeMillis() - 600000L
-    stage(onTime.filter(col("event_id") % 2 === 0), "batch0_ontime_a", t0)
-    stage(onTime.filter(col("event_id") % 2 === 1),
-      "batch1_ontime_b", t0 + 60000L)
-    stage(ev.filter(col("ts") < lit(cutoff).cast("timestamp")),
-      "batch2_late", t0 + 120000L)
-    s.read.parquet(s"$out/batch0_ontime_a.parquet").schema
+    stageBatches(s, out, Seq(
+      "ontime_a" -> onTime.filter(col("event_id") % 2 === 0),
+      "ontime_b" -> onTime.filter(col("event_id") % 2 === 1),
+      "late" -> ev.filter(col("ts") < lit(cutoff).cast("timestamp"))))
   }
 
   /** Cutoff splitting the 2024-01 events month into the on-time slice
@@ -236,6 +245,51 @@ object StreamingQueries {
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // the state-EVICTING dedup spelling for unbounded streams:
+    // dropDuplicatesWithinWatermark + append mode. Staged delivery: the
+    // whole on-time slice in batch 0 (watermark 0 during the batch, so
+    // no key state can expire mid-dedup and the emitted rows are exactly
+    // the distinct on-time keys), an EMPTY gap batch that commits the
+    // watermark advance, then the late slice — every late row lands
+    // behind the watermark and is dropped, and on-time key state has
+    // been evicted (bounded state, the deployment property). Oracle =
+    // batch COUNT(DISTINCT) over the on-time subset.
+    Q(
+      "stream_dedup_watermark",
+      (s, dir) => {
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val streamDir =
+          s"/tmp/graft_stream_wmd_${new java.io.File(dir).getName}"
+        val ev = Relational.events(s, dir)
+        val onTime =
+          ev.filter(col("ts") >= lit(WatermarkCutoff).cast("timestamp"))
+        val schema = stageBatches(s, streamDir, Seq(
+          "ontime" -> onTime,
+          "gap" -> onTime.limit(0),
+          "late" -> ev.filter(col("ts") < lit(WatermarkCutoff).cast("timestamp"))))
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "batch*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir)
+        val deduped = stream
+          .withWatermark("ts", "3 hours")
+          .dropDuplicatesWithinWatermark("event_type", "user_id")
+        withStreamShuffle(s, 4) {
+          val q = deduped.writeStream
+            .outputMode("append")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_unique_users"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+             |FROM events WHERE ts >= TIMESTAMP '$WatermarkCutoff'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // streaming incremental aggregate state: the SAME algebraic
     // count/sum/min/max fields q_incremental_agg merges batchwise,
