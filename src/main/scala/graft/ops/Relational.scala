@@ -47,6 +47,47 @@ object Relational {
   private val d182 = DecimalType(18, 2)
   private val d184 = DecimalType(18, 4)
 
+  /** The pay-the-shuffle-once join: orders and lineitem written as
+    * BUCKETED tables on the join key (8 buckets, sorted), then joined
+    * and aggregated straight off the bucket layout — a repeated
+    * fact-fact join at 100 TB shuffles at WRITE time only; every later
+    * join/aggregate on the key plans with zero exchanges
+    * (`BucketingSpec` asserts the no-Exchange plan on this exact
+    * pipeline; the registry gate proves the bucketed write → catalog
+    * read → join path computes the true answer). Money summed in
+    * DECIMAL so the result is engine-exact.
+    *
+    * @return (o_orderkey, n_lines, sum_qty) for every order with lines
+    */
+  private[graft] def bucketedOrderLines(s: SparkSession,
+      dir: String): DataFrame = {
+    // a FRESH session's catalog doesn't know a previous JVM's managed
+    // tables, but their warehouse directories survive and block
+    // saveAsTable (LOCATION_ALREADY_EXISTS) — drop both forms first
+    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      val loc = new java.io.File(wh, t)
+      if (loc.exists()) rm(loc)
+    }
+    table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_bkt_orders")
+    table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_bkt_lineitem")
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(d182)).cast("double").as("sum_qty"))
+  }
+
   /** Exact decimal revenue term: extendedprice * (1 - discount). */
   private def revTerm =
     (col("l_extendedprice").cast(d182) *
@@ -859,6 +900,19 @@ object Relational {
              |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
           .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }),
+
+    // ---- bucketed co-located join: both sides written bucketBy(8, key)
+    //      then joined + aggregated off the bucket layout — zero
+    //      exchanges in the repeated-join plan (BucketingSpec asserts
+    //      it); this gate proves the write → catalog read → join path's
+    //      ANSWER against the plain-join oracle
+    Q(
+      "q_bucketed_join",
+      (s, dir) => bucketedOrderLines(s, dir).orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
 
     // ---- equi-depth histogram: the 8 o_totalprice boundary values at
     //      exact global ranks ceil(n*i/8) via the distributed two-pass

@@ -13,10 +13,11 @@ package graft
 class PlanLintSpec extends SparkTestBase {
 
   // queries whose construction has side effects (JDBC DDL, streaming
-  // drains, a partitioned file export) — their plan shape is covered by
-  // their own oracle queries
+  // drains, a partitioned file export, bucketed saveAsTable) — their
+  // plan shape is covered by their own oracle queries (and for the
+  // bucketed join, by BucketingSpec's no-Exchange assertion)
   private val skip = Set("dsl_jdbc_roundtrip", "dsl_chunked_upsert",
-    "dsl_generated_ids", "corpus_shard_export")
+    "dsl_generated_ids", "corpus_shard_export", "q_bucketed_join")
 
   // intentional bounded broadcast crossings (see scaladoc above);
   // dedup_semantic crosses the corpus with the k COLLECTED k-means

@@ -39,4 +39,23 @@ class BucketingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("the registry's bucketed order-lines pipeline joins and aggregates shuffle-free") {
+    // the q_bucketed_join plan: both sides bucketed on the join key, so
+    // the join AND the key-grouped aggregate ride the bucket layout —
+    // zero Exchange operators anywhere (the oracle gate checks the
+    // answer; this asserts the plan shape that makes it 100 TB-cheap)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Relational.bucketedOrderLines(spark, "/root/testdata/sf0.001")
+      assert(out.count() > 0)
+      val physical = out.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucketed join+agg should plan no shuffle, got:\n$physical")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
