@@ -331,7 +331,7 @@ object MediaPipeline {
       // below wraps mod 64 and bits silently collide — fail loud instead
       require((w - 1) * hh + w * (hh - 1) <= 64,
         s"frame ${w}x$hh needs ${(w - 1) * hh + w * (hh - 1)} gradient " +
-          "bits > 64; resize frames (<= 5x5) before fingerprinting")
+          "bits > 64; resize frames (<= 6x6 = 60 bits) before fingerprinting")
       val g = new Array[Int](w * hh)
       var p = 0
       while (p < g.length) {

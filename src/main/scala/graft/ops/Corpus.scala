@@ -941,6 +941,14 @@ object Corpus {
     * [[capPerGroup]] / the per-language vocab query. Ties break by the
     * hash id (score desc, id asc) — deterministic and engine-shared.
     *
+    * The 56-bit id sits at the birthday bound for a 10⁸–10⁹-term group
+    * (~2.7e8), so a same-group collision is possible at the top end; a
+    * colliding id would decode to TWO terms and silently emit duplicate
+    * rank rows. Fail-loud guard: the decode join-back counts rows per
+    * (group, id) — the winner set is ≤ #groups × k rows, so the count
+    * is a bounded aggregate — and raises if any id decoded to more than
+    * one term.
+    *
     * @return (groupCol, rank 1..k, term, score)
     */
   def distinctiveTerms(docs: DataFrame, groupCol: String, textCol: String,
@@ -967,8 +975,21 @@ object Corpus {
       .select(col(groupCol), (col("__r0") + 1).cast("int").as("rank"),
         col("__t").getField("id").as("__id"))
     // winners are ≤ #groups × k rows — broadcast them back for decode
-    scored.join(broadcast(top), Seq(groupCol, "__id"))
-      .select(col(groupCol), col("rank"), col("term"), col("score"))
+    val decoded = scored.join(broadcast(top), Seq(groupCol, "__id"))
+      .select(col(groupCol), col("rank"), col("term"), col("score"),
+        col("__id"))
+    // collision guard (see scaladoc): a (group, id) decoding to >1 term
+    // means a 56-bit hash collision inside one group — raise instead of
+    // emitting duplicate/wrong rank rows. `decoded` is bounded, so the
+    // count table is too; broadcast it back.
+    val dup = decoded.groupBy(col(groupCol), col("__id"))
+      .agg(count(lit(1)).as("__n"))
+    decoded.join(broadcast(dup), Seq(groupCol, "__id"))
+      .select(col(groupCol), col("rank"), col("term"),
+        when(col("__n") > 1, raise_error(concat(
+          lit("distinctiveTerms: 56-bit id collision in group '"),
+          col(groupCol).cast("string"), lit("' — two terms share id "),
+          col("__id").cast("string")))).otherwise(col("score")).as("score"))
   }
 
   /** Encode every document as a sequence of vocabulary ids — the

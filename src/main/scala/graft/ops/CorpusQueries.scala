@@ -776,8 +776,14 @@ object CorpusQueries {
       (s, dir) =>
         Corpus.exportShards(table(s, dir, "documents"), "doc_id", "text",
           nShards = 8,
+          // pid suffix: the export happens eagerly at plan-construction
+          // time with mode(overwrite), so two concurrent sessions
+          // sharing a fixed path would race (one overwrites while the
+          // other reads back). A per-JVM directory makes each session
+          // the single writer/reader of its own export.
           outDir = "/tmp/graft_shard_export_" +
-            new java.io.File(dir).getName).orderBy(col("shard")),
+            new java.io.File(dir).getName + "_pid" +
+            java.lang.ProcessHandle.current().pid()).orderBy(col("shard")),
       Some("""WITH t AS (
              |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 8 AS INT) AS shard,
              |    doc_id,

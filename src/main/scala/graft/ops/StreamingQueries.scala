@@ -74,7 +74,13 @@ object StreamingQueries {
     slices.zipWithIndex.foreach { case ((name, df), i) =>
       val tmp = new java.io.File(outPath, s"__stage_$name")
       df.coalesce(1).write.parquet(tmp.toString)
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      // an EMPTY slice must still yield a part file (zero-row batches
+      // advance the watermark) — fail with a diagnosable message if a
+      // Spark version/config ever skips writing empty part files
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for staged slice '$name' — " +
+          "empty-slice write produced no .parquet file; the " +
+          "watermark-advance batch would be lost"))
       val dst = new java.io.File(outPath, s"batch${i}_$name.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(t0 + i * 60000L)
