@@ -20,6 +20,26 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** SentencePiece-style pretokenization: the whitespace token stream
+    * chunked into NON-overlapping runs of `window` tokens re-joined by
+    * a single space (window = 1 ≡ [[tokens]]; the trailing chunk keeps
+    * whatever tokens remain). A window > 1 makes the space a learnable
+    * symbol — BPE merges can then cross word boundaries within a chunk,
+    * the space-aware subword-vocabulary shape. Pure codegen'd
+    * higher-order functions; the SQL-oracle spelling is
+    * `range(1, len(ws)+1, window)` + list slicing. */
+  def pretokens(text: Column, window: Int): Column = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    if (window == 1) tokens(text)
+    else {
+      val ws = tokens(text)
+      when(size(ws) >= 1,
+        transform(sequence(lit(1), size(ws), lit(window)),
+          i => array_join(slice(ws, i, lit(window)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
   def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
   /** BPE-style pre-tokenization: letter runs, digit runs, and individual

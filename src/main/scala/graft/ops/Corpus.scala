@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1486,35 +1486,68 @@ object Corpus {
     * corpus-wide — the loop a tokenizer trainer actually runs, where
     * [[encodeWithVocab]] merely applies a finished vocabulary.
     *
-    * Trains on the distinct-word HISTOGRAM, not the corpus: adjacent
-    * pairs never cross word boundaries, so the corpus-wide count of a
-    * pair equals its count over distinct words weighted by word
-    * frequency — identical integers, identical argmax, identical
-    * tie-breaks. One corpus scan builds the (word, count) table; every
-    * training round then touches |vocab| rows instead of n_tokens (the
-    * layout every production tokenizer trainer uses, and the only one
-    * that survives 100 TB: the histogram shrinks ~1000× and is itself
-    * distributed — nothing driver-side grows with corpus OR vocab).
+    * Trains on the distinct-PRETOKEN HISTOGRAM, not the corpus:
+    * adjacent pairs never cross pretoken boundaries, so the corpus-wide
+    * count of a pair equals its count over distinct pretokens weighted
+    * by pretoken frequency — identical integers, identical argmax,
+    * identical tie-breaks. One corpus scan builds the (pretoken, count)
+    * table; every training round then touches |vocab| rows instead of
+    * n_tokens (the layout every production tokenizer trainer uses, and
+    * the only one that survives 100 TB: the histogram shrinks ~1000×
+    * and nothing unbounded ever reaches the driver). Pretokenization is
+    * [[graft.functions.TextFunctions.pretokens]]: non-overlapping runs
+    * of `window` whitespace tokens re-joined by a single space
+    * (window = 1 ≡ plain words; window > 1 makes the space a learnable
+    * symbol, the SentencePiece-style space-aware vocabulary).
     *
-    * Scale shape per round is the [[Similarity.kmeansCentroids]]
-    * iteration pattern: one narrow explode of adjacent pairs over the
-    * histogram, a partial-aggregated weighted count, and a bounded
-    * collect of the top-[[BpeBatchCandidates]] candidate pairs; the
-    * histogram is then rewritten by map-only literal string replaces.
+    * TRAINING VENUE is a documented hybrid (the [[pointInInterval]]
+    * giant-span pattern): the histogram is vocab-bounded, so when the
+    * distinct-pretoken count is ≤ `driverVocabMax` the whole histogram
+    * collects to the driver and the IDENTICAL algorithm — same
+    * candidate ranking, same acceptance rule, same leftmost-
+    * non-overlapping `String.replace` the SQL oracle uses — runs as a
+    * local loop: zero per-round Spark jobs, which is how every
+    * production trainer (HF tokenizers, SentencePiece) trains once the
+    * histogram fits memory. Above the threshold the distributed loop
+    * below runs instead; the dispatch probe is one `limit(max + 1)`
+    * collect, bounded by construction. Both venues are oracle-gated
+    * against the same generated SQL and spec-asserted equal.
+    *
+    * Scale shape per distributed round is the
+    * [[Similarity.kmeansCentroids]] iteration pattern: one narrow
+    * explode of adjacent pairs over the histogram, a partial-aggregated
+    * weighted count, and a bounded collect of the
+    * top-[[BpeBatchCandidates]] candidate pairs. The histogram rewrite
+    * is AFFECTED-SLICE: only rows whose unit string contains one of the
+    * round's accepted pairs pass through the replace chain; the
+    * untouched slice (at a real vocab, almost everything — a merge
+    * deep in training touches a vanishing fraction of pretokens)
+    * unions back unrewritten, so per-merge rewrite work is
+    * O(pretokens containing the pair), not O(vocab).
     *
     * Merge selection is BATCHED (the standard frequency-batched BPE
     * variant every production trainer uses to cut synchronization
     * rounds): of the top-m candidates, a pair is accepted iff its units
     * are disjoint from EVERY higher-ranked candidate's units — a
-    * non-iterative rule both engines express identically. Disjoint-unit
-    * pairs cannot overlap in the marker encoding (an overlap would have
-    * to align on a shared unit occurrence) and a merge can neither
-    * create nor destroy an adjacency between two OTHER units, so the
-    * batch applies in any order with exactly the snapshot counts — the
-    * accepted sequence is identical to running those merges one
-    * synchronization round each. Driver round-trips shrink from
-    * `merges` to `merges / |accepted per round|` (the rank-1 candidate
-    * is always accepted, so progress is guaranteed).
+    * non-iterative rule both engines express identically. Why the
+    * accepted batch equals `|accepted|` sequential synchronization
+    * rounds: disjoint-unit pairs cannot overlap in the marker encoding
+    * (an overlap would have to align on a shared unit occurrence) and a
+    * merge neither creates nor destroys an adjacency between two OTHER
+    * still-unmerged units, so every accepted merge's SNAPSHOT COUNT is
+    * still its exact corpus count at its turn. Both engines then apply
+    * the accepted replaces in the SAME RANK ORDER — the equality is of
+    * sequential rank-order chains, not of arbitrary orderings: when one
+    * merge's concatenation u1u2 equals a unit used by a LATER-ranked
+    * accepted pair, newly created u1u2 occurrences are merged by that
+    * later replace in both engines identically, which is exactly the
+    * sequential semantics. Driver round-trips shrink from `merges` to
+    * `merges / |accepted per round|` (the rank-1 candidate is always
+    * accepted, so progress is guaranteed). Rounds are additionally
+    * capped by `maxRounds` — PART OF THE RESULT CONTRACT, shared with
+    * the generated oracle: both engines run at most `maxRounds`
+    * synchronization rounds, so a budget unreachable within the cap
+    * truncates identically on both sides.
     *
     * Unit-boundary encoding makes the merge a plain `replace`: every
     * unit is wrapped in '·' markers ('abc' → '·a··b··c·'), so merging
@@ -1546,21 +1579,108 @@ object Corpus {
     * bounded). Shared with the generated SQL oracle. */
   val BpeBatchCandidates = 16
 
-  /** (learned merges, final histogram (__w original word, __cnt corpus
-    * frequency, __s '·'-wrapped unit string after all merges)). */
-  private def bpeCore(docs: DataFrame, idCol: String, textCol: String,
-      merges: Int): (Seq[(String, String, Long)], DataFrame) = {
+  /** Driver-local training threshold: when the distinct-pretoken count
+    * is ≤ this, [[bpeCore]] trains on a driver-collected copy of the
+    * histogram (see the venue paragraph above). Bounds the only
+    * unbatched collect in the trainer; a web-scale vocab (10⁸⁺ rows)
+    * exceeds it and trains distributed. */
+  val BpeDriverVocabMax = 1 << 17
+
+  /** (learned merges, final histogram (__w original pretoken, __cnt
+    * corpus frequency, __s '·'-wrapped unit string after all merges)).
+    * `maxRounds` caps synchronization rounds (result-contract, see
+    * scaladoc above); `driverVocabMax` selects the training venue. */
+  private[ops] def bpeCore(docs: DataFrame, idCol: String, textCol: String,
+      merges: Int, window: Int = 1, maxRounds: Int = Int.MaxValue,
+      driverVocabMax: Int = BpeDriverVocabMax)
+      : (Seq[(String, String, Long)], DataFrame) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(driverVocabMax >= 0,
+      s"driverVocabMax must be >= 0, got $driverVocabMax")
+    val spark = docs.sparkSession
     val hist = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .select(explode(
+        TextFunctions.pretokens(col(textCol), window)).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__s", regexp_replace(col("__w"), "(.)", "·$1·"))
       .localCheckpoint(true)
+    // venue dispatch: limit(max + 1) either returns the WHOLE histogram
+    // (≤ max rows → train driver-local) or proves it is bigger (probe
+    // discarded, distributed loop below). Bounded by construction.
+    val probe = hist.limit(driverVocabMax + 1).collect()
+    if (probe.length <= driverVocabMax)
+      bpeTrainLocal(spark, probe, merges, maxRounds, hist)
+    else
+      bpeTrainDistributed(hist, merges, maxRounds)
+  }
+
+  /** Driver-local venue: the identical batched algorithm over the
+    * collected histogram — Java `String.replace` is the same
+    * leftmost-non-overlapping scan as Spark/DuckDB `replace`, and
+    * String ordering is code-unit order ≡ the engines' binary string
+    * order for the BMP text the marker precondition already assumes. */
+  private def bpeTrainLocal(spark: SparkSession,
+      probe: Array[org.apache.spark.sql.Row], merges: Int, maxRounds: Int,
+      emptyHist: DataFrame): (Seq[(String, String, Long)], DataFrame) = {
+    var rows = probe.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val found = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var rounds = 0
+    var exhausted = false
+    while (found.size < merges && rounds < maxRounds && !exhausted) {
+      rounds += 1
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      rows.foreach { case (_, cnt, s) =>
+        val us = s.substring(1, s.length - 1).split("··", -1)
+        var i = 0
+        while (i < us.length - 1) {
+          val k = (us(i), us(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val cands = pc.iterator
+          .map { case ((u1, u2), c) => (u1, u2, c) }.toArray
+          .sortWith { case ((a1, a2, ac), (b1, b2, bc)) =>
+            if (ac != bc) ac > bc
+            else if (a1 != b1) a1 < b1
+            else a2 < b2
+          }
+          .take(BpeBatchCandidates)
+        // same acceptance rule as the distributed venue and the oracle
+        val accepted = cands.zipWithIndex.filter { case ((u1, u2, _), i) =>
+          cands.take(i).forall { case (v1, v2, _) =>
+            v1 != u1 && v1 != u2 && v2 != u1 && v2 != u2 }
+        }.map(_._1).take(merges - found.size)
+        accepted.foreach { case (u1, u2, c) =>
+          found += ((u1, u2, c))
+          val pat = s"·${u1}··${u2}·"
+          val rep = s"·${u1}${u2}·"
+          rows = rows.map { case t @ (w, cnt, s) =>
+            if (s.contains(pat)) (w, cnt, s.replace(pat, rep)) else t }
+        }
+      }
+    }
+    import spark.implicits._
+    val histDf =
+      if (rows.isEmpty) emptyHist // keep the empty DF's schema
+      else spark.createDataset(rows.toIndexedSeq).toDF("__w", "__cnt", "__s")
+    (found.toSeq, histDf)
+  }
+
+  /** Distributed venue: per-round pair count + bounded candidate
+    * collect + AFFECTED-SLICE rewrite (see scaladoc above). */
+  private def bpeTrainDistributed(hist: DataFrame, merges: Int,
+      maxRounds: Int): (Seq[(String, String, Long)], DataFrame) = {
     var cur = hist
     var sinceBarrier = 0
     val found = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var rounds = 0
     var exhausted = false
-    while (found.size < merges && !exhausted) {
+    while (found.size < merges && rounds < maxRounds && !exhausted) {
+      rounds += 1
       val cands = cur
         .select(split(trim(col("__s"), "·"), "··").as("__us"), col("__cnt"))
         .select(col("__us"), col("__cnt"),
@@ -1582,12 +1702,19 @@ object Corpus {
           cands.take(i).forall { case (v1, v2, _) =>
             v1 != u1 && v1 != u2 && v2 != u1 && v2 != u2 }
         }.map(_._1).take(merges - found.size)
-        accepted.foreach { case (u1, u2, c) =>
-          found += ((u1, u2, c))
-          cur = cur.withColumn("__s",
-            replace(col("__s"), lit(s"·${u1}··${u2}·"), lit(s"·${u1}${u2}·")))
+        accepted.foreach { case (u1, u2, c) => found += ((u1, u2, c)) }
+        // affected-slice rewrite: only pretokens containing one of the
+        // round's accepted pairs pass through the (rank-ordered)
+        // replace chain; everything else unions back untouched
+        val hitPred = accepted.map { case (u1, u2, _) =>
+          col("__s").contains(s"·${u1}··${u2}·") }.reduce(_ || _)
+        val touched = accepted.foldLeft(cur.filter(hitPred)) {
+          case (df, (u1, u2, _)) => df.withColumn("__s",
+            replace(col("__s"), lit(s"·${u1}··${u2}·"),
+              lit(s"·${u1}${u2}·")))
         }
-        sinceBarrier += accepted.size
+        cur = cur.filter(!hitPred).unionByName(touched)
+        sinceBarrier += accepted.length
         if (sinceBarrier >= BpeCheckpointEvery) {
           cur = cur.localCheckpoint(true)
           sinceBarrier = 0
@@ -1599,10 +1726,12 @@ object Corpus {
 
   /** The learned merge table: (rank, u1, u2, cnt) for `merges` rounds. */
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
-      merges: Int): DataFrame = {
+      merges: Int, window: Int = 1, maxRounds: Int = Int.MaxValue,
+      driverVocabMax: Int = BpeDriverVocabMax): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeCore(docs, idCol, textCol, merges)._1.zipWithIndex
+    bpeCore(docs, idCol, textCol, merges, window, maxRounds,
+      driverVocabMax)._1.zipWithIndex
       .map { case ((u1, u2, c), i) => (i + 1, u1, u2, c) }
       .toDF("rank", "u1", "u2", "cnt")
   }
@@ -1614,12 +1743,15 @@ object Corpus {
     * broadcast when the vocab is small; a plain shuffle join otherwise
     * — never a per-round corpus rewrite). */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-      merges: Int): DataFrame = {
-    val wordUnits = bpeCore(docs, idCol, textCol, merges)._2
+      merges: Int, window: Int = 1, maxRounds: Int = Int.MaxValue,
+      driverVocabMax: Int = BpeDriverVocabMax): DataFrame = {
+    val wordUnits = bpeCore(docs, idCol, textCol, merges, window, maxRounds,
+        driverVocabMax)._2
       .select(col("__w"),
         size(split(trim(col("__s"), "·"), "··")).cast("long").as("__u"))
     val perDoc = docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .select(col(idCol), explode(
+        TextFunctions.pretokens(col(textCol), window)).as("__w"))
       .join(wordUnits, Seq("__w"))
       .groupBy(col(idCol)).agg(sum(col("__u")).as("__n"))
     docs.select(col(idCol))
@@ -1632,9 +1764,11 @@ object Corpus {
     * unit). Folds over the trained histogram — |vocab| rows, never the
     * corpus. */
   def bpeVocab(docs: DataFrame, idCol: String, textCol: String,
-      merges: Int, k: Int): DataFrame = {
+      merges: Int, k: Int, window: Int = 1, maxRounds: Int = Int.MaxValue,
+      driverVocabMax: Int = BpeDriverVocabMax): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    bpeCore(docs, idCol, textCol, merges)._2
+    bpeCore(docs, idCol, textCol, merges, window, maxRounds,
+        driverVocabMax)._2
       .select(explode(split(trim(col("__s"), "·"), "··")).as("unit"),
         col("__cnt"))
       .groupBy(col("unit")).agg(sum(col("__cnt")).as("cnt"))
@@ -1660,9 +1794,11 @@ object Corpus {
     *         comma-joined id sequence in token-then-unit order)
     */
   def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
-      merges: Int, k: Int): DataFrame = {
+      merges: Int, k: Int, window: Int = 1, maxRounds: Int = Int.MaxValue,
+      driverVocabMax: Int = BpeDriverVocabMax): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val hist = bpeCore(docs, idCol, textCol, merges)._2
+    val hist = bpeCore(docs, idCol, textCol, merges, window, maxRounds,
+      driverVocabMax)._2
     val wordUnits = hist.select(col("__w"),
       split(trim(col("__s"), "·"), "··").as("__us"))
     val unitVocab = hist
@@ -1675,7 +1811,8 @@ object Corpus {
         .over(Window.orderBy(col("__c").desc, col("unit"))).cast("long"))
       .select(col("unit"), col("__uid"))
     val tokpos = docs.select(col(idCol),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__w")))
+      posexplode(TextFunctions.pretokens(col(textCol), window))
+        .as(Seq("__pos", "__w")))
     val units = tokpos.join(wordUnits, Seq("__w"))
       .select(col(idCol), col("__pos"),
         posexplode(col("__us")).as(Seq("__j", "unit")))

@@ -27,15 +27,41 @@ object CorpusQueries {
     * corpus (a tenth of the corpus), shared with the oracle SQL. */
   val JaccardMaxDf = 50
 
-  /** BPE training rounds for the registered queries — past the
-    * single-character rounds into multi-unit merges, far enough past
-    * [[Corpus.BpeCheckpointEvery]] that the gated run crosses several
-    * lineage-linearization barriers, and large enough that batched
-    * selection demonstrably cuts driver round-trips to a fraction of
-    * the merge count (the scale path a 30k-merge train takes). The
-    * n-round chained-CTE oracle runs the identical batched loop.
-    * Shared by the Spark call and the generated oracle. */
-  val BpeMerges = 128
+  /** BPE merge budget for the registered headline queries. The
+    * documents word vocabulary is only 31 words (merge-exhausted at
+    * 89), so the 512-merge gate trains on WINDOW-2 pretokens
+    * ([[graft.functions.TextFunctions.pretokens]]): ~950 distinct
+    * two-token chunks support >1000 merges, and the space becomes a
+    * learnable symbol — the SentencePiece-style space-aware
+    * vocabulary. Training runs the driver-local venue (the vocab is
+    * far under [[Corpus.BpeDriverVocabMax]]); the oracle runs the
+    * identical batched loop as a [[BpeMaxRounds]]-round chained-CTE
+    * program. Shared by the Spark calls and the generated oracle. */
+  val BpeMerges = 512
+
+  /** Pretokenization window for the registered BPE queries. */
+  val BpeWindow = 2
+
+  /** Synchronization-round cap shared by both engines (part of the
+    * result contract — see Corpus.bpeCore). Sized from the measured
+    * acceptance rate at this corpus: 512 merges land in 83–95 rounds
+    * across sf0.001/0.01/0.1; 112 leaves ~20% headroom, and a cap hit
+    * truncates identically on both sides. */
+  val BpeMaxRounds = 112
+
+  /** Budget/cap for the forced-DISTRIBUTED gate query
+    * (`corpus_bpe_merges_dist`): the distributed venue pays one Spark
+    * round-trip per synchronization round (~0.7 s of fixed scheduling
+    * latency each on a tiny histogram — exactly why the driver venue
+    * exists below [[Corpus.BpeDriverVocabMax]]), so its oracle-gated
+    * run uses a budget sized for algorithm-EQUALITY proof, not
+    * throughput: 32 merges ≈ 7–9 multi-accept rounds measured across
+    * SFs, crossing ≥3 checkpoint barriers and exercising the
+    * affected-slice rewrite. */
+  val BpeDistMerges = 32
+
+  /** Round cap for the forced-distributed gate query. */
+  val BpeDistMaxRounds = 12
 
   // ---- shared SQL fragments -------------------------------------------
 
@@ -146,6 +172,9 @@ object CorpusQueries {
     *    blowup) and absent slots are no-ops. Accepted pairs are
     *    unit-disjoint, so the replace chain cannot interact and equals
     *    Spark's sequential application exactly.
+    * `nRounds` is the shared synchronization-round cap (the
+    * result-contract `maxRounds` — see Corpus.bpeCore), `budget` the
+    * merge budget, `window` the pretokenization width feeding `s0`.
     * Budget-exhausted and pair-exhausted tail rounds produce empty
     * `f\$k` and copy `s\$k = s\${k-1}` unchanged, mirroring bpeCore's
     * loop exit. `c/f/s` are MATERIALIZED (each is referenced more than
@@ -153,9 +182,9 @@ object CorpusQueries {
     * scans, "too many open files" well before n = 32). The caller
     * appends its own final SELECT over `f1..f\$n`/`t0..t\$n` or `s\$n`;
     * the global rank of an accepted merge is `tot\${k-1} + ak`. */
-  private def bpeRoundsSql(n: Int): String = {
+  private def bpeRoundsSql(nRounds: Int, budget: Int, window: Int): String = {
     val m = Corpus.BpeBatchCandidates
-    val rounds = (1 to n).map { k =>
+    val rounds = (1 to nRounds).map { k =>
       val applied = (1 to m).foldLeft("s") { (acc, j) =>
         s"""replace($acc,
            |      COALESCE((SELECT '·' || u1 || '··' || u2 || '·' FROM f$k WHERE ak = $j), chr(1)),
@@ -177,7 +206,7 @@ object CorpusQueries {
          |    FROM c$k x
          |    WHERE NOT EXISTS (SELECT 1 FROM c$k b WHERE b.rk < x.rk
          |        AND (b.u1 IN (x.u1, x.u2) OR b.u2 IN (x.u1, x.u2))))
-         |  WHERE ak <= $n - (SELECT tot FROM t${k - 1})),
+         |  WHERE ak <= $budget - (SELECT tot FROM t${k - 1})),
          |t$k AS MATERIALIZED (SELECT (SELECT tot FROM t${k - 1}) +
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f$k) AS tot),
          |s$k AS MATERIALIZED (
@@ -188,11 +217,25 @@ object CorpusQueries {
     s"""WITH s0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    regexp_replace(w, '(.)', '·\\1·', 'g') AS s
-       |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
-       |      x -> x != '')) AS w FROM documents)
+       |  FROM (${bpePretokSql(window, withId = false)})
        |  GROUP BY w),
        |t0 AS (SELECT CAST(0 AS BIGINT) AS tot),
        |$rounds""".stripMargin
+  }
+
+  /** Pretoken stream SQL matching TextFunctions.pretokens: the token
+    * list chunked into non-overlapping `window`-token runs re-joined by
+    * a single space; chunk starts come from range(1, len+1, window) and
+    * DuckDB list slicing clamps the trailing chunk. `withId` keeps
+    * doc_id (+ the 1-based chunk start as pos) for per-doc encoders. */
+  private def bpePretokSql(window: Int, withId: Boolean): String = {
+    val cols =
+      if (withId) "doc_id, i AS pos, "
+      else ""
+    s"""SELECT ${cols}array_to_string(ws[i:i + ${window - 1}], ' ') AS w
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+       |      x -> x != '') AS ws FROM documents),
+       |  LATERAL unnest(range(1, len(ws) + 1, $window)) AS t(i)""".stripMargin
   }
 
   /** Near-dup cluster oracle: jaccard pair CTEs + a recursive
@@ -3617,9 +3660,28 @@ object CorpusQueries {
       "corpus_bpe_merges",
       (s, dir) =>
         Corpus.bpeMerges(table(s, dir, "documents"), "doc_id", "text",
-          merges = BpeMerges).orderBy(col("rank")),
-      Some(bpeRoundsSql(BpeMerges) +
-        (1 to BpeMerges).map(k =>
+          merges = BpeMerges, window = BpeWindow,
+          maxRounds = BpeMaxRounds).orderBy(col("rank")),
+      Some(bpeRoundsSql(BpeMaxRounds, BpeMerges, BpeWindow) +
+        (1 to BpeMaxRounds).map(k =>
+            s"SELECT CAST((SELECT tot FROM t${k - 1}) + ak AS INT) AS rank, " +
+              s"u1, u2, CAST(c AS BIGINT) AS cnt FROM f$k")
+          .mkString("\n", "\nUNION ALL ", "\nORDER BY rank"))),
+
+    // the distributed venue, oracle-gated on its own: driverVocabMax=0
+    // forces the per-round Spark loop (pair count → bounded candidate
+    // collect → AFFECTED-SLICE rewrite → checkpoint cadence) at a
+    // budget sized for one-roundtrip-per-round cost; proves the two
+    // training venues and the oracle agree on the same algorithm
+    Q(
+      "corpus_bpe_merges_dist",
+      (s, dir) =>
+        Corpus.bpeMerges(table(s, dir, "documents"), "doc_id", "text",
+          merges = BpeDistMerges, window = BpeWindow,
+          maxRounds = BpeDistMaxRounds,
+          driverVocabMax = 0).orderBy(col("rank")),
+      Some(bpeRoundsSql(BpeDistMaxRounds, BpeDistMerges, BpeWindow) +
+        (1 to BpeDistMaxRounds).map(k =>
             s"SELECT CAST((SELECT tot FROM t${k - 1}) + ak AS INT) AS rank, " +
               s"u1, u2, CAST(c AS BIGINT) AS cnt FROM f$k")
           .mkString("\n", "\nUNION ALL ", "\nORDER BY rank"))),
@@ -3631,14 +3693,14 @@ object CorpusQueries {
       "corpus_bpe_encode",
       (s, dir) =>
         Corpus.bpeEncode(table(s, dir, "documents"), "doc_id", "text",
-          merges = BpeMerges).orderBy(col("doc_id")),
-      Some(bpeRoundsSql(BpeMerges) +
+          merges = BpeMerges, window = BpeWindow,
+          maxRounds = BpeMaxRounds).orderBy(col("doc_id")),
+      Some(bpeRoundsSql(BpeMaxRounds, BpeMerges, BpeWindow) +
         s"""
            |, enc AS (SELECT w,
            |    CAST(len(string_split(trim(s, '·'), '··')) AS BIGINT) AS u
-           |  FROM s$BpeMerges),
-           |docw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-           |    x -> x != '')) AS w FROM documents),
+           |  FROM s$BpeMaxRounds),
+           |docw AS (${bpePretokSql(BpeWindow, withId = true)}),
            |du AS (SELECT dw.doc_id, e.u FROM docw dw JOIN enc e USING (w))
            |SELECT d.doc_id, CAST(COALESCE(SUM(du.u), 0) AS BIGINT) AS n_units
            |FROM documents d LEFT JOIN du ON d.doc_id = du.doc_id
@@ -3650,12 +3712,13 @@ object CorpusQueries {
       "corpus_bpe_vocab",
       (s, dir) =>
         Corpus.bpeVocab(table(s, dir, "documents"), "doc_id", "text",
-          merges = BpeMerges, k = 50),
-      Some(bpeRoundsSql(BpeMerges) +
+          merges = BpeMerges, k = 50, window = BpeWindow,
+          maxRounds = BpeMaxRounds),
+      Some(bpeRoundsSql(BpeMaxRounds, BpeMerges, BpeWindow) +
         s"""
            |SELECT unit, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
            |  SELECT unnest(string_split(trim(s, '·'), '··')) AS unit, cnt
-           |  FROM s$BpeMerges)
+           |  FROM s$BpeMaxRounds)
            |GROUP BY unit ORDER BY cnt DESC, unit LIMIT 50""".stripMargin)),
 
     // tokenize-for-training completed: per-doc BPE-unit ID SEQUENCES
@@ -3666,20 +3729,18 @@ object CorpusQueries {
       "corpus_bpe_ids",
       (s, dir) =>
         Corpus.bpeEncodeIds(table(s, dir, "documents"), "doc_id", "text",
-          merges = BpeMerges, k = 200).orderBy(col("doc_id")),
-      Some(bpeRoundsSql(BpeMerges) +
+          merges = BpeMerges, k = 200, window = BpeWindow,
+          maxRounds = BpeMaxRounds).orderBy(col("doc_id")),
+      Some(bpeRoundsSql(BpeMaxRounds, BpeMerges, BpeWindow) +
         s"""
-           |, wu AS (SELECT w, string_split(trim(s, '·'), '··') AS us FROM s$BpeMerges),
+           |, wu AS (SELECT w, string_split(trim(s, '·'), '··') AS us FROM s$BpeMaxRounds),
            |uv0 AS (SELECT unit, CAST(SUM(cnt) AS BIGINT) AS c FROM (
            |    SELECT unnest(string_split(trim(s, '·'), '··')) AS unit, cnt
-           |    FROM s$BpeMerges)
+           |    FROM s$BpeMaxRounds)
            |  GROUP BY unit ORDER BY c DESC, unit LIMIT 200),
            |uv AS (SELECT unit, ROW_NUMBER() OVER (ORDER BY c DESC, unit) AS uid
            |  FROM uv0),
-           |dtoks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
-           |  FROM documents),
-           |tp0 AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM dtoks),
-           |tp AS (SELECT doc_id, pos, ws[pos] AS w FROM tp0),
+           |tp AS (${bpePretokSql(BpeWindow, withId = true)}),
            |tu0 AS (SELECT doc_id, pos, unnest(range(1, len(us) + 1)) AS j, us
            |  FROM tp JOIN wu USING (w)),
            |tu AS (SELECT doc_id, pos, j, us[j] AS unit FROM tu0),

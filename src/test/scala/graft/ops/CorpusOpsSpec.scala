@@ -656,6 +656,55 @@ class CorpusOpsSpec extends SparkTestBase {
       (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
   }
 
+  test("pretokens chunks the token stream, trailing remainder kept") {
+    val df = Seq((1L, "a b c d e"), (2L, " x  "), (3L, "")).toDF("id", "t")
+    val out = df.orderBy("id")
+      .select(TextFunctions.pretokens(col("t"), 2).as("p"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("a b", "c d", "e"))
+    assert(out(1) === Seq("x"))
+    assert(out(2) === Seq.empty)
+    // window = 1 is exactly tokens()
+    val w1 = df.orderBy("id")
+      .select(TextFunctions.pretokens(col("t"), 1).as("p"))
+      .collect().map(_.getSeq[String](0))
+    assert(w1(0) === Seq("a", "b", "c", "d", "e"))
+  }
+
+  test("bpe training venues agree: driver-local == forced distributed") {
+    val d = Seq(
+      (1L, "low lower low newest"),
+      (2L, "lowest low wider new"),
+      (3L, "new news widest low")
+    ).toDF("doc_id", "text")
+    def run(vocabMax: Int) = Corpus.bpeMerges(d, "doc_id", "text",
+      merges = 12, window = 2, driverVocabMax = vocabMax)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val local = run(Corpus.BpeDriverVocabMax)
+    val dist = run(0)
+    assert(local.length === 12)
+    assert(local === dist)
+    def enc(vocabMax: Int) = Corpus.bpeEncode(d, "doc_id", "text",
+      merges = 12, window = 2, driverVocabMax = vocabMax)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(enc(Corpus.BpeDriverVocabMax) === enc(0))
+  }
+
+  test("bpe maxRounds caps synchronization rounds in both venues") {
+    val d = Seq((1L, "aaab aaab aab bbba")).toDF("doc_id", "text")
+    def run(vocabMax: Int) = Corpus.bpeMerges(d, "doc_id", "text",
+      merges = 100, maxRounds = 1, driverVocabMax = vocabMax)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val local = run(Corpus.BpeDriverVocabMax)
+    // one round accepts at most the unit-disjoint prefix of the top-m
+    // window — far fewer than the 100-merge budget
+    assert(local.length >= 1 && local.length <= Corpus.BpeBatchCandidates)
+    assert(local.length < 100)
+    assert(local === run(0))
+  }
+
   test("bpeEncode compresses docs by the learned merges") {
     val docs = Seq(
       (1L, "low lower low"), // → [low] [lower] [low] = 3 units
