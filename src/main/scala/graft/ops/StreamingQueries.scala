@@ -162,6 +162,71 @@ object StreamingQueries {
     (out, dropped)
   }
 
+  /** The deployment spelling of `q_sessionize` for an UNBOUNDED stream:
+    * event-time `session_window` (the batch query's 30-min inactivity
+    * gap) + `withWatermark` + APPEND mode. A session is emitted exactly
+    * once — when the watermark passes its end (last event + gap) — and
+    * its state row is evicted; rows behind the watermark can neither
+    * create nor reopen a session, so state is bounded on an unbounded
+    * stream.
+    *
+    * Determinism over the [[buildLateArrivalDir]] three-batch staging:
+    * the EVICTION watermark is computed from the previous batches'
+    * data, so batch 0 evicts nothing and by the time the first eviction
+    * can emit (batch 1), both on-time parity slices have already MERGED
+    * their session fragments in the state store — no session can be
+    * emitted split. The drained result is therefore exactly the batch
+    * gaps-and-islands sessions of the on-time slice whose end ≤
+    * max(on-time ts) − 3 h, and the late slice is wholly dropped. The
+    * nearest session end sits ≥ 6 s from that boundary at every SF
+    * (measured), so the engines' ≤/< and ms-vs-µs watermark rounding
+    * cannot couple. Gap arithmetic is exact micros on both sides (the
+    * events table carries µs components).
+    *
+    * Returns (sessions, late input rows dropped, state rows evicted)
+    * so the spec can assert both state effects actually happened. */
+  private[graft] def watermarkSessionize(s: SparkSession,
+      dir: String): (DataFrame, Long, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    val streamDir =
+      s"/tmp/graft_stream_sess_${new java.io.File(dir).getName}"
+    val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val agg = stream
+      .withWatermark("ts", "3 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    var dropped = 0L
+    var evicted = 0L
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try {
+        q.processAllAvailable()
+        val ops = q.recentProgress.flatMap(_.stateOperators)
+        dropped = ops.map(_.numRowsDroppedByWatermark).sum
+        evicted = ops.map(_.numRowsRemoved).sum
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .select(col("user_id"),
+        date_format(col("session_window.start"),
+          "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("session_window.end"),
+          "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+    (out, dropped, evicted)
+  }
+
   /** Run a streaming drain with few shuffle partitions: the state-store
     * partition count is frozen from `spark.sql.shuffle.partitions` at
     * query START, and these queries keep tiny state (hundreds of keys) —
@@ -215,6 +280,41 @@ object StreamingQueries {
     // the batch aggregate over the on-time subset. The late drop
     // (numRowsDroppedByWatermark > 0) is asserted in
     // StatefulStreamingSpec over the same drain.
+    // watermarked SESSION windows in append mode: sessions emit once,
+    // when the watermark passes their end, and their state evicts —
+    // the state-bounded deployment form of q_sessionize. Oracle = the
+    // batch gaps-and-islands over the on-time slice, restricted to
+    // sessions the final watermark finalized (end <= max on-time ts
+    // - 3 h; nearest session end is >= 6 s from the boundary at every
+    // SF). Drop + eviction counters asserted in StatefulStreamingSpec.
+    Q(
+      "stream_sessionize_watermark",
+      (s, dir) => watermarkSessionize(s, dir)._1,
+      Some(s"""WITH ev AS (SELECT user_id, event_id, ts FROM events
+             |  WHERE ts >= TIMESTAMP '$WatermarkCutoff'),
+             |mx AS MATERIALIZED (SELECT MAX(ts) - INTERVAL 3 HOUR AS wm FROM ev),
+             |gapped AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM gapped),
+             |agg AS (
+             |  SELECT user_id,
+             |    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+             |    strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+             |    MAX(ts) + INTERVAL 30 MINUTE AS send,
+             |    COUNT(*) AS n_events
+             |  FROM sess GROUP BY user_id, sid)
+             |SELECT user_id, sess_start, sess_end, n_events FROM agg
+             |WHERE send <= (SELECT wm FROM mx)
+             |ORDER BY user_id, sess_start""".stripMargin)),
+
     Q(
       "stream_window_counts_watermark",
       (s, dir) => watermarkWindowCounts(s, dir)._1,

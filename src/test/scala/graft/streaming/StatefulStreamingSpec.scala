@@ -70,6 +70,19 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("append-mode session windows finalize once and evict state") {
+    val dir = "/root/testdata/sf0.001"
+    val (out, dropped, evicted) =
+      graft.ops.StreamingQueries.watermarkSessionize(spark, dir)
+    assert(dropped > 0L, "late slice was not dropped by the watermark")
+    assert(evicted > 0L, "no session state rows were evicted on emit")
+    val got = out.collect().map(r =>
+      (r.get(0).toString, r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // append mode emits each finalized session exactly once
+    assert(got.map(t => (t._1, t._2)).distinct.length === got.length)
+  }
+
   test("flatMapGroupsWithState sessionizes per key with custom state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
