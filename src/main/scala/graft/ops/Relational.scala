@@ -47,6 +47,32 @@ object Relational {
   private val d182 = DecimalType(18, 2)
   private val d184 = DecimalType(18, 4)
 
+  /** Bucketed-table lifecycle state for [[bucketedOrderLines]]: names
+    * are unique per (JVM pid, run counter), so two concurrent sessions
+    * sharing one warehouse can never write/drop each other's tables —
+    * the fixed `graft_bkt_*` names this replaces made them corrupt each
+    * other. The previous run's tables are dropped when the next run
+    * starts (the returned DataFrame reads the catalog lazily, so a
+    * same-call `finally`-drop would kill the result before the caller
+    * executes it), and a JVM shutdown hook deletes this process's
+    * table directories so graceful exits leave the shared warehouse
+    * clean. A crashed JVM leaks only its own pid-named directories,
+    * which no later run ever touches. */
+  private val bktRun = new java.util.concurrent.atomic.AtomicInteger(0)
+  private var bktLive: Seq[String] = Nil
+  private lazy val bktShutdownHook: Unit = {
+    val _ = sys.addShutdownHook {
+      bktLiveDirs.foreach { f =>
+        def rm(g: java.io.File): Unit = {
+          if (g.isDirectory) Option(g.listFiles()).foreach(_.foreach(rm))
+          g.delete()
+        }
+        rm(f)
+      }
+    }
+  }
+  @volatile private var bktLiveDirs: Seq[java.io.File] = Nil
+
   /** The pay-the-shuffle-once join: orders and lineitem written as
     * BUCKETED tables on the join key (8 buckets, sorted), then joined
     * and aggregated straight off the bucket layout — a repeated
@@ -55,38 +81,46 @@ object Relational {
     * (`BucketingSpec` asserts the no-Exchange plan on this exact
     * pipeline; the registry gate proves the bucketed write → catalog
     * read → join path computes the true answer). Money summed in
-    * DECIMAL so the result is engine-exact.
+    * DECIMAL so the result is engine-exact. Table lifecycle: see
+    * [[bktRun]] — per-run names, previous run dropped on entry,
+    * shutdown-hook cleanup.
     *
     * @return (o_orderkey, n_lines, sum_qty) for every order with lines
     */
   private[graft] def bucketedOrderLines(s: SparkSession,
-      dir: String): DataFrame = {
-    // a FRESH session's catalog doesn't know a previous JVM's managed
-    // tables, but their warehouse directories survive and block
-    // saveAsTable (LOCATION_ALREADY_EXISTS) — drop both forms first
-    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      val loc = new java.io.File(wh, t)
-      if (loc.exists()) rm(loc)
-    }
+      dir: String): DataFrame = synchronized {
+    bktShutdownHook
+    dropBucketedTables(s)
+    val run = bktRun.incrementAndGet()
+    val pid = java.lang.ProcessHandle.current().pid()
+    val ordTbl = s"graft_bkt_orders_p${pid}_r$run"
+    val liTbl = s"graft_bkt_lineitem_p${pid}_r$run"
+    bktLive = Seq(ordTbl, liTbl)
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    bktLiveDirs = bktLive.map(t => new java.io.File(wh, t))
     table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("graft_bkt_orders")
+      .mode("overwrite").saveAsTable(ordTbl)
     table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("graft_bkt_lineitem")
-    s.table("graft_bkt_orders")
-      .join(s.table("graft_bkt_lineitem"),
+      .mode("overwrite").saveAsTable(liTbl)
+    s.table(ordTbl)
+      .join(s.table(liTbl),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("l_quantity").cast(d182)).cast("double").as("sum_qty"))
   }
+
+  /** Drop this JVM's live bucketed tables (catalog drop removes the
+    * managed directories). Called on the next run's entry and by specs
+    * that want an eager clean-up. */
+  private[graft] def dropBucketedTables(s: SparkSession): Unit =
+    synchronized {
+      bktLive.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      bktLive = Nil
+      bktLiveDirs = Nil
+    }
 
   /** Exact decimal revenue term: extendedprice * (1 - discount). */
   private def revTerm =

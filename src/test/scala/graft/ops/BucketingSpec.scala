@@ -53,9 +53,22 @@ class BucketingSpec extends SparkTestBase {
       assert(!physical.contains("Exchange"),
         s"bucketed join+agg should plan no shuffle, got:\n$physical")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      Relational.dropBucketedTables(spark)
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("bucketed pipeline reruns cleanly in one session: per-run tables") {
+    // per-run table names + previous-run drop: two back-to-back builds
+    // in one JVM must both compute (the old fixed names collided with
+    // leftover warehouse dirs and with concurrent sessions)
+    try {
+      val a = Relational.bucketedOrderLines(spark, "/root/testdata/sf0.001")
+        .orderBy("o_orderkey").collect()
+      val b = Relational.bucketedOrderLines(spark, "/root/testdata/sf0.001")
+        .orderBy("o_orderkey").collect()
+      assert(a.nonEmpty)
+      assert(a.map(_.toSeq.toList).toList === b.map(_.toSeq.toList).toList)
+    } finally Relational.dropBucketedTables(spark)
   }
 }
