@@ -2131,8 +2131,9 @@ object CorpusQueries {
     // contrastive training pairs mined from the dedup machinery:
     // verified dups → positives, failed candidates → hard negatives,
     // md5-bucket-adjacent docs → random negatives (engine-reproducible).
-    // bucketHexChars = 4 is the corpus-scale setting (65 536 random-pair
-    // buckets); the oracle mirrors the same substr width.
+    // bucketHexChars is PINNED to 4 (65 536 random-pair buckets) because
+    // the oracle's substr width must match; the library default (0)
+    // self-sizes k from a corpus count — Dedup.autoBucketHexChars.
     Q(
       "dedup_contrastive_pairs",
       (s, dir) =>

@@ -1186,18 +1186,30 @@ object Dedup {
     * surfaced.
     *
     * `bucketHexChars` sizes the random-negative buckets: each bucket is
-    * one window sort of ~N/16^k docs, so size k to the corpus — 2 (256
-    * buckets) is fine to ~10⁸ docs, a 10¹⁰-doc corpus wants 4 (65 536
-    * buckets, ~150 k docs per in-task sort). The pairing semantics are
-    * unchanged by k; only the task granularity moves.
+    * one window sort of ~N/16^k docs. The DEFAULT (0) is SELF-SIZING:
+    * one cheap corpus count picks the smallest k whose 16^k buckets
+    * average ≤ `bucketTargetRows` docs — ~10⁸ docs derive k = 2,
+    * ~10¹¹ derive k = 4 — so the default stays scale-safe without the
+    * caller knowing the knob; pass k explicitly to pin it (the
+    * registry pins 4 so the generated oracle's substr width matches).
+    * Note k is part of the RESULT contract, not just task granularity:
+    * adjacent pairs that straddle a bucket boundary are dropped
+    * (≤ 16^k of ~N pairs — vanishing, but a different k is a
+    * different pair set, which is why the oracle must mirror it).
     *
     * @return (d1, d2, label 1|0, kind near_dup|hard|random)
     */
   def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
-      threshold: Double = 0.5, bucketHexChars: Int = 2): DataFrame = {
-    require(bucketHexChars >= 1 && bucketHexChars <= 8,
-      s"bucketHexChars must be in [1, 8], got $bucketHexChars")
+      threshold: Double = 0.5, bucketHexChars: Int = 0,
+      bucketTargetRows: Long = 4000000L): DataFrame = {
+    require(bucketHexChars >= 0 && bucketHexChars <= 8,
+      s"bucketHexChars must be 0 (self-size) or in [1, 8], got $bucketHexChars")
+    require(bucketTargetRows >= 1,
+      s"bucketTargetRows must be >= 1, got $bucketTargetRows")
+    val kBucket =
+      if (bucketHexChars > 0) bucketHexChars
+      else autoBucketHexChars(docs.count(), bucketTargetRows)
     val scored = minhashCandidatesScored(docs, idCol, textCol, n, bands,
       rowsPerBand)
     val pos = scored.filter(col("jaccard") >= threshold)
@@ -1208,7 +1220,7 @@ object Dedup {
     val h = md5(col(idCol).cast("string").cast("binary"))
     val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col("__id"))
     val rand = docs.select(col(idCol).as("__id"), h.as("__h"))
-      .withColumn("__b", substring(col("__h"), 1, bucketHexChars))
+      .withColumn("__b", substring(col("__h"), 1, kBucket))
       .withColumn("__next", lead(col("__id"), 1).over(w))
       .filter(col("__next").isNotNull)
       .select(least(col("__id"), col("__next")).as("d1"),
@@ -1218,6 +1230,18 @@ object Dedup {
         lit("random").as("kind"))
     pos.unionByName(hard).unionByName(rand)
   }
+
+  /** Smallest md5-prefix length k (1..8) whose 16^k buckets hold at
+    * most `targetRows` docs each on average — the self-sizing default
+    * for [[contrastivePairs]]' random-negative windows. Exact power
+    * arithmetic (1 << 4k); a corpus too big even for 16^8 buckets caps
+    * at 8, the md5-prefix limit. */
+  private[ops] def autoBucketHexChars(n: Long, targetRows: Long): Int =
+    (1 to 8).find { k =>
+      // floor-average per bucket ≤ target; division form cannot
+      // overflow for any (n, targetRows) pair
+      n / (1L << (4 * k)) <= targetRows
+    }.getOrElse(8)
 
   /** Per-doc 64-bit simhash as a table (explode + grouped bit votes — the
     * scalable form of [[simhash64]]; identical values).

@@ -100,9 +100,13 @@ class PlanLintSpec extends SparkTestBase {
   // content hash or references a generator (explode) output.
   private val windowAllow = Map(
     // bounded-by-construction hash-BUCKET window: the partition key is a
-    // substring of the hash (16^k buckets, k caller-sized to the corpus),
-    // so cardinality is fixed and per-bucket rows are N/16^k — the window
-    // is the pairing semantics, not a per-content-group sort
+    // substring of the hash (16^k buckets), so cardinality is fixed and
+    // per-bucket rows are N/16^k — the window is the pairing semantics,
+    // not a per-content-group sort. k is SELF-SIZING by default (a
+    // corpus count picks the smallest k with N/16^k <= a row target, so
+    // the default is scale-safe without the caller knowing the knob —
+    // Dedup.autoBucketHexChars); the registry pins k = 4 so the
+    // generated oracle's substr width matches
     "dedup_contrastive_pairs" -> "parameterized hash-bucket window")
 
   test("no window partitioned by a corpus-cardinality expression") {

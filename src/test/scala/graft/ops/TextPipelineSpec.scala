@@ -313,6 +313,20 @@ class TextPipelineSpec extends SparkTestBase {
     assert(out.forall { case (a, b, _, _) => a < b })
   }
 
+  test("contrastive bucket width self-sizes: k grows with corpus size") {
+    val t = 4000000L
+    assert(Dedup.autoBucketHexChars(1000L, t) === 1)
+    assert(Dedup.autoBucketHexChars(64000000L, t) === 1)   // 16 buckets hold it
+    assert(Dedup.autoBucketHexChars(100000000L, t) === 2)  // 10^8 docs -> 256
+    assert(Dedup.autoBucketHexChars(10000000000L, t) === 3) // 10^10 -> 4096
+    assert(Dedup.autoBucketHexChars(100000000000L, t) === 4) // 10^11 -> 65 536
+    assert(Dedup.autoBucketHexChars(Long.MaxValue, t) === 8) // capped at md5 prefix
+    // monotone in n
+    val ks = Seq(1L, 1L << 20, 1L << 30, 1L << 40, 1L << 50, 1L << 62)
+      .map(Dedup.autoBucketHexChars(_, t))
+    assert(ks === ks.sorted)
+  }
+
   test("encodeWithVocab maps ranked ids, counts OOV, keeps token order") {
     val docs = Seq(
       (1L, "b a b c"),  // corpus counts: a=2, b=2, c=2 — full tie, so the
