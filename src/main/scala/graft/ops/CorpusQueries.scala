@@ -1782,6 +1782,99 @@ object CorpusQueries {
            |ORDER BY d1, d2""".stripMargin
       }),
 
+    // the incremental family composed END TO END, the way a daily
+    // ingest runs it: history signed once (stored signature table) and
+    // labeled once (stored cluster labels from history-only LSH+verify),
+    // then the new batch (doc_id >= 400) proposes only pairs touching
+    // itself via the stored signatures, verifies them exactly, folds
+    // them into the stored labels with the incremental contraction
+    // solver, applies the keep-min-id rule, and derives the export
+    // manifest of the kept corpus. The pieces are individually gated;
+    // THIS gate proves batch-split independence at the pipeline level —
+    // the oracle is the one-shot pipeline over the union (full-corpus
+    // LSH → verify → transitive closure → keep → manifest), so any
+    // drift in the composition (a pair lost at the batch seam, a
+    // bridging merge mis-folded, a kept doc misrouted) breaks the hash.
+    Q(
+      "corpus_curation_incremental",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val cut = 400L
+        val history = docs.filter(col("doc_id") < cut)
+        val fresh = docs.filter(col("doc_id") >= cut)
+        // persisted day-0 state a previous run left behind
+        val historySigs = Dedup.minhashSignatureTable(history,
+          "doc_id", "text", n = 3, k = 12).localCheckpoint(true)
+        // day-0 pairs band the STORED signatures — history is shingled
+        // and hashed exactly once in this whole pipeline
+        val oldCands = Dedup.minhashLshFromSigs(historySigs, "doc_id",
+          bands = 4, rowsPerBand = 3)
+        // checkpoint both pair tables: the iterative solvers re-read
+        // their edges every round, and a lazy LSH+verify lineage would
+        // re-propose and re-verify per round
+        val oldPairs = Dedup.scorePairs(history, "doc_id", "text",
+          oldCands, n = 3).filter(col("jaccard") >= 0.5)
+          .localCheckpoint(true)
+        val stored = Dedup.connectedComponentsStar(
+          history.select(col("doc_id")), "doc_id", oldPairs)
+          .withColumnRenamed("id", "doc_id").localCheckpoint(true)
+        // the day-1 increment: sign the new batch only, propose pairs
+        // touching it, verify exactly, fold into the stored labels
+        val newCands = Dedup.minhashLshIncremental(fresh, "doc_id",
+          "text", historySigs, n = 3, bands = 4, rowsPerBand = 3)
+        val newPairs = Dedup.scorePairs(docs, "doc_id", "text",
+          newCands, n = 3).filter(col("jaccard") >= 0.5)
+          .localCheckpoint(true)
+        val updated = Dedup.incrementalComponents(stored, "doc_id",
+          fresh.select(col("doc_id")), newPairs)
+        // keep-rule (one doc per near-dup cluster) + export manifest
+        val kept = docs.join(
+          updated.filter(col("id") === col("cluster"))
+            .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+        Corpus.shardManifest(kept, "doc_id", "text", nShards = 8)
+          .orderBy(col("shard"))
+      },
+      Some {
+        s"""WITH RECURSIVE $toksCte, $shingleCte,
+           |$minhashCtes,
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+           |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+           |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shx GROUP BY doc_id),
+           |common AS (
+           |  SELECT c.d1, c.d2, COUNT(*) AS common
+           |  FROM cands c
+           |  JOIN shx s1 ON s1.doc_id = c.d1
+           |  JOIN shx s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+           |  GROUP BY c.d1, c.d2),
+           |pairs AS (
+           |  SELECT d1, d2 FROM common
+           |  JOIN sizes sa ON sa.doc_id = d1
+           |  JOIN sizes sb ON sb.doc_id = d2
+           |  WHERE CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5),
+           |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+           |      UNION SELECT d2 AS a, d1 AS b FROM pairs),
+           |walk(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT w.src, e.b FROM walk w JOIN e ON w.dst = e.a),
+           |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster
+           |         FROM walk GROUP BY src),
+           |kept AS (SELECT d.doc_id, d.text FROM documents d
+           |         JOIN comp c USING (doc_id) WHERE c.doc_id = c.cluster),
+           |t AS (
+           |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 8 AS INT) AS shard,
+           |    doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS toks_n
+           |  FROM kept)
+           |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(toks_n) AS BIGINT) AS n_tokens,
+           |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+           |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+      }),
+
     // winnowing fingerprints (the MOSS selection rule): min hash per
     // sliding 4-hash window with rightmost-position ties folded into
     // the integer — every shared >=6-token substring shares a selected

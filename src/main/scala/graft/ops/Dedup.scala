@@ -862,6 +862,21 @@ object Dedup {
   /** Band explode over stored-layout signatures: same band string as
     * [[minhashLshFromShingles]] builds inline, so stored and fresh
     * signatures join in one bucket space. */
+  /** LSH candidate pairs straight from a STORED signature table — the
+    * spelling a pipeline uses when the corpus is already signed
+    * ([[minhashSignatureTable]]), so proposing pairs never re-shingles:
+    * band the signatures and self-join the buckets. Identical pair set
+    * to [[minhashLsh]] over the same docs. */
+  def minhashLshFromSigs(sigs: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandedFromSigs(sigs, idCol, bands, rowsPerBand)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+  }
+
   private def bandedFromSigs(sigs: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col(idCol).as("doc"),
@@ -1136,6 +1151,37 @@ object Dedup {
       sh.unpersist()
       out
     } else scored
+  }
+
+  /** Exact Jaccard for a GIVEN candidate pair set — the verify stage of
+    * a COMPOSED pipeline whose pairs were proposed elsewhere (e.g.
+    * [[minhashLshIncremental]]'s touching-the-new-batch candidates).
+    * Same arithmetic as [[minhashCandidatesScored]]'s verify; the
+    * shingle scan is restricted by a semi-join to docs that actually
+    * appear in a pair, so verify cost is O(pairs + touched docs), not
+    * O(corpus) — the property a daily increment needs when pairs touch
+    * a sliver of history.
+    *
+    * @param pairs (d1, d2) candidate rows
+    * @return (d1, d2, jaccard); pairs sharing no shingle drop out
+    */
+  def scorePairs(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 3): DataFrame = {
+    val ids = pairs.select(col("d1").as(idCol))
+      .unionByName(pairs.select(col("d2").as(idCol))).distinct()
+    val sh = shingleRows(docs.join(ids, Seq(idCol), "left_semi"),
+      idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("nsh"))
+    val common = pairs.select(col("d1"), col("d2"))
+      .join(sh.select(col("doc").as("d1"), col("shingle")), "d1")
+      .join(sh.select(col("doc").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc").as("d1"), col("nsh").as("na")), "d1")
+      .join(sizes.select(col("doc").as("d2"), col("nsh").as("nb")), "d2")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"))
+      .select(col("d1"), col("d2"), col("jaccard"))
   }
 
   def minhashLshVerified(df: DataFrame, idCol: String, textCol: String,
