@@ -227,6 +227,67 @@ object StreamingQueries {
     (out, dropped, evicted)
   }
 
+  /** The deployment spelling of `stream_hot_keys` for an UNBOUNDED
+    * stream: hot keys are only meaningful per time window there (a
+    * forever-total per key needs unbounded state), so the aggregate is
+    * (6 h window × user) counts with `withWatermark` + UPDATE mode —
+    * late rows drop, and state for windows behind the watermark is
+    * EVICTED, bounding the store to live windows × active users. The
+    * drained per-(window, user) counts fold with max (update mode
+    * re-emits a key per increase; counts only grow), then the
+    * per-window top-k rides the bounded [[graft.functions.TopKByScore]]
+    * heap — never a rank window over the full user set. Returns
+    * (result, late rows dropped, state rows evicted) for the spec. */
+  private[graft] def watermarkHotKeys(s: SparkSession,
+      dir: String): (DataFrame, Long, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    val streamDir =
+      s"/tmp/graft_stream_hot_${new java.io.File(dir).getName}"
+    val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val agg = stream
+      .withWatermark("ts", "3 hours")
+      .groupBy(window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    var dropped = 0L
+    var evicted = 0L
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try {
+        q.processAllAvailable()
+        val ops = q.recentProgress.flatMap(_.stateOperators)
+        dropped = ops.map(_.numRowsDroppedByWatermark).sum
+        evicted = ops.map(_.numRowsRemoved).sum
+      } finally q.stop()
+    }
+    val counts = s.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+        .as("win_start"), col("user_id"), col("cnt"))
+      .groupBy(col("win_start"), col("user_id"))
+      .agg(max(col("cnt")).as("cnt"))
+    val tot = counts.groupBy(col("win_start")).agg(sum(col("cnt")).as("t"))
+    val top = counts.groupBy(col("win_start"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("cnt").cast("double"), col("user_id"), 5).as("top"))
+      .select(col("win_start"), posexplode(col("top")).as(Seq("r0", "e")))
+      .select(col("win_start"), (col("r0") + 1).cast("int").as("rank"),
+        col("e.id").as("user_id"), col("e.score").cast("long").as("cnt"))
+    val out = top.join(tot, Seq("win_start"))
+      .select(col("win_start"), col("rank"), col("user_id"), col("cnt"),
+        expr("cnt * 1000000 DIV t").as("share_ppm"))
+      .orderBy(col("win_start"), col("rank"))
+    (out, dropped, evicted)
+  }
+
   /** Run a streaming drain with few shuffle partitions: the state-store
     * partition count is frozen from `spark.sql.shuffle.partitions` at
     * query START, and these queries keep tiny state (hundreds of keys) —
@@ -467,6 +528,32 @@ object StreamingQueries {
              |SELECT user_id, CAST(rank AS INT) AS rank, cnt,
              |  CAST(cnt * 1000000 // tt AS BIGINT) AS share_ppm
              |FROM r, t WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // the state-EVICTING hot-keys spelling for unbounded streams:
+    // per-(6 h window, user) counts with watermark + update mode, late
+    // slice dropped and expired-window state evicted (both asserted in
+    // StatefulStreamingSpec); per-window top-5 + traffic share derived
+    // from the drained counts via the bounded top-k heap. Oracle = the
+    // same report over the on-time slice.
+    Q(
+      "stream_hot_keys_watermark",
+      (s, dir) => watermarkHotKeys(s, dir)._1,
+      Some(s"""WITH ev AS (SELECT user_id, ts FROM events
+             |  WHERE ts >= TIMESTAMP '$WatermarkCutoff'),
+             |c AS (
+             |  SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M') AS win_start,
+             |    user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM ev GROUP BY 1, 2),
+             |t AS (SELECT win_start, CAST(SUM(cnt) AS BIGINT) AS tt
+             |      FROM c GROUP BY 1),
+             |r AS (SELECT win_start, user_id, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY win_start
+             |      ORDER BY cnt DESC, user_id) AS rank
+             |  FROM c)
+             |SELECT r.win_start, CAST(rank AS INT) AS rank, user_id, cnt,
+             |  CAST(cnt * 1000000 // tt AS BIGINT) AS share_ppm
+             |FROM r JOIN t USING (win_start)
+             |WHERE rank <= 5 ORDER BY win_start, rank""".stripMargin)),
 
     // streaming quantile sketch: the log2-bucket registers are exactly a
     // streaming-legal aggregation (<= 64 counters per type in the state

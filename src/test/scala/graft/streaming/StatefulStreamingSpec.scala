@@ -83,6 +83,22 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(got.map(t => (t._1, t._2)).distinct.length === got.length)
   }
 
+  test("update-mode windowed hot keys drop late rows and evict state") {
+    val dir = "/root/testdata/sf0.001"
+    val (out, dropped, evicted) =
+      graft.ops.StreamingQueries.watermarkHotKeys(spark, dir)
+    assert(dropped > 0L, "late slice was not dropped by the watermark")
+    assert(evicted > 0L, "no expired-window state rows were evicted")
+    val got = out.collect()
+    assert(got.nonEmpty)
+    // at most 5 hot keys per window, ranks contiguous from 1
+    val byWin = got.groupBy(_.getString(0))
+    byWin.values.foreach { rows =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.length <= 5 && ranks.toSeq == (1 to ranks.length))
+    }
+  }
+
   test("flatMapGroupsWithState sessionizes per key with custom state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
