@@ -75,4 +75,62 @@ object Graph {
     }
     r
   }
+
+  /** Damped PageRank WITH dangling-mass redistribution — the standard
+    * formulation for a DIRECTED graph where some nodes have no
+    * out-edges (crawl frontiers, citation sinks): each round the summed
+    * rank of dangling nodes spreads evenly over all n nodes before
+    * damping,
+    * {{{
+    *   pr'(v) = (10^6 − damping)
+    *          + damping · (Σ_{u→v} contrib(u) + dangMass DIV n) DIV 10^6
+    * }}}
+    * all BIGINT, truncations in exactly this order so the unrolled SQL
+    * oracle matches bit for bit. Unlike [[pageRank]], the node universe
+    * is src ∪ dst — sink nodes hold rank and shed it through the
+    * redistribution term instead of leaking it.
+    *
+    * Scale shape: [[pageRank]]'s per-round groupBy(dst) shuffle plus
+    * TWO bounded extras — a 1-row dangling-mass aggregate broadcast
+    * back as a 1-row nested-loop join (bounded by construction: the
+    * side is a global aggregate), and a semi-join of the rank table
+    * against the static dangling-id set. n is one bounded count at
+    * build time (the kmeans driver-scalar pattern).
+    *
+    * @return (node, pr_ppm) for EVERY node of the graph
+    */
+  def pageRankDangling(edges: DataFrame, iters: Int = 4,
+      dampingPpm: Long = 850000L, checkpointEvery: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000,
+      s"dampingPpm must be in [0, 1000000], got $dampingPpm")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val eDeg = e.join(deg, "src").localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val dangIds = nodes
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val base = 1000000L - dampingPpm
+    var r = nodes.withColumn("pr_ppm", lit(1000000L))
+    for (i <- 1 to iters) {
+      val dang = r.join(dangIds, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("pr_ppm")), lit(0L)).as("__dm"))
+      val inflow = eDeg.join(r, eDeg("src") === r("node"))
+        .select(col("dst"), expr("pr_ppm DIV __d").as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__in"))
+      r = nodes.join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) + expr(s"${dampingPpm}L * (coalesce(__in, 0L) " +
+            s"+ __dm DIV ${n}L) DIV 1000000")).as("pr_ppm"))
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
+    }
+    r
+  }
 }

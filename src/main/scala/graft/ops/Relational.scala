@@ -187,6 +187,46 @@ object Relational {
        |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** Unrolled oracle for [[Graph.pageRankDangling]] over the DIRECTED
+    * part→supplier graph: suppliers have no out-edges, so each round
+    * folds their summed rank back as `dm // n` added to every node's
+    * inflow before damping — the same truncation order as the Spark
+    * side. `d\$i`/`nn` are 1-row CTEs referenced per round, MATERIALIZED
+    * per the binder-inlining rule. */
+  private def pageRankDanglingSql(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(rp.r), 0) AS dm
+         |  FROM r${i - 1} rp JOIN dangids USING (node)),
+         |r$i AS MATERIALIZED (
+         |  SELECT n0.node,
+         |    CAST(150000 + 850000 * (COALESCE(inf.s, 0)
+         |      + (SELECT dm FROM d$i) // (SELECT n FROM nn)) // 1000000 AS BIGINT) AS r
+         |  FROM nodes n0 LEFT JOIN (
+         |    SELECT e.dst, SUM(rp.r // deg.d) AS s
+         |    FROM e JOIN r${i - 1} rp ON rp.node = e.src
+         |    JOIN deg ON deg.node = e.src
+         |    GROUP BY e.dst) inf ON inf.dst = n0.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |dangids AS MATERIALIZED (SELECT node FROM nodes
+       |  WHERE node NOT IN (SELECT node FROM deg)),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, rank, pr_ppm FROM (
+       |  SELECT node,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INT) AS rank,
+       |    r AS pr_ppm
+       |  FROM r$iters) t
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   /** Morton (Z-order) code: interleave the low `bits` of two
     * non-negative ints — the multi-dimensional clustering key behind
     * data-skipping layouts. `df.repartitionByRange(zOrderCode(a, b))
@@ -1119,6 +1159,30 @@ object Relational {
             col("t.score").cast("long").as("pr_ppm"))
       },
       Some(pageRankSql(iters = 4, k = 30))),
+
+    // ---- the DIRECTED variant with dangling sinks: part→supplier
+    //      edges one-way, so every supplier is a rank sink — the
+    //      standard dangling-mass redistribution returns their summed
+    //      rank to all n nodes each round instead of leaking it.
+    //      Exercises pageRankDangling's two bounded extras (1-row
+    //      mass broadcast NLJ + dangling-id semi-join) against the
+    //      unrolled oracle
+    Q(
+      "graph_pagerank_dangling",
+      (s, dir) => {
+        val e = table(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        Graph.pageRankDangling(e, iters = 4, checkpointEvery = 4)
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+            col("pr_ppm").cast("double"), col("node"), 30).as("top"))
+          .select(posexplode(col("top")).as(Seq("r0", "t")))
+          .select(col("t.id").as("node"),
+            (col("r0") + 1).cast("int").as("rank"),
+            col("t.score").cast("long").as("pr_ppm"))
+      },
+      Some(pageRankDanglingSql(iters = 4, k = 30))),
 
     // ---- hot-key skew profile: top-20 heaviest join keys with their
     //      traffic share — the diagnostic run before choosing a salting

@@ -28,7 +28,11 @@ class PlanLintSpec extends SparkTestBase {
     "ann_ivf_topk", "ann_ivf_kmeans", "ann_pq_topk", "dedup_semantic",
     "multimodal_ann", "ann_filtered_topk", "ann_recall_ivf",
     "ann_recall_ivfpq", "ann_recall_lsh", "ann_recall_pq",
-    "ann_recall_int8", "text_ann_topk")
+    "ann_recall_int8", "text_ann_topk",
+    // per-round 1-ROW dangling-mass aggregate broadcast back onto the
+    // rank table — the bounded-by-construction cross join (the side is
+    // a global aggregate; see Graph.pageRankDangling scaladoc)
+    "graph_pagerank_dangling")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.

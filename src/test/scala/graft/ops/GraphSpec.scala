@@ -29,6 +29,29 @@ class GraphSpec extends SparkTestBase {
     assert(r(2L) > r(3L))
   }
 
+  test("dangling redistribution matches the hand-computed rounds") {
+    // 1 -> 2, node 2 dangling; n = 2. Hand-unrolled integer rounds:
+    //   r1 = (150000 + 850000*500000 DIV 1e6,
+    //         150000 + 850000*(1000000+500000) DIV 1e6) = (575000, 1425000)
+    //   r2 = (150000 + 850000*712500 DIV 1e6,
+    //         150000 + 850000*(575000+712500) DIV 1e6) = (755625, 1244375)
+    val r = Graph.pageRankDangling(Seq(1L -> 2L).toDF("src", "dst"), iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 755625L, 2L -> 1244375L))
+  }
+
+  test("dangling redistribution conserves more mass than the plain rule") {
+    // directed chain with a sink: plain pageRank drops the sink node
+    // entirely (no out-edges) and leaks its mass; the dangling variant
+    // ranks the full universe
+    val e = Seq(1L -> 2L, 2L -> 3L)
+    val plain = ranks(e, 3)
+    val dang = Graph.pageRankDangling(e.toDF("src", "dst"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(!plain.contains(3L) && dang.contains(3L))
+    assert(dang.values.sum > plain.values.sum)
+  }
+
   test("the hub of a star outranks the leaves") {
     val leaves = (2L to 6L)
     val e = leaves.flatMap(l => Seq(0L -> l, l -> 0L))
