@@ -859,9 +859,6 @@ object Dedup {
         array((0 until k).map(i => col(s"__s$i")): _*).as("sig"))
   }
 
-  /** Band explode over stored-layout signatures: same band string as
-    * [[minhashLshFromShingles]] builds inline, so stored and fresh
-    * signatures join in one bucket space. */
   /** LSH candidate pairs straight from a STORED signature table — the
     * spelling a pipeline uses when the corpus is already signed
     * ([[minhashSignatureTable]]), so proposing pairs never re-shingles:
@@ -877,6 +874,9 @@ object Dedup {
       .distinct()
   }
 
+  /** Band explode over stored-layout signatures: same band string as
+    * [[minhashLshFromShingles]] builds inline, so stored and fresh
+    * signatures join in one bucket space. */
   private def bandedFromSigs(sigs: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col(idCol).as("doc"),
