@@ -1599,12 +1599,7 @@ object Corpus {
     require(driverVocabMax >= 0,
       s"driverVocabMax must be >= 0, got $driverVocabMax")
     val spark = docs.sparkSession
-    val hist = docs
-      .select(explode(
-        TextFunctions.pretokens(col(textCol), window)).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__s", regexp_replace(col("__w"), "(.)", "·$1·"))
-      .localCheckpoint(true)
+    val hist = pretokenHistogram(docs, textCol, window)
     // venue dispatch: limit(max + 1) either returns the WHOLE histogram
     // (≤ max rows → train driver-local) or proves it is bigger (probe
     // discarded, distributed loop below). Bounded by construction.
@@ -1614,6 +1609,17 @@ object Corpus {
     else
       bpeTrainDistributed(hist, merges, maxRounds)
   }
+
+  /** The distinct-pretoken training/replay histogram:
+    * (__w pretoken, __cnt corpus frequency, __s marker encoding). */
+  private def pretokenHistogram(docs: DataFrame, textCol: String,
+      window: Int): DataFrame =
+    docs
+      .select(explode(
+        TextFunctions.pretokens(col(textCol), window)).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__s", regexp_replace(col("__w"), "(.)", "·$1·"))
+      .localCheckpoint(true)
 
   /** Driver-local venue: the identical batched algorithm over the
     * collected histogram — Java `String.replace` is the same
@@ -1747,6 +1753,79 @@ object Corpus {
       driverVocabMax: Int = BpeDriverVocabMax): DataFrame = {
     val wordUnits = bpeCore(docs, idCol, textCol, merges, window, maxRounds,
         driverVocabMax)._2
+      .select(col("__w"),
+        size(split(trim(col("__s"), "·"), "··")).cast("long").as("__u"))
+    val perDoc = docs
+      .select(col(idCol), explode(
+        TextFunctions.pretokens(col(textCol), window)).as("__w"))
+      .join(wordUnits, Seq("__w"))
+      .groupBy(col(idCol)).agg(sum(col("__u")).as("__n"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__n"), lit(0L)).as("n_units"))
+  }
+
+  /** Replay an already-learned merge list over a histogram — the apply
+    * half of the TRAIN-ONCE / APPLY-MANY split every deployed tokenizer
+    * uses. Venue mirrors [[bpeCore]]: driver-local below the vocab
+    * threshold; above it, a distributed replay applying the merges in
+    * rank order in AFFECTED-SLICE batches of [[BpeCheckpointEvery]].
+    * The per-batch contains-any filter is exact: a row can only need a
+    * LATER replace of a batch if an earlier replace of the batch
+    * changed it first (a mid-batch-created pattern starts from some
+    * initial textual match), and any changed row textually contained
+    * the pattern that changed it — so every row a batch can touch is in
+    * the touched slice.
+    *
+    * @return the histogram (__w, __cnt, __s) after all merges
+    */
+  private[ops] def bpeApplyMerges(hist: DataFrame,
+      merges: Seq[(String, String)], driverVocabMax: Int): DataFrame = {
+    require(driverVocabMax >= 0,
+      s"driverVocabMax must be >= 0, got $driverVocabMax")
+    val spark = hist.sparkSession
+    val probe = hist.limit(driverVocabMax + 1).collect()
+    if (probe.length <= driverVocabMax) {
+      var rows = probe.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      merges.foreach { case (u1, u2) =>
+        val pat = s"·${u1}··${u2}·"
+        val rep = s"·${u1}${u2}·"
+        rows = rows.map { case t @ (w, c, s0) =>
+          if (s0.contains(pat)) (w, c, s0.replace(pat, rep)) else t }
+      }
+      import spark.implicits._
+      if (rows.isEmpty) hist
+      else spark.createDataset(rows.toIndexedSeq).toDF("__w", "__cnt", "__s")
+    } else {
+      var cur = hist
+      merges.grouped(BpeCheckpointEvery).foreach { batch =>
+        val hit = batch.map { case (u1, u2) =>
+          col("__s").contains(s"·${u1}··${u2}·") }.reduce(_ || _)
+        val touched = batch.foldLeft(cur.filter(hit)) {
+          case (df, (u1, u2)) => df.withColumn("__s",
+            replace(col("__s"), lit(s"·${u1}··${u2}·"),
+              lit(s"·${u1}${u2}·")))
+        }
+        cur = cur.filter(!hit).unionByName(touched).localCheckpoint(true)
+      }
+      cur
+    }
+  }
+
+  /** [[bpeEncode]]'s compression curve under STORED merges: training is
+    * replaced by replaying a persisted merge artifact over the target
+    * corpus — apply a yesterday-trained tokenizer to today's batch
+    * without re-learning anything. `merges` must be the (rank, u1, u2)
+    * table [[bpeMerges]] emits; rank order IS the application order.
+    * The artifact collect is bounded by the training budget (a merge
+    * table is vocabulary-sized at most — the codebook pattern). */
+  def bpeEncodeWithMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, window: Int = 1,
+      driverVocabMax: Int = BpeDriverVocabMax): DataFrame = {
+    val ms = merges.select(col("rank"), col("u1"), col("u2")).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val hist = pretokenHistogram(docs, textCol, window)
+    val wordUnits = bpeApplyMerges(hist, ms, driverVocabMax)
       .select(col("__w"),
         size(split(trim(col("__s"), "·"), "··")).cast("long").as("__u"))
     val perDoc = docs

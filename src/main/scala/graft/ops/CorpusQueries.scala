@@ -63,6 +63,17 @@ object CorpusQueries {
   /** Round cap for the forced-distributed gate query. */
   val BpeDistMaxRounds = 12
 
+  /** Budget/cap for the stored-artifact APPLY gate
+    * (`corpus_bpe_apply_stored`): merges learned on the history slice
+    * (doc_id < 400) and replayed over the full corpus. 64 merges land
+    * in ~14 rounds measured; 24 leaves headroom, and the oracle pays
+    * 2 × 24 round chains (train + replay), so the budget is sized for
+    * the train/apply-split proof, not merge count. */
+  val BpeStoredMerges = 64
+
+  /** Round cap for the stored-artifact apply gate. */
+  val BpeStoredMaxRounds = 24
+
   // ---- shared SQL fragments -------------------------------------------
 
   /** ws := non-empty whitespace tokens of text (matches TextFunctions.tokens). */
@@ -182,7 +193,8 @@ object CorpusQueries {
     * scans, "too many open files" well before n = 32). The caller
     * appends its own final SELECT over `f1..f\$n`/`t0..t\$n` or `s\$n`;
     * the global rank of an accepted merge is `tot\${k-1} + ak`. */
-  private def bpeRoundsSql(nRounds: Int, budget: Int, window: Int): String = {
+  private def bpeRoundsSql(nRounds: Int, budget: Int, window: Int,
+      src: String = "documents"): String = {
     val m = Corpus.BpeBatchCandidates
     val rounds = (1 to nRounds).map { k =>
       val applied = (1 to m).foldLeft("s") { (acc, j) =>
@@ -217,9 +229,34 @@ object CorpusQueries {
     s"""WITH s0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    regexp_replace(w, '(.)', '·\\1·', 'g') AS s
-       |  FROM (${bpePretokSql(window, withId = false)})
+       |  FROM (${bpePretokSql(window, withId = false, src)})
        |  GROUP BY w),
        |t0 AS (SELECT CAST(0 AS BIGINT) AS tot),
+       |$rounds""".stripMargin
+  }
+
+  /** Replay chain for the stored-merge APPLY gate: `a0` is the TARGET
+    * corpus's pretoken histogram; per round k, `a\$k` replays round k's
+    * accepted training merges (the same `f\$k` slot subqueries, same
+    * rank order) — the concatenation of per-round rank orders IS the
+    * flat artifact order the Spark side replays. Appended after a
+    * [[bpeRoundsSql]] whose training chain defined the `f\$k` tables. */
+  private def bpeApplySql(nRounds: Int, window: Int): String = {
+    val m = Corpus.BpeBatchCandidates
+    val rounds = (1 to nRounds).map { k =>
+      val applied = (1 to m).foldLeft("s") { (acc, j) =>
+        s"""replace($acc,
+           |      COALESCE((SELECT '·' || u1 || '··' || u2 || '·' FROM f$k WHERE ak = $j), chr(1)),
+           |      COALESCE((SELECT '·' || u1 || u2 || '·' FROM f$k WHERE ak = $j), ''))""".stripMargin
+      }
+      s"""a$k AS MATERIALIZED (
+         |  SELECT w, cnt, $applied AS s FROM a${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s""", a0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    regexp_replace(w, '(.)', '·\\1·', 'g') AS s
+       |  FROM (${bpePretokSql(window, withId = false)})
+       |  GROUP BY w),
        |$rounds""".stripMargin
   }
 
@@ -228,13 +265,14 @@ object CorpusQueries {
     * a single space; chunk starts come from range(1, len+1, window) and
     * DuckDB list slicing clamps the trailing chunk. `withId` keeps
     * doc_id (+ the 1-based chunk start as pos) for per-doc encoders. */
-  private def bpePretokSql(window: Int, withId: Boolean): String = {
+  private def bpePretokSql(window: Int, withId: Boolean,
+      src: String = "documents"): String = {
     val cols =
       if (withId) "doc_id, i AS pos, "
       else ""
     s"""SELECT ${cols}array_to_string(ws[i:i + ${window - 1}], ' ') AS w
        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
-       |      x -> x != '') AS ws FROM documents),
+       |      x -> x != '') AS ws FROM $src),
        |  LATERAL unnest(range(1, len(ws) + 1, $window)) AS t(i)""".stripMargin
   }
 
@@ -3849,6 +3887,36 @@ object CorpusQueries {
            |  md5(COALESCE(array_to_string(e.ids, ','), '')) AS ids_md5
            |FROM documents d LEFT JOIN enc e USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin)),
+
+    // TRAIN-ONCE / APPLY-MANY: merges learned on the HISTORY slice
+    // (doc_id < 400) become a stored artifact replayed in rank order
+    // over the FULL corpus with no retraining — the deployed-tokenizer
+    // split (yesterday's tokenizer, today's batch). The oracle
+    // re-derives the same merges from the history chain, then replays
+    // each round's accepted batch over the full-corpus histogram; any
+    // train/apply drift (order, slot, slice) breaks the per-doc counts.
+    Q(
+      "corpus_bpe_apply_stored",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val stored = Corpus.bpeMerges(docs.filter(col("doc_id") < 400),
+          "doc_id", "text", merges = BpeStoredMerges, window = BpeWindow,
+          maxRounds = BpeStoredMaxRounds)
+        Corpus.bpeEncodeWithMerges(docs, "doc_id", "text", stored,
+          window = BpeWindow).orderBy(col("doc_id"))
+      },
+      Some(bpeRoundsSql(BpeStoredMaxRounds, BpeStoredMerges, BpeWindow,
+          src = "(SELECT * FROM documents WHERE doc_id < 400)") +
+        bpeApplySql(BpeStoredMaxRounds, BpeWindow) +
+        s"""
+           |, enc AS (SELECT w,
+           |    CAST(len(string_split(trim(s, '·'), '··')) AS BIGINT) AS u
+           |  FROM a$BpeStoredMaxRounds),
+           |docw AS (${bpePretokSql(BpeWindow, withId = true)}),
+           |du AS (SELECT dw.doc_id, e.u FROM docw dw JOIN enc e USING (w))
+           |SELECT d.doc_id, CAST(COALESCE(SUM(du.u), 0) AS BIGINT) AS n_units
+           |FROM documents d LEFT JOIN du ON d.doc_id = du.doc_id
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
     // distinctive terms per source (tf-idf keywords, integer inverse-df
     // weights, deterministic (score desc, term) rank)

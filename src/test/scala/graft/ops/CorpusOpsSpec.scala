@@ -691,6 +691,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(enc(Corpus.BpeDriverVocabMax) === enc(0))
   }
 
+  test("bpe stored-merge replay equals training encode, in both venues") {
+    val d = Seq(
+      (1L, "low lower low newest"),
+      (2L, "lowest low wider new"),
+      (3L, "new news widest low")
+    ).toDF("doc_id", "text")
+    val stored = Corpus.bpeMerges(d, "doc_id", "text",
+      merges = 12, window = 2)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val direct = enc(Corpus.bpeEncode(d, "doc_id", "text",
+      merges = 12, window = 2))
+    // replaying the artifact over the SAME corpus must reproduce the
+    // training-run encode exactly — in the driver venue and in the
+    // forced-distributed affected-slice replay
+    assert(enc(Corpus.bpeEncodeWithMerges(d, "doc_id", "text", stored,
+      window = 2)) === direct)
+    assert(enc(Corpus.bpeEncodeWithMerges(d, "doc_id", "text", stored,
+      window = 2, driverVocabMax = 0)) === direct)
+    // and applying history-trained merges to an UNSEEN doc still
+    // encodes it (unseen pretokens just stay at their unmerged units)
+    val d2 = d.union(Seq((4L, "unseen words here")).toDF("doc_id", "text"))
+    val applied = enc(Corpus.bpeEncodeWithMerges(d2, "doc_id", "text",
+      stored, window = 2))
+    assert(applied.length === 4 && applied.forall(_._2 > 0))
+  }
+
   test("bpe maxRounds caps synchronization rounds in both venues") {
     val d = Seq((1L, "aaab aaab aab bbba")).toDF("doc_id", "text")
     def run(vocabMax: Int) = Corpus.bpeMerges(d, "doc_id", "text",
