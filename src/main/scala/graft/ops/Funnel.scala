@@ -26,19 +26,37 @@ object Funnel {
   def stepTimes(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
       maxGapSeconds: Option[Long] = None): DataFrame = {
+    val relevant = events
+      .filter(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol), col(tsCol).as("__ts"), col(typeCol).as("__tp"))
+    relevant.groupBy(col(userCol)).agg(stepFold(steps, maxGapSeconds).as("__fold"))
+      .select(col(userCol) +:
+        steps.zipWithIndex.map { case (st, i) =>
+          col(s"__fold.t$i").as(s"t_$st")
+        }: _*)
+      .filter(col(s"t_${steps.head}").isNotNull)
+  }
+
+  /** The per-key funnel FOLD as a reusable aggregate Column over input
+    * columns `__ts` (timestamp) / `__tp` (step name): sorted collect +
+    * one `aggregate` HOF pass carrying a nullable first-reach time per
+    * step. Split out of [[stepTimes]] so the state-evicting streaming
+    * form can key the SAME fold by (event-time window, user) — the
+    * grouping is the caller's, the semantics are shared. Struct fields
+    * are `t0..t(k-1)` in step order; `t_i` non-null implies `t_(i-1)`
+    * non-null. */
+  private[graft] def stepFold(steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): Column = {
     require(steps.nonEmpty, "steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"steps must be distinct, got $steps")
     require(maxGapSeconds.forall(_ >= 1),
       s"maxGapSeconds must be >= 1, got $maxGapSeconds")
-    val relevant = events
-      .filter(col(typeCol).isin(steps.map(lit): _*))
-      .select(col(userCol), col(tsCol).as("__ts"), col(typeCol).as("__tp"))
     val sortedEvents = array_sort(
       collect_list(struct(col("__ts"), col("__tp"))))
     val init = struct(
       steps.indices.map(i => lit(null).cast("timestamp").as(s"t$i")): _*)
-    val folded = aggregate(sortedEvents, init, (acc, e) => {
+    aggregate(sortedEvents, init, (acc, e) => {
       val fields = steps.zipWithIndex.map { case (st, i) =>
         val qualifies =
           if (i == 0) e.getField("__tp") === st
@@ -60,12 +78,6 @@ object Funnel {
       }
       struct(fields: _*)
     })
-    relevant.groupBy(col(userCol)).agg(folded.as("__fold"))
-      .select(col(userCol) +:
-        steps.zipWithIndex.map { case (st, i) =>
-          col(s"__fold.t$i").as(s"t_$st")
-        }: _*)
-      .filter(col(s"t_${steps.head}").isNotNull)
   }
 
   /** Next-event-prediction training examples from per-user event

@@ -288,6 +288,73 @@ object StreamingQueries {
     (out, dropped, evicted)
   }
 
+  /** The deployment spelling of `stream_funnel` for an UNBOUNDED stream:
+    * a forever-funnel per user needs unbounded state, so conversion is
+    * scoped to event-time windows — the [[Funnel.stepFold]] fold keyed
+    * by (6 h window × user) with `withWatermark` + UPDATE mode. Late
+    * rows drop at the state store and window state behind the watermark
+    * is EVICTED, bounding the store to live windows × active users.
+    *
+    * Drain determinism: update mode re-emits a (window, user) key each
+    * micro-batch that adds rows to it, and the per-key event count `__n`
+    * strictly grows across those re-emissions, so `max_by(fold, __n)`
+    * selects each key's FINAL fold — the one over all its on-time
+    * events (both parity batches merge into state before the lagged
+    * eviction watermark can remove any window they touch, same staging
+    * argument as [[watermarkSessionize]]). The 3-rows-per-window
+    * conversion report is a batch tail over that view. Returns
+    * (result, late rows dropped, state rows evicted) for the spec. */
+  private[graft] def watermarkFunnel(s: SparkSession,
+      dir: String): (DataFrame, Long, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    val streamDir =
+      s"/tmp/graft_stream_fun_${new java.io.File(dir).getName}"
+    val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
+    val steps = Seq("signup", "click", "purchase")
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val agg = stream
+      .withWatermark("ts", "3 hours")
+      .filter(col("event_type").isin(steps.map(lit): _*))
+      .select(col("ts"), col("user_id"),
+        col("ts").as("__ts"), col("event_type").as("__tp"))
+      .groupBy(window(col("ts"), "6 hours"), col("user_id"))
+      .agg(Funnel.stepFold(steps).as("__fold"), count(lit(1)).as("__n"))
+    var dropped = 0L
+    var evicted = 0L
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try {
+        q.processAllAvailable()
+        val ops = q.recentProgress.flatMap(_.stateOperators)
+        dropped = ops.map(_.numRowsDroppedByWatermark).sum
+        evicted = ops.map(_.numRowsRemoved).sum
+      } finally q.stop()
+    }
+    val st = s.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+        .as("win_start"), col("user_id"), col("__fold"), col("__n"))
+      .groupBy(col("win_start"), col("user_id"))
+      .agg(max_by(col("__fold"), col("__n")).as("f"))
+    val out = steps.zipWithIndex.map { case (step, i) =>
+      st.filter(col(s"f.t$i").isNotNull)
+        .groupBy(col("win_start"))
+        .agg(count(lit(1)).as("users"))
+        .select(col("win_start"), lit(i + 1).as("step"),
+          lit(step).as("event_type"), col("users"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("win_start"), col("step"))
+    (out, dropped, evicted)
+  }
+
   /** Run a streaming drain with few shuffle partitions: the state-store
     * partition count is frozen from `spark.sql.shuffle.partitions` at
     * query START, and these queries keep tiny state (hundreds of keys) —
@@ -554,6 +621,40 @@ object StreamingQueries {
              |  CAST(cnt * 1000000 // tt AS BIGINT) AS share_ppm
              |FROM r JOIN t USING (win_start)
              |WHERE rank <= 5 ORDER BY win_start, rank""".stripMargin)),
+
+    // the state-EVICTING funnel spelling for unbounded streams:
+    // conversion scoped to (6 h window x user) so watermark eviction can
+    // bound the state store; the shared stepFold runs as the one
+    // streaming aggregation in update mode (late drop + expired-window
+    // eviction asserted in StatefulStreamingSpec). Oracle = the chained
+    // MIN funnel per window over the on-time slice.
+    Q(
+      "stream_funnel_watermark",
+      (s, dir) => watermarkFunnel(s, dir)._1,
+      Some(s"""WITH ev AS (
+             |  SELECT user_id, ts,  event_type,
+             |    time_bucket(INTERVAL '6 hours', ts) AS w
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '$WatermarkCutoff'
+             |    AND event_type IN ('signup', 'click', 'purchase')),
+             |t0 AS (SELECT w, user_id, MIN(ts) AS t FROM ev
+             |       WHERE event_type = 'signup' GROUP BY 1, 2),
+             |t1 AS (SELECT e.w, e.user_id, MIN(e.ts) AS t
+             |       FROM ev e JOIN t0 ON e.w = t0.w AND e.user_id = t0.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > t0.t GROUP BY 1, 2),
+             |t2 AS (SELECT e.w, e.user_id, MIN(e.ts) AS t
+             |       FROM ev e JOIN t1 ON e.w = t1.w AND e.user_id = t1.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > t1.t GROUP BY 1, 2),
+             |u AS (
+             |  SELECT w, 1 AS step, 'signup' AS event_type,
+             |    CAST(COUNT(*) AS BIGINT) AS users FROM t0 GROUP BY 1
+             |  UNION ALL SELECT w, 2, 'click',
+             |    CAST(COUNT(*) AS BIGINT) FROM t1 GROUP BY 1
+             |  UNION ALL SELECT w, 3, 'purchase',
+             |    CAST(COUNT(*) AS BIGINT) FROM t2 GROUP BY 1)
+             |SELECT strftime(w, '%Y-%m-%d %H:%M') AS win_start,
+             |  CAST(step AS INT) AS step, event_type, users
+             |FROM u ORDER BY win_start, step""".stripMargin)),
 
     // streaming quantile sketch: the log2-bucket registers are exactly a
     // streaming-legal aggregation (<= 64 counters per type in the state

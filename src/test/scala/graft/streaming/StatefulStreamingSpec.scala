@@ -99,6 +99,27 @@ class StatefulStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("update-mode windowed funnel drops late rows and evicts state") {
+    val dir = "/root/testdata/sf0.001"
+    val (out, dropped, evicted) =
+      graft.ops.StreamingQueries.watermarkFunnel(spark, dir)
+    assert(dropped > 0L, "late slice was not dropped by the watermark")
+    assert(evicted > 0L, "no expired-window state rows were evicted")
+    val got = out.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(3)))
+    assert(got.nonEmpty)
+    // within a window the funnel is monotone: users at step i+1 <= step i,
+    // and a step row only exists if its predecessor does
+    got.groupBy(_._1).values.foreach { rows =>
+      val byStep = rows.map(t => t._2 -> t._3).toMap
+      byStep.keys.foreach(s =>
+        if (s > 1) {
+          assert(byStep.contains(s - 1), s"step ${s - 1} row missing")
+          assert(byStep(s) <= byStep(s - 1), "funnel not monotone")
+        })
+    }
+  }
+
   test("flatMapGroupsWithState sessionizes per key with custom state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
