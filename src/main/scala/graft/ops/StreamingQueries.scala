@@ -61,30 +61,41 @@ object StreamingQueries {
     * micro-batches in exactly this order. Empty slices are legal (a
     * zero-row file still forms a batch — the watermark-advancing "gap"
     * batch). Returns the staged schema. */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
+  /** Write ONE slice as a single parquet file `batch<i>_<name>.parquet`
+    * under `out` with the given modification time — the staging unit
+    * [[stageBatches]] loops and the checkpoint-restart gate calls
+    * between query incarnations. */
+  private def stageSlice(outPath: java.io.File, name: String, i: Int,
+      df: DataFrame, mtime: Long): java.io.File = {
+    val tmp = new java.io.File(outPath, s"__stage_$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    // an EMPTY slice must still yield a part file (zero-row batches
+    // advance the watermark) — fail with a diagnosable message if a
+    // Spark version/config ever skips writing empty part files
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file for staged slice '$name' — " +
+        "empty-slice write produced no .parquet file; the " +
+        "watermark-advance batch would be lost"))
+    val dst = new java.io.File(outPath, s"batch${i}_$name.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(mtime)
+    rmTree(tmp)
+    dst
+  }
+
   private def stageBatches(s: SparkSession, out: String,
       slices: Seq[(String, DataFrame)]): StructType = {
     val outPath = new java.io.File(out)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    if (outPath.exists()) rm(outPath)
+    if (outPath.exists()) rmTree(outPath)
     outPath.mkdirs()
     val t0 = System.currentTimeMillis() - 600000L
     slices.zipWithIndex.foreach { case ((name, df), i) =>
-      val tmp = new java.io.File(outPath, s"__stage_$name")
-      df.coalesce(1).write.parquet(tmp.toString)
-      // an EMPTY slice must still yield a part file (zero-row batches
-      // advance the watermark) — fail with a diagnosable message if a
-      // Spark version/config ever skips writing empty part files
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file for staged slice '$name' — " +
-          "empty-slice write produced no .parquet file; the " +
-          "watermark-advance batch would be lost"))
-      val dst = new java.io.File(outPath, s"batch${i}_$name.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(t0 + i * 60000L)
-      rm(tmp)
+      stageSlice(outPath, name, i, df, t0 + i * 60000L)
     }
     s.read.parquet(s"$out/batch0_${slices.head._1}.parquet").schema
   }
@@ -353,6 +364,69 @@ object StreamingQueries {
     }.reduce(_.unionByName(_))
       .orderBy(col("win_start"), col("step"))
     (out, dropped, evicted)
+  }
+
+  /** Checkpoint-recovery gate — the property that makes Structured
+    * Streaming deployable at all: aggregation state lives in the
+    * CHECKPOINT, not the query object, so a restarted query resumes
+    * from committed offsets instead of reprocessing the source. Two
+    * query INCARNATIONS share one checkpoint over a file source: run 1
+    * ingests the even-id half of events and stops; the odd-id half is
+    * staged ONLY THEN, and run 2 — a brand-new query object — starts
+    * from the same checkpoint, reads just the new file, and its
+    * complete-mode re-output is the aggregate over BOTH halves. The
+    * totals include rows run 2 never read — that difference IS the
+    * recovered state, and the spec pins it exactly
+    * (run-2 `numInputRows` == odd-half count, result == full batch
+    * aggregate). The memory sink is rebuilt empty on restart (it is not
+    * fault-tolerant), which complete mode papers over by re-emitting
+    * every group each batch — exactly why this gate pairs complete mode
+    * with the restart.
+    *
+    * Returns (final drained result, run-2 input rows, odd-half count).
+    */
+  private[graft] def checkpointRestart(s: SparkSession,
+      dir: String): (DataFrame, Long, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (name1, name2) = synchronized {
+      streamEpoch += 2
+      (s"graft_stream_${streamEpoch - 1}", s"graft_stream_$streamEpoch")
+    }
+    val base = s"/tmp/graft_stream_ckpt_${new java.io.File(dir).getName}"
+    val inDir = new java.io.File(s"$base/in")
+    val ckpt = s"$base/ckpt"
+    rmTree(new java.io.File(base))
+    inDir.mkdirs()
+    val ev = Relational.events(s, dir)
+    val evenHalf = ev.filter(col("event_id") % 2 === 0)
+    val oddHalf = ev.filter(col("event_id") % 2 === 1)
+    val t0 = System.currentTimeMillis() - 600000L
+    stageSlice(inDir, "even", 0, evenHalf, t0)
+    val schema = s.read.parquet(s"$base/in/batch0_even.parquet").schema
+    val cents = expr("CAST(floor(value * 100) AS BIGINT)")
+    def startQuery(qname: String) = s.readStream.schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .parquet(inDir.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("total_cents"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(qname)
+      .start()
+    var run2Rows = 0L
+    withStreamShuffle(s, 4) {
+      val q1 = startQuery(name1)
+      try q1.processAllAvailable() finally q1.stop()
+      stageSlice(inDir, "odd", 1, oddHalf, t0 + 60000L)
+      val q2 = startQuery(name2)
+      try {
+        q2.processAllAvailable()
+        run2Rows = q2.recentProgress.map(_.numInputRows).sum
+      } finally q2.stop()
+    }
+    val oddCount = oddHalf.count()
+    (s.table(name2).orderBy(col("event_type")), run2Rows, oddCount)
   }
 
   /** Run a streaming drain with few shuffle partitions: the state-store
@@ -655,6 +729,21 @@ object StreamingQueries {
              |SELECT strftime(w, '%Y-%m-%d %H:%M') AS win_start,
              |  CAST(step AS INT) AS step, event_type, users
              |FROM u ORDER BY win_start, step""".stripMargin)),
+
+    // checkpoint recovery: a RESTARTED query (new query object, same
+    // checkpoint) resumes from committed offsets — run 2 reads only the
+    // file staged after run 1 stopped, yet its complete-mode output
+    // aggregates BOTH halves because the aggregation state was
+    // recovered from the checkpoint, not recomputed from the source.
+    // Run-2 input rows == odd-half count is asserted in
+    // StatefulStreamingSpec; the oracle is the full-table aggregate.
+    Q(
+      "stream_restart_recovery",
+      (s, dir) => checkpointRestart(s, dir)._1,
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     // streaming quantile sketch: the log2-bucket registers are exactly a
     // streaming-legal aggregation (<= 64 counters per type in the state

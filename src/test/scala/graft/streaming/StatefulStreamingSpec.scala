@@ -120,6 +120,26 @@ class StatefulStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("restarted query recovers aggregation state from the checkpoint") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (out, run2Rows, oddCount) =
+      graft.ops.StreamingQueries.checkpointRestart(spark, dir)
+    // run 2 read ONLY the file staged after run 1 stopped — committed
+    // offsets in the checkpoint prevented any reprocessing
+    assert(run2Rows === oddCount,
+      s"run 2 read $run2Rows rows, expected only the odd half ($oddCount)")
+    // yet its output covers BOTH halves: the difference is recovered state
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val cents = expr("CAST(floor(value * 100) AS BIGINT)")
+    val expect = graft.ops.Relational.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(cents).as("total_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+  }
+
   test("flatMapGroupsWithState sessionizes per key with custom state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
