@@ -133,4 +133,63 @@ object Graph {
     }
     r
   }
+
+  /** Exact triangle census over an undirected graph — the one-row
+    * connectivity card (nodes, edges, wedges, triangles, global
+    * clustering coefficient) that tells a pipeline whether a
+    * co-occurrence graph is community-structured or noise.
+    *
+    * Algorithm: degree-ordered node-iterator (Suri & Vassilvitskii
+    * 2011, "Counting Triangles and the Curse of the Last Reducer").
+    * Every edge is ORIENTED from the endpoint lower in the total order
+    * (degree, id) to the higher; each triangle then has exactly one
+    * vertex with out-edges to the other two, so counting closed wedges
+    * over oriented edges counts each triangle ONCE. The orientation is
+    * the scale lever: out-degree after orienting is O(√m) on any graph
+    * (a vertex's out-neighbors all have ≥ its degree), so the wedge
+    * self-join fans out per-vertex by √m instead of the raw degree —
+    * hub vertices, the classic last-reducer killer, generate NO wedges
+    * at all because all their edges point inward.
+    *
+    * Shape at scale: two hash joins to attach degrees, one equi
+    * self-join on the oriented source (bounded fan-out, above), one
+    * equi join of candidate closing edges against the edge list, then
+    * three single-row aggregates cross-joined broadcast (bounded by
+    * construction — the [[pageRankDangling]] pattern). Integer ppm
+    * clustering: 3·triangles·10^6 DIV wedges, exact in BIGINT.
+    *
+    * @param pairs0 undirected distinct edge list with `a < b` per row
+    * @return one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    *         closure_ppm)
+    */
+  def triangleStats(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val deg = pairs.select(col("a").as("n"))
+      .unionByName(pairs.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"))
+    val tri = wedges.join(pairs, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    val edgeStats = pairs.agg(count(lit(1)).as("n_edges"))
+    degStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("CASE WHEN n_wedges = 0 THEN 0L " +
+          "ELSE 3L * n_triangles * 1000000 DIV n_wedges END")
+          .as("closure_ppm"))
+  }
 }

@@ -1184,6 +1184,49 @@ object Relational {
       },
       Some(pageRankDanglingSql(iters = 4, k = 30))),
 
+    // ---- exact triangle census over the parts-co-ordered-together
+    //      graph (edge = two parts sharing an order; pair generation
+    //      bounded by order width). Degree-ordered orientation caps the
+    //      wedge-join fan-out at O(sqrt(m)) per vertex — the hub-proof
+    //      distributed triangle count — and the closing-edge check is
+    //      one equi join against the edge list. One-row card:
+    //      nodes/edges/wedges/triangles/global clustering ppm.
+    Q(
+      "graph_triangles",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+          .distinct()
+        Graph.triangleStats(pairs)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+             |  FROM lineitem l1 JOIN lineitem l2
+             |    ON l1.l_orderkey = l2.l_orderkey
+             |   AND l1.l_partkey < l2.l_partkey),
+             |deg AS (
+             |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+             |    SELECT a AS n FROM pairs
+             |    UNION ALL SELECT b AS n FROM pairs) u GROUP BY 1),
+             |tri AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+             |  FROM pairs p1
+             |  JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
+             |  JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b),
+             |ds AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+             |  FROM deg),
+             |es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+             |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             |  CAST(CASE WHEN n_wedges = 0 THEN 0
+             |    ELSE 3 * n_triangles * 1000000 // n_wedges END AS BIGINT)
+             |    AS closure_ppm
+             |FROM ds, es, tri""".stripMargin)),
+
     // ---- hot-key skew profile: top-20 heaviest join keys with their
     //      traffic share — the diagnostic run before choosing a salting
     //      factor. ONE global aggregate computes the bounded top-k heap

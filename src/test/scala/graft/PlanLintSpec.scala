@@ -32,7 +32,11 @@ class PlanLintSpec extends SparkTestBase {
     // per-round 1-ROW dangling-mass aggregate broadcast back onto the
     // rank table — the bounded-by-construction cross join (the side is
     // a global aggregate; see Graph.pageRankDangling scaladoc)
-    "graph_pagerank_dangling")
+    "graph_pagerank_dangling",
+    // three SINGLE-ROW aggregates (deg stats x edge count x triangle
+    // count) cross-joined broadcast into the one-row census card —
+    // every side is a global aggregate (Graph.triangleStats scaladoc)
+    "graph_triangles")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.

@@ -52,6 +52,27 @@ class GraphSpec extends SparkTestBase {
     assert(dang.values.sum > plain.values.sum)
   }
 
+  test("triangle census matches hand-counted graphs") {
+    // K4: 4 nodes, 6 edges, every triple a triangle -> 4 triangles,
+    // wedges = 4 * C(3,2) = 12, closure = 3*4/12 = 1.0
+    val k4 = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)).toDF("a", "b")
+    val r1 = Graph.triangleStats(k4).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getLong(4)) === ((4L, 6L, 12L, 4L, 1000000L)))
+    // a 4-path has wedges but zero triangles; closure 0 without div-by-0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r2 = Graph.triangleStats(path).collect().head
+    assert(r2.getLong(3) === 0L && r2.getLong(4) === 0L)
+    // one triangle with a pendant edge: the hub's wedges include the
+    // pendant, so closure < 1 but the count stays exactly 1
+    val tadpole = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r3 = Graph.triangleStats(tadpole).collect().head
+    assert(r3.getLong(3) === 1L)
+    assert(r3.getLong(2) === 5L) // degs 2,2,3,1 -> 1+1+3+0
+  }
+
   test("the hub of a star outranks the leaves") {
     val leaves = (2L to 6L)
     val e = leaves.flatMap(l => Seq(0L -> l, l -> 0L))
