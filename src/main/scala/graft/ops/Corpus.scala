@@ -911,6 +911,40 @@ object Corpus {
     df.withColumn("split", expr0)
   }
 
+  /** Dataset-version diff — the release-to-release audit every managed
+    * corpus needs: which documents were ADDED, REMOVED, CHANGED, or
+    * left UNCHANGED between two snapshots, keyed by the stable document
+    * id with change detected on a content digest.
+    *
+    * Scale shape: each side is projected to
+    * (id, dims, 16-byte md5(content)) BEFORE the join, so the one
+    * full-outer hash shuffle carries digests, never document bodies —
+    * diffing two 100 TB snapshots moves O(ids) small rows. Status is a
+    * map-side case over null-ness + digest equality; roll-ups
+    * downstream are ordinary partial aggregates. Deterministic by
+    * construction (no sampling, no floats).
+    *
+    * @param dims passthrough attribute columns (taken from the NEW side
+    *             for surviving docs, the OLD side for removed ones)
+    * @return one row per id in either snapshot:
+    *         (id, dims..., status ∈ added|removed|changed|unchanged)
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      contentCol: String, dims: Seq[String] = Nil): DataFrame = {
+    def proj(df: DataFrame, side: String) = df.select(
+      col(idCol),
+      struct((lit(1).as("__one") +: dims.map(col)): _*).as(s"__dim_$side"),
+      md5(col(contentCol).cast("binary")).as(s"__h_$side"))
+    proj(oldDf, "old").join(proj(newDf, "new"), Seq(idCol), "full_outer")
+      .select(col(idCol) +:
+        dims.map(d => coalesce(col(s"__dim_new.$d"), col(s"__dim_old.$d"))
+          .as(d)) :+
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") === col("__h_new"), "unchanged")
+          .otherwise("changed").as("status"): _*)
+  }
+
   /** Corpus vocabulary: global word counts with a bounded top-k. The
     * count is the canonical two-phase aggregate (map-side partials →
     * one shuffle on the word); the top-k is `orderBy(...).limit(k)`,

@@ -3998,6 +3998,41 @@ object CorpusQueries {
            |ORDER BY metric""".stripMargin
       }),
 
+    // dataset-version diff: two snapshots derived deterministically from
+    // the corpus (ids = 0 mod 13 arrive only in v2, ids = 0 mod 11 were
+    // deleted, ids = 0 mod 7 edited) diffed by content digest through
+    // ONE full-outer join that ships 16-byte hashes, never bodies —
+    // the release-to-release audit, rolled up per (source, status)
+    Q(
+      "corpus_snapshot_diff",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val v1 = docs.filter(col("doc_id") % 13 =!= 0)
+        val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        Corpus.snapshotDiff(v1, v2, "doc_id", "text", Seq("source"))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("source"), col("status"))
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, source, md5(text) AS h FROM documents
+             |  WHERE doc_id % 13 <> 0),
+             |v2 AS (
+             |  SELECT doc_id, source,
+             |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+             |             ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 11 <> 0)
+             |SELECT COALESCE(v2.source, v1.source) AS source,
+             |  CASE WHEN v1.h IS NULL THEN 'added'
+             |       WHEN v2.h IS NULL THEN 'removed'
+             |       WHEN v1.h = v2.h THEN 'unchanged'
+             |       ELSE 'changed' END AS status,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // the composed curation pipeline, end to end: length-clip per
     // language → PII scrub → priority-aware exact dedup on the CLEANED
     // text → deterministic split → per-(split, lang) stats. Each stage

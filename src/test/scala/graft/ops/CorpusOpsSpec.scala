@@ -827,4 +827,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(nTrue >= 1 && nHit >= 1 && nHit <= nTrue && nHit <= nCand)
     assert(ppm === nHit * 1000000L / nTrue)
   }
+
+  test("snapshotDiff classifies all four statuses, dims optional") {
+    val v1 = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val v2 = Seq((2L, "b", "s1"), (3L, "c2", "s2"), (4L, "d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.snapshotDiff(v1, v2, "doc_id", "text", Seq("source"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(got === Map(
+      1L -> ("s1", "removed"), 2L -> ("s1", "unchanged"),
+      3L -> ("s2", "changed"), 4L -> ("s2", "added")))
+    // no dims: still one status row per id
+    val bare = Corpus.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bare(1L) === "removed" && bare(4L) === "added")
+  }
 }
