@@ -298,6 +298,48 @@ object Corpus {
         min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
   }
 
+  /** GLOBALLY-SORTED equi-depth export — the pay-sort-once layout for
+    * curriculum-ordered training data: every document gets its EXACT
+    * global rank under (sortKey, id) via the distributed two-pass rank
+    * (no single-task sort anywhere), rank is folded into one of
+    * `nBuckets` equal-depth buckets (`(rank−1)·k DIV n` — boundaries
+    * are ranks, not sampled values, so the layout is deterministic and
+    * oracle-checkable, unlike `repartitionByRange`'s reservoir-sampled
+    * bounds), and the corpus is written `partitionBy(bucket)` with rows
+    * sorted inside each bucket. A loader that streams bucket 0, 1, …
+    * replays the exact global curriculum; a range filter on the sort
+    * key prunes whole bucket directories plus file-level min/max stats
+    * inside them.
+    *
+    * The returned manifest is RE-DERIVED from the files read back
+    * (same audit contract as [[exportShards]]): per bucket the doc
+    * count, token count, and key/id ranges — hash-matching the oracle
+    * proves no row was lost or misrouted and the text survived the
+    * round trip. Write fan-out is executor-parallel; the audit is an
+    * nBuckets-key partial aggregate.
+    */
+  def exportSorted(df: DataFrame, sortCol: String, idCol: String,
+      textCol: String, nBuckets: Int, outDir: String): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val ranked = TwoPass.rank(df, Seq(), Seq(col(sortCol), col(idCol)),
+      "__rk", countOut = Some("__n"))
+    ranked
+      .withColumn("bucket",
+        expr(s"CAST((__rk - 1) * $nBuckets DIV __n AS INT)"))
+      .drop("__rk", "__n")
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(sortCol), col(idCol))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    val back = df.sparkSession.read.parquet(outDir)
+    back.select(col("bucket").cast("int").as("bucket"),
+        col(sortCol).as("__k"), col(idCol).as("__id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"),
+        min(col("__k")).as("min_key"), max(col("__k")).as("max_key"),
+        min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
+  }
+
   /** Token-budget mixture PLAN — the "how many epochs of each source do
     * we train on" table (the LLaMA/Dolma mixing sheet): given target
     * mixture weights in ppm and a total token budget, report per source

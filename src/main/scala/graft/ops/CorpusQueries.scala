@@ -875,6 +875,38 @@ object CorpusQueries {
              |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
              |FROM t GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // the globally-SORTED export: exact two-pass ranks -> equal-depth
+    // rank buckets -> partitionBy(bucket) write with in-bucket sort ->
+    // read back -> manifest re-derivation. Rank-based boundaries (not
+    // sampled ones) make the layout deterministic enough to hash
+    // against the oracle; the curriculum-order write path, proven
+    Q(
+      "corpus_sorted_export",
+      (s, dir) =>
+        Corpus.exportSorted(table(s, dir, "documents"), "n_chars",
+          "doc_id", "text", nBuckets = 8,
+          // per-JVM dir: eager overwrite at construction time, same
+          // single-writer contract as corpus_shard_export
+          outDir = "/tmp/graft_sorted_export_" +
+            new java.io.File(dir).getName + "_pid" +
+            java.lang.ProcessHandle.current().pid()).orderBy(col("bucket")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, n_chars, text,
+             |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+             |    COUNT(*) OVER () AS n
+             |  FROM documents),
+             |b AS (
+             |  SELECT CAST((rk - 1) * 8 // n AS INT) AS bucket, doc_id,
+             |    n_chars,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             |      AS BIGINT) AS toks
+             |  FROM r)
+             |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             |  MIN(n_chars) AS min_key, MAX(n_chars) AS max_key,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // small-file compaction plan over a 64-shard manifest: greedy
     // next-fit running sum in shard order packs undersized shards into
     // ~4000-token outputs — the window folds the 64-row manifest, never

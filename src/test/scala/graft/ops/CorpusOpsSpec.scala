@@ -828,6 +828,36 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(ppm === nHit * 1000000L / nTrue)
   }
 
+  test("exportSorted: equal-depth buckets, disjoint ranges, sorted files") {
+    val docs = (0L until 97L)
+      .map(i => (i, s"tok${i % 7} body", (i * 37 % 50) + 5))
+      .toDF("doc_id", "text", "n_chars")
+    val out = "/tmp/graft_test_sorted_pid" +
+      java.lang.ProcessHandle.current().pid()
+    val m = Corpus.exportSorted(docs, "n_chars", "doc_id", "text", 4, out)
+      .collect().sortBy(_.getInt(0))
+    assert(m.map(_.getAs[Long]("n_docs")).sum === 97L)
+    // equal depth by rank: 97 over 4 buckets -> every size in {24, 25}
+    assert(m.forall(r => Set(24L, 25L)(r.getAs[Long]("n_docs"))))
+    // buckets cover the key line in order (ties may straddle: <=)
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_key") <= b.getAs[Long]("min_key"))
+    }
+    // every written file is internally sorted by (key, id) — the
+    // property that makes bucket-sequential reads a global curriculum
+    import org.apache.spark.sql.Row
+    val lists = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("n_chars"), col("doc_id"))
+      .groupBy(col("f"))
+      .agg(collect_list(struct(col("n_chars"), col("doc_id"))).as("xs"))
+      .collect()
+    assert(lists.nonEmpty)
+    lists.foreach { r =>
+      val xs = r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1)))
+      assert(xs == xs.sorted, s"file ${r.getString(0)} not key-sorted")
+    }
+  }
+
   test("snapshotDiff classifies all four statuses, dims optional") {
     val v1 = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
       .toDF("doc_id", "text", "source")
