@@ -875,6 +875,39 @@ object CorpusQueries {
              |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
              |FROM t GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // incremental manifest refresh: the digest diff marks affected
+    // shards, ONLY those re-aggregate over the new snapshot, untouched
+    // shards carry their stored manifest rows forward — and the result
+    // must hash-equal the FULL recompute over v2 (the oracle), so any
+    // carry/rebuild seam drift fails the gate. 64 shards so the
+    // carried set is actually non-empty at corpus scale
+    Q(
+      "corpus_export_incremental",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val v1 = docs.filter(col("doc_id") % 13 =!= 0)
+        val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        val m1 = Corpus.shardManifest(v1, "doc_id", "text", 64)
+        Corpus.incrementalShardManifest(v1, m1, v2, "doc_id", "text", 64)
+          .orderBy(col("shard"))
+      },
+      Some("""WITH v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+             |         ELSE text END AS text
+             |  FROM documents WHERE doc_id % 11 <> 0),
+             |t AS (
+             |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 64 AS INT) AS shard,
+             |    doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS toks
+             |  FROM v2)
+             |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM t GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // the globally-SORTED export: exact two-pass ranks -> equal-depth
     // rank buckets -> partitionBy(bucket) write with in-bucket sort ->
     // read back -> manifest re-derivation. Rank-based boundaries (not

@@ -858,6 +858,36 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalShardManifest carries untouched shards, rebuilds touched") {
+    val v1 = (0L until 60L).map(i => (i, s"w$i x y")).toDF("doc_id", "text")
+    // v2: doc 5 edited, doc 200 added, doc 7 removed
+    val v2 = ((0L until 60L).filter(_ != 7L).map(i =>
+      (i, if (i == 5L) s"w$i x y EDIT" else s"w$i x y")) :+ (200L, "new doc"))
+      .toDF("doc_id", "text")
+    val m1 = Corpus.shardManifest(v1, "doc_id", "text", 16)
+    val full = Corpus.shardManifest(v2, "doc_id", "text", 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val inc = Corpus.incrementalShardManifest(v1, m1, v2, "doc_id", "text", 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(inc === full)
+    // PROOF the untouched rows are carried, not recomputed: poison an
+    // untouched shard's stored row and watch the poison flow through
+    val touched = Corpus.snapshotDiff(v1, v2, "doc_id", "text")
+      .filter(col("status") =!= "unchanged")
+      .select(conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 14), 16, 10).cast("long").mod(16).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    val untouched = full.keySet.diff(touched)
+    assert(untouched.nonEmpty, "fixture leaves no shard untouched")
+    val poisoned = m1.withColumn("n_docs",
+      when(col("shard") === untouched.head, lit(999L))
+        .otherwise(col("n_docs")))
+    val inc2 = Corpus.incrementalShardManifest(
+      v1, poisoned, v2, "doc_id", "text", 16)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(inc2(untouched.head) === 999L)
+  }
+
   test("snapshotDiff classifies all four statuses, dims optional") {
     val v1 = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
       .toDF("doc_id", "text", "source")
