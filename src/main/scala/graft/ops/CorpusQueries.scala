@@ -1516,6 +1516,44 @@ object CorpusQueries {
              |WHERE common * 1000000 >= 400000 * (sa.n + sb.n - common)
              |ORDER BY d1, d2""".stripMargin)),
 
+    // EXACT all-pairs WEIGHTED-cosine join: idf-weighted shingles via
+    // the suffix-norm prefix filter (Bayardo et al. AllPairs). The
+    // oracle is the brute-force pairwise definition — same 56-bit
+    // hashing, same integer weights, 128-bit exact threshold guard —
+    // so a pair the prefix join loses breaks the hash
+    Q(
+      "dedup_cosine_pairs",
+      (s, dir) =>
+        Dedup.cosinePrefixPairs(table(s, dir, "documents"), "doc_id",
+          "text", n = 3, p = 7, q = 10)
+          .orderBy(col("d1"), col("d2")),
+      Some(s"""WITH $toksCte, $shingleCte,
+             |idx0 AS (SELECT doc_id AS doc,
+             |  ('0x' || substr(md5(tok0), 1, 14))::BIGINT AS tok
+             |  FROM (SELECT doc_id, unnest(shingles) AS tok0 FROM sh)),
+             |nn AS (SELECT CAST(COUNT(DISTINCT doc) AS BIGINT) AS nd FROM idx0),
+             |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfc
+             |        FROM idx0 GROUP BY 1),
+             |w AS (SELECT tok,
+             |    LEAST(nd // dfc, 1000) * LEAST(nd // dfc, 1000) AS w2
+             |  FROM dfr, nn),
+             |idx AS (SELECT doc, idx0.tok, w2 FROM idx0 JOIN w USING (tok)),
+             |norms AS (SELECT doc, CAST(SUM(w2) AS BIGINT) AS na2
+             |          FROM idx GROUP BY 1),
+             |dots AS (SELECT a.doc AS d1, b.doc AS d2,
+             |    CAST(SUM(a.w2) AS BIGINT) AS dot
+             |  FROM idx a JOIN idx b ON a.tok = b.tok AND a.doc < b.doc
+             |  GROUP BY 1, 2)
+             |SELECT d1, d2,
+             |  CAST(dot AS DOUBLE)
+             |    / sqrt(CAST(sa.na2 AS DOUBLE) * CAST(sb.na2 AS DOUBLE))
+             |    AS cosine
+             |FROM dots
+             |JOIN norms sa ON sa.doc = d1
+             |JOIN norms sb ON sb.doc = d2
+             |WHERE dot::HUGEINT * dot * 100 >= sa.na2::HUGEINT * sb.na2 * 49
+             |ORDER BY d1, d2""".stripMargin)),
+
     // content-defined chunking: hash-selected token boundaries (divisor
     // 16), cross-doc duplicated-chunk inventory — the insertion-robust
     // dedup granularity; oracle replays the same boundary rule with a

@@ -291,6 +291,115 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** EXACT all-pairs WEIGHTED-COSINE similarity self-join (Bayardo,
+    * Ma & Srikant 2007, "Scaling Up All Pairs Similarity Search") —
+    * the rarity-aware sibling of [[prefixFilterPairs]]: features are
+    * the same distinct word-n-gram shingles, but each carries an
+    * integer idf-style weight `min(N DIV df, weightCap)`, so two docs
+    * sharing rare content score high while shared boilerplate
+    * (high-df shingles, weight → 1) barely moves the needle — the
+    * failure mode symmetric Jaccard has on templated corpora.
+    *
+    * Cosine over set-semantics idf vectors:
+    * `cos(A,B) = Σ_{t∈A∩B} w(t)² / (‖A‖·‖B‖)`, `‖A‖² = Σ_{t∈A} w(t)²`.
+    * The threshold is the RATIONAL p/q, and every pruning decision is
+    * integer arithmetic; the final guard `dot²·q² ≥ p²·‖A‖²·‖B‖²`
+    * runs in DECIMAL(38,0) (128-bit exact, never emitted as a result
+    * column), so there is no float anywhere a decision is made.
+    *
+    * Why the prefix prunes EXACTLY (the suffix-norm bound): sort each
+    * doc's features by one global order (df ascending, then feature —
+    * heaviest first); let tail²(r) be the weight-squared sum from rank
+    * r on. If every shared feature of a pair sits at ranks with
+    * `tail²(r)·q² < p²·‖A‖²`, Cauchy-Schwarz gives
+    * `dot ≤ √tail²·‖B‖ < (p/q)·‖A‖·‖B‖` — the pair cannot qualify. So
+    * a qualifying pair must share a feature ranked while
+    * `tail²·q² ≥ p²·‖A‖²` — the PREFIX — and probing prefix rows
+    * against the FULL index (not prefix×prefix: the second shared
+    * feature may sit in the partner's suffix) finds every qualifying
+    * pair. The norm-ratio filter rides the join:
+    * `dot ≤ min(‖A‖², ‖B‖²)` for idf-set vectors forces
+    * `q²·‖A‖² ≥ p²·‖B‖²` both ways.
+    *
+    * Shape at scale: df table is one partial aggregate; the rank order
+    * lives in each doc's SORTED feature array (window only over the
+    * doc partition — the safe class); prefix rows carry the rarest
+    * features, whose df is exactly what bounds the index fan-out; the
+    * verify joins each candidate pair to two pre-materialized arrays
+    * and folds the dot product map-side. No all-pairs product, no df
+    * cap, no false negatives — the oracle computes the UNFILTERED
+    * pairwise truth, so a pair lost to the prefix join breaks the gate.
+    *
+    * Overflow contract: single products stay under 2^63 for
+    * `‖A‖² ≤ 4·10^14/q²`; the dot² guard is 128-bit. Default cap 1000
+    * keeps w² ≤ 10^6, so docs up to ~10^8 distinct shingles are safe.
+    */
+  def cosinePrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, p: Int = 7, q: Int = 10,
+      weightCap: Long = 1000L): DataFrame = {
+    require(p >= 1 && q >= 2 && p < q,
+      s"cosine threshold p/q must be a rational in (0,1), got $p/$q")
+    require(weightCap >= 1, s"weightCap must be >= 1, got $weightCap")
+    import org.apache.spark.sql.types.DecimalType
+    // bounded driver scalar (the kmeans pattern): one count to pin N
+    // for the idf weights
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val sh = shingleRows(df, idCol, textCol, n)
+      .select(col("doc"),
+        conv(substring(md5(col("shingle").cast("binary")), 1, 14), 16, 10)
+          .cast("long").as("tok"))
+    val dfTab = sh.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val idx0 = sh.join(dfTab, "tok")
+      .withColumn("__w2",
+        expr(s"least(${nDocs}L DIV __df, ${weightCap}L) * " +
+          s"least(${nDocs}L DIV __df, ${weightCap}L)"))
+    // per-doc feature array PRE-SORTED in the global (df, tok) order —
+    // the prefix rank is the array position, the verify reads the same
+    // array; one materialization feeds both
+    val base = idx0.groupBy(col("doc"))
+      .agg(sort_array(collect_list(
+        struct(col("__df"), col("tok"), col("__w2")))).as("__arr"),
+        sum(col("__w2")).as("na2"))
+      .localCheckpoint(true)
+    val idx = base
+      .select(col("doc"), col("na2"), posexplode(col("__arr")).as(Seq("r0", "e")))
+      .select(col("doc"), col("na2"), col("r0"),
+        col("e.tok").as("tok"), col("e.__w2").as("w2"))
+    val wTail = Window.partitionBy(col("doc")).orderBy(col("r0"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = idx
+      .withColumn("__tail2", sum(col("w2")).over(wTail))
+      .filter(col("__tail2") * lit((q * q).toLong) >=
+        lit((p * p).toLong) * col("na2"))
+      .select(col("doc"), col("na2"), col("tok"))
+    val cand = prefix.as("a").join(idx.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc") =!= col("b.doc") &&
+          // norm-ratio filter, both directions (dot <= min of the norms)
+          col("a.na2") * lit((q * q).toLong) >= lit((p * p).toLong) * col("b.na2") &&
+          col("b.na2") * lit((q * q).toLong) >= lit((p * p).toLong) * col("a.na2"))
+      .select(least(col("a.doc"), col("b.doc")).as("d1"),
+        greatest(col("a.doc"), col("b.doc")).as("d2"))
+      .distinct()
+    val aSide = base.select(col("doc").as("d1"), col("__arr").as("__aa"),
+      col("na2"))
+    val bSide = base.select(col("doc").as("d2"),
+      transform(col("__arr"), e => e.getField("tok")).as("__bt"),
+      col("na2").as("nb2"))
+    cand.join(aSide, "d1").join(bSide, "d2")
+      .withColumn("dot", aggregate(col("__aa"), lit(0L), (acc, e) =>
+        acc + when(array_contains(col("__bt"), e.getField("tok")),
+          e.getField("__w2")).otherwise(0L)))
+      // the exact 128-bit decision: dot^2 q^2 >= p^2 |A|^2 |B|^2
+      .filter(col("dot").cast(DecimalType(38, 0)) * col("dot") *
+        lit((q * q).toLong) >=
+        col("na2").cast(DecimalType(38, 0)) * col("nb2") *
+          lit((p * p).toLong))
+      .select(col("d1"), col("d2"),
+        (col("dot").cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+          .as("cosine"))
+  }
+
   /** Content-defined chunking (CDC) duplicate report — the rsync/LBFS
     * trick at token granularity: a token whose hash ≡ 0 (mod `divisor`)
     * ENDS a chunk, so chunk boundaries are decided by content, not

@@ -50,6 +50,42 @@ class PrefixPhraseSpec extends SparkTestBase {
     assert(math.abs(r(0).getAs[Double]("jaccard") - 2.0 / 6.0) < 1e-12)
   }
 
+  test("weighted-cosine prefix join equals the brute-force pair set") {
+    val boiler = "all rights reserved by the site"
+    val docs = Seq(
+      1L -> s"the quick brown fox jumps over the lazy dog $boiler",
+      2L -> s"the quick brown fox jumps over the lazy cat $boiler",
+      3L -> s"a completely different set of words entirely here $boiler",
+      4L -> s"the quick brown fox jumps over the lazy dog $boiler",
+      5L -> s"another unrelated document with its own phrasing $boiler")
+    // in-test brute force with the operator's exact integer weights
+    val sets = docs.map { case (i, t) => i -> shingleSet(t) }.toMap
+    val nd = docs.size.toLong
+    val dfc = sets.values.flatten.toSeq.groupBy(identity).map {
+      case (s, xs) => s -> xs.size.toLong
+    }
+    def w2(s: String): Long = { val w = math.min(nd / dfc(s), 1000L); w * w }
+    val norms = sets.map { case (i, ss) => i -> ss.toSeq.map(w2).sum }
+    val expect = (for {
+      (i, _) <- docs; (j, _) <- docs if i < j
+      dot = (sets(i) & sets(j)).toSeq.map(w2).sum
+      if BigInt(dot) * dot * 100 >= BigInt(norms(i)) * norms(j) * 49
+    } yield (i, j)).toSet
+    assert(expect.nonEmpty)
+    val got = Dedup.cosinePrefixPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, p = 7, q = 10)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got === expect)
+    // rarity weighting: the all-boilerplate-overlap pair (1,3) scores
+    // far below identical docs (1,4)
+    val cos = Dedup.cosinePrefixPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, p = 1, q = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(cos((1L, 4L)) - 1.0) < 1e-12)
+    assert(cos((1L, 3L)) < 0.2)
+  }
+
   test("phrase occurrences count self-overlapping repeats") {
     // "a a" occurs at positions 1 and 2 of "a a a" (overlapping)
     val docs = Seq(1L -> "a a a b", 2L -> "a b a b").toDF("doc_id", "text")
