@@ -134,6 +134,49 @@ object Graph {
     r
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection as an iterated aggregate: every node starts labeled with
+    * its own id, and each round adopts the most frequent label among
+    * its neighbors (ties → smallest label, so every round is a pure
+    * deterministic function of the previous labeling and the oracle can
+    * unroll the identical rounds). After a few rounds, labels pool
+    * inside densely-connected regions — the cheap community pass that
+    * runs where modularity solvers can't.
+    *
+    * Contract matches [[pageRank]]: feed an undirected graph as BOTH
+    * directions so every node appears as a `dst` and re-labels each
+    * round. Fixed `iters`, not convergence-tested — synchronous LPA can
+    * oscillate on bipartite structure, and a deterministic round count
+    * is what keeps the result engine-reproducible (labels are ids, no
+    * RNG, no floats anywhere).
+    *
+    * Shape at scale: per round one groupBy(dst, label) partial
+    * aggregate + one groupBy(dst) argmin — both shuffle on compact
+    * longs; the static edge list is checkpointed once and label lineage
+    * is cut every `checkpointEvery` rounds like the other iterative
+    * solvers. Nothing reaches the driver.
+    *
+    * @return (node, label) after `iters` rounds
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct()
+    var lab = nodes.withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      lab = e.join(lab, e("src") === lab("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("dst"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("__nc"), col("label"))).as("label"))
+        .withColumnRenamed("dst", "node")
+      if (i % checkpointEvery == 0 && i < iters) lab = lab.localCheckpoint(true)
+    }
+    lab
+  }
+
   /** Exact triangle census over an undirected graph — the one-row
     * connectivity card (nodes, edges, wedges, triangles, global
     * clustering coefficient) that tells a pipeline whether a

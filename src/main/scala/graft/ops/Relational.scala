@@ -1184,6 +1184,50 @@ object Relational {
       },
       Some(pageRankDanglingSql(iters = 4, k = 30))),
 
+    // ---- synchronous label propagation over the part<->supplier
+    //      graph (2 deterministic rounds, most-frequent neighbor label
+    //      with min tie-break — 2 rounds keeps distinct communities on
+    //      this dense bipartite graph; by round 3 it pools to 2):
+    //      community sizes vs the same rounds unrolled as CTEs — per
+    //      round one (dst, label) aggregate plus one argmin, everything
+    //      on compact longs
+    Q(
+      "graph_label_prop",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val e = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+        Graph.labelPropagation(e, iters = 2, checkpointEvery = 2)
+          .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+          .filter(col("n_nodes") >= 2)
+          .orderBy(col("label"))
+      },
+      Some {
+        val rounds = (1 to 2).map { i =>
+          s"""l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT e.dst AS node, lp.lab, COUNT(*) AS c,
+             |      ROW_NUMBER() OVER (PARTITION BY e.dst
+             |        ORDER BY COUNT(*) DESC, lp.lab) AS rn
+             |    FROM e JOIN l${i - 1} lp ON lp.node = e.src
+             |    GROUP BY e.dst, lp.lab) t
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM lineitem),
+           |e AS (SELECT src, dst FROM e0
+           |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |l0 AS (SELECT node, node AS lab FROM nodes),
+           |$rounds
+           |SELECT lab AS label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+           |FROM l2 GROUP BY 1 HAVING COUNT(*) >= 2
+           |ORDER BY label""".stripMargin
+      }),
+
     // ---- exact triangle census over the parts-co-ordered-together
     //      graph (edge = two parts sharing an order; pair generation
     //      bounded by order width). Degree-ordered orientation caps the

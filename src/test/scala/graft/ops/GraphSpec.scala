@@ -52,6 +52,19 @@ class GraphSpec extends SparkTestBase {
     assert(dang.values.sum > plain.values.sum)
   }
 
+  test("label propagation pools labels inside communities (hand-computed)") {
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4; after 3
+    // synchronous rounds (most-frequent neighbor label, tie -> min) the
+    // hand-unrolled labeling is 1,1,1 / 3,3,3
+    val und = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L,
+      4L -> 5L, 4L -> 6L, 5L -> 6L, 3L -> 4L)
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lab = Graph.labelPropagation(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("triangle census matches hand-counted graphs") {
     // K4: 4 nodes, 6 edges, every triple a triangle -> 4 triangles,
     // wedges = 4 * C(3,2) = 12, closure = 3*4/12 = 1.0
