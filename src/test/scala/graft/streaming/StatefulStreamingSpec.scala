@@ -120,6 +120,38 @@ class StatefulStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("watermarked drain is provider-agnostic: RocksDB state store") {
+    // at deployment scale the HDFS-backed in-memory store caps state at
+    // executor heap; RocksDB spills to local disk. Same drained result
+    // and the same late-drop behavior under the swapped provider proves
+    // the queries don't lean on provider-specific semantics
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val (out, dropped) =
+        graft.ops.StreamingQueries.watermarkWindowCounts(spark, dir)
+      assert(dropped > 0L, "late rows not dropped under RocksDB")
+      val got = out.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      import spark.implicits._
+      val expect = graft.ops.Relational.events(spark, dir)
+        .filter($"ts" >= "2024-01-15 00:00:00")
+        .groupBy(window($"ts", "6 hours"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm"),
+          $"event_type", $"n")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got === expect)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("restarted query recovers aggregation state from the checkpoint") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
