@@ -177,6 +177,131 @@ object Graph {
     lab
   }
 
+  /** HyperBall / approximate neighborhood function (Boldi, Rosa &
+    * Vigna 2011, building on Palmer et al.'s ANF): per-node estimates
+    * of |ball_R(v)| — how many nodes reach v within R hops — computed
+    * by propagating [[Sketches]] HLL registers along edges instead of
+    * materializing the balls. This is THE scalable spelling of
+    * "neighborhood size / effective-diameter" analytics: exact balls
+    * explode combinatorially (the BFS closure is O(n·ball) rows),
+    * while the sketch caps every node's state at 1024 registers no
+    * matter how large its ball grows.
+    *
+    * Round update: regs_t(v) = register-wise max of regs_{t-1}(v) and
+    * regs_{t-1}(u) for every in-neighbor u→v — HLL union IS max, and
+    * max-folds commute, so the result is engine-exact (the repo's
+    * deterministic md5 HLL, [[Sketches.hllMerge]]'s argument) and the
+    * oracle replays identical rounds. Estimates come out of the same
+    * fixed-shape harmonic estimator as `sketch_hll_ndv`.
+    *
+    * Shape at scale: per round one edge⋈registers equi join (fan-out =
+    * in-ball registers, ≤ 1024/node) plus one partial-aggregated
+    * (node, bucket) max on compact longs; register lineage is cut
+    * every `checkpointEvery` rounds. Nothing reaches the driver; no
+    * node's state exceeds 1024 rows even when its ball is the whole
+    * graph.
+    *
+    * @param edges (src, dst) directed edges; feed both directions for
+    *              an undirected graph
+    * @param rounds ball radius R (fixed rounds, the iterative contract)
+    * @return (node, est_ndv): estimated |{u : dist(u→v) ≤ R}| including
+    *         v itself, for every node of the graph
+    */
+  def neighborhoodReach(edges: DataFrame, rounds: Int,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // singleton sketch {v}: one register per node, from the same
+    // md5-derived bits as every other HLL in the engine
+    var regs = Sketches.hllSketch(
+      nodes.withColumn("item", col("node")), "node", "item")
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val in = e.join(regs, e("src") === regs("node"))
+        .select(col("dst").as("node"), col("bucket"), col("m"))
+      regs = regs.unionByName(in)
+        .groupBy(col("node"), col("bucket")).agg(max(col("m")).as("m"))
+      if (r % checkpointEvery == 0 && r < rounds) regs = regs.localCheckpoint(true)
+    }
+    Sketches.hllEstimate(regs, "node")
+  }
+
+  /** The EXACT R-hop in-ball sizes — [[neighborhoodReach]]'s
+    * calibration twin (the `hllDistinct` est/exact convention): the
+    * unrolled distinct closure is affordable at test scale and on
+    * small-diameter subgraphs, and is what the sketch replaces at
+    * 100 TB. Same fixed-round contract.
+    *
+    * @return (node, exact_ball) including the node itself
+    */
+  def neighborhoodExact(edges: DataFrame, rounds: Int,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var ball = nodes.select(col("node"), col("node").as("item"))
+    for (r <- 1 to rounds) {
+      ball = ball.unionByName(
+        e.join(ball, e("src") === ball("node"))
+          .select(col("dst").as("node"), col("item")))
+        .distinct()
+      if (r % checkpointEvery == 0 && r < rounds) ball = ball.localCheckpoint(true)
+    }
+    ball.groupBy(col("node")).agg(count(lit(1)).as("exact_ball"))
+  }
+
+  /** k-core peeling (Seidman 1983 cores; the Matula–Beck peel as a
+    * fixed number of SYNCHRONOUS rounds): repeatedly delete every node
+    * whose degree in the surviving subgraph is below `k`, together with
+    * its edges. The k-core — the maximal subgraph of minimum degree ≥ k
+    * — is where community structure lives; data pipelines use it to
+    * strip low-engagement fringe (crawl leaf pages, one-off
+    * co-occurrences) before running heavier graph passes.
+    *
+    * Fixed `rounds`, not convergence-tested — the repo's iterative
+    * contract ([[labelPropagation]]): each round is a pure function of
+    * the previous edge set, so the oracle unrolls the identical rounds
+    * and the result is engine-reproducible. Surviving nodes may still
+    * sit below `k` if `rounds` stopped short of the fixed point; the
+    * returned in-subgraph degree makes that visible (all ≥ k ⟺
+    * converged ⟺ the true k-core).
+    *
+    * Shape at scale: per round one partial-aggregated degree count on a
+    * compact long key plus two semi-joins of the edge list against the
+    * surviving-node set — all equi, all AQE-splittable; the edge list
+    * is checkpointed on entry (pair generation is often the expensive
+    * upstream) and every `checkpointEvery` rounds so lineage stays
+    * bounded at any round count. Nothing reaches the driver.
+    *
+    * @param pairs0 undirected distinct edge list with `a < b` per row
+    * @param k      minimum surviving degree
+    * @param rounds number of synchronous peel rounds
+    * @return (node, deg): every surviving node with its degree in the
+    *         peeled subgraph
+    */
+  def kCore(pairs0: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def degrees(p: DataFrame): DataFrame =
+      p.select(col("a").as("n")).unionByName(p.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    var p = pairs0.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val keep = degrees(p).filter(col("d") >= k).select(col("n"))
+      p = p.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+      if (r % checkpointEvery == 0 && r < rounds) p = p.localCheckpoint(true)
+    }
+    degrees(p).select(col("n").as("node"), col("d").as("deg"))
+  }
+
   /** Exact triangle census over an undirected graph — the one-row
     * connectivity card (nodes, edges, wedges, triangles, global
     * clustering coefficient) that tells a pipeline whether a

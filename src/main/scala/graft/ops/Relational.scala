@@ -187,6 +187,102 @@ object Relational {
        |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** The [[Graph.kCore]] peel rounds unrolled as chained CTEs over the
+    * parts-co-ordered-in-≥2-distinct-orders graph: each round keeps
+    * nodes of degree ≥ k and the edges among them. `e$i` is referenced
+    * twice per round (both degree-union arms), MATERIALIZED per the
+    * binder-inlining rule. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    def degSql(e: String, d: String) =
+      s"""$d AS (
+         |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS n FROM $e
+         |    UNION ALL SELECT b AS n FROM $e) u GROUP BY 1)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""${degSql(s"e${i - 1}", s"d$i")},
+         |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b,
+       |      l1.l_orderkey AS ok
+       |    FROM lineitem l1 JOIN lineitem l2
+       |      ON l1.l_orderkey = l2.l_orderkey
+       |     AND l1.l_partkey < l2.l_partkey) t
+       |  GROUP BY a, b HAVING COUNT(*) >= 2),
+       |$peels,
+       |${degSql(s"e$rounds", "dfin")}
+       |SELECT CAST(n AS BIGINT) AS node, d AS deg FROM dfin ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled oracle for [[Graph.neighborhoodReach]] +
+    * [[Graph.neighborhoodExact]] over the undirected
+    * ≥2-distinct-co-orders part graph: HLL register propagation
+    * (register-wise MAX along edges per round, the deterministic md5
+    * spelling shared with `sketch_hll_ndv`) next to the unrolled
+    * distinct-closure ball sizes. Register/ball CTEs are referenced
+    * twice per round — MATERIALIZED per the binder-inlining rule. */
+  private def reachHllSql(rounds: Int): String = {
+    val regRounds = (1 to rounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT node, bucket, MAX(m) AS m FROM (
+         |    SELECT node, bucket, m FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.bucket, r.m
+         |    FROM e JOIN r${i - 1} r ON r.node = e.src) u
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val ballRounds = (1 to rounds).map { i =>
+      s"""x$i AS MATERIALIZED (
+         |  SELECT DISTINCT node, item FROM (
+         |    SELECT node, item FROM x${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, b.item
+         |    FROM e JOIN x${i - 1} b ON b.node = e.src) u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b,
+       |      l1.l_orderkey AS ok
+       |    FROM lineitem l1 JOIN lineitem l2
+       |      ON l1.l_orderkey = l2.l_orderkey
+       |     AND l1.l_partkey < l2.l_partkey) t
+       |  GROUP BY a, b HAVING COUNT(*) >= 2),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM p
+       |  UNION ALL SELECT b AS src, a AS dst FROM p),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |hx AS (
+       |  SELECT node,
+       |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, h >> 38 AS bucket,
+       |    CASE WHEN h % (1::BIGINT << 38) = 0 THEN 39
+       |      ELSE 39 - length(bin(h % (1::BIGINT << 38))) END AS m
+       |  FROM hx),
+       |$regRounds,
+       |est AS (
+       |  SELECT node, COUNT(*) AS n_occ,
+       |    SUM(CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << m) AS DOUBLE)) AS s_occ
+       |  FROM r$rounds GROUP BY 1),
+       |x0 AS (SELECT node, node AS item FROM nodes),
+       |$ballRounds,
+       |exact AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS exact_ball
+       |  FROM x$rounds GROUP BY 1)
+       |SELECT CAST(est.node AS BIGINT) AS node,
+       |  CAST(FLOOR(CAST(0.7213 AS DOUBLE) /
+       |    (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE)) *
+       |    CAST(1048576.0 AS DOUBLE) /
+       |    (CAST(1024 - n_occ AS DOUBLE) + s_occ)) AS BIGINT) AS est_ndv,
+       |  exact.exact_ball
+       |FROM est JOIN exact USING (node) ORDER BY node""".stripMargin
+  }
+
   /** Unrolled oracle for [[Graph.pageRankDangling]] over the DIRECTED
     * part→supplier graph: suppliers have no out-edges, so each round
     * folds their summed rank back as `dm // n` added to every node's
@@ -1270,6 +1366,54 @@ object Relational {
              |    ELSE 3 * n_triangles * 1000000 // n_wedges END AS BIGINT)
              |    AS closure_ppm
              |FROM ds, es, tri""".stripMargin)),
+
+    // ---- k-core peeling over the parts-co-ordered-in-≥2-distinct-
+    //      orders graph (the weighted-edge threshold sparsifies the
+    //      dense co-order graph into one with real core structure):
+    //      3 synchronous peel rounds at k=3, each one degree count +
+    //      two semi-joins on compact longs, vs the same rounds
+    //      unrolled as CTEs. Surviving nodes with in-subgraph degree
+    Q(
+      "graph_kcore",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+          .distinct()
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+        Graph.kCore(pairs, k = 3, rounds = 3).orderBy(col("node"))
+      },
+      Some(kCoreSql(k = 3, rounds = 3))),
+
+    // ---- HyperBall neighborhood function over the same sparse graph:
+    //      per-node 3-hop reach estimated by propagating HLL registers
+    //      along edges (state ≤ 1024 registers/node at ANY ball size —
+    //      the 100 TB spelling), gated next to the exact unrolled
+    //      closure so the estimator itself is under test
+    Q(
+      "graph_reach_hll",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+          .distinct()
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        Graph.neighborhoodReach(e, rounds = 3)
+          .join(Graph.neighborhoodExact(e, rounds = 3), "node")
+          .orderBy(col("node"))
+      },
+      Some(reachHllSql(rounds = 3))),
 
     // ---- hot-key skew profile: top-20 heaviest join keys with their
     //      traffic share — the diagnostic run before choosing a salting

@@ -93,4 +93,53 @@ class GraphSpec extends SparkTestBase {
     assert(leaves.forall(l => r(0L) > r(l)))
     assert(leaves.map(r).toSet.size === 1) // symmetric leaves tie exactly
   }
+
+  private def core(pairs: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+    Graph.kCore(pairs.toDF("a", "b"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: peels a pendant chain off a triangle, cascading") {
+    // triangle 1-2-3 plus chain 3-4-5: at k=2, node 5 (deg 1) drops in
+    // round 1, which drops 4 in round 2 — only the triangle survives
+    val g = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L)
+    assert(core(g, k = 2, rounds = 1).keySet === Set(1L, 2L, 3L, 4L))
+    assert(core(g, k = 2, rounds = 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // converged: a third round changes nothing
+    assert(core(g, k = 2, rounds = 3) === core(g, k = 2, rounds = 2))
+  }
+
+  test("kCore: degrees are within the surviving subgraph, not the input") {
+    // K4 with one pendant on node 1: pendant drops at k=3 and node 1's
+    // reported degree must be its in-core 3, not its original 4
+    val k4 = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val r = core(k4 :+ (1L -> 5L), k = 3, rounds = 2)
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: k above the max degree empties the graph") {
+    val g = Seq(1L -> 2L, 2L -> 3L)
+    assert(core(g, k = 5, rounds = 2) === Map.empty)
+  }
+
+  test("neighborhoodReach: propagated registers = sketch of the real ball") {
+    // undirected path 1-2-3-4, radius 2
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val exact = Graph.neighborhoodExact(e, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact === Map(1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 3L))
+    // HLL union is a max-fold, so R rounds of propagation must equal
+    // the sketch computed directly on the materialized ball membership
+    val balls = Map(
+      1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 3L, 4L),
+      3L -> Seq(1L, 2L, 3L, 4L), 4L -> Seq(2L, 3L, 4L))
+    val memb = balls.toSeq
+      .flatMap { case (n, items) => items.map(n -> _) }.toDF("node", "item")
+    val direct = Sketches.hllEstimate(
+      Sketches.hllSketch(memb, "node", "item"), "node")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Graph.neighborhoodReach(e, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est === direct)
+  }
 }
