@@ -2523,6 +2523,82 @@ object CorpusQueries {
              |  WHERE a.vec_id < 20) t
              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // cosine RADIUS search: every corpus row above a similarity bar —
+    // threshold cut and emitted score in exact micro integers, so the
+    // match SET (not just the ordering) is engine-identical. The plan
+    // is map-only: corpus partitioned, query batch broadcast, filter
+    // applied before anything shuffles (nothing does)
+    Q(
+      "ann_radius",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.radiusSearch(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", Dim,
+          thresholdMicro = 300000L)
+          .orderBy(col("q_id"), col("n_id"))
+      },
+      Some(s"""SELECT q_id, n_id, cos_micro FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000) AS BIGINT) AS cos_micro
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+             |  WHERE a.vec_id < 20) t
+             |WHERE cos_micro >= 300000 ORDER BY q_id, n_id""".stripMargin)),
+
+    // MMR diversified re-rank (Carbonell & Goldstein 1998): top-8
+    // candidates per query, 3 greedy picks balancing relevance against
+    // redundancy at lambda=0.7 — candidate/picked cosines floored to
+    // micro ints and lambda in ppm, so every MMR score is one BIGINT
+    // and the oracle unrolls the identical greedy rounds as CTEs
+    Q(
+      "ann_mmr_rerank",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.mmrRerank(
+          e.filter(col("vec_id") < 12), e, "vec_id", "embedding", Dim,
+          nCand = 8, k = 3, lambdaPpm = 700000L)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val qcos = cosSql("a.embedding", "b.embedding")
+        val pcos = cosSql("cn.embedding", "pn.embedding")
+        def pick(from: String, order: String, out: String) =
+          s"""$out AS MATERIALIZED (
+             |  SELECT q_id, n_id, rel FROM (
+             |    SELECT q_id, n_id, rel,
+             |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $order, n_id) AS rn
+             |    FROM $from) t WHERE rn = 1)""".stripMargin
+        def simRound(picked: String, out: String) =
+          s"""$out AS MATERIALIZED (
+             |  SELECT c.q_id, c.n_id, c.rel,
+             |    MAX(CAST(floor($pcos * 1000000) AS BIGINT)) AS ms
+             |  FROM cand c
+             |  JOIN $picked p ON p.q_id = c.q_id
+             |  JOIN embeddings cn ON cn.vec_id = c.n_id
+             |  JOIN embeddings pn ON pn.vec_id = p.n_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM $picked x
+             |    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+             |  GROUP BY c.q_id, c.n_id, c.rel)""".stripMargin
+        s"""WITH cand0 AS MATERIALIZED (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |    CAST(floor($qcos * 1000000) AS BIGINT) AS rel,
+           |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |      ORDER BY $qcos DESC, b.vec_id) AS rn
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           |  WHERE a.vec_id < 12),
+           |cand AS MATERIALIZED (SELECT q_id, n_id, rel FROM cand0 WHERE rn <= 8),
+           |${pick("cand", "rel DESC", "p1")},
+           |${simRound("p1", "s2")},
+           |${pick("s2", "(700000 * rel - 300000 * ms) DESC", "p2")},
+           |pk2 AS MATERIALIZED (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+           |${simRound("pk2", "s3")},
+           |${pick("s3", "(700000 * rel - 300000 * ms) DESC", "p3")}
+           |SELECT q_id, rank, n_id, rel AS rel_micro FROM (
+           |  SELECT q_id, CAST(1 AS INT) AS rank, n_id, rel FROM p1
+           |  UNION ALL SELECT q_id, CAST(2 AS INT) AS rank, n_id, rel FROM p2
+           |  UNION ALL SELECT q_id, CAST(3 AS INT) AS rank, n_id, rel FROM p3) u
+           |ORDER BY q_id, rank""".stripMargin
+      }),
+
     // int8-quantized brute force: 4x less memory/bandwidth than float,
     // ranking by EXACT integer dot product (floor quantization over an
     // explicit double intermediate — engine-identical)

@@ -127,6 +127,134 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Cosine RADIUS (range) search: every corpus row whose cosine to a
+    * query meets `thresholdMicro` (micro-units, i.e. 450000 = 0.45) —
+    * the retrieval dual of [[cosineTopK]] when the caller wants "all
+    * matches above a similarity bar", not a fixed k (candidate
+    * harvesting for RAG, near-duplicate screens against a probe set).
+    *
+    * The cosine is floored to exact micro integers (one fixed shape of
+    * correctly-rounded double ops, the [[labelOutliers]] discipline), so
+    * the threshold cut and the emitted score are engine-identical.
+    *
+    * Scale shape — strictly simpler than top-k: corpus partitioned,
+    * query batch broadcast, and the threshold filter applies MAP-SIDE,
+    * so the operator is shuffle-free end to end (no heap, no groupBy);
+    * output volume is data-scaled by construction (it IS the match
+    * set). A 100 TB corpus streams through at scan speed.
+    */
+  def radiusSearch(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      thresholdMicro: Long): DataFrame = {
+    require(thresholdMicro >= -1000000L && thresholdMicro <= 1000000L,
+      s"thresholdMicro must be a cosine in micro-units, got $thresholdMicro")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("q_nrm"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("n_nrm"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos_micro",
+        floor(dot(col("q_v"), col("n_v"), dim) /
+          (col("q_nrm") * col("n_nrm")) * lit(1000000.0)).cast("long"))
+      .filter(col("cos_micro") >= lit(thresholdMicro))
+      .select(col("q_id"), col("n_id"), col("cos_micro"))
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * from each query's `nCand` most-similar candidates, greedily keep
+    * `k` that balance relevance against redundancy —
+    * {{{
+    *   pick_t = argmax_c  λ·rel(q,c) − (1−λ)·max_{p∈picked} sim(c,p)
+    * }}}
+    * the standard diversity pass between retrieval and prompt assembly
+    * (dense near-duplicate candidates collapse to one representative).
+    *
+    * Engine-exact: relevance and candidate↔picked similarities are
+    * cosines floored to micro integers, λ is ppm, so every MMR score is
+    * one BIGINT expression — both engines rank identically, ties to the
+    * lowest candidate id. Candidate selection reuses the [[cosineTopK]]
+    * ordering (raw double cosine desc, then id).
+    *
+    * Scale shape: candidate generation is the broadcast-queries linear
+    * scan with the k-capped heap; everything after runs on the
+    * #queries × nCand frame — each greedy round is one equi join on
+    * q_id with fan-out ≤ t picked rows, one partial-aggregated max per
+    * candidate, one per-query argmax. k driver-UNROLLED rounds (fixed
+    * plan depth, no data-dependent iteration), nothing collected.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      nCand: Int, k: Int, lambdaPpm: Long): DataFrame = {
+    require(k >= 1 && nCand >= k, s"need nCand >= k >= 1, got nCand=$nCand k=$k")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1000000], got $lambdaPpm")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("q_nrm"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("n_nrm"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
+    // top-nCand ids per query via the bounded heap, vectors re-attached
+    // by one equi join (the heap carries only (score, id))
+    val candIds = scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("cos"), col("n_id").cast("long"), nCand).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("n_id"))
+    val cand = candIds
+      .join(c.select(col("n_id").cast("long").as("n_id"), col("n_v"),
+        col("n_nrm")), "n_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("rel_micro",
+        floor(dot(col("q_v"), col("n_v"), dim) /
+          (col("q_nrm") * col("n_nrm")) * lit(1000000.0)).cast("long"))
+      .select(col("q_id"), col("n_id"), col("n_v"), col("n_nrm"),
+        col("rel_micro"))
+    val lam = lambdaPpm
+    val oneMinus = 1000000L - lambdaPpm
+    var picked: DataFrame = null // (q_id, rank, n_id, n_v, n_nrm, rel_micro)
+    var remaining = cand
+    for (t <- 1 to k) {
+      val sel =
+        if (t == 1)
+          // empty picked set: the redundancy term is 0, argmax rel
+          remaining.groupBy(col("q_id"))
+            .agg(max_by(
+              struct(col("n_id"), col("n_v"), col("n_nrm"), col("rel_micro")),
+              struct(col("rel_micro"), -col("n_id"))).as("w"))
+            .select(col("q_id"), lit(t).cast("int").as("rank"),
+              col("w.n_id").as("n_id"), col("w.n_v").as("n_v"),
+              col("w.n_nrm").as("n_nrm"), col("w.rel_micro").as("rel_micro"))
+        else {
+          val p = picked.select(col("q_id"), col("n_v").as("p_v"),
+            col("n_nrm").as("p_nrm"))
+          remaining.join(p, "q_id")
+            .withColumn("sim_micro",
+              floor(dot(col("n_v"), col("p_v"), dim) /
+                (col("n_nrm") * col("p_nrm")) * lit(1000000.0)).cast("long"))
+            .groupBy(col("q_id"), col("n_id"))
+            // n_v/n_nrm/rel_micro are constant within the group
+            .agg(first(col("n_v")).as("n_v"), first(col("n_nrm")).as("n_nrm"),
+              first(col("rel_micro")).as("rel_micro"),
+              max(col("sim_micro")).as("ms"))
+            .withColumn("mmr",
+              lit(lam) * col("rel_micro") - lit(oneMinus) * col("ms"))
+            .groupBy(col("q_id"))
+            .agg(max_by(
+              struct(col("n_id"), col("n_v"), col("n_nrm"), col("rel_micro")),
+              struct(col("mmr"), -col("n_id"))).as("w"))
+            .select(col("q_id"), lit(t).cast("int").as("rank"),
+              col("w.n_id").as("n_id"), col("w.n_v").as("n_v"),
+              col("w.n_nrm").as("n_nrm"), col("w.rel_micro").as("rel_micro"))
+        }
+      picked = if (t == 1) sel else picked.unionByName(sel)
+      remaining = remaining
+        .join(sel.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
+          "left_anti")
+    }
+    picked.select(col("q_id"), col("rank"), col("n_id"), col("rel_micro"))
+  }
+
   /** Quantize a float vector to integers: round(v*1000). Every later
     * k-means aggregate then runs on exact integers — element sums are
     * order-independent and exact in double below 2^53, so Spark and the

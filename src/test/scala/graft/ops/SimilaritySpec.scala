@@ -149,4 +149,50 @@ class SimilaritySpec extends SparkTestBase {
       assert(report(qid) ===
         (exSet intersect iv.getOrElse(qid, Set.empty)).size.toLong)
   }
+
+  test("radiusSearch: exactly the pairs at/above the micro threshold") {
+    val q = emb.filter(col("vec_id") < 10)
+    val got = Similarity.radiusSearch(q, emb, "vec_id", "embedding", dim,
+      thresholdMicro = 250000L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.nonEmpty, "threshold too high for the fixture corpus")
+    assert(got.values.forall(_ >= 250000L))
+    assert(got.keys.forall { case (a, b) => a != b })
+    // cross-check against the exhaustive scored scan
+    val all = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim,
+      k = emb.count().toInt).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        math.floor(r.getDouble(3) * 1000000).toLong)).toMap
+    assert(got.keySet === all.filter(_._2 >= 250000L).keySet)
+    got.foreach { case (k2, v) => assert(all(k2) === v) }
+  }
+
+  test("mmrRerank: first pick is the relevance argmax, later picks trade") {
+    val q = emb.filter(col("vec_id") < 6)
+    val out = Similarity.mmrRerank(q, emb, "vec_id", "embedding", dim,
+      nCand = 8, k = 3, lambdaPpm = 700000L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size === 6)
+    for ((qid, rows) <- byQ) {
+      assert(rows.map(_._2).sorted === Array(1, 2, 3))
+      assert(rows.map(_._3).distinct.length === 3, "picks must be distinct")
+      assert(rows.forall(_._3 != qid), "self-match must be excluded")
+      // rank-1 = top-1 of the plain relevance ranking
+      val top1 = Similarity.cosineTopK(
+        emb.filter(col("vec_id") === qid), emb, "vec_id", "embedding", dim, 1)
+        .collect().head.getLong(1)
+      assert(rows.find(_._2 == 1).get._3 === top1)
+    }
+  }
+
+  test("mmrRerank: lambda=1 degenerates to plain relevance top-k") {
+    val q = emb.filter(col("vec_id") < 6)
+    val mmr = Similarity.mmrRerank(q, emb, "vec_id", "embedding", dim,
+      nCand = 8, k = 3, lambdaPpm = 1000000L).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rel = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(mmr === rel)
+  }
 }
