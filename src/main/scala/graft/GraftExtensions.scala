@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, HyperplaneBucket, QuantizeInt8, RollingHash, StripAccents, TextFunctions, TopKByScore}
+import graft.functions.{DotProduct, HyperplaneBucket, QuantizeInt8, RollingHash, SortedIntersectSum, StripAccents, TextFunctions, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.IntegerType
   *   - hyperplane_bucket(arr, planes)     → bigint LSH bucket id
   *   - top_k_by_score(score, id, k)       → array<struct<id,score>> agg
   *   - strip_accents(text)                → string (NFD, drop Mn marks)
+  *   - sorted_intersect_sum(ak, aw, bk)   → bigint Σ aw over ak∩bk (sorted merge)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -62,7 +63,10 @@ object GraftExtensions {
         TopKByScore(a(0), a(1), intLit(a(2), "top_k_by_score", "k"))
           .toAggregateExpression() }),
     "strip_accents" -> ((cs: Seq[Expression]) =>
-      StripAccents(args(cs, 1, "strip_accents").head)))
+      StripAccents(args(cs, 1, "strip_accents").head)),
+    "sorted_intersect_sum" -> ((cs: Seq[Expression]) =>
+      { val a = args(cs, 3, "sorted_intersect_sum")
+        SortedIntersectSum(a(0), a(1), a(2)) }))
 
   /** Register every graft function on an already-built session. */
   def registerAll(spark: SparkSession): Unit =

@@ -325,8 +325,10 @@ object Dedup {
     * lives in each doc's SORTED feature array (window only over the
     * doc partition — the safe class); prefix rows carry the rarest
     * features, whose df is exactly what bounds the index fan-out; the
-    * verify joins each candidate pair to two pre-materialized arrays
-    * and folds the dot product map-side. No all-pairs product, no df
+    * verify joins each candidate pair to two pre-materialized
+    * tok-sorted arrays and computes the dot product map-side with the
+    * codegen'd [[graft.functions.SortedIntersectSum]] two-pointer merge
+    * — O(|A|+|B|) per pair, no shuffle fan-out. No all-pairs product, no df
     * cap, no false negatives — the oracle computes the UNFILTERED
     * pairwise truth, so a pair lost to the prefix join breaks the gate.
     *
@@ -359,6 +361,11 @@ object Dedup {
     val base = idx0.groupBy(col("doc"))
       .agg(sort_array(collect_list(
         struct(col("__df"), col("tok"), col("__w2")))).as("__arr"),
+        // tok-sorted twin of __arr for the verify merge: the same
+        // features re-sorted by the feature id so the dot product is
+        // one two-pointer pass (struct sort_array orders by the first
+        // field; toks are distinct per doc, so the order is total)
+        sort_array(collect_list(struct(col("tok"), col("__w2")))).as("__tk"),
         sum(col("__w2")).as("na2"))
       .localCheckpoint(true)
     val idx = base
@@ -380,15 +387,16 @@ object Dedup {
       .select(least(col("a.doc"), col("b.doc")).as("d1"),
         greatest(col("a.doc"), col("b.doc")).as("d2"))
       .distinct()
-    val aSide = base.select(col("doc").as("d1"), col("__arr").as("__aa"),
+    val aSide = base.select(col("doc").as("d1"),
+      transform(col("__tk"), e => e.getField("tok")).as("__at"),
+      transform(col("__tk"), e => e.getField("__w2")).as("__aw"),
       col("na2"))
     val bSide = base.select(col("doc").as("d2"),
-      transform(col("__arr"), e => e.getField("tok")).as("__bt"),
+      transform(col("__tk"), e => e.getField("tok")).as("__bt"),
       col("na2").as("nb2"))
     cand.join(aSide, "d1").join(bSide, "d2")
-      .withColumn("dot", aggregate(col("__aa"), lit(0L), (acc, e) =>
-        acc + when(array_contains(col("__bt"), e.getField("tok")),
-          e.getField("__w2")).otherwise(0L)))
+      .withColumn("dot", graft.functions.SortedIntersectSum
+        .sorted_intersect_sum(col("__at"), col("__aw"), col("__bt")))
       // the exact 128-bit decision: dot^2 q^2 >= p^2 |A|^2 |B|^2
       .filter(col("dot").cast(DecimalType(38, 0)) * col("dot") *
         lit((q * q).toLong) >=

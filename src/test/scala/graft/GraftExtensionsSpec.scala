@@ -40,6 +40,32 @@ class GraftExtensionsSpec extends SparkTestBase {
       "SELECT top_k_by_score(s, id, 2) AS t FROM scores")
       .selectExpr("inline(t)").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(top.toSeq === Seq((1L, 0.9), (3L, 0.7)))
+
+    val sis = spark.sql(
+      "SELECT sorted_intersect_sum(array(1L, 3L, 5L, 9L), " +
+        "array(10L, 20L, 30L, 40L), array(2L, 3L, 9L, 11L)) AS s")
+      .collect()(0).getLong(0)
+    assert(sis === 60L) // keys 3 and 9 shared -> 20 + 40
+  }
+
+  test("sorted_intersect_sum matches the aggregate+array_contains fold") {
+    GraftExtensions.registerAll(spark)
+    // randomized cross-check: the merge must equal the quadratic fold on
+    // sorted duplicate-free keys, including empty and disjoint inputs
+    val rnd = new scala.util.Random(7)
+    val cases = (Seq(Seq.empty[Long], Seq(5L)) ++ (1 to 20).map(_ =>
+      rnd.shuffle((0L to 40L).toVector).take(rnd.nextInt(12)).sorted.toSeq))
+    for (a <- cases; b <- cases.take(8)) {
+      val aw = a.map(k => k * 7 + 1)
+      val df = Seq((a.toArray, aw.toArray, b.toArray)).toDF("ak", "aw", "bk")
+      val merged = df.select(functions.SortedIntersectSum
+        .sorted_intersect_sum($"ak", $"aw", $"bk")).collect()(0).getLong(0)
+      val folded = df.select(aggregate(zip_with($"ak", $"aw",
+        (k, w) => struct(k.as("k"), w.as("w"))), lit(0L),
+        (acc, e) => acc + when(array_contains($"bk", e.getField("k")),
+          e.getField("w")).otherwise(0L))).collect()(0).getLong(0)
+      assert(merged === folded, s"a=$a b=$b")
+    }
   }
 
   test("non-literal k is rejected with a clear message") {
