@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, HyperplaneBucket, QuantizeInt8, RollingHash, SortedIntersectSum, StripAccents, TextFunctions, TopKByScore}
+import graft.functions.{DotProduct, HyperplaneBucket, QuantizeInt8, RollingHash, SortedIntersectCount, SortedIntersectSum, StripAccents, TextFunctions, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.IntegerType
   *   - top_k_by_score(score, id, k)       → array<struct<id,score>> agg
   *   - strip_accents(text)                → string (NFD, drop Mn marks)
   *   - sorted_intersect_sum(ak, aw, bk)   → bigint Σ aw over ak∩bk (sorted merge)
+  *   - sorted_intersect_count(ak, bk)     → bigint |ak∩bk| (sorted merge)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -66,7 +67,10 @@ object GraftExtensions {
       StripAccents(args(cs, 1, "strip_accents").head)),
     "sorted_intersect_sum" -> ((cs: Seq[Expression]) =>
       { val a = args(cs, 3, "sorted_intersect_sum")
-        SortedIntersectSum(a(0), a(1), a(2)) }))
+        SortedIntersectSum(a(0), a(1), a(2)) }),
+    "sorted_intersect_count" -> ((cs: Seq[Expression]) =>
+      { val a = args(cs, 2, "sorted_intersect_count")
+        SortedIntersectCount(a(0), a(1)) }))
 
   /** Register every graft function on an already-built session. */
   def registerAll(spark: SparkSession): Unit =

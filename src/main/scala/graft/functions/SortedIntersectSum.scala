@@ -98,3 +98,74 @@ object SortedIntersectSum {
       GraftSqlShims.toExpression(aWeights),
       GraftSqlShims.toExpression(bKeys)))
 }
+
+/** Unweighted sibling of [[SortedIntersectSum]]: `|A ∩ B|` over two
+  * SORTED duplicate-free long arrays as one codegen'd two-pointer
+  * merge. This is the per-edge kernel of the adjacency-intersection
+  * triangle count (`Graph.triangleStats`): `|N⁺(u) ∩ N⁺(v)|` per
+  * oriented edge, map-side, instead of materializing and shuffling
+  * every wedge. Same sortedness contract as the weighted form.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left) && isLongArray(right))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "sorted_intersect_count needs two array<bigint> args, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ak = a.asInstanceOf[ArrayData]
+    val bk = b.asInstanceOf[ArrayData]
+    val na = ak.numElements(); val nb = bk.numElements()
+    var i = 0; var j = 0; var acc = 0L
+    while (i < na && j < nb) {
+      val x = ak.getLong(i); val y = bk.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { acc += 1L; i += 1; j += 1 }
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $acc = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x < $y) { $i++; }
+         |  else if ($x > $y) { $j++; }
+         |  else { $acc += 1L; $i++; $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def sorted_intersect_count(aKeys: Column, bKeys: Column): Column =
+    GraftSqlShims.toColumn(SortedIntersectCount(
+      GraftSqlShims.toExpression(aKeys), GraftSqlShims.toExpression(bKeys)))
+}

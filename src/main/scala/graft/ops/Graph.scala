@@ -319,9 +319,15 @@ object Graph {
     * hub vertices, the classic last-reducer killer, generate NO wedges
     * at all because all their edges point inward.
     *
-    * Shape at scale: two hash joins to attach degrees, one equi
-    * self-join on the oriented source (bounded fan-out, above), one
-    * equi join of candidate closing edges against the edge list, then
+    * Shape at scale: two hash joins to attach degrees, then the
+    * edge-iterator spelling of the closed-wedge count — each oriented
+    * edge (u,v) contributes `|N⁺(u) ∩ N⁺(v)|`, a codegen'd two-pointer
+    * merge ([[graft.functions.SortedIntersectCount]]) over the two
+    * sorted out-neighbor arrays (each ≤ O(√m) long by the orientation
+    * bound, so no adjacency row is ever skew-heavy). The wedge set —
+    * Σ outdeg² rows, the dominant volume of the naive plan — is never
+    * materialized or shuffled; total merge work is
+    * Σ_(u,v) outdeg(u)+outdeg(v) = O(m·√m) flat map-side steps. Then
     * three single-row aggregates cross-joined broadcast (bounded by
     * construction — the [[pageRankDangling]] pattern). Integer ppm
     * clustering: 3·triangles·10^6 DIV wedges, exact in BIGINT.
@@ -331,8 +337,12 @@ object Graph {
     *         closure_ppm)
     */
   def triangleStats(pairs0: DataFrame): DataFrame = {
+    // checkpoint on entry (the kCore discipline): the edge list feeds
+    // FOUR consumers (degrees, orientation, the closing-edge join, the
+    // edge count) and pair generation is usually the expensive upstream
+    // — without the cut, it re-executes per consumer
     val pairs = pairs0.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b"))
+      col("b").cast("long").as("b")).localCheckpoint(true)
     val deg = pairs.select(col("a").as("n"))
       .unionByName(pairs.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -344,12 +354,24 @@ object Graph {
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"))
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .select(col("e1.v").as("a"), col("e2.v").as("b"))
-    val tri = wedges.join(pairs, Seq("a", "b"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // adjacency-intersection count (the edge-iterator with sorted
+    // neighbor lists): per oriented edge (u,v), triangles closing it =
+    // |N⁺(u) ∩ N⁺(v)|, computed by the codegen'd two-pointer merge.
+    // Equivalent to the wedge join + closing-edge check, but the wedge
+    // set — Σ outdeg² rows, the dominant volume — is never materialized
+    // or shuffled; work per edge is outdeg(u)+outdeg(v) ≤ O(√m) map-side
+    // steps after two equi joins against the node-cardinality adjacency
+    // table. Edges whose head has no out-edges contribute 0 and drop in
+    // the inner join.
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tri = oriented
+      .join(adj, "u")
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nbrs_v")), "v")
+      .agg(sum(graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("nbrs"), col("nbrs_v")))
+        .as("n_triangles"))
+      .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
     val edgeStats = pairs.agg(count(lit(1)).as("n_edges"))

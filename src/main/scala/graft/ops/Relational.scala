@@ -1326,11 +1326,11 @@ object Relational {
 
     // ---- exact triangle census over the parts-co-ordered-together
     //      graph (edge = two parts sharing an order; pair generation
-    //      bounded by order width). Degree-ordered orientation caps the
-    //      wedge-join fan-out at O(sqrt(m)) per vertex — the hub-proof
-    //      distributed triangle count — and the closing-edge check is
-    //      one equi join against the edge list. One-row card:
-    //      nodes/edges/wedges/triangles/global clustering ppm.
+    //      bounded by order width). Degree-ordered orientation caps
+    //      out-degree at O(sqrt(m)) — the hub-proof distributed count —
+    //      and closed wedges are counted per edge by a codegen'd merge
+    //      over sorted out-neighbor lists (no wedge materialization).
+    //      One-row card: nodes/edges/wedges/triangles/clustering ppm.
     Q(
       "graph_triangles",
       (s, dir) => {

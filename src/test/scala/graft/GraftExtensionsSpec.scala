@@ -46,6 +46,11 @@ class GraftExtensionsSpec extends SparkTestBase {
         "array(10L, 20L, 30L, 40L), array(2L, 3L, 9L, 11L)) AS s")
       .collect()(0).getLong(0)
     assert(sis === 60L) // keys 3 and 9 shared -> 20 + 40
+
+    val sic = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L, 9L), " +
+        "array(2L, 3L, 9L, 11L)) AS c").collect()(0).getLong(0)
+    assert(sic === 2L)
   }
 
   test("sorted_intersect_sum matches the aggregate+array_contains fold") {
