@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge tables — the link-analysis
@@ -227,6 +228,62 @@ object Graph {
       if (r % checkpointEvery == 0 && r < rounds) regs = regs.localCheckpoint(true)
     }
     Sketches.hllEstimate(regs, "node")
+  }
+
+  /** Distance distribution + effective diameter (the HyperBall
+    * deliverable, Boldi–Rosa–Vigna 2011 §5): `pairs_est(r)` = estimated
+    * number of ordered node pairs within distance ≤ r, one row per
+    * round, plus the smallest radius covering ≥ 90% of the reachable
+    * pairs — the "effective diameter" that tells a pipeline whether a
+    * link graph is small-world (spam farms cluster tight; organic webs
+    * don't).
+    *
+    * Built on [[neighborhoodReach]]'s register propagation with a
+    * per-round snapshot: after round r, one (node → est) estimate and
+    * one global sum. Register state is checkpointed EVERY round here
+    * (each snapshot is a consumer, so lineage would otherwise re-run
+    * earlier rounds per snapshot). The per-node inverse-register sum is
+    * exact in double (≤1024 terms, each a power-of-two reciprocal with
+    * m ≤ 39 — representable and rounding-free at 53 mantissa bits), so
+    * both engines produce identical estimates in any aggregation order.
+    *
+    * `eff_round` decides by integer cross-multiplication
+    * (`pairs_est(r)·10 ≥ pairs_est(R)·9`) against the LAST round — at a
+    * radius below the true diameter that is "90% of pairs within R", the
+    * documented fixed-rounds contract.
+    *
+    * @return (round 1..R, pairs_est, eff_round) — eff_round constant
+    *         across rows
+    */
+  def distanceDistribution(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var regs = Sketches.hllSketch(
+      nodes.withColumn("item", col("node")), "node", "item")
+      .localCheckpoint(true)
+    val snaps = (1 to rounds).map { r =>
+      val in = e.join(regs, e("src") === regs("node"))
+        .select(col("dst").as("node"), col("bucket"), col("m"))
+      regs = regs.unionByName(in)
+        .groupBy(col("node"), col("bucket")).agg(max(col("m")).as("m"))
+        .localCheckpoint(true)
+      Sketches.hllEstimate(regs, "node")
+        .agg(sum(col("est_ndv")).as("pairs_est"))
+        .select(lit(r).cast("int").as("round"), col("pairs_est"))
+    }
+    val dist = snaps.reduce(_ unionByName _)
+    // bounded window: exactly `rounds` rows
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dist
+      .withColumn("__last", max(struct(col("round"), col("pairs_est"))).over(wAll))
+      .withColumn("eff_round",
+        min(when(col("pairs_est") * 10L >= col("__last.pairs_est") * 9L,
+          col("round"))).over(wAll))
+      .select(col("round"), col("pairs_est"), col("eff_round"))
   }
 
   /** The EXACT R-hop in-ball sizes — [[neighborhoodReach]]'s

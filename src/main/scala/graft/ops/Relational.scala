@@ -283,6 +283,71 @@ object Relational {
        |FROM est JOIN exact USING (node) ORDER BY node""".stripMargin
   }
 
+  /** Unrolled oracle for [[Graph.distanceDistribution]]: the
+    * [[reachHllSql]] register rounds, but snapshotting the global
+    * estimated pair count after EVERY round and deriving the 90%
+    * effective radius by integer cross-multiplication against the last
+    * round. Register CTEs referenced twice per round — MATERIALIZED per
+    * the binder-inlining rule. */
+  private def effDiameterSql(rounds: Int): String = {
+    val regRounds = (1 to rounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT node, bucket, MAX(m) AS m FROM (
+         |    SELECT node, bucket, m FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.bucket, r.m
+         |    FROM e JOIN r${i - 1} r ON r.node = e.src) u
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val cards = (1 to rounds).map { i =>
+      s"""c$i AS (
+         |  SELECT CAST($i AS INT) AS round,
+         |    CAST(SUM(CAST(FLOOR(CAST(0.7213 AS DOUBLE) /
+         |      (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE)) *
+         |      CAST(1048576.0 AS DOUBLE) /
+         |      (CAST(1024 - n_occ AS DOUBLE) + s_occ)) AS BIGINT)) AS BIGINT)
+         |      AS pairs_est
+         |  FROM (
+         |    SELECT node, COUNT(*) AS n_occ,
+         |      SUM(CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << m) AS DOUBLE)) AS s_occ
+         |    FROM r$i GROUP BY 1) t)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to rounds).map(i => s"SELECT * FROM c$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b,
+       |      l1.l_orderkey AS ok
+       |    FROM lineitem l1 JOIN lineitem l2
+       |      ON l1.l_orderkey = l2.l_orderkey
+       |     AND l1.l_partkey < l2.l_partkey) t
+       |  GROUP BY a, b HAVING COUNT(*) >= 2),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM p
+       |  UNION ALL SELECT b AS src, a AS dst FROM p),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |hx AS (
+       |  SELECT node,
+       |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, h >> 38 AS bucket,
+       |    CASE WHEN h % (1::BIGINT << 38) = 0 THEN 39
+       |      ELSE 39 - length(bin(h % (1::BIGINT << 38))) END AS m
+       |  FROM hx),
+       |$regRounds,
+       |$cards,
+       |dist AS MATERIALIZED (
+       |  $unionAll),
+       |lastp AS MATERIALIZED (
+       |  SELECT pairs_est AS lp FROM dist WHERE round = $rounds),
+       |eff AS (
+       |  SELECT CAST(MIN(round) AS INT) AS eff_round
+       |  FROM dist, lastp WHERE pairs_est * 10 >= lp * 9)
+       |SELECT round, pairs_est, eff_round
+       |FROM dist, eff ORDER BY round""".stripMargin
+  }
+
   /** Unrolled oracle for [[Graph.pageRankDangling]] over the DIRECTED
     * part→supplier graph: suppliers have no out-edges, so each round
     * folds their summed rank back as `dm // n` added to every node's
@@ -1414,6 +1479,29 @@ object Relational {
           .orderBy(col("node"))
       },
       Some(reachHllSql(rounds = 3))),
+
+    // ---- distance distribution + 90% effective diameter: per-round
+    //      global reach-pair estimates from the SAME register
+    //      propagation, snapshotted after every round; the effective
+    //      radius decided by integer cross-multiplication — the
+    //      HyperBall headline statistic, state ≤ 1024 registers/node
+    Q(
+      "graph_eff_diameter",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+          .distinct()
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+        val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        Graph.distanceDistribution(e, rounds = 3).orderBy(col("round"))
+      },
+      Some(effDiameterSql(rounds = 3))),
 
     // ---- hot-key skew profile: top-20 heaviest join keys with their
     //      traffic share — the diagnostic run before choosing a salting

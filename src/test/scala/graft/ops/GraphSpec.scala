@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Fixed-point and contract properties of the integer PageRank that no
   * single oracle row can assert.
@@ -119,6 +120,27 @@ class GraphSpec extends SparkTestBase {
   test("kCore: k above the max degree empties the graph") {
     val g = Seq(1L -> 2L, 2L -> 3L)
     assert(core(g, k = 5, rounds = 2) === Map.empty)
+  }
+
+  test("distanceDistribution: per-round sums of reach, eff rule holds") {
+    // path 1-2-3-4-5, radius 3: distribution row r must equal the sum of
+    // per-node reach estimates at radius r, and eff_round must follow the
+    // integer 90%-of-last-round rule
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val dist = Graph.distanceDistribution(e, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(dist.map(_._1).toSeq === Seq(1, 2, 3))
+    for (r <- 1 to 3) {
+      val expected = Graph.neighborhoodReach(e, rounds = r)
+        .agg(sum(col("est_ndv"))).collect()(0).getLong(0)
+      assert(dist(r - 1)._2 === expected, s"round $r")
+    }
+    val last = dist.last._2
+    val eff = dist.filter(d => d._2 * 10L >= last * 9L).map(_._1).min
+    assert(dist.map(_._3).distinct.toSeq === Seq(eff))
+    // monotone: balls only grow
+    assert(dist.map(_._2).toSeq === dist.map(_._2).sorted.toSeq)
   }
 
   test("neighborhoodReach: propagated registers = sketch of the real ball") {
