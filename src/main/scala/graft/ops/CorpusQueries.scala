@@ -1777,6 +1777,30 @@ object CorpusQueries {
           .orderBy(col("doc_id")),
       Some(clustersOracleSql)),
 
+    // leakage-safe split: the SAME near-dup clusters, split assigned by
+    // a hash of the CLUSTER id so near-duplicates can never straddle
+    // train/test — the contamination-proof split (split-by-doc leaks a
+    // test doc's twin into train at ~train-share probability)
+    Q(
+      "corpus_split_leakage_safe",
+      (s, dir) =>
+        Dedup.leakageSafeSplit(table(s, dir, "documents"), "doc_id", "text",
+          bounds = Seq("val" -> "0d", "test" -> "1a"), restLabel = "train",
+          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+          .orderBy(col("doc_id")),
+      Some {
+        // clustersOracleSql's recursive closure with the split CASE on
+        // the cluster id replacing the is_canonical flag
+        val head = clustersOracleSql.substring(0,
+          clustersOracleSql.indexOf("SELECT doc_id, cluster_id"))
+        s"""$head
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN md5(CAST(cluster_id AS VARCHAR)) < '0d' THEN 'val'
+           |       WHEN md5(CAST(cluster_id AS VARCHAR)) < '1a' THEN 'test'
+           |       ELSE 'train' END AS split
+           |FROM comp ORDER BY doc_id""".stripMargin
+      }),
+
     // same clusters, computed with the O(log n)-round star-contraction
     // solver (large-star/small-star) instead of label propagation — the
     // deep-chain-safe variant; identical output, identical oracle.

@@ -849,6 +849,37 @@ object Dedup {
         (col("id") === col("cluster")).as("is_canonical"))
   }
 
+  /** Leakage-safe train/val/test split: assign the split by a hash of
+    * the near-dup CLUSTER id, not the document id, so no two near
+    * duplicates ever straddle a split boundary. Splitting by doc id
+    * leaks evaluation data — a test document's near-verbatim twin lands
+    * in train with probability ≈ train share, and the model is then
+    * scored on memorized content (the contamination mechanism behind
+    * "deduplicate before you split"). Cluster-atomic assignment closes
+    * it by construction: members share the cluster id, the id decides
+    * the split.
+    *
+    * Hash-range semantics are [[Corpus.splitByHash]]'s (ascending md5
+    * prefix bounds, first match wins, rest label), applied to the
+    * cluster id — so split shares are governed by CLUSTER mass, the
+    * honest denominator once duplicates collapse.
+    *
+    * Scale shape: [[nearDupClusters]]'s bucketed pair discovery +
+    * O(log n) component solve, then one map-side md5 per row. Nothing
+    * new shuffles.
+    *
+    * @return (idCol, cluster_id, split) — every member of a cluster
+    *         carries the same split
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      bounds: Seq[(String, String)], restLabel: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000,
+      checkpointDir: Option[String] = None): DataFrame =
+    Corpus.splitByHash(
+      nearDupClusters(df, idCol, textCol, n, threshold, maxDf, checkpointDir),
+      "cluster_id", bounds, restLabel)
+      .select(col(idCol), col("cluster_id"), col("split"))
+
   /** [[nearDupClusters]] with the O(log n)-round star-contraction solver —
     * same output contract, chosen when clusters may chain deeply (e.g.
     * templated boilerplate where A~B~C~… links spans of documents).
