@@ -3247,6 +3247,45 @@ object CorpusQueries {
            |FROM embeddings ORDER BY vec_id""".stripMargin
       }),
 
+    // top principal direction of the embedding cloud: ONE distributed
+    // exact-integer Gram pass (map-side partial agg onto dim^2 keys),
+    // then 8 integer power-iteration rounds on the dim^2 driver state —
+    // the dominant-direction removal / whitening / drift primitive,
+    // engine-exact via the HUGEINT renormalization
+    Q(
+      "emb_top_component",
+      (s, dir) =>
+        Similarity.topComponent(table(s, dir, "embeddings"), "embedding",
+          Dim, rounds = 8)
+          .orderBy(col("dim_pos")),
+      Some {
+        val rounds = (1 to 8).map { i =>
+          s"""wp$i AS MATERIALIZED (
+             |  SELECT g.j, CAST(SUM(g.g * w.w) AS BIGINT) AS wp
+             |  FROM g JOIN w${i - 1} w ON w.j = g.k GROUP BY 1),
+             |m$i AS MATERIALIZED (SELECT MAX(ABS(wp)) AS m FROM wp$i),
+             |w$i AS MATERIALIZED (
+             |  SELECT j, CAST(CASE WHEN wp < 0
+             |    THEN -((CAST(-wp AS HUGEINT) * 1048576) // m)
+             |    ELSE ((CAST(wp AS HUGEINT) * 1048576) // m) END AS BIGINT)
+             |    AS w
+             |  FROM wp$i, m$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS MATERIALIZED (
+           |  SELECT list_transform(embedding,
+           |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |dims AS MATERIALIZED (SELECT unnest(range(1, ${Dim + 1})) AS j),
+           |g AS MATERIALIZED (
+           |  SELECT dj.j AS j, dk.j AS k,
+           |    CAST(SUM(qv[dj.j] * qv[dk.j]) AS BIGINT) AS g
+           |  FROM q, dims dj, dims dk GROUP BY 1, 2),
+           |w0 AS (SELECT j, CAST(1048576 AS BIGINT) AS w FROM dims),
+           |$rounds
+           |SELECT CAST(j - 1 AS INT) AS dim_pos, w AS component
+           |FROM w8 ORDER BY dim_pos""".stripMargin
+      }),
+
     // pairwise cosine between per-label embedding CENTROIDS: the
     // label-affinity report that sizes cross-domain dedup thresholds.
     // Milli-unit integer quantization, un-normalized integer sums as

@@ -641,6 +641,74 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Top principal direction of the embedding cloud (uncentered — the
+    * dominant eigenvector of the second-moment/Gram matrix), computed
+    * the way PCA actually scales: ONE distributed pass builds the exact
+    * integer dim×dim Gram, then power iteration runs on the DRIVER
+    * where the matrix is dim² longs — bounded state, like
+    * [[kmeansCentroids]]'s k·dim collect. The corpus is never
+    * collected, never broadcast, and the Gram pass is map-side partial
+    * aggregation onto dim² keys (each input row contributes dim²
+    * products that combine before any shuffle).
+    *
+    * Engine-exact: vectors are milli-quantized ([[quantize]]), Gram
+    * cells are exact integer sums, and each power round is an integer
+    * matvec followed by an integer renormalization
+    * `w'_j = sign(v_j) · (|v_j| · 2^20) DIV max|v|` (the 128-bit product
+    * in BigInt / HUGEINT), so the oracle unrolls identical rounds and
+    * matches bit-for-bit. Fixed `rounds`, the iterative contract.
+    *
+    * Uses: dominant-direction removal (the "all embeddings share a
+    * common component" artifact — Mu & Viswanath 2018's postprocessing),
+    * whitening preconditioners, drift monitoring between corpus
+    * versions.
+    *
+    * Overflow contract: |q| ≤ 1000·max|v|, Gram cells ≤ N·10⁶·max|v|²,
+    * matvec ≤ dim·2^20·that — safe in BIGINT for N·max|v|² up to ~10¹⁴
+    * at dim 64 (the renormalized w never exceeds 2^20).
+    *
+    * @return (dim_pos 0..dim-1, component): the quantized direction,
+    *         max-|component| = 2^20 by construction
+    */
+  def topComponent(corpus: DataFrame, vecCol: String, dim: Int,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val spark = corpus.sparkSession
+    val q = corpus.select(quantize(col(vecCol)).as("qv"))
+    // exact Gram, distributed: double index expansion fans each row out
+    // to dim² (j, k, x·y) terms map-side; hash aggregation combines onto
+    // the dim² key space BEFORE the shuffle, so shuffle volume is
+    // #partitions × dim² regardless of corpus size
+    val gRows = q
+      .select(col("qv"), posexplode(col("qv")).as(Seq("j", "x")))
+      .select(col("j"), col("x"), posexplode(col("qv")).as(Seq("k", "y")))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("x") * col("y")).as("g"))
+      .collect() // bounded: dim² rows (the kmeans collect contract)
+    require(gRows.nonEmpty, "topComponent: corpus is empty")
+    val g = Array.ofDim[Long](dim, dim)
+    gRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val scale = 1L << 20
+    var w = Array.fill(dim)(scale)
+    for (_ <- 1 to rounds) {
+      val wp = Array.tabulate(dim) { j =>
+        var acc = 0L; var k = 0
+        while (k < dim) { acc += g(j)(k) * w(k); k += 1 }
+        acc
+      }
+      val m = wp.map(math.abs).max
+      require(m > 0L, "topComponent: matvec collapsed to zero " +
+        "(rank-deficient Gram with an orthogonal start vector)")
+      w = wp.map(v =>
+        (if (v < 0) -1L else 1L) *
+          ((BigInt(math.abs(v)) * scale) / m).toLong)
+    }
+    import spark.implicits._
+    w.toSeq.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("dim_pos", "component")
+  }
+
   /** Deterministic random-projection dimensionality reduction — the
     * Johnson–Lindenstrauss sketch of the embedding column: out[j] =
     * Σ_d floor(e[d]·1000) · w(d, j), with the same integer weight

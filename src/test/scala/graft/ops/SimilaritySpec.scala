@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * brute-force scan (oracle-level equality is covered by ann_ivf_kmeans).
   */
 class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
   private val dim = CorpusQueries.Dim
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
@@ -148,6 +149,28 @@ class SimilaritySpec extends SparkTestBase {
     for ((qid, exSet) <- ex)
       assert(report(qid) ===
         (exSet intersect iv.getOrElse(qid, Set.empty)).size.toLong)
+  }
+
+  test("topComponent: finds the dominant axis, duplication-invariant") {
+    // cloud stretched along e1: x-axis variance dwarfs the rest
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[Tuple1[Seq[Float]]] = (1 to 200).map { _ =>
+      Tuple1(Seq(
+        (rnd.nextDouble() * 2 - 1).toFloat * 10f,
+        (rnd.nextDouble() * 2 - 1).toFloat,
+        (rnd.nextDouble() * 2 - 1).toFloat))
+    }.toSeq
+    val df = rows.toDF("embedding")
+    val w = Similarity.topComponent(df, "embedding", dim = 3, rounds = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(math.abs(w(0)) === (1L << 20), "dominant axis must carry max scale")
+    assert(math.abs(w(1)) < (1L << 20) / 2 && math.abs(w(2)) < (1L << 20) / 2)
+    // duplicating the corpus doubles the Gram but not the renormalized
+    // direction: (2a) DIV (2b) = a DIV b exactly — bit-identical output
+    val doubled = (rows ++ rows).toDF("embedding")
+    val w2 = Similarity.topComponent(doubled, "embedding", dim = 3, rounds = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(w2 === w)
   }
 
   test("radiusSearch: exactly the pairs at/above the micro threshold") {
