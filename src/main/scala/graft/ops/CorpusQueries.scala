@@ -829,6 +829,30 @@ object CorpusQueries {
              |FROM probe p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
              |GROUP BY 1, 2 ORDER BY true_count DESC, item""".stripMargin)),
 
+    // sketch-based join-size forecast: CMS inner product (one-sided
+    // overestimate) next to the exact frequency inner product — the
+    // pre-flight number that decides broadcast vs shuffle vs salting,
+    // here forecasting the l_partkey self-join pair volume the
+    // co-occurrence graph/dedup generators would produce
+    Q(
+      "sketch_join_size",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        Sketches.cmsJoinSize(li, "l_partkey", li, "l_partkey")
+      },
+      Some("""WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+             |pairs AS (
+             |  SELECT i,
+             |    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + 3*i, 3))::BIGINT % 1024 AS bucket
+             |  FROM keys CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii),
+             |c AS (SELECT i, bucket, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+             |est AS (
+             |  SELECT CAST(MIN(ip) AS BIGINT) AS est_pairs FROM (
+             |    SELECT i, SUM(cnt * cnt) AS ip FROM c GROUP BY 1) t),
+             |f AS (SELECT k, COUNT(*) AS fk FROM keys GROUP BY 1),
+             |ex AS (SELECT CAST(SUM(fk * fk) AS BIGINT) AS exact_pairs FROM f)
+             |SELECT est_pairs, exact_pairs FROM est, ex""".stripMargin)),
+
     // deterministic shard-export manifest: md5(id) mod N shard
     // assignment, per-shard doc/token counts and id ranges — the release
     // record of a `write.partitionBy("shard")` training export

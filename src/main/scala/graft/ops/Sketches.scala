@@ -139,6 +139,48 @@ object Sketches {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Sketch-based equi-join SIZE estimate — the pre-flight number that
+    * decides broadcast vs shuffle vs salting BEFORE paying for the
+    * join: `|A ⋈_k B| = Σ_k f_A(k)·f_B(k)`, estimated as the CMS inner
+    * product `min_i Σ_b cmsA[i,b]·cmsB[i,b]` (the AGMS/CM sketch
+    * identity: hashing keys into shared buckets preserves the
+    * frequency inner product, collisions only ADD, so every depth row
+    * — and hence the min — is a one-sided OVERestimate; the spec
+    * asserts `est ≥ exact`). Against a self-join frequency vector this
+    * is the co-occurrence pair-volume forecast for the dedup/graph
+    * pair generators.
+    *
+    * Emits the exact size next to the estimate (the `hllDistinct`
+    * est/exact gate convention): exact is affordable here and at any
+    * SF (two partial-aggregated key counts + one equi join on distinct
+    * keys), while the SKETCH is what a 100 TB planner keeps per
+    * source/day — counter tables merge cell-wise ([[cmsMerge]]) so the
+    * estimate never rescans history.
+    *
+    * Shape at scale: each sketch is one partial-aggregated count onto
+    * 4×1024 cells; the inner product joins two ≤4096-row tables. The
+    * exact side shuffles only the distinct-key count tables.
+    *
+    * @return one row: (est_pairs, exact_pairs)
+    */
+  def cmsJoinSize(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String): DataFrame = {
+    val sa = cmsSketch(a.select(col(aKey)), aKey)
+    val sb = cmsSketch(b.select(col(bKey)), bKey)
+      .select(col("i"), col("bucket"), col("cnt").as("cnt_b"))
+    val est = sa.join(sb, Seq("i", "bucket"))
+      .groupBy(col("i")).agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      // no overlapping cell on any depth row ⇒ the true inner product is
+      // 0 too — coalesce keeps the one-row card total
+      .agg(coalesce(min(col("ip")), lit(0L)).as("est_pairs"))
+    val fa = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("fa"))
+    val fb = b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, "k")
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_pairs"))
+    // two single-row sides — bounded-by-construction cross join
+    est.crossJoin(broadcast(exact))
+  }
+
   /** Log₂-bucket quantile sketch registers: one count per
     * (group, bucket) where bucket = `length(bin(v))` — floor(log₂ v)+1
     * computed exactly via the binary-string length (no float log, both

@@ -37,7 +37,11 @@ class PlanLintSpec extends SparkTestBase {
     // three SINGLE-ROW aggregates (deg stats x edge count x triangle
     // count) cross-joined broadcast into the one-row census card —
     // every side is a global aggregate (Graph.triangleStats scaladoc)
-    "graph_triangles")
+    "graph_triangles",
+    // two SINGLE-ROW aggregates (CMS inner-product min x exact inner
+    // product) cross-joined into the one-row forecast card
+    // (Sketches.cmsJoinSize scaladoc)
+    "sketch_join_size")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.

@@ -61,6 +61,25 @@ class SketchesEventStateSpec extends SparkTestBase {
     assert(rows(merged).toSet === rows(direct).toSet)
   }
 
+  test("cmsJoinSize: one-sided overestimate, exact on a collision-free key") {
+    // skewed key frequencies: exact join size = sum of squared counts
+    val a = (1 to 300).flatMap(i => Seq.fill(i % 5 + 1)(s"k${i % 40}"))
+      .toDF("k")
+    val r = Sketches.cmsJoinSize(a, "k", a, "k").collect()(0)
+    val (est, exact) = (r.getLong(0), r.getLong(1))
+    val f = a.groupBy("k").count().collect().map(_.getLong(1))
+    assert(exact === f.map(c => c * c).sum)
+    assert(est >= exact, s"inner product must not underestimate: $est < $exact")
+    // 40 keys in 1024 buckets: collisions are possible but the estimate
+    // must stay within the CMS design envelope (eps*N^2-ish, loose here)
+    assert(est <= exact * 3)
+    // disjoint key spaces: exact 0, and the est side still >= 0
+    val b = (1 to 100).map(i => s"z$i").toDF("k")
+    val r2 = Sketches.cmsJoinSize(a, "k", b, "k").collect()(0)
+    assert(r2.getLong(1) === 0L)
+    assert(r2.getLong(0) >= 0L)
+  }
+
   test("latestSnapshot breaks timestamp collisions by the tie column") {
     val df = Seq(
       (1L, 100L, 1L, "a", 1.0),
