@@ -280,6 +280,35 @@ object CorpusQueries {
     * transitive-closure walk. Shared verbatim by `dedup_clusters` (label
     * propagation) and `dedup_clusters_star` (star contraction) — the two
     * solvers must agree exactly. */
+  /** Shared CTE chain of the integer power iteration (8 rounds over the
+    * exact Gram of milli-quantized embeddings), ending at `w8(j, w)` —
+    * reused by the `emb_top_component` and `emb_top_removal` oracles. */
+  private lazy val topComponentCtes: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""wp$i AS MATERIALIZED (
+         |  SELECT g.j, CAST(SUM(g.g * w.w) AS BIGINT) AS wp
+         |  FROM g JOIN w${i - 1} w ON w.j = g.k GROUP BY 1),
+         |m$i AS MATERIALIZED (SELECT MAX(ABS(wp)) AS m FROM wp$i),
+         |w$i AS MATERIALIZED (
+         |  SELECT j, CAST(CASE WHEN wp < 0
+         |    THEN -((CAST(-wp AS HUGEINT) * 1048576) // m)
+         |    ELSE ((CAST(wp AS HUGEINT) * 1048576) // m) END AS BIGINT)
+         |    AS w
+         |  FROM wp$i, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS MATERIALIZED (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dims AS MATERIALIZED (SELECT unnest(range(1, ${Dim + 1})) AS j),
+       |g AS MATERIALIZED (
+       |  SELECT dj.j AS j, dk.j AS k,
+       |    CAST(SUM(qv[dj.j] * qv[dk.j]) AS BIGINT) AS g
+       |  FROM q, dims dj, dims dk GROUP BY 1, 2),
+       |w0 AS (SELECT j, CAST(1048576 AS BIGINT) AS w FROM dims),
+       |$rounds""".stripMargin
+  }
+
   private lazy val clustersOracleSql: String =
     s"""WITH RECURSIVE $toksCte, $shingleCte,
        |shx0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
@@ -3282,33 +3311,35 @@ object CorpusQueries {
         Similarity.topComponent(table(s, dir, "embeddings"), "embedding",
           Dim, rounds = 8)
           .orderBy(col("dim_pos")),
-      Some {
-        val rounds = (1 to 8).map { i =>
-          s"""wp$i AS MATERIALIZED (
-             |  SELECT g.j, CAST(SUM(g.g * w.w) AS BIGINT) AS wp
-             |  FROM g JOIN w${i - 1} w ON w.j = g.k GROUP BY 1),
-             |m$i AS MATERIALIZED (SELECT MAX(ABS(wp)) AS m FROM wp$i),
-             |w$i AS MATERIALIZED (
-             |  SELECT j, CAST(CASE WHEN wp < 0
-             |    THEN -((CAST(-wp AS HUGEINT) * 1048576) // m)
-             |    ELSE ((CAST(wp AS HUGEINT) * 1048576) // m) END AS BIGINT)
-             |    AS w
-             |  FROM wp$i, m$i)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH q AS MATERIALIZED (
-           |  SELECT list_transform(embedding,
-           |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-           |  FROM embeddings),
-           |dims AS MATERIALIZED (SELECT unnest(range(1, ${Dim + 1})) AS j),
-           |g AS MATERIALIZED (
-           |  SELECT dj.j AS j, dk.j AS k,
-           |    CAST(SUM(qv[dj.j] * qv[dk.j]) AS BIGINT) AS g
-           |  FROM q, dims dj, dims dk GROUP BY 1, 2),
-           |w0 AS (SELECT j, CAST(1048576 AS BIGINT) AS w FROM dims),
-           |$rounds
-           |SELECT CAST(j - 1 AS INT) AS dim_pos, w AS component
-           |FROM w8 ORDER BY dim_pos""".stripMargin
-      }),
+      Some(s"""WITH $topComponentCtes
+             |SELECT CAST(j - 1 AS INT) AS dim_pos, w AS component
+             |FROM w8 ORDER BY dim_pos""".stripMargin)),
+
+    // dominant-direction removal (all-but-the-top, first direction):
+    // residuals scaled by ||w||^2 so every output is one exact integer
+    // and resid . w = 0 is an algebraic identity — one map-only pass
+    // with w riding as literals after the bounded driver eigensolve
+    Q(
+      "emb_top_removal",
+      (s, dir) =>
+        Similarity.removeTopComponent(table(s, dir, "embeddings"),
+          "vec_id", "embedding", Dim, rounds = 8)
+          .orderBy(col("vec_id"), col("dim_pos")),
+      Some(s"""WITH $topComponentCtes,
+             |wsq AS MATERIALIZED (
+             |  SELECT CAST(SUM(w * w) AS BIGINT) AS ww FROM w8),
+             |qd AS MATERIALIZED (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |d AS MATERIALIZED (
+             |  SELECT vec_id, CAST(SUM(qd.qv[w.j] * w.w) AS BIGINT) AS d
+             |  FROM qd, w8 w GROUP BY 1)
+             |SELECT qd.vec_id, CAST(w.j - 1 AS INT) AS dim_pos,
+             |  CAST(qd.qv[w.j] * ww - d.d * w.w AS BIGINT) AS resid
+             |FROM qd, w8 w, wsq, d
+             |WHERE d.vec_id = qd.vec_id
+             |ORDER BY qd.vec_id, dim_pos""".stripMargin)),
 
     // pairwise cosine between per-label embedding CENTROIDS: the
     // label-affinity report that sizes cross-domain dedup thresholds.

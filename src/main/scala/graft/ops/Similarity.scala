@@ -672,9 +672,20 @@ object Similarity {
     */
   def topComponent(corpus: DataFrame, vecCol: String, dim: Int,
       rounds: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val w = topComponentVector(corpus, vecCol, dim, rounds)
+    import spark.implicits._
+    w.toSeq.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("dim_pos", "component")
+  }
+
+  /** [[topComponent]]'s driver-side core: the quantized direction as an
+    * array (the bounded dim-long driver value downstream operators — the
+    * residualizer — fold back in as literals). */
+  private[ops] def topComponentVector(corpus: DataFrame, vecCol: String,
+      dim: Int, rounds: Int): Array[Long] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val spark = corpus.sparkSession
     val q = corpus.select(quantize(col(vecCol)).as("qv"))
     // exact Gram, distributed: double index expansion fans each row out
     // to dim² (j, k, x·y) terms map-side; hash aggregation combines onto
@@ -704,9 +715,49 @@ object Similarity {
         (if (v < 0) -1L else 1L) *
           ((BigInt(math.abs(v)) * scale) / m).toLong)
     }
-    import spark.implicits._
-    w.toSeq.zipWithIndex.map { case (c, j) => (j, c) }
-      .toDF("dim_pos", "component")
+    w
+  }
+
+  /** Dominant-direction removal (Mu & Viswanath 2018's "all-but-the-top"
+    * postprocess, first direction): subtract each embedding's projection
+    * onto [[topComponent]]'s direction, emitted EXACTLY in integers by
+    * scaling with ‖w‖²:
+    * {{{
+    *   resid_j = q_j·(w·w) − (q·w)·w_j      // = ‖w‖²·(q − proj_w q)_j
+    * }}}
+    * so `resid · w = (q·w)(w·w) − (q·w)(w·w) = 0` identically — the
+    * orthogonality gate is an algebraic identity, spec-asserted in
+    * BigInt, and the oracle reproduces every integer bit-for-bit.
+    * Dominant-direction removal is the standard fix for the "embedding
+    * clouds share a large common component" artifact that washes out
+    * cosine contrast (isotropy restoration before ANN/dedup).
+    *
+    * Scale shape: the Gram pass + dim² driver eigensolve (bounded), then
+    * ONE map-only pass over the corpus — w and ‖w‖² ride along as
+    * literals, nothing shuffles.
+    *
+    * Overflow contract: |q|·‖w‖² and |q·w|·2^20 both ≤ ~2^56 at dim 64
+    * with milli-quantized unit-scale vectors — safe in BIGINT.
+    *
+    * @return (idCol, dim_pos 0..dim-1, resid) — the residual vector
+    *         scaled by ‖w‖² (cosines downstream are scale-invariant)
+    */
+  def removeTopComponent(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, rounds: Int): DataFrame = {
+    val w = topComponentVector(corpus, vecCol, dim, rounds)
+    val ww = w.map(v => v * v).sum
+    val wLit = array(w.toSeq.map(lit(_)): _*)
+    corpus
+      .select(col(idCol), quantize(col(vecCol)).as("qv"))
+      // q·w exact in the codegen'd double loop: |terms| ≤ 2^30, 64-term
+      // sums ≪ 2^53 — integer-valued, cast back loss-free
+      .withColumn("__d", dot(col("qv"),
+        array(w.toSeq.map(x => lit(x.toDouble)): _*), dim).cast("long"))
+      .select(col(idCol), col("__d"),
+        posexplode(col("qv")).as(Seq("dim_pos", "__q")))
+      .select(col(idCol), col("dim_pos").cast("int").as("dim_pos"),
+        (col("__q") * lit(ww) -
+          col("__d") * element_at(wLit, col("dim_pos") + 1)).as("resid"))
   }
 
   /** Deterministic random-projection dimensionality reduction — the

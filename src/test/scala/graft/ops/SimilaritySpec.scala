@@ -173,6 +173,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(w2 === w)
   }
 
+  test("removeTopComponent: residuals exactly orthogonal to the direction") {
+    val dimS = 3
+    val rnd = new scala.util.Random(13)
+    val rows: Seq[(Long, Seq[Float])] = (1L to 150L).map { i =>
+      i -> Seq(
+        (rnd.nextDouble() * 2 - 1).toFloat * 8f,
+        (rnd.nextDouble() * 2 - 1).toFloat,
+        (rnd.nextDouble() * 2 - 1).toFloat)
+    }.toSeq
+    val df = rows.toDF("vec_id", "embedding")
+    val w = Similarity.topComponent(df, "embedding", dimS, rounds = 8)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    val resid = Similarity.removeTopComponent(df, "vec_id", "embedding",
+      dimS, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(resid.size === 150)
+    // resid . w = 0 is an algebraic identity — exact, checked in BigInt
+    for ((_, v) <- resid) {
+      val dotW = v.zip(w).map { case (a, b) => BigInt(a) * b }.sum
+      assert(dotW === BigInt(0))
+    }
+    // and the dominant axis really lost its mass: total squared resid on
+    // axis 0 collapses relative to the raw quantized inputs
+    val rawSq = rows.map(r => { val q = math.round(r._2.head * 1000f).toLong
+      BigInt(q) * q }).sum
+    val ww = w.map(v => BigInt(v) * v).sum
+    val residSq = resid.values.map(v => { val x = BigInt(v.head); x * x }).sum
+    assert(residSq < rawSq * ww * ww / 10)
+  }
+
   test("radiusSearch: exactly the pairs at/above the micro threshold") {
     val q = emb.filter(col("vec_id") < 10)
     val got = Similarity.radiusSearch(q, emb, "vec_id", "embedding", dim,
