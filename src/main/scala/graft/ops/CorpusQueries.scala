@@ -2728,6 +2728,56 @@ object CorpusQueries {
            |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       }),
 
+    // multi-probe LSH: each query also scans the buckets across its
+    // lowest-margin hyperplanes (flip order = |integer proj| asc, plane
+    // asc — margins exact on milli-quantized vectors, so the probe
+    // sequence is engine-identical); recall climbs toward brute force
+    // at the same index size
+    Q(
+      "ann_lsh_multiprobe",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.lshMultiProbeTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", Dim,
+          planes = 4, probes = 3, k = 3)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        s"""WITH qq AS MATERIALIZED (
+           |  SELECT vec_id, embedding, list_transform(embedding,
+           |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |pj AS MATERIALIZED (
+           |  SELECT vec_id, p,
+           |    SUM(CAST(qv[d + 1] AS DOUBLE) * (((d*31 + p*17) % 13) - 6)) AS proj
+           |  FROM qq,
+           |    (SELECT unnest(range(0, $Dim)) AS d) dd,
+           |    (SELECT unnest(range(0, 4)) AS p) pp
+           |  GROUP BY 1, 2),
+           |bkt AS MATERIALIZED (
+           |  SELECT vec_id, CAST(SUM(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM pj GROUP BY 1),
+           |flips AS (
+           |  SELECT vec_id, p,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ABS(proj), p) AS rk
+           |  FROM pj WHERE vec_id < 20),
+           |pb AS MATERIALIZED (
+           |  SELECT vec_id, bucket AS probe FROM bkt WHERE vec_id < 20
+           |  UNION ALL
+           |  SELECT f.vec_id, xor(b.bucket, CAST(1 << f.p AS BIGINT))
+           |  FROM flips f JOIN bkt b USING (vec_id) WHERE f.rk <= 2)
+           |SELECT q_id, n_id, rank, cos FROM (
+           |  SELECT pb.vec_id AS q_id, c.vec_id AS n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY pb.vec_id
+           |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, c.vec_id) AS INT) AS rank,
+           |    ${cosSql("a.embedding", "b.embedding")} AS cos
+           |  FROM pb
+           |  JOIN bkt c ON c.bucket = pb.probe AND c.vec_id != pb.vec_id
+           |  JOIN embeddings a ON a.vec_id = pb.vec_id
+           |  JOIN embeddings b ON b.vec_id = c.vec_id) t
+           |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
     Q(
       "ann_ivf_topk",
       (s, dir) => {

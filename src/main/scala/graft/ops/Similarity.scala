@@ -101,6 +101,67 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Multi-probe LSH top-k (Lv et al. 2007): each query scans its own
+    * bucket AND the `probes−1` buckets reached by flipping the
+    * hyperplane bits with the SMALLEST projection margins — the planes
+    * the vector most nearly straddles, exactly where a true neighbor
+    * most likely landed on the other side. Recall rises toward
+    * brute-force without growing the index or the table count (the
+    * classic trade vs banding: more probes, same storage).
+    *
+    * Engine-exact ordering: projections are computed on MILLI-QUANTIZED
+    * vectors against the integer [[planeWeight]] lattice, so every
+    * margin is an exact integer (in double, < 2^53) and the flip order
+    * (|proj| asc, plane asc) is identical in any engine — no float-tie
+    * ambiguity. Buckets derive from the same integer projections on
+    * both sides. Reported cosines stay on the raw float vectors
+    * ([[lshTopK]]'s convention).
+    *
+    * Scale shape: identical to [[lshTopK]] with the query batch
+    * replicated ≤ `probes`× before the broadcast — the corpus side is
+    * untouched (one bucket per corpus row, hash-partitioned equi join);
+    * a corpus row meets a query at most once because the probe buckets
+    * of one query are pairwise distinct.
+    */
+  def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, planes: Int, probes: Int,
+      k: Int): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1,62], got $planes")
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes must be in [1, planes+1], got $probes")
+    def wArr(p: Int): Column =
+      array((0 until dim).map(d => lit(planeWeight(d, p).toDouble)): _*)
+    def withProj(df: DataFrame): DataFrame = df
+      .withColumn("__pj", array((0 until planes).map(p =>
+        dot(col("__qv"), wArr(p), dim)): _*))
+      .withColumn("bucket", (0 until planes).map(p =>
+        when(element_at(col("__pj"), p + 1) > 0d, lit(1L << p))
+          .otherwise(lit(0L))).reduce(_ + _))
+    val c = withProj(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      quantize(col(vecCol)).as("__qv"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("n_nrm")))
+      .select(col("n_id"), col("n_v"), col("n_nrm"), col("bucket"))
+    val q0 = withProj(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      quantize(col(vecCol)).as("__qv"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("q_nrm")))
+    // flip order: margin asc, plane asc — mask rides in the struct so the
+    // probe bucket is one XOR against a literal power of two
+    val margins = array((0 until planes).map(p =>
+      struct(abs(element_at(col("__pj"), p + 1)).as("m"),
+        lit(p).as("p"), lit(1L << p).as("mask"))): _*)
+    val q = q0
+      .withColumn("__probes", concat(array(col("bucket")),
+        transform(slice(sort_array(margins), 1, probes - 1),
+          e => col("bucket").bitwiseXOR(e.getField("mask")))))
+      .select(col("q_id"), col("q_v"), col("q_nrm"),
+        explode(col("__probes")).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
+    topK(scored, k)
+  }
+
   /** Full-corpus k-NN GRAPH by LSH blocking — every vector gets its
     * top-k bucket-mates, the input SemDeDup-style embedding dedup and
     * graph clustering consume. Unlike the `ann_*` probes there is NO

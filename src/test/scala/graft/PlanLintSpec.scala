@@ -52,7 +52,8 @@ class PlanLintSpec extends SparkTestBase {
     "ann_quantized_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_kmeans",
     "ann_pq_topk", "ann_ivfpq_topk", "multimodal_ann", "ann_filtered_topk",
     "ann_recall_ivf", "ann_recall_ivfpq", "ann_recall_lsh", "ann_recall_pq",
-    "ann_recall_int8", "text_ann_topk", "ann_radius", "ann_mmr_rerank")
+    "ann_recall_int8", "text_ann_topk", "ann_radius", "ann_mmr_rerank",
+    "ann_lsh_multiprobe")
 
   // Tables that stay broadcastable at ANY scale factor (TPC-H fixes them
   // at 25 / 5 rows). customer/part/supplier/orders/lineitem GROW with SF

@@ -173,6 +173,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(w2 === w)
   }
 
+  test("lshMultiProbeTopK: more probes never lose recall, probes=1 = base") {
+    val q = emb.filter(col("vec_id") < 12)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim, k = 5)
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      Similarity.recallAtK(exact, df).agg(sum(col("hits")))
+        .collect()(0).getLong(0)
+    val one = Similarity.lshMultiProbeTopK(q, emb, "vec_id", "embedding",
+      dim, planes = 4, probes = 1, k = 5)
+    val three = Similarity.lshMultiProbeTopK(q, emb, "vec_id", "embedding",
+      dim, planes = 4, probes = 3, k = 5)
+    // top-k from a candidate SUPERSET can only displace a true top-k
+    // member with another true top-k member — recall is monotone
+    assert(recall(three) >= recall(one))
+    // and probing helps on this data (near neighbors straddle planes)
+    assert(recall(three) > recall(one),
+      "multi-probe found nothing beyond the base bucket — fixture too easy")
+    // self-matches excluded, ranks well-formed
+    val rows3 = three.collect()
+    assert(rows3.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("removeTopComponent: residuals exactly orthogonal to the direction") {
     val dimS = 3
     val rnd = new scala.util.Random(13)
