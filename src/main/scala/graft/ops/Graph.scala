@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge tables — the link-analysis
@@ -274,15 +273,16 @@ object Graph {
         .agg(sum(col("est_ndv")).as("pairs_est"))
         .select(lit(r).cast("int").as("round"), col("pairs_est"))
     }
-    val dist = snaps.reduce(_ unionByName _)
-    // bounded window: exactly `rounds` rows
-    val wAll = Window.partitionBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    dist
-      .withColumn("__last", max(struct(col("round"), col("pairs_est"))).over(wAll))
-      .withColumn("eff_round",
-        min(when(col("pairs_est") * 10L >= col("__last.pairs_est") * 9L,
-          col("round"))).over(wAll))
+    val dist = snaps.reduce(_ unionByName _).localCheckpoint(true)
+    // the 90% rule as two single-row aggregates cross-joined broadcast
+    // (the triangleStats pattern — both sides bounded by construction;
+    // a single-partition window over the R rows would warn in every log)
+    val last = dist.agg(max(struct(col("round"), col("pairs_est"))).as("l"))
+      .select(col("l.pairs_est").as("__lastp"))
+    val eff = dist.crossJoin(broadcast(last))
+      .agg(min(when(col("pairs_est") * 10L >= col("__lastp") * 9L,
+        col("round"))).as("eff_round"))
+    dist.crossJoin(broadcast(eff))
       .select(col("round"), col("pairs_est"), col("eff_round"))
   }
 

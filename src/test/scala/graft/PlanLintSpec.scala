@@ -41,7 +41,11 @@ class PlanLintSpec extends SparkTestBase {
     // two SINGLE-ROW aggregates (CMS inner-product min x exact inner
     // product) cross-joined into the one-row forecast card
     // (Sketches.cmsJoinSize scaladoc)
-    "sketch_join_size")
+    "sketch_join_size",
+    // R-row distribution x two single-row aggregates (last round, 90%
+    // radius) — every cross side bounded by the fixed round count
+    // (Graph.distanceDistribution scaladoc)
+    "graph_eff_diameter")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.
