@@ -633,6 +633,43 @@ object Corpus {
         col("t.score").cast("long").as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval merge: each input ranking contributes
+    * `1/(K + rank)` per document and documents are re-ranked by the
+    * sum, so systems with incomparable score scales (lexical tf-idf,
+    * BM25, dense ANN) combine WITHOUT calibration. Contributions are
+    * exact integers `10^6 DIV (K + rank)`, so the fused ordering is
+    * engine-identical; ties break to the smaller id (the [[lexicalTopK]]
+    * heap convention).
+    *
+    * Scale shape: inputs are already bounded top-k tables (≤ Σ k_i
+    * rows); the fuse is one union + one partial-aggregated sum + the
+    * bounded [[graft.functions.TopKByScore]] heap. Nothing here touches
+    * the corpus.
+    *
+    * @param rankings top-k tables each carrying (doc, rank) — extra
+    *                 columns ignored
+    * @param rrfK     the RRF damping constant (60 in the paper)
+    * @return (doc, rank 1..k, rrf_score)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], rrfK: Long, k: Int): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val contribs = rankings
+      .map(_.select(col("doc"),
+        expr(s"CAST(1000000 DIV (${rrfK}L + rank) AS BIGINT)").as("c")))
+      .reduce(_ unionByName _)
+    contribs
+      .groupBy(col("doc")).agg(sum(col("c")).as("rrf_score"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("rrf_score").cast("double"), col("doc").cast("long"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("t.id").as("doc"),
+        (col("r0") + 1).cast("int").as("rank"),
+        col("t.score").cast("long").as("rrf_score"))
+  }
+
   /** Deterministic feature-hashed document embedding — the "bag of
     * hashed tokens" vector (Weinberger et al. 2009 feature hashing):
     * token t adds sign(t) (±1 from an md5 bit disjoint from the bucket

@@ -309,6 +309,49 @@ object CorpusQueries {
        |$rounds""".stripMargin
   }
 
+  /** `text_search_topk`'s oracle — also a subquery of the RRF fusion. */
+  private lazy val lexOracleSql: String = {
+    val terms = SearchQuery.split("\\s+").distinct.toSeq
+    s"""WITH $toksCte,
+       |tf AS (
+       |  SELECT doc_id AS doc, tok, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, lower(unnest(ws)) AS tok FROM toks)
+       |  WHERE tok IN ${terms.map(t => s"'$t'").mkString("(", ", ", ")")}
+       |  GROUP BY doc, tok),
+       |dfreq AS (
+       |  SELECT tok, ${Corpus.LexicalWeightScale} // COUNT(*) AS weight
+       |  FROM tf GROUP BY tok),
+       |scored AS (
+       |  SELECT doc, CAST(SUM(tf * weight) AS BIGINT) AS score
+       |  FROM tf JOIN dfreq USING (tok) GROUP BY doc)
+       |SELECT doc, rank, score FROM (
+       |  SELECT doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT) AS rank, score
+       |  FROM scored) t
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
+  /** `text_bm25_topk`'s oracle — also a subquery of the RRF fusion. */
+  private lazy val bm25OracleSql: String = {
+    val terms = SearchQuery.split("\\s+").distinct.toSeq
+    val contrib = Corpus.bm25ContribSql(
+      "(SELECT nn FROM tot)", "df", "tf", "dl", "(SELECT sumdl FROM tot)")
+    s"""WITH $toksCte,
+       |tot AS (SELECT COUNT(*) AS nn, CAST(SUM(len(ws)) AS BIGINT) AS sumdl FROM toks),
+       |tf AS (
+       |  SELECT doc_id AS doc, tok, COUNT(*) AS tf, MIN(dl) AS dl
+       |  FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, lower(unnest(ws)) AS tok FROM toks)
+       |  WHERE tok IN ${terms.map(t => s"'$t'").mkString("(", ", ", ")")}
+       |  GROUP BY doc, tok),
+       |wdf AS (SELECT doc, tok, tf, dl, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf),
+       |scored AS (
+       |  SELECT doc, CAST(SUM($contrib) AS BIGINT) AS score
+       |  FROM wdf GROUP BY doc)
+       |SELECT doc, rank, score FROM (
+       |  SELECT doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT) AS rank, score
+       |  FROM scored) t
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   private lazy val clustersOracleSql: String =
     s"""WITH RECURSIVE $toksCte, $shingleCte,
        |shx0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
@@ -1352,25 +1395,34 @@ object CorpusQueries {
         Corpus.lexicalTopK(table(s, dir, "documents"), "doc_id", "text",
           SearchQuery, k = 10)
           .orderBy(col("rank")),
-      Some {
-        val terms = SearchQuery.split("\\s+").distinct.toSeq
-        s"""WITH $toksCte,
-           |tf AS (
-           |  SELECT doc_id AS doc, tok, COUNT(*) AS tf
-           |  FROM (SELECT doc_id, lower(unnest(ws)) AS tok FROM toks)
-           |  WHERE tok IN ${terms.map(t => s"'$t'").mkString("(", ", ", ")")}
-           |  GROUP BY doc, tok),
-           |dfreq AS (
-           |  SELECT tok, ${Corpus.LexicalWeightScale} // COUNT(*) AS weight
-           |  FROM tf GROUP BY tok),
-           |scored AS (
-           |  SELECT doc, CAST(SUM(tf * weight) AS BIGINT) AS score
-           |  FROM tf JOIN dfreq USING (tok) GROUP BY doc)
-           |SELECT doc, rank, score FROM (
-           |  SELECT doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT) AS rank, score
-           |  FROM scored) t
-           |WHERE rank <= 10 ORDER BY rank""".stripMargin
-      }),
+      Some(lexOracleSql)),
+
+    // hybrid retrieval: reciprocal-rank fusion of the tf-idf lexical
+    // top-10 and the BM25 top-10 — integer 10^6 DIV (60 + rank)
+    // contributions, so incomparable score scales combine with no
+    // calibration and both engines fuse identically
+    Q(
+      "text_hybrid_rrf",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Corpus.rrfFuse(Seq(
+          Corpus.lexicalTopK(docs, "doc_id", "text", SearchQuery, k = 10),
+          Corpus.bm25TopK(docs, "doc_id", "text", SearchQuery, k = 10)),
+          rrfK = 60, k = 10)
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH u AS (
+             |  SELECT doc, 1000000 // (60 + rank) AS c FROM ($lexOracleSql) l
+             |  UNION ALL
+             |  SELECT doc, 1000000 // (60 + rank) AS c FROM ($bm25OracleSql) b),
+             |fs AS (SELECT doc, CAST(SUM(c) AS BIGINT) AS rrf_score
+             |       FROM u GROUP BY 1)
+             |SELECT doc, rank, rrf_score FROM (
+             |  SELECT doc,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc) AS INT) AS rank,
+             |    rrf_score
+             |  FROM fs) t
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
 
     // "more like this" for doc 42 over 3-gram SHINGLE features: rare
     // shared shingles rank near-dups first, topical overlaps after —
@@ -1447,26 +1499,7 @@ object CorpusQueries {
         Corpus.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
           SearchQuery, k = 10)
           .orderBy(col("rank")),
-      Some {
-        val terms = SearchQuery.split("\\s+").distinct.toSeq
-        val contrib = Corpus.bm25ContribSql(
-          "(SELECT nn FROM tot)", "df", "tf", "dl", "(SELECT sumdl FROM tot)")
-        s"""WITH $toksCte,
-           |tot AS (SELECT COUNT(*) AS nn, CAST(SUM(len(ws)) AS BIGINT) AS sumdl FROM toks),
-           |tf AS (
-           |  SELECT doc_id AS doc, tok, COUNT(*) AS tf, MIN(dl) AS dl
-           |  FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, lower(unnest(ws)) AS tok FROM toks)
-           |  WHERE tok IN ${terms.map(t => s"'$t'").mkString("(", ", ", ")")}
-           |  GROUP BY doc, tok),
-           |wdf AS (SELECT doc, tok, tf, dl, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf),
-           |scored AS (
-           |  SELECT doc, CAST(SUM($contrib) AS BIGINT) AS score
-           |  FROM wdf GROUP BY doc)
-           |SELECT doc, rank, score FROM (
-           |  SELECT doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT) AS rank, score
-           |  FROM scored) t
-           |WHERE rank <= 10 ORDER BY rank""".stripMargin
-      }),
+      Some(bm25OracleSql)),
 
     // exact phrase search over the positional inverted index: top-10
     // docs by occurrences of the adjacent token sequence "table scan";
