@@ -76,6 +76,65 @@ object Graph {
     r
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003's topic-sensitive rank):
+    * [[pageRank]]'s integer-ppm rounds, but the teleport term lands ON
+    * THE SEED SET ONLY — rank flows outward from the seeds and decays
+    * with graph distance, so the score IS "relevance to the seeds".
+    * The curation use: seed the documents you trust (a hand-audited
+    * slice, a reference corpus's neighbors) and harvest the highest-PPR
+    * nodes of the similarity/co-occurrence graph as the expansion set.
+    *
+    * Update rule, all BIGINT (same truncation order as [[pageRank]] so
+    * the unrolled oracle matches bit-for-bit):
+    * {{{
+    *   pr'(v) = seed(v)·(10^6 − damping)
+    *          + (damping · Σ_{u→v} pr(u) DIV outdeg(u)) DIV 10^6
+    * }}}
+    * with pr₀ = 10^6 on seeds, 0 elsewhere. Non-seed nodes hold only
+    * flowed-in mass; unreachable nodes stay at exactly 0.
+    *
+    * Scale shape: identical to [[pageRank]] — one groupBy(dst) shuffle
+    * per round over the checkpointed static edge relation — plus ONE
+    * static seed-flag join folded into the checkpointed node universe.
+    * Same overflow bound (total mass ≤ |S|·10^6 ≤ n·10^6).
+    *
+    * @param seeds one column `node` of seed ids (dupes ignored)
+    * @return (node, ppr_ppm) for every node with at least one out-edge
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 4, dampingPpm: Long = 850000L,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000,
+      s"dampingPpm must be in [0, 1000000], got $dampingPpm")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val eDeg = e.join(deg, "src").localCheckpoint(true)
+    val seedSet = seeds.select(col("node").cast("long").as("node")).distinct()
+    // static node universe with the seed flag riding along — one join,
+    // checkpointed, reused every round
+    val nodes = deg.select(col("src").as("node"))
+      .join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .localCheckpoint(true)
+    val base = 1000000L - dampingPpm
+    var r = nodes.select(col("node"), (col("__s") * 1000000L).as("pr_ppm"))
+    for (i <- 1 to iters) {
+      val inflow = eDeg.join(r, eDeg("src") === r("node"))
+        .select(col("dst"), expr("pr_ppm DIV __d").as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__in"))
+      r = nodes.join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (col("__s") * lit(base) +
+            expr(s"${dampingPpm}L * coalesce(__in, 0L) DIV 1000000"))
+            .as("pr_ppm"))
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
+    }
+    r.select(col("node"), col("pr_ppm").as("ppr_ppm"))
+  }
+
   /** Damped PageRank WITH dangling-mass redistribution — the standard
     * formulation for a DIRECTED graph where some nodes have no
     * out-edges (crawl frontiers, citation sinks): each round the summed

@@ -187,6 +187,40 @@ object Relational {
        |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** Unrolled oracle for [[Graph.personalizedPageRank]] over the same
+    * undirected part↔supplier graph as [[pageRankSql]], seeds = part
+    * nodes whose part key is ≡ 0 (mod 25). Teleport lands on seeds
+    * only; pr₀ = 10^6 on seeds, 0 elsewhere. */
+  private def pprSql(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(n.s * 150000 + 850000 * COALESCE(inf.s, 0) // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM(rp.r // deg.d) AS s
+         |    FROM e JOIN r${i - 1} rp ON rp.node = e.src
+         |    JOIN deg ON deg.node = e.src
+         |    GROUP BY e.dst) inf ON inf.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+       |nodes AS (
+       |  SELECT node,
+       |    CASE WHEN node % 2 = 0 AND (node // 2) % 25 = 0 THEN 1 ELSE 0 END AS s
+       |  FROM deg),
+       |r0 AS (SELECT node, CAST(s * 1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, rank, ppr_ppm FROM (
+       |  SELECT node,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INT) AS rank,
+       |    r AS ppr_ppm
+       |  FROM r$iters WHERE r > 0) t
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   /** The [[Graph.kCore]] peel rounds unrolled as chained CTEs over the
     * parts-co-ordered-in-≥2-distinct-orders graph: each round keeps
     * nodes of degree ≥ k and the edges among them. `e$i` is referenced
@@ -1320,6 +1354,32 @@ object Relational {
             col("t.score").cast("long").as("pr_ppm"))
       },
       Some(pageRankSql(iters = 4, k = 30))),
+
+    // ---- personalized PageRank: teleport lands on the seed parts only
+    //      (part key ≡ 0 mod 25), so rank measures proximity TO THE
+    //      SEEDS — the trusted-slice expansion primitive for curation;
+    //      unreachable nodes stay exactly 0 and are filtered
+    Q(
+      "graph_ppr_seeds",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val e = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = table(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).as("node"))
+          .filter(col("l_partkey") % 25 === 0).distinct()
+        Graph.personalizedPageRank(e, seeds, iters = 4, checkpointEvery = 4)
+          .filter(col("ppr_ppm") > 0)
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+            col("ppr_ppm").cast("double"), col("node"), 30).as("top"))
+          .select(posexplode(col("top")).as(Seq("r0", "t")))
+          .select(col("t.id").as("node"),
+            (col("r0") + 1).cast("int").as("rank"),
+            col("t.score").cast("long").as("ppr_ppm"))
+      },
+      Some(pprSql(iters = 4, k = 30))),
 
     // ---- the DIRECTED variant with dangling sinks: part→supplier
     //      edges one-way, so every supplier is a rank sink — the

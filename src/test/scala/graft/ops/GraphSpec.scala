@@ -122,6 +122,23 @@ class GraphSpec extends SparkTestBase {
     assert(core(g, k = 5, rounds = 2) === Map.empty)
   }
 
+  test("personalizedPageRank: mass decays from the seed, unreachable = 0") {
+    // path 1-2-3-4 plus a disconnected pair 10-11, seed {1}
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L)
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = Graph.personalizedPageRank(e, seeds, iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the seed is the only teleport target, so it holds the max (plain
+    // per-hop monotonicity is NOT a theorem — low-degree far nodes
+    // return all their mass to their one neighbor)
+    assert(Seq(2L, 3L, 4L).forall(n => r(1L) > r(n)),
+      s"seed must outrank every non-seed: $r")
+    assert(r(10L) === 0L && r(11L) === 0L, "unreachable nodes must hold 0")
+    assert(Seq(2L, 3L, 4L).forall(n => r(n) > 0L),
+      "reachable nodes must receive flowed mass")
+  }
+
   test("distanceDistribution: per-round sums of reach, eff rule holds") {
     // path 1-2-3-4-5, radius 3: distribution row r must equal the sum of
     // per-node reach estimates at radius r, and eff_round must follow the
