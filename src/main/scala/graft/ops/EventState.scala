@@ -100,6 +100,44 @@ object EventState {
     * Every field is a partial-aggregatable algebra, which is the whole
     * point: see [[mergeAggStates]].
     */
+  /** Exponentially time-decayed counts per key — the "trending now"
+    * statistic (recent activity counts in full, yesterday's at ½, two
+    * days ago at ¼ …) with a power-of-two decay so EVERY contribution
+    * is an exact integer: an event `delta` whole days old contributes
+    * `2^(scaleBits − delta)` micro-units (0 beyond `scaleBits` days —
+    * below one micro-unit, dropped identically by any engine). No
+    * float pow, no epsilon: the decayed total is one BIGINT sum,
+    * engine-identical at any scale and partitioning (contrast the
+    * float spelling Σ 2^−delta, whose exactness ceiling is
+    * log₂(count) + maxDelta ≤ 53 mantissa bits — already broken at
+    * ~10¹² events).
+    *
+    * `asOfMicros` pins "now"; pass the stream's max event time (the
+    * registry query pins it with one bounded aggregate — the kmeans
+    * driver-scalar pattern). Half-life = one day by construction (the
+    * unit of `delta`).
+    *
+    * Shape at scale: one map-side delta + shift per row, one
+    * partial-aggregated groupBy(key). Nothing else.
+    *
+    * @return (keyCol, n_events, decayed_micro) — decayed_micro =
+    *         Σ 2^(scaleBits−delta), i.e. count·2^scaleBits if
+    *         everything happened today
+    */
+  def decayedCounts(df: DataFrame, keyCol: String, tsCol: String,
+      asOfMicros: Long, scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 40,
+      s"scaleBits must be in [1, 40], got $scaleBits")
+    df
+      .withColumn("__delta",
+        expr(s"(${asOfMicros}L - unix_micros($tsCol)) DIV 86400000000"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr(s"CASE WHEN __delta BETWEEN 0 AND $scaleBits " +
+          s"THEN shiftleft(1L, CAST($scaleBits - __delta AS INT)) " +
+          "ELSE 0L END")).as("decayed_micro"))
+  }
+
   def aggState(df: DataFrame, keyCol: String, cents: Column): DataFrame =
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"), sum(cents).as("total_cents"),

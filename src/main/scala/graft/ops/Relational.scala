@@ -604,6 +604,27 @@ object Relational {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- exponentially time-decayed counts per event type ("trending
+    //      now"): power-of-two daily decay so every contribution is an
+    //      exact integer micro-unit — no float pow, engine-identical at
+    //      any scale; "now" pinned to the max event time (one bounded
+    //      aggregate, the kmeans driver-scalar pattern)
+    Q(
+      "q_decayed_counts",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val now = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        EventState.decayedCounts(ev, "event_type", "ts", asOfMicros = now)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH mx AS (SELECT MAX(epoch_us(ts)) AS now FROM events)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CASE
+             |    WHEN (now - epoch_us(ts)) // 86400000000 BETWEEN 0 AND 20
+             |    THEN 1 << (20 - (now - epoch_us(ts)) // 86400000000)
+             |    ELSE 0 END) AS BIGINT) AS decayed_micro
+             |FROM events, mx GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- part/supplier coverage: brand-level size stats
     Q(
       "q_part_brand_stats",
