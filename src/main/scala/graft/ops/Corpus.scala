@@ -1056,6 +1056,47 @@ object Corpus {
           .otherwise("changed").as("status"): _*)
   }
 
+  /** Three-way snapshot merge — the versioned-corpus reconciliation
+    * when two curation branches edited the same release (team A's PII
+    * re-scrub, team B's quality re-filter): per id, classic VCS
+    * semantics on content digests against the common base.
+    *
+    *   - neither side changed → `unchanged`
+    *   - exactly one side changed (edit, add, or delete) → `ours` /
+    *     `theirs` — that side wins automatically
+    *   - both changed identically (same edit, same delete) → `both_same`
+    *   - both changed differently → `conflict` (pick = null; a human or
+    *     a policy resolves)
+    *
+    * "Changed" is null-safe digest inequality, so adds and deletes fall
+    * out of the same rule. Scale shape: three content digests + two
+    * full-outer equi joins on the id — every comparison map-side after
+    * the joins; output one row per id in any snapshot.
+    *
+    * @return (idCol, status, pick ∈ base|ours|theirs|null)
+    */
+  def threeWayMerge(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    def proj(df: DataFrame, side: String) = df.select(
+      col(idCol), md5(col(contentCol).cast("binary")).as(s"__h_$side"))
+    val j = proj(base, "b")
+      .join(proj(ours, "o"), Seq(idCol), "full_outer")
+      .join(proj(theirs, "t"), Seq(idCol), "full_outer")
+    val oursCh = !(col("__h_o") <=> col("__h_b"))
+    val theirsCh = !(col("__h_t") <=> col("__h_b"))
+    j.select(col(idCol),
+      when(!oursCh && !theirsCh, "unchanged")
+        .when(oursCh && !theirsCh, "ours")
+        .when(!oursCh && theirsCh, "theirs")
+        .when(col("__h_o") <=> col("__h_t"), "both_same")
+        .otherwise("conflict").as("status"),
+      when(!oursCh && !theirsCh, "base")
+        .when(oursCh && !theirsCh, "ours")
+        .when(!oursCh && theirsCh, "theirs")
+        .when(col("__h_o") <=> col("__h_t"), "ours")
+        .otherwise(lit(null).cast("string")).as("pick"))
+  }
+
   /** Corpus vocabulary: global word counts with a bounded top-k. The
     * count is the canonical two-phase aggregate (map-side partials →
     * one shuffle on the word); the top-k is `orderBy(...).limit(k)`,

@@ -4413,6 +4413,51 @@ object CorpusQueries {
              |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // three-way snapshot merge: two curation branches against a common
+    // base — one-sided edits win automatically, identical edits
+    // collapse, divergent edits surface as conflicts with pick = NULL;
+    // deletes and adds fall out of the same null-safe digest rule
+    Q(
+      "corpus_three_way_merge",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val ours = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" oursEdit"))).otherwise(col("text")))
+        val theirs = docs.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" theirsEdit"))).otherwise(col("text")))
+        Corpus.threeWayMerge(docs, ours, theirs, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+             |o AS (
+             |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+             |    THEN text || ' oursEdit' ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 13 <> 0),
+             |t AS (
+             |  SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0
+             |    THEN text || ' theirsEdit' ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 11 <> 0),
+             |j AS (
+             |  SELECT COALESCE(b.doc_id, o.doc_id, t.doc_id) AS doc_id,
+             |    b.h AS hb, o.h AS ho, t.h AS ht
+             |  FROM b
+             |  FULL OUTER JOIN o ON o.doc_id = b.doc_id
+             |  FULL OUTER JOIN t ON t.doc_id = COALESCE(b.doc_id, o.doc_id))
+             |SELECT doc_id,
+             |  CASE WHEN ho IS NOT DISTINCT FROM hb AND ht IS NOT DISTINCT FROM hb THEN 'unchanged'
+             |       WHEN ho IS DISTINCT FROM hb AND ht IS NOT DISTINCT FROM hb THEN 'ours'
+             |       WHEN ho IS NOT DISTINCT FROM hb AND ht IS DISTINCT FROM hb THEN 'theirs'
+             |       WHEN ho IS NOT DISTINCT FROM ht THEN 'both_same'
+             |       ELSE 'conflict' END AS status,
+             |  CASE WHEN ho IS NOT DISTINCT FROM hb AND ht IS NOT DISTINCT FROM hb THEN 'base'
+             |       WHEN ho IS DISTINCT FROM hb AND ht IS NOT DISTINCT FROM hb THEN 'ours'
+             |       WHEN ho IS NOT DISTINCT FROM hb AND ht IS DISTINCT FROM hb THEN 'theirs'
+             |       WHEN ho IS NOT DISTINCT FROM ht THEN 'ours'
+             |       ELSE NULL END AS pick
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
     // the composed curation pipeline, end to end: length-clip per
     // language → PII scrub → priority-aware exact dedup on the CLEANED
     // text → deterministic split → per-(split, lang) stats. Each stage

@@ -604,6 +604,53 @@ object Relational {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- union-of-intervals coverage per supplier (the sweep line as
+    //      a running max over the ENTITY-key window — the safe class):
+    //      each shipment covers [ship, receipt] in whole days; overlaps
+    //      collapse, gaps don't count. contribution =
+    //      max(0, e − max(s, prevMaxEnd)) — all integer day arithmetic
+    Q(
+      "q_interval_coverage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // interval = [shipdate, shipdate + 1 + quantity mod 7) days —
+        // the synthetic lineitem has no receipt date, so the transit
+        // window derives deterministically from the quantity
+        val li = table(s, dir, "lineitem").select(
+          col("l_suppkey").as("supp"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("long").as("s"),
+          expr("CAST(l_quantity AS BIGINT) % 7").as("__q"))
+          .select(col("supp"), col("s"),
+            (col("s") + lit(1L) + col("__q")).as("e"))
+        val w = Window.partitionBy(col("supp")).orderBy(col("s"), col("e"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        li
+          .withColumn("__pm", max(col("e")).over(w))
+          .withColumn("__cov",
+            greatest(lit(0L),
+              col("e") - greatest(col("s"), coalesce(col("__pm"), col("s")))))
+          .groupBy(col("supp"))
+          .agg(count(lit(1)).as("n_shipments"),
+            sum(col("__cov")).as("covered_days"))
+          .orderBy(col("supp"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT l_suppkey AS supp,
+             |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+             |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      + 1 + CAST(l_quantity AS BIGINT) % 7 AS e
+             |  FROM lineitem),
+             |sw AS (
+             |  SELECT supp, s, e,
+             |    MAX(e) OVER (PARTITION BY supp ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM iv)
+             |SELECT supp, CAST(COUNT(*) AS BIGINT) AS n_shipments,
+             |  CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pm, s)))) AS BIGINT)
+             |    AS covered_days
+             |FROM sw GROUP BY supp ORDER BY supp""".stripMargin)),
+
     // ---- exponentially time-decayed counts per event type ("trending
     //      now"): power-of-two daily decay so every contribution is an
     //      exact integer micro-unit — no float pow, engine-identical at
