@@ -418,6 +418,54 @@ object Graph {
     degrees(p).select(col("n").as("node"), col("d").as("deg"))
   }
 
+  /** k-truss peeling (Cohen 2008): repeatedly delete every edge whose
+    * SUPPORT — the number of triangles containing it — falls below
+    * k−2. Where [[kCore]] trims low-degree fringe, the truss trims
+    * low-cohesion EDGES: a hub that touches many communities without
+    * belonging to any loses its spokes, which a degree test never
+    * catches. The standard community-core extraction step between
+    * pair generation and clustering.
+    *
+    * Fixed synchronous `rounds` (the [[kCore]] contract): each round is
+    * a pure function of the previous edge set, so the oracle unrolls
+    * identical rounds. The returned in-subgraph support makes
+    * convergence visible (all ≥ k−2 ⟺ converged ⟺ the true k-truss).
+    *
+    * Shape at scale: per round one adjacency build (collect_list per
+    * node — row width bounded by the max degree of the CURRENT
+    * subgraph, which peeling only shrinks) and one per-edge
+    * [[graft.functions.SortedIntersectCount]] merge — O(deg(a)+deg(b))
+    * map-side steps per edge, no wedge materialization (the
+    * [[triangleStats]] kernel). Edge set checkpointed per round.
+    *
+    * @param pairs0 undirected distinct edge list with `a < b` per row
+    * @param k      truss order (k ≥ 3; support threshold is k−2)
+    * @return (a, b, support): surviving edges with their support in the
+    *         peeled subgraph
+    */
+  def kTruss(pairs0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def support(p: DataFrame): DataFrame = {
+      val ee = p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      val adj = ee.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      p.join(adj.select(col("src").as("a"), col("nbrs").as("__na")), "a")
+        .join(adj.select(col("src").as("b"), col("nbrs").as("__nb")), "b")
+        .withColumn("support", graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("__na"), col("__nb")))
+        .select(col("a"), col("b"), col("support"))
+    }
+    var p = pairs0.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      p = support(p).filter(col("support") >= (k - 2).toLong)
+        .select(col("a"), col("b")).localCheckpoint(true)
+    }
+    support(p)
+  }
+
   /** Exact triangle census over an undirected graph — the one-row
     * connectivity card (nodes, edges, wedges, triangles, global
     * clustering coefficient) that tells a pipeline whether a

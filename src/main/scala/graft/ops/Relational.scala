@@ -252,6 +252,40 @@ object Relational {
        |SELECT CAST(n AS BIGINT) AS node, d AS deg FROM dfin ORDER BY node""".stripMargin
   }
 
+  /** Unrolled oracle for [[Graph.kTruss]] over the ≥2-co-orders part
+    * graph: per round, each edge's support = its common-neighbor count
+    * in the current subgraph (one two-hop join over the both-directions
+    * adjacency), edges below k−2 drop. `ee$i` is referenced twice per
+    * support round — MATERIALIZED per the binder-inlining rule. */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    def supSql(e: String, ee: String, out: String) =
+      s"""$ee AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM $e
+         |  UNION ALL SELECT b AS src, a AS dst FROM $e),
+         |$out AS MATERIALIZED (
+         |  SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS support
+         |  FROM $e p
+         |  JOIN $ee x ON x.src = p.a
+         |  JOIN $ee y ON y.src = p.b AND y.dst = x.dst
+         |  GROUP BY 1, 2)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""${supSql(s"e${i - 1}", s"ee$i", s"s$i")},
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM s$i WHERE support >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b,
+       |      l1.l_orderkey AS ok
+       |    FROM lineitem l1 JOIN lineitem l2
+       |      ON l1.l_orderkey = l2.l_orderkey
+       |     AND l1.l_partkey < l2.l_partkey) t
+       |  GROUP BY a, b HAVING COUNT(*) >= 2),
+       |$peels,
+       |${supSql(s"e$rounds", "eef", "sf")}
+       |SELECT a, b, support FROM sf ORDER BY a, b""".stripMargin
+  }
+
   /** Unrolled oracle for [[Graph.neighborhoodReach]] +
     * [[Graph.neighborhoodExact]] over the undirected
     * ≥2-distinct-co-orders part graph: HLL register propagation
@@ -1581,6 +1615,26 @@ object Relational {
         Graph.kCore(pairs, k = 3, rounds = 3).orderBy(col("node"))
       },
       Some(kCoreSql(k = 3, rounds = 3))),
+
+    // ---- k-truss peeling over the same sparse graph: edges whose
+    //      triangle support < k−2 drop each round — trims low-cohesion
+    //      spokes a degree test (k-core) never catches; support via the
+    //      per-edge sorted-adjacency merge, no wedge materialization
+    Q(
+      "graph_ktruss",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+          .distinct()
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+        Graph.kTruss(pairs, k = 3, rounds = 3).orderBy(col("a"), col("b"))
+      },
+      Some(kTrussSql(k = 3, rounds = 3))),
 
     // ---- HyperBall neighborhood function over the same sparse graph:
     //      per-node 3-hop reach estimated by propagating HLL registers

@@ -122,6 +122,28 @@ class GraphSpec extends SparkTestBase {
     assert(core(g, k = 5, rounds = 2) === Map.empty)
   }
 
+  private def truss(pairs: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[(Long, Long), Long] =
+    Graph.kTruss(pairs.toDF("a", "b"), k, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("kTruss: peels low-support edges, cascades through shared edges") {
+    // two triangles sharing edge 1-2: the shared edge has support 2,
+    // the four outer edges support 1
+    val bowtie = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 1L -> 4L, 2L -> 4L)
+    // k=3 keeps every edge (all are in a triangle) and converges
+    val t3 = truss(bowtie, k = 3, rounds = 2)
+    assert(t3.keySet === bowtie.toSet)
+    assert(t3((1L, 2L)) === 2L && t3((1L, 3L)) === 1L)
+    // k=4: round 1 drops the support-1 outer edges, which starves the
+    // shared edge (support -> 0) — round 2 empties the graph
+    assert(truss(bowtie, k = 4, rounds = 2) === Map.empty)
+    // K4 is a true 4-truss: every edge has support 2, nothing peels
+    val k4 = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val t4 = truss(k4, k = 4, rounds = 3)
+    assert(t4.keySet === k4.toSet && t4.values.forall(_ === 2L))
+  }
+
   test("personalizedPageRank: mass decays from the seed, unreachable = 0") {
     // path 1-2-3-4 plus a disconnected pair 10-11, seed {1}
     val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L)
