@@ -1056,6 +1056,73 @@ object Corpus {
           .otherwise("changed").as("status"): _*)
   }
 
+  /** Greedy coverage-maximizing selection — the submodular
+    * "most diverse k documents" pick (facility location over shingle
+    * features, the lazy-greedy family behind coreset/diverse-subset
+    * curation): round t keeps the document adding the MOST
+    * not-yet-covered distinct word n-gram shingles, ties to the
+    * smallest id. The greedy prefix carries the classic (1−1/e)
+    * coverage guarantee, and the gain sequence is the marginal-utility
+    * curve a curator reads to size the subset.
+    *
+    * Engine-exact: features are the 56-bit md5 shingle hashes (the
+    * dedup spelling), gains are plain counts, the argmax is
+    * (gain desc, doc asc).
+    *
+    * Shape at scale: the feature index is one distinct explode,
+    * checkpointed; each round is one anti join against the covered-set
+    * (features of ≤ t picked docs — REBUILT from the picked-id literal
+    * list each round, so plan depth never grows) + one
+    * partial-aggregated count + a 1-row argmax collect (the kmeans
+    * driver-scalar pattern — k rows total reach the driver).
+    *
+    * Precondition: every round must find a positive-gain candidate
+    * (fails loud otherwise) — k ≪ corpus size in any real call.
+    *
+    * @return (rank 1..k, doc, gain)
+    */
+  def coverageMaxSelect(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    val feats = docs
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .select(col("doc"),
+        conv(substring(md5(col("sh").cast("binary")), 1, 14), 16, 10)
+          .cast("long").as("tok"))
+      .distinct()
+      .localCheckpoint(true)
+    var picked = Vector.empty[(Long, Long)] // (doc, gain)
+    for (t <- 1 to k) {
+      val pickedIds = picked.map(_._1)
+      val candidates =
+        if (pickedIds.isEmpty) feats
+        else feats.filter(!col("doc").isin(pickedIds: _*))
+      val gains =
+        if (pickedIds.isEmpty) candidates.groupBy(col("doc")).agg(count(lit(1)).as("g"))
+        else {
+          val covered = feats.filter(col("doc").isin(pickedIds: _*))
+            .select(col("tok")).distinct()
+          candidates.join(covered, Seq("tok"), "left_anti")
+            .groupBy(col("doc")).agg(count(lit(1)).as("g"))
+        }
+      val top = gains
+        .agg(max_by(struct(col("doc"), col("g")),
+          struct(col("g"), -col("doc"))).as("w"))
+        .select(col("w.doc"), col("w.g")).collect()
+      require(top.nonEmpty && !top(0).isNullAt(0),
+        s"coverageMaxSelect: no positive-gain candidate at round $t — " +
+          "k exceeds the corpus's coverable diversity")
+      picked = picked :+ (top(0).getLong(0), top(0).getLong(1))
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((d, g), i) => (i + 1, d, g) }
+      .toDF("rank", "doc", "gain")
+  }
+
   /** Three-way snapshot merge — the versioned-corpus reconciliation
     * when two curation branches edited the same release (team A's PII
     * re-scrub, team B's quality re-filter): per id, classic VCS

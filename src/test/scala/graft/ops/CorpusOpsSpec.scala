@@ -904,4 +904,18 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(bare(1L) === "removed" && bare(4L) === "added")
   }
+
+  test("coverageMaxSelect: distinct picks, non-increasing greedy gains") {
+    // doc 3 duplicates doc 1, so after picking 1 its residual gain is 0
+    // and it must never be picked before the genuinely novel docs
+    val out = Corpus.coverageMaxSelect(docs, "doc_id", "text", n = 3, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(out.map(_._2).distinct.length === 3)
+    assert(!out.take(2).map(_._2).contains(3L) || !out.take(2).map(_._2).contains(1L),
+      "a pure duplicate must not occupy two of the first picks")
+    // greedy marginal gains are non-increasing (submodularity)
+    assert(out.map(_._3).sliding(2).forall(w => w.head >= w.last))
+    assert(out.head._3 > 0L)
+  }
 }
