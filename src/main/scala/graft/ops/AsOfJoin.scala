@@ -44,6 +44,35 @@ object AsOfJoin {
       prefix: String = "asof_"): DataFrame =
     asOfImpl(left, right, key, ts, payload, prefix, backward = false)
 
+  /** [[asOf]] with a STALENESS BOUND: the match is kept only while the
+    * right row is at most `toleranceMicros` older than the left row —
+    * the sensor-fusion / feature-freshness contract ("use the last
+    * quote, but never one more than 5 minutes stale"). A match outside
+    * tolerance degrades to null, exactly the left-outer no-match shape,
+    * so downstream code has ONE null-handling path for "never matched"
+    * and "matched but stale".
+    *
+    * Same union-LOCF machinery (one shuffle, one partition-local sort);
+    * the matched right timestamp rides the payload struct and the
+    * tolerance test is one map-side comparison. `ts` must be a
+    * timestamp column on both sides.
+    */
+  def asOfTolerance(left: DataFrame, right: DataFrame,
+      key: String, ts: String, payload: Seq[String],
+      toleranceMicros: Long, prefix: String = "asof_"): DataFrame = {
+    require(toleranceMicros >= 0,
+      s"toleranceMicros must be >= 0, got $toleranceMicros")
+    val matched = asOfImpl(left, right.withColumn("__g_asof_rts", col(ts)),
+      key, ts, payload :+ "__g_asof_rts", prefix, backward = true)
+    val fresh = unix_micros(col(ts)) -
+      unix_micros(col(s"${prefix}__g_asof_rts")) <= toleranceMicros
+    matched.select(left.columns.map(col) ++
+      payload.map(p =>
+        when(fresh, col(prefix + p))
+          .otherwise(lit(null).cast(matched.schema(prefix + p).dataType))
+          .as(prefix + p)): _*)
+  }
+
   private def asOfImpl(left: DataFrame, right: DataFrame,
       key: String, ts: String, payload: Seq[String],
       prefix: String, backward: Boolean): DataFrame = {

@@ -1104,6 +1104,37 @@ object Relational {
              |  ON c.user_id = p.user_id AND c.ts >= p.ts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // ---- as-of with a staleness bound: the matched purchase must be
+    //      at most 3 days older than the click or it degrades to null
+    //      (one null path for "never matched" and "matched but stale")
+    Q(
+      "q_asof_tolerance",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("p_event_id"))
+        AsOfJoin.asOfTolerance(clicks, purchases, "user_id", "ts",
+          payload = Seq("p_event_id"),
+          toleranceMicros = 3L * 86400000000L, prefix = "")
+          .select(col("event_id"), col("user_id"), col("p_event_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, MAX(event_id) AS p_event_id
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_id, user_id, ts
+             |  FROM events WHERE event_type = 'click')
+             |SELECT c.event_id, c.user_id,
+             |  CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 259200000000
+             |       THEN p.p_event_id ELSE NULL END AS p_event_id
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // ---- forward as-of: each click matched to the NEXT same-user
     //      purchase (right.ts >= left.ts) — the time-reversed LOCF pass,
     //      vs DuckDB's native forward ASOF JOIN
