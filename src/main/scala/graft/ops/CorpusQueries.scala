@@ -1887,6 +1887,44 @@ object CorpusQueries {
            |FROM comp ORDER BY doc_id""".stripMargin
       }),
 
+    // the leakage-safe curation EXPORT, end to end: near-dup clusters →
+    // cluster-keyed split → keep the canonical doc of each TRAIN
+    // cluster → shard manifest of the surviving training set. The
+    // composition is where seam drift hides; the oracle recomputes the
+    // whole chain from the recursive closure
+    Q(
+      "corpus_curation_leakage_safe",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val labeled = Dedup.leakageSafeSplit(docs, "doc_id", "text",
+          bounds = Seq("val" -> "0d", "test" -> "1a"), restLabel = "train",
+          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+        val kept = labeled
+          .filter(col("split") === "train" &&
+            col("doc_id") === col("cluster_id"))
+          .select(col("doc_id"))
+        Corpus.shardManifest(docs.join(kept, "doc_id"), "doc_id", "text",
+          nShards = 8).orderBy(col("shard"))
+      },
+      Some {
+        val head = clustersOracleSql.substring(0,
+          clustersOracleSql.indexOf("SELECT doc_id, cluster_id")).trim
+        s"""$head,
+           |keep AS (
+           |  SELECT doc_id FROM comp
+           |  WHERE doc_id = cluster_id
+           |    AND md5(CAST(cluster_id AS VARCHAR)) >= '1a'),
+           |t AS (
+           |  SELECT CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT % 8 AS INT) AS shard,
+           |    d.doc_id,
+           |    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS toks
+           |  FROM documents d JOIN keep USING (doc_id))
+           |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+           |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+      }),
+
     // same clusters, computed with the O(log n)-round star-contraction
     // solver (large-star/small-star) instead of label propagation — the
     // deep-chain-safe variant; identical output, identical oracle.
