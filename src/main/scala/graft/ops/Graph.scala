@@ -76,6 +76,52 @@ object Graph {
     r
   }
 
+  /** Edge-WEIGHTED PageRank: rank flows in proportion to integer edge
+    * weights instead of splitting evenly —
+    * {{{
+    *   contrib(u→v) = pr(u) · w(u,v) DIV outW(u),  outW(u) = Σ_out w
+    * }}}
+    * the natural spelling when edges carry multiplicities
+    * (co-occurrence counts, click volumes, citation counts): a pair of
+    * parts ordered together 20 times SHOULD pull 10× the rank of a
+    * one-off. Same integer-ppm discipline and truncation order as
+    * [[pageRank]], so the unrolled oracle matches bit-for-bit.
+    *
+    * Scale shape: identical to [[pageRank]] — the static
+    * (src, dst, w, outW) relation checkpoints once, one groupBy(dst)
+    * partial-aggregated shuffle per round. Overflow bound now carries
+    * the weight: dampingPpm · n · 10^6 · wMax < 2^63 — cap or rescale
+    * weights past ~10^8-node graphs with heavy multiplicities.
+    *
+    * @param edges (src, dst, w) directed weighted edges, w ≥ 1 integer
+    * @return (node, pr_ppm) for every node with at least one out-edge
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 4,
+      dampingPpm: Long = 850000L, checkpointEvery: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000,
+      s"dampingPpm must be in [0, 1000000], got $dampingPpm")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("__ow"))
+    val eW = e.join(outW, "src").localCheckpoint(true)
+    val nodes = outW.select(col("src").as("node"))
+    val base = 1000000L - dampingPpm
+    var r = nodes.withColumn("pr_ppm", lit(1000000L))
+    for (i <- 1 to iters) {
+      val inflow = eW.join(r, eW("src") === r("node"))
+        .select(col("dst"), expr("pr_ppm * w DIV __ow").as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__in"))
+      r = nodes.join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"${dampingPpm}L * coalesce(__in, 0L) DIV 1000000")).as("pr_ppm"))
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
+    }
+    r
+  }
+
   /** Personalized PageRank (Jeh & Widom 2003's topic-sensitive rank):
     * [[pageRank]]'s integer-ppm rounds, but the teleport term lands ON
     * THE SEED SET ONLY — rank flows outward from the seeds and decays

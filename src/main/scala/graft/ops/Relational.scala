@@ -252,6 +252,44 @@ object Relational {
        |SELECT CAST(n AS BIGINT) AS node, d AS deg FROM dfin ORDER BY node""".stripMargin
   }
 
+  /** Unrolled oracle for [[Graph.pageRankWeighted]] over the
+    * co-order-count-weighted part graph (w ≥ 2 threshold, both
+    * directions): contributions are `r·w // outW` per edge. */
+  private def pageRankWeightedSql(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(150000 + 850000 * COALESCE(inf.s, 0) // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM(rp.r * e.w // ow.ow) AS s
+         |    FROM e JOIN r${i - 1} rp ON rp.node = e.src
+         |    JOIN ow ON ow.node = e.src
+         |    GROUP BY e.dst) inf ON inf.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT a, b, w FROM (
+       |    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM (
+       |      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b,
+       |        l1.l_orderkey AS ok
+       |      FROM lineitem l1 JOIN lineitem l2
+       |        ON l1.l_orderkey = l2.l_orderkey
+       |       AND l1.l_partkey < l2.l_partkey) t
+       |    GROUP BY a, b) u WHERE w >= 2),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, w FROM p
+       |  UNION ALL SELECT b AS src, a AS dst, w FROM p),
+       |ow AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+       |nodes AS (SELECT node FROM ow),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, rank, pr_ppm FROM (
+       |  SELECT node,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INT) AS rank,
+       |    r AS pr_ppm
+       |  FROM r$iters) t
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   /** Unrolled oracle for [[Graph.kTruss]] over the ≥2-co-orders part
     * graph: per round, each edge's support = its common-neighbor count
     * in the current subgraph (one two-hop join over the both-directions
@@ -1646,6 +1684,33 @@ object Relational {
         Graph.kCore(pairs, k = 3, rounds = 3).orderBy(col("node"))
       },
       Some(kCoreSql(k = 3, rounds = 3))),
+
+    // ---- edge-weighted PageRank over the co-order-count graph: a pair
+    //      ordered together 20 times pulls 10x the rank of a 2-count
+    //      edge — contributions r·w DIV outW, integer throughout
+    Q(
+      "graph_pagerank_weighted",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+          .distinct()
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        val e = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"),
+            col("w")))
+        Graph.pageRankWeighted(e, iters = 4, checkpointEvery = 4)
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+            col("pr_ppm").cast("double"), col("node"), 30).as("top"))
+          .select(posexplode(col("top")).as(Seq("r0", "t")))
+          .select(col("t.id").as("node"),
+            (col("r0") + 1).cast("int").as("rank"),
+            col("t.score").cast("long").as("pr_ppm"))
+      },
+      Some(pageRankWeightedSql(iters = 4, k = 30))),
 
     // ---- k-truss peeling over the same sparse graph: edges whose
     //      triangle support < k−2 drop each round — trims low-cohesion

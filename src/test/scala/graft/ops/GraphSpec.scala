@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 /** Fixed-point and contract properties of the integer PageRank that no
   * single oracle row can assert.
@@ -120,6 +120,23 @@ class GraphSpec extends SparkTestBase {
   test("kCore: k above the max degree empties the graph") {
     val g = Seq(1L -> 2L, 2L -> 3L)
     assert(core(g, k = 5, rounds = 2) === Map.empty)
+  }
+
+  test("pageRankWeighted: heavier edges pull more rank; w=1 = unweighted") {
+    // star 0-{1,2}: edge to 1 carries 10x the weight of edge to 2
+    val wEdges = Seq((0L, 1L, 10L), (1L, 0L, 10L), (0L, 2L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRankWeighted(wEdges, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L), s"the heavy edge must pull more rank: $r")
+    // uniform weights reduce EXACTLY to the unweighted formulation
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
+    val e = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val uni = Graph.pageRank(e, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val w1 = Graph.pageRankWeighted(e.withColumn("w", lit(1L)), iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(w1 === uni)
   }
 
   private def truss(pairs: Seq[(Long, Long)], k: Int,
