@@ -1732,6 +1732,61 @@ object Relational {
       },
       Some(kTrussSql(k = 3, rounds = 3))),
 
+    // ---- community cores: connected components OVER the k-truss
+    //      survivors — peel low-cohesion edges first, then label what
+    //      remains; per-community card (label = min node, sizes). The
+    //      standard "dense cores then membership" composition
+    Q(
+      "graph_truss_communities",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+          .distinct()
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+        val truss = Graph.kTruss(pairs, k = 3, rounds = 3)
+          .select(col("a"), col("b")).localCheckpoint(true)
+        val nodes = truss.select(col("a").as("node"))
+          .unionByName(truss.select(col("b").as("node"))).distinct()
+        val lab = Dedup.connectedComponents(nodes, "node", truss,
+          aCol = "a", bCol = "b")
+        val labEdges = truss
+          .join(lab.select(col("id").as("a"), col("cluster").as("__c")), "a")
+        lab.groupBy(col("cluster").as("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .join(labEdges.groupBy(col("__c").as("community"))
+            .agg(count(lit(1)).as("n_edges")), "community")
+          .orderBy(col("community"))
+      },
+      Some {
+        // kTrussSql's peel chain, then a recursive closure over the
+        // surviving edges and the per-community size card
+        val chain = kTrussSql(k = 3, rounds = 3)
+          .replaceFirst("WITH e0", "WITH RECURSIVE e0")
+        val head = chain.substring(0, chain.indexOf("SELECT a, b, support FROM sf"))
+          .trim.stripSuffix(",").trim
+        // drop the trailing final-support CTEs (eef/sf) — communities
+        // only need e3
+        s"""$head,
+           |nn AS (SELECT a AS node FROM e3 UNION SELECT b FROM e3),
+           |walk AS (
+           |  SELECT node AS src, node AS dst FROM nn
+           |  UNION
+           |  SELECT w.src, CASE WHEN e.a = w.dst THEN e.b ELSE e.a END
+           |  FROM walk w JOIN e3 e ON e.a = w.dst OR e.b = w.dst),
+           |comp AS (SELECT src AS node, MIN(dst) AS community
+           |         FROM walk GROUP BY 1)
+           |SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e3 e
+           |   JOIN comp c2 ON c2.node = e.a WHERE c2.community = comp.community)
+           |    AS n_edges
+           |FROM comp GROUP BY community ORDER BY community""".stripMargin
+      }),
+
     // ---- HyperBall neighborhood function over the same sparse graph:
     //      per-node 3-hop reach estimated by propagating HLL registers
     //      along edges (state ≤ 1024 registers/node at ANY ball size —
