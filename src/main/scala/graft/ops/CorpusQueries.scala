@@ -1424,6 +1424,75 @@ object CorpusQueries {
              |  FROM fs) t
              |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
 
+    // THREE-arm hybrid retrieval: lexical tf-idf + BM25 + a DENSE arm
+    // (the query string's feature-hashed embedding dotted against every
+    // doc's hashed embedding — the model-free stand-in with the same
+    // schema a learned encoder drops into), fused by integer RRF. The
+    // full retrieval stack in one gated query
+    Q(
+      "text_hybrid_dense",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        // the query string's 16-dim hashed embedding: one bounded 1-row
+        // collect (the kmeans driver-scalar pattern)
+        val qv = Corpus.hashedEmbedding(
+          Seq((0L, SearchQuery)).toDF("doc_id", "text"), "doc_id", "text",
+          dim = 16).select(col("hvec")).head().getSeq[Long](0)
+        val qvLit = array(qv.map(lit(_)): _*)
+        val denseTop = Corpus.hashedEmbedding(docs, "doc_id", "text", dim = 16)
+          .withColumn("__qv", qvLit)
+          .withColumn("score",
+            expr("aggregate(zip_with(hvec, __qv, (a, b) -> a * b), 0L, " +
+              "(acc, x) -> acc + x)"))
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+            col("score").cast("double"), col("doc_id"), 10).as("top"))
+          .select(posexplode(col("top")).as(Seq("r0", "t")))
+          .select(col("t.id").as("doc"), (col("r0") + 1).cast("int").as("rank"))
+        Corpus.rrfFuse(Seq(
+          Corpus.lexicalTopK(docs, "doc_id", "text", SearchQuery, k = 10),
+          Corpus.bm25TopK(docs, "doc_id", "text", SearchQuery, k = 10),
+          denseTop),
+          rrfK = 60, k = 10)
+          .orderBy(col("rank"))
+      },
+      Some {
+        val terms = SearchQuery.split("\\s+").distinct.toSeq
+          .map(t => s"'$t'").mkString(", ")
+        val denseSql =
+          s"""(WITH $toksCte,
+             |idx AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+             |hv0 AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h,
+             |    ('0x' || substr(md5(tok), 13, 1))::BIGINT AS sb FROM idx),
+             |comp AS (SELECT doc_id, CAST(h % 16 AS INT) AS j,
+             |    CAST(SUM(CASE WHEN sb % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+             |  FROM hv0 GROUP BY 1, 2),
+             |qv AS (SELECT CAST(h % 16 AS INT) AS j,
+             |    CAST(SUM(CASE WHEN sb % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+             |  FROM (SELECT ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h,
+             |      ('0x' || substr(md5(tok), 13, 1))::BIGINT AS sb
+             |    FROM (SELECT unnest([$terms]) AS tok) qt) qh
+             |  GROUP BY 1),
+             |ds AS (SELECT c.doc_id AS doc, CAST(SUM(c.v * q.v) AS BIGINT) AS score
+             |  FROM comp c JOIN qv q USING (j) GROUP BY 1)
+             |SELECT doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT) AS rank
+             |FROM ds ORDER BY rank LIMIT 10)""".stripMargin
+        s"""WITH u AS (
+           |  SELECT doc, 1000000 // (60 + rank) AS c FROM ($lexOracleSql) l
+           |  UNION ALL
+           |  SELECT doc, 1000000 // (60 + rank) AS c FROM ($bm25OracleSql) b
+           |  UNION ALL
+           |  SELECT doc, 1000000 // (60 + rank) AS c FROM $denseSql d),
+           |fs AS (SELECT doc, CAST(SUM(c) AS BIGINT) AS rrf_score
+           |       FROM u GROUP BY 1)
+           |SELECT doc, rank, rrf_score FROM (
+           |  SELECT doc,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc) AS INT) AS rank,
+           |    rrf_score
+           |  FROM fs) t
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin
+      }),
+
     // "more like this" for doc 42 over 3-gram SHINGLE features: rare
     // shared shingles rank near-dups first, topical overlaps after —
     // probe features broadcast, postings semi-joined before any
