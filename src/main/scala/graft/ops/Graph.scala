@@ -592,4 +592,136 @@ object Graph {
           "ELSE 3L * n_triangles * 1000000 DIV n_wedges END")
           .as("closure_ppm"))
   }
+
+  /** Multi-source BFS hop distances: the exact shortest hop count from
+    * any seed to every node reachable within `rounds` hops — the
+    * "blast radius" primitive behind contamination spread analysis
+    * (how far does a flagged document's influence reach through a
+    * citation/duplication graph) and seed-set expansion.
+    *
+    * Frontier propagation: round r joins ONLY the nodes first reached
+    * at round r−1 against the edge list, anti-joins the already-settled
+    * set, and tags survivors dist = r. Equivalent to the textbook
+    * min-distance relaxation (a node's first discovery IS its minimum
+    * hop count — BFS invariant), but each edge is expanded exactly once
+    * per endpoint discovery instead of once per round, so total work is
+    * O(m + n) across all rounds, not O(rounds · reached-set).
+    *
+    * Shape at scale: per round one equi-join frontier⋈edges on a
+    * compact long key plus one anti-join against the settled set —
+    * both partial-aggregated hash shuffles; the settled set and
+    * frontier are checkpointed every `checkpointEvery` rounds so plan
+    * depth stays bounded (the [[pageRank]] discipline). Nothing reaches
+    * the driver.
+    *
+    * @param edges (src, dst) directed edges; feed both directions for
+    *              an undirected graph
+    * @param seeds (node) distinct-able seed set, distance 0
+    * @return (node, dist): every node within `rounds` hops of a seed
+    */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    var settled = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L))
+    var frontier = settled.select(col("node"))
+    for (r <- 1 to rounds) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"),
+          Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+      frontier = next
+      settled = settled
+        .unionByName(next.withColumn("dist", lit(r.toLong)))
+      if (r % checkpointEvery == 0 && r < rounds) {
+        settled = settled.localCheckpoint(true)
+        frontier = frontier.localCheckpoint(true)
+      }
+    }
+    settled
+  }
+
+  /** Link prediction over an undirected graph: the top-k NON-adjacent
+    * node pairs ranked by common-neighbor count, Jaccard-of-
+    * neighborhoods tie-break — "parts that should co-occur but don't
+    * yet", the recommendation / missing-edge primitive over any
+    * co-occurrence graph.
+    *
+    * Scores are exact integers: `common = |N(a) ∩ N(b)|` via the
+    * codegen'd sorted-adjacency merge
+    * ([[graft.functions.SortedIntersectCount]] — O(deg a + deg b) per
+    * pair, no wedge materialization), and
+    * `jaccard_ppm = common · 10⁶ DIV (deg a + deg b − common)`.
+    *
+    * Candidate generation is the scale lever: pairs are enumerated only
+    * through CENTER nodes of degree ≤ `maxCenterDegree`, so the wedge
+    * fan-out is Σ_{deg(c) ≤ cap} deg(c)² ≤ cap · m — linear in edges at
+    * a fixed cap, hub-proof by construction. A pair whose EVERY common
+    * neighbor exceeds the cap is not proposed (its neighbors are
+    * hub-mediated, the classically meaningless recommendation); any
+    * pair that IS proposed gets its exact full-neighborhood score —
+    * the cap bounds candidate generation, never the arithmetic.
+    *
+    * Ranking is a bounded [[graft.functions.TopKByScore]] aggregate:
+    * score packs (common, jaccard_ppm) lexicographically as
+    * `common · 2²¹ + jaccard_ppm` (exact in double while
+    * common < 2³¹), id packs (a, b) as `a · 2³² + b` so the
+    * smaller-id-wins tie-break is ascending (a, b) — both packings
+    * guarded in-plan with `raise_error` on overflow (fail loud, the
+    * repo convention).
+    *
+    * @param pairs0 undirected distinct edge list with `a < b` per row;
+    *               node ids must fit in 31 bits (guarded)
+    * @return (a, b, rank, common, jaccard_ppm), rank 1..k by
+    *         (common DESC, jaccard_ppm DESC, a, b)
+    */
+  def linkPrediction(pairs0: DataFrame, maxCenterDegree: Int,
+      k: Int): DataFrame = {
+    require(maxCenterDegree >= 1,
+      s"maxCenterDegree must be >= 1, got $maxCenterDegree")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = pairs0.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
+    val ee = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val adj = ee.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
+        count(lit(1)).as("d"))
+      .localCheckpoint(true) // feeds center filter + two score joins
+    val centerEdges = ee.join(
+      adj.filter(col("d") <= maxCenterDegree.toLong).select(col("src")),
+      Seq("src"), "left_semi")
+    val cand = centerEdges.as("x")
+      .join(centerEdges.as("y"), col("x.src") === col("y.src"))
+      .filter(col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("a"), col("y.dst").as("b"))
+      .distinct()
+      .join(pairs, Seq("a", "b"), "left_anti")
+    val scored = cand
+      .join(adj.select(col("src").as("a"), col("nbrs").as("__na"),
+        col("d").as("__da")), "a")
+      .join(adj.select(col("src").as("b"), col("nbrs").as("__nb"),
+        col("d").as("__db")), "b")
+      .withColumn("common", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("__na"), col("__nb")))
+      .withColumn("jaccard_ppm",
+        expr("common * 1000000 DIV (__da + __db - common)"))
+    val guarded = scored.withColumn("__id",
+      when(col("a") < 0 || col("b") < 0 ||
+          col("a") >= lit(2147483648L) || col("b") >= lit(2147483648L),
+        raise_error(lit("linkPrediction: node ids must fit in 31 bits")))
+        .otherwise(col("a") * lit(4294967296L) + col("b")))
+    guarded
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        (col("common") * lit(2097152L) + col("jaccard_ppm")).cast("double"),
+        col("__id"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(expr("t.id DIV 4294967296").as("a"),
+        expr("t.id % 4294967296").as("b"),
+        (col("r0") + 1).cast("int").as("rank"),
+        expr("CAST(t.score AS BIGINT) DIV 2097152").as("common"),
+        expr("CAST(t.score AS BIGINT) % 2097152").as("jaccard_ppm"))
+  }
 }

@@ -513,6 +513,95 @@ object Relational {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** 2-D Pareto frontier (skyline): the rows no other row dominates,
+    * minimizing `xCol` while maximizing `yCol` — q dominates p iff
+    * q.x ≤ p.x ∧ q.y ≥ p.y with one strict; exact ties on both axes
+    * coexist on the frontier. The classic multi-criteria shortlist
+    * (cheapest-for-its-size, best-for-its-price).
+    *
+    * Spelling without the O(n²) dominance self-join AND without a
+    * single-partition window: one per-x max-y aggregate (NDV(x) rows),
+    * then an EXCLUSIVE prefix max over x via [[TwoPass.prefixMax]]
+    * (range-partitioned two-pass — scale-safe at any NDV), then a
+    * join-back. A row survives iff its y equals its x's max (no
+    * same-x strict dominator) and strictly-cheaper x never reached its
+    * y (`m1 NULL or < y`). Two shuffles + one broadcast of the
+    * per-partition offsets, nothing driver-side.
+    *
+    * @param yCol must be integral-valued (cast to long for the
+    *             prefix-max combine)
+    */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pm = df.groupBy(col(xCol))
+      .agg(max(col(yCol)).cast("long").as("__m2"))
+    val pm2 = TwoPass.prefixMax(pm, Seq.empty, Seq(col(xCol)),
+      col("__m2"), "__m1")
+    df.join(pm2, Seq(xCol))
+      .filter(col(yCol).cast("long") === col("__m2") &&
+        (col("__m1").isNull || col("__m1") < col(yCol).cast("long")))
+      .drop("__m1", "__m2")
+  }
+
+  private def bfsLevelsSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} d ON e.src = d.node) u
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM e0
+       |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, 0 AS dist
+       |       FROM supplier WHERE s_nationkey = 0),
+       |$steps
+       |SELECT node, CAST(dist AS BIGINT) AS dist
+       |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  private def linkPredictionSql(cap: Int, k: Int): String =
+    s"""WITH p AS (
+       |  SELECT a, b FROM (
+       |    SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+       |      COUNT(DISTINCT l1.l_orderkey) AS w
+       |    FROM lineitem l1 JOIN lineitem l2
+       |      ON l1.l_orderkey = l2.l_orderkey
+       |     AND l1.l_partkey < l2.l_partkey
+       |    GROUP BY 1, 2) t WHERE w >= 2),
+       |e AS (SELECT a AS src, b AS dst FROM p
+       |      UNION ALL SELECT b AS src, a AS dst FROM p),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+       |ec AS (SELECT e.src, e.dst FROM e JOIN deg USING (src)
+       |       WHERE d <= $cap),
+       |cand AS (
+       |  SELECT DISTINCT x.dst AS a, y.dst AS b
+       |  FROM ec x JOIN ec y ON x.src = y.src AND x.dst < y.dst),
+       |cand2 AS (
+       |  SELECT a, b FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.a = c.a AND p.b = c.b)),
+       |cn AS (
+       |  SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM cand2 c
+       |  JOIN e ea ON ea.src = c.a
+       |  JOIN e eb ON eb.src = c.b AND eb.dst = ea.dst
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT cn.a, cn.b, common,
+       |    CAST(common * 1000000 // (da.d + db.d - common) AS BIGINT)
+       |      AS jaccard_ppm
+       |  FROM cn JOIN deg da ON da.src = cn.a JOIN deg db ON db.src = cn.b)
+       |SELECT a, b, rank, common, jaccard_ppm FROM (
+       |  SELECT a, b, CAST(ROW_NUMBER() OVER (
+       |      ORDER BY common DESC, jaccard_ppm DESC, a, b) AS INT) AS rank,
+       |    common, jaccard_ppm
+       |  FROM sc) t
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // ---- pricing summary (TPC-H Q1 shape): scan + partial agg + final agg
     Q(
@@ -2133,6 +2222,137 @@ object Relational {
              |SELECT event_id, event_type, value
              |FROM v JOIN st USING (event_type)
              |WHERE (n*q - s)*(n*q - s) > 9*(n*ss - s*s)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- 2-D skyline: parts on the (cheapest, biggest) Pareto
+    //      frontier — per-price max + TwoPass exclusive prefix max, no
+    //      O(n^2) dominance join, no single-partition window
+    Q(
+      "q_skyline",
+      (s, dir) =>
+        skyline2d(table(s, dir, "part"), "p_retailprice", "p_size")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy(col("p_partkey")),
+      Some("""WITH pm AS (
+             |  SELECT p_retailprice AS x, MAX(p_size) AS m2
+             |  FROM part GROUP BY 1),
+             |pm2 AS (
+             |  SELECT x, m2, MAX(m2) OVER (ORDER BY x
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+             |  FROM pm)
+             |SELECT p_partkey, p_retailprice, p_size
+             |FROM part JOIN pm2 ON p_retailprice = x
+             |WHERE p_size = m2 AND (m1 IS NULL OR m1 < p_size)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- market-basket association rules: top-30 frequent part pairs
+    //      by lift, both rule directions, all-integer ppm scores.
+    //      Apriori prune (frequent items first) bounds the per-order
+    //      pair fan-out; lift spelled conf_ppm * n DIV c_cons so the
+    //      widest intermediate is 10^6 * n_orders — inside int64 to
+    //      ~10^12 baskets (the one-shot c_ab*n*10^6 product is not)
+    Q(
+      "q_assoc_rules",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = li.agg(count_distinct(col("ok")).as("__n"))
+        // frequent-item counts feed the semi-join prune and two
+        // join-backs; cut once
+        val ic = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 15L).localCheckpoint(true)
+        val liF = li.join(ic.select(col("pk")), Seq("pk"), "left_semi")
+        val pc = liF.as("x").join(liF.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 3L)
+        val wc = pc
+          .join(ic.select(col("pk").as("a"), col("c").as("c_a")), "a")
+          .join(ic.select(col("pk").as("b"), col("c").as("c_b")), "b")
+        val rules = wc.select(col("a").as("ante"), col("b").as("cons"),
+            col("c_ab"), col("c_a").as("c_ante"), col("c_b").as("c_cons"))
+          .unionByName(wc.select(col("b").as("ante"), col("a").as("cons"),
+            col("c_ab"), col("c_b").as("c_ante"), col("c_a").as("c_cons")))
+        rules.crossJoin(broadcast(nOrders))
+          .withColumn("conf_ppm", expr("c_ab * 1000000 DIV c_ante"))
+          .withColumn("lift_ppm", expr("conf_ppm * __n DIV c_cons"))
+          .select(col("ante"), col("cons"), col("c_ab"), col("conf_ppm"),
+            col("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+            col("ante"), col("cons"))
+          .limit(30)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem),
+             |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM li),
+             |ic AS (
+             |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM li
+             |  GROUP BY 1 HAVING COUNT(*) >= 15),
+             |lf AS (SELECT li.ok, li.pk FROM li JOIN ic USING (pk)),
+             |pc AS (
+             |  SELECT x.pk AS a, y.pk AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+             |  FROM lf x JOIN lf y ON x.ok = y.ok AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |wc AS (
+             |  SELECT pc.a, pc.b, pc.c_ab, ca.c AS c_a, cb.c AS c_b
+             |  FROM pc JOIN ic ca ON ca.pk = pc.a JOIN ic cb ON cb.pk = pc.b),
+             |r AS (
+             |  SELECT a AS ante, b AS cons, c_ab, c_a AS c_ante, c_b AS c_cons
+             |  FROM wc
+             |  UNION ALL
+             |  SELECT b, a, c_ab, c_b, c_a FROM wc),
+             |sc AS (
+             |  SELECT ante, cons, c_ab,
+             |    CAST(c_ab * 1000000 // c_ante AS BIGINT) AS conf_ppm,
+             |    c_cons FROM r)
+             |SELECT ante, cons, c_ab, conf_ppm,
+             |  CAST(conf_ppm * (SELECT n FROM n) // c_cons AS BIGINT) AS lift_ppm
+             |FROM sc
+             |ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons
+             |LIMIT 30""".stripMargin)),
+
+    // ---- multi-source BFS: exact hop distances from nation-0
+    //      suppliers through the part<->supplier bipartite graph,
+    //      frontier-propagated (each edge expanded once per endpoint
+    //      discovery), vs the min-relaxation rounds unrolled as CTEs
+    Q(
+      "graph_bfs_levels",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val e = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = table(s, dir, "supplier")
+          .filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+        Graph.bfsLevels(e, seeds, rounds = 3).orderBy(col("node"))
+      },
+      Some(bfsLevelsSql(rounds = 3))),
+
+    // ---- link prediction over the parts-co-ordered-in->=2-orders
+    //      graph: top-30 non-adjacent pairs by common neighbors +
+    //      Jaccard tie-break; candidates through degree-<=cap centers
+    //      (wedge fan-out <= cap*m), exact scores via the
+    //      sorted-adjacency merge
+    Q(
+      "graph_link_prediction",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+          .distinct()
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+        Graph.linkPrediction(pairs, maxCenterDegree = 256, k = 30)
+          .orderBy(col("rank"))
+      },
+      Some(linkPredictionSql(cap = 256, k = 30)))
   )
 }

@@ -94,4 +94,33 @@ object TwoPass {
       coalesce(sum(col("__tp_v")).over(wLoc), lit(0L)), out, None)
       .select((df.columns.toSeq :+ out).map(col): _*)
   }
+
+  /** EXCLUSIVE running MAX of `value` within each group in `orderCols`
+    * order (the max of all strictly-earlier rows; NULL for the first
+    * row — max has no identity), appended as `out` (LongType). The
+    * dominance/skyline primitive: a row knows the best value among
+    * everything that precedes it without a single-partition window.
+    * Same two-pass shape as [[prefixSum]]: range-partition on the
+    * order, per-partition local window, per-partition maxima broadcast
+    * back as exclusive cross-partition offsets; `greatest` skips NULLs
+    * so the combine needs no special-casing. */
+  def prefixMax(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], value: Column, out: String): DataFrame = {
+    val p = parted(df.withColumn("__tp_v", value.cast("long")),
+      groupCols, orderCols)
+    val wLoc = Window.partitionBy((col(Pid) +: groupCols.map(col)): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val maxes = p.groupBy((col(Pid) +: groupCols.map(col)): _*)
+      .agg(max(col("__tp_v")).as("__tp_s"))
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    val offs = maxes.withColumn(Off,
+        max(col("__tp_s")).over(wg.orderBy(col(Pid))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .drop("__tp_s")
+    p.withColumn(Loc, max(col("__tp_v")).over(wLoc))
+      .join(broadcast(offs), Pid +: groupCols)
+      .withColumn(out, greatest(col(Loc), col(Off)))
+      .select((df.columns.toSeq :+ out).map(col): _*)
+  }
 }

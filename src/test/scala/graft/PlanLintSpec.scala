@@ -45,7 +45,11 @@ class PlanLintSpec extends SparkTestBase {
     // R-row distribution x two single-row aggregates (last round, 90%
     // radius) — every cross side bounded by the fixed round count
     // (Graph.distanceDistribution scaladoc)
-    "graph_eff_diameter")
+    "graph_eff_diameter",
+    // SINGLE-ROW basket-count aggregate broadcast onto the rule table
+    // for the lift denominator — bounded by construction (global
+    // count_distinct; see the q_assoc_rules registry comment)
+    "q_assoc_rules")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.

@@ -220,4 +220,56 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(est === direct)
   }
+
+  test("bfsLevels: hop distances on a path, min over multiple seeds") {
+    // undirected path 1-2-3-4-5-6; seeds {1, 5}
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val d = Graph.bfsLevels(e, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 3 is 2 hops from seed 1 but also 2 from seed 5 via 4; node 4
+    // takes the shorter route from seed 5, not 3 hops from seed 1
+    assert(d === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 1L,
+      3L -> 2L))
+  }
+
+  test("bfsLevels: rounds bound the radius; disconnected stays absent") {
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L)
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val d = Graph.bfsLevels(e, Seq(1L).toDF("node"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4 beyond radius,
+    // 10/11 unreachable — never emitted rather than inf-distance rows
+  }
+
+  test("linkPrediction: square proposes both diagonals, exact scores") {
+    // 4-cycle 1-2-3-4-1: non-edges (1,3) and (2,4), each closed by two
+    // wedges; jaccard = 2*10^6 / (2+2-2) = 10^6 (neighborhoods equal)
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L).toDF("a", "b")
+    val top = Graph.linkPrediction(pairs, maxCenterDegree = 16, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(top.toSeq === Seq((1L, 3L, 1, 2L, 1000000L),
+      (2L, 4L, 2, 2L, 1000000L)))
+  }
+
+  test("linkPrediction: existing edges are never proposed; hub-only " +
+    "common neighbors are skipped when the center cap excludes the hub") {
+    // star center 9 with leaves 1..4, plus edge 1-2. Candidates through
+    // the hub would be all leaf pairs; cap 3 < deg(9)=4 excludes it, and
+    // leaves have degree <= 2, so the only proposable wedge centers are
+    // the leaves themselves: 1 and 2 each propose (their two neighbors)
+    // — (9, x) pairs are real edges, leaving nothing. With the cap
+    // raised, leaf pairs appear and the real edge (1,2) is still absent.
+    val pairs = Seq(9L -> 1L, 9L -> 2L, 9L -> 3L, 9L -> 4L, 1L -> 2L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("a", "b")
+    val capped = Graph.linkPrediction(pairs, maxCenterDegree = 3, k = 10)
+      .collect()
+    assert(capped.isEmpty)
+    val open = Graph.linkPrediction(pairs, maxCenterDegree = 16, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open === Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
 }
