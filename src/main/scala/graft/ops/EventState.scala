@@ -138,6 +138,104 @@ object EventState {
           "ELSE 0L END")).as("decayed_micro"))
   }
 
+  /** Exact single change-point per group: the split index maximizing
+    * the between-segment mean shift |mean(1..i) − mean(i+1..T)| over an
+    * ordered integer series — "when did this source's volume/behavior
+    * jump", the monitoring primitive behind drift alerts on ingest
+    * rates and quality scores.
+    *
+    * All integer: with prefix sum P_i and total S over T points,
+    * {{{
+    *   D_i        = |P_i·(T−i) − (S−P_i)·i|          (cross-multiplied)
+    *   score_ppm  = D_i·10⁶ DIV (i·(T−i))            (the mean gap, ppm)
+    * }}}
+    * argmax by (score_ppm, earliest index) — deterministic, no floats,
+    * so the oracle's identical spelling matches bit-for-bit. Headroom:
+    * D_i ≤ S·T, so the ppm scaling needs S·T < 2⁶³/10⁶ ≈ 9.2·10¹²
+    * (e.g. 10⁹ events/day per group × 25 years of days) — beyond that,
+    * pre-scale the values.
+    *
+    * Shape at scale: the window runs over the caller's AGGREGATED
+    * series (per-group rows = series length — calendar-bounded for a
+    * daily series, never corpus-scaled), then one partial-aggregated
+    * total join-back and one struct-max argmax per group. Raw events
+    * never enter a window.
+    *
+    * @param df one row per (group, order point), `valueCol`
+    *           integral-valued (caller quantizes)
+    * @return (groupCol, orderCol, score_ppm, mean_before_ppm,
+    *         mean_after_ppm) — the winning split per group; groups with
+    *         a single point emit nothing (no split exists)
+    */
+  def changePoint(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val t = df.select(col(groupCol), col(orderCol),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__p",
+        sum(col("__v")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = t.groupBy(col(groupCol))
+      .agg(max(col("__i")).as("__t"), sum(col("__v")).as("__s"))
+    t.join(tot, groupCol)
+      .filter(col("__i") < col("__t"))
+      .withColumn("__d", abs(expr("__p * (__t - __i) - (__s - __p) * __i")))
+      .groupBy(col(groupCol))
+      .agg(max(struct(
+        expr("__d * 1000000 DIV (__i * (__t - __i))").as("score_ppm"),
+        (-col("__i")).as("__ni"), // tie → earliest split
+        col(orderCol).as("__o"),
+        expr("__p * 1000000 DIV __i").as("__mb"),
+        expr("(__s - __p) * 1000000 DIV (__t - __i)").as("__ma")))
+        .as("__best"))
+      .select(col(groupCol), col("__best.__o").as(orderCol),
+        col("__best.score_ppm").as("score_ppm"),
+        col("__best.__mb").as("mean_before_ppm"),
+        col("__best.__ma").as("mean_after_ppm"))
+  }
+
+  /** Time-weighted average per key over a LOCF timeline: each value
+    * holds from its event until the next event, weighted by that
+    * duration — the honest "average balance / average sensor reading"
+    * when observations are irregular (a plain AVG over-weights bursty
+    * periods). The last observation per key has no successor and
+    * contributes no segment (open-ended intervals carry no weight).
+    *
+    * Exact integers end to end: `quant` is the caller's integral
+    * quantization of the value (deci-units, cents, …), durations are
+    * µs, and the final division floors on BOTH engines — spelled
+    * `(num − pmod(num, den)) DIV den`, which is floor division for
+    * den > 0 even when the value series (hence num) is negative,
+    * matching the oracle's `//` rather than DIV's truncation toward
+    * zero.
+    *
+    * Shape at scale: one per-key window (lead) over the raw events —
+    * key cardinality is data-scaled, the partition is one entity's
+    * history — then one partial-aggregated groupBy(key).
+    *
+    * @param tieCol makes the per-key ordering total when timestamps
+    *               collide (an event id / LSN)
+    * @return (keyCol, n_segments, twa_q): the floor'd time-weighted
+    *         average in `quant` units; keys whose observations all
+    *         share one timestamp (zero total duration) are dropped
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, quant: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(tieCol))
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        col(tieCol), quant.cast("long").as("__q"))
+      .withColumn("__dur", lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__dur").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(expr("__q * __dur")).as("__num"),
+        sum(col("__dur")).as("__den"))
+      .filter(col("__den") > 0)
+      .select(col(keyCol), col("n_segments"),
+        expr("(__num - pmod(__num, __den)) DIV __den").as("twa_q"))
+  }
+
   def aggState(df: DataFrame, keyCol: String, cents: Column): DataFrame =
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"), sum(cents).as("total_cents"),

@@ -2353,6 +2353,78 @@ object Relational {
         Graph.linkPrediction(pairs, maxCenterDegree = 256, k = 30)
           .orderBy(col("rank"))
       },
-      Some(linkPredictionSql(cap = 256, k = 30)))
+      Some(linkPredictionSql(cap = 256, k = 30))),
+
+    // ---- exact change-point per event type: the day splitting the
+    //      daily-count series at the largest mean shift — integer
+    //      cross-multiplied scores over the calendar-bounded daily
+    //      aggregate, argmax via one struct-max per type
+    Q(
+      "q_changepoint",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        EventState.changePoint(daily, "event_type", "day", "n")
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("score_ppm"), col("mean_before_ppm"), col("mean_after_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, day, n,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY day) AS BIGINT) AS i,
+             |    CAST(SUM(n) OVER (PARTITION BY event_type
+             |      ORDER BY day) AS BIGINT) AS p
+             |  FROM d),
+             |tot AS (
+             |  SELECT event_type, MAX(i) AS tt, CAST(SUM(n) AS BIGINT) AS s
+             |  FROM t GROUP BY 1),
+             |sc AS (
+             |  SELECT t.event_type, day, i,
+             |    CAST(abs(p*(tt-i) - (s-p)*i) * 1000000
+             |      // (i*(tt-i)) AS BIGINT) AS score_ppm,
+             |    CAST(p * 1000000 // i AS BIGINT) AS mean_before_ppm,
+             |    CAST((s-p) * 1000000 // (tt-i) AS BIGINT) AS mean_after_ppm
+             |  FROM t JOIN tot USING (event_type) WHERE i < tt),
+             |best AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |    ORDER BY score_ppm DESC, i) AS rn FROM sc)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |  score_ppm, mean_before_ppm, mean_after_ppm
+             |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- time-weighted average value per user over the LOCF timeline
+    //      (irregular observations weighted by how long they held);
+    //      deci-unit quantization, floor division spelled identically
+    //      on both engines
+    Q(
+      "q_time_weighted_avg",
+      (s, dir) =>
+        EventState.timeWeightedAvg(events(s, dir), "user_id", "ts",
+          "event_id", expr("CAST(FLOOR(value * 10.0) AS BIGINT)"))
+          .withColumnRenamed("twa_q", "twa_deci")
+          .orderBy(col("user_id")),
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    CAST(FLOOR(value * 10.0) AS BIGINT) AS q
+             |  FROM events),
+             |seg AS (
+             |  SELECT user_id, q,
+             |    lead(us) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) - us AS dur
+             |  FROM v),
+             |agg AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+             |    CAST(SUM(q * dur) AS BIGINT) AS num,
+             |    CAST(SUM(dur) AS BIGINT) AS den
+             |  FROM seg WHERE dur IS NOT NULL GROUP BY 1)
+             |SELECT user_id, n_segments, CAST(num // den AS BIGINT) AS twa_deci
+             |FROM agg WHERE den > 0 ORDER BY user_id""".stripMargin))
   )
 }

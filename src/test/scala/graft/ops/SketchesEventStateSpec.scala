@@ -129,4 +129,40 @@ class SketchesEventStateSpec extends SparkTestBase {
       .collect()
     assert(r.map(_.getAs[Long]("event_id")).toSeq === Seq(100L))
   }
+
+  test("changePoint finds a step jump exactly; flat series ties earliest") {
+    // g1: 10,10,10,40,40 — the true split is after index 3; mean gap
+    // 30 => score 30_000_000 ppm, means 10e6 / 40e6
+    // g2: 7,7,7,7 — every split has gap 0; tie-break picks the FIRST
+    // g3: single point — no split, no row
+    val df = (Seq(("g1", 1L, 10L), ("g1", 2L, 10L), ("g1", 3L, 10L),
+      ("g1", 4L, 40L), ("g1", 5L, 40L)) ++
+      (1 to 4).map(i => ("g2", i.toLong, 7L)) :+ ("g3", 1L, 9L))
+      .toDF("g", "pos", "n")
+    val r = EventState.changePoint(df, "g", "pos", "n")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toMap
+    assert(r === Map(
+      "g1" -> ((3L, 30000000L, 10000000L, 40000000L)),
+      "g2" -> ((1L, 0L, 7000000L, 7000000L))))
+  }
+
+  test("timeWeightedAvg weights by holding duration and floors like //") {
+    // u1: value 10 deci held 3 us, then 40 held 1 us, last drops =>
+    // twa = (10*3 + 40*1) / 4 = 17 (floor of 17.5)
+    // u2: all events at one instant => zero total duration, dropped
+    // u3: negative series: (-7*1 + -8*1) / 2 = -7.5 -> floor -8 (DIV
+    // truncation would give -7)
+    val df = Seq(
+      (1L, 10L, 0L, 1.0), (1L, 11L, 3L, 4.0), (1L, 12L, 4L, 9.9),
+      (2L, 20L, 5L, 1.0), (2L, 21L, 5L, 2.0),
+      (3L, 30L, 0L, -0.7), (3L, 31L, 1L, -0.8), (3L, 32L, 2L, 0.0))
+      .toDF("user_id", "event_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = EventState.timeWeightedAvg(df, "user_id", "ts", "event_id",
+        expr("CAST(FLOOR(value * 10.0) AS BIGINT)"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(r === Map(1L -> ((2L, 17L)), 3L -> ((2L, -8L))))
+  }
 }
