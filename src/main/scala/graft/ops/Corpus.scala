@@ -1070,11 +1070,13 @@ object Corpus {
     * (gain desc, doc asc).
     *
     * Shape at scale: the feature index is one distinct explode,
-    * checkpointed; each round is one anti join against the covered-set
-    * (features of ≤ t picked docs — REBUILT from the picked-id literal
-    * list each round, so plan depth never grows) + one
-    * partial-aggregated count + a 1-row argmax collect (the kmeans
-    * driver-scalar pattern — k rows total reach the driver).
+    * checkpointed; the loop maintains the RESIDUAL (unpicked doc,
+    * uncovered tok) table — each round is one partial-aggregated count
+    * + a 1-row argmax collect (the kmeans driver-scalar pattern — k
+    * rows total reach the driver), then one anti join against the
+    * newly picked doc's token set only (doc-length-bounded broadcast),
+    * re-checkpointed so plan depth never grows. Work per round shrinks
+    * with the residual instead of rescanning full coverage.
     *
     * Precondition: every round must find a positive-gain candidate
     * (fails loud otherwise) — k ≪ corpus size in any real call.
@@ -1094,28 +1096,34 @@ object Corpus {
           .cast("long").as("tok"))
       .distinct()
       .localCheckpoint(true)
+    // Residual maintenance instead of recomputing coverage: `remaining`
+    // holds exactly the (unpicked doc, uncovered tok) rows, so each
+    // round's gain table is ONE partial-aggregated count — and the
+    // per-round anti-join is against the single NEWLY picked doc's
+    // token set (doc-length-bounded, broadcast), not the whole covered
+    // union. Same greedy invariant, same results; work per round
+    // shrinks monotonically with the residual.
+    var remaining = feats
     var picked = Vector.empty[(Long, Long)] // (doc, gain)
     for (t <- 1 to k) {
-      val pickedIds = picked.map(_._1)
-      val candidates =
-        if (pickedIds.isEmpty) feats
-        else feats.filter(!col("doc").isin(pickedIds: _*))
-      val gains =
-        if (pickedIds.isEmpty) candidates.groupBy(col("doc")).agg(count(lit(1)).as("g"))
-        else {
-          val covered = feats.filter(col("doc").isin(pickedIds: _*))
-            .select(col("tok")).distinct()
-          candidates.join(covered, Seq("tok"), "left_anti")
-            .groupBy(col("doc")).agg(count(lit(1)).as("g"))
-        }
-      val top = gains
+      val top = remaining.groupBy(col("doc")).agg(count(lit(1)).as("g"))
         .agg(max_by(struct(col("doc"), col("g")),
           struct(col("g"), -col("doc"))).as("w"))
         .select(col("w.doc"), col("w.g")).collect()
       require(top.nonEmpty && !top(0).isNullAt(0),
         s"coverageMaxSelect: no positive-gain candidate at round $t — " +
           "k exceeds the corpus's coverable diversity")
-      picked = picked :+ (top(0).getLong(0), top(0).getLong(1))
+      val (d, g) = (top(0).getLong(0), top(0).getLong(1))
+      picked = picked :+ (d, g)
+      if (t < k) {
+        // .distinct() is a semantic no-op ((doc, tok) is already
+        // distinct) but marks the broadcast side as key-bounded
+        val dToks = remaining.filter(col("doc") === d)
+          .select(col("tok")).distinct()
+        remaining = remaining.filter(col("doc") =!= d)
+          .join(broadcast(dToks), Seq("tok"), "left_anti")
+          .localCheckpoint(true)
+      }
     }
     import spark.implicits._
     picked.zipWithIndex
