@@ -581,6 +581,78 @@ object Corpus {
       .limit(k)
   }
 
+  /** TextRank keywords (Mihalcea & Tarau 2004): edge-weighted PageRank
+    * over the adjacent-token co-occurrence graph — the unsupervised
+    * "most central vocabulary" extractor. Where tf-idf keywords score
+    * terms per document, TextRank scores them by graph centrality: a
+    * word endorsed by well-connected words outranks a merely frequent
+    * one. Composition of two shipped kernels: the [[pmiCollocations]]
+    * bigram builder and [[Graph.pageRankWeighted]]'s exact integer-ppm
+    * rounds.
+    *
+    * Graph: undirected edges between adjacent tokens (canonicalized
+    * least/greatest, self-pairs dropped), weight = adjacency count,
+    * pruned at `minCount`. Nodes are the 56-bit md5 word ids (the
+    * corpus_keywords spelling — birthday headroom to ~10⁷ vocabulary;
+    * a collision would surface loud in the decode guard below). Rank =
+    * (pr_ppm DESC, id ASC) via the bounded top-k aggregate.
+    *
+    * Shape at scale: one map-only bigram pass + partial-aggregated
+    * edge counts, then the pageRankWeighted loop (one groupBy(dst)
+    * shuffle per round, static side checkpointed); the decode joins
+    * the BROADCAST k winners against the vocabulary — the
+    * vocabulary-sized side is never broadcast, and an id collision
+    * (two words on one winning node) raises rather than emitting a
+    * silently duplicated rank.
+    *
+    * @return (rank 1..k, word, pr_ppm)
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String, minCount: Long,
+      iters: Int, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(TextFunctions.tokens(lower(col(textCol))).as("ws"))
+    val adj = toks
+      .select(explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .otherwise(expr("array()").cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .filter(col("w1") =!= col("w2"))
+    val canon = adj
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+      .localCheckpoint(true) // feeds both edge directions + the vocab
+    def wid(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 14), 16, 10).cast("long")
+    val e = canon.select(wid(col("a")).as("src"), wid(col("b")).as("dst"),
+        col("w"))
+      .unionByName(canon.select(wid(col("b")).as("src"),
+        wid(col("a")).as("dst"), col("w")))
+    val top = Graph.pageRankWeighted(e, iters = iters, checkpointEvery = 4)
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("pr_ppm").cast("double"), col("node"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("t.id").as("node"),
+        (col("r0") + 1).cast("int").as("rank"),
+        col("t.score").cast("long").as("pr_ppm"))
+    val vocab = canon.select(col("a").as("word"))
+      .unionByName(canon.select(col("b").as("word"))).distinct()
+      .select(col("word"), wid(col("word")).as("node"))
+    vocab.join(broadcast(top), "node")
+      .groupBy(col("node"), col("rank"), col("pr_ppm"))
+      .agg(sort_array(collect_list(col("word"))).as("__cand"))
+      .select(col("rank"),
+        when(size(col("__cand")) > 1, raise_error(concat(
+          lit("textRankKeywords: 56-bit word-id collision on node rank "),
+          col("rank").cast("string"))))
+          .otherwise(element_at(col("__cand"), 1)).as("word"),
+        col("pr_ppm"))
+  }
+
   /** Lexical top-k retrieval with integer inverse-df weighting: score(doc)
     * = Σ over matched query terms of tf(term, doc) * (C / df(term)), with
     * C/df an INTEGER division (C = 1_000_000). Integer weights make the

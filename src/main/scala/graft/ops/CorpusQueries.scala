@@ -1558,6 +1558,69 @@ object CorpusQueries {
              |FROM pc JOIN uni ua ON ua.w = pc.w1 JOIN uni ub ON ub.w = pc.w2
              |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 30""".stripMargin)),
 
+    // TextRank keywords: edge-weighted integer PageRank over the
+    // adjacent-token graph (canonical undirected edges, minCount
+    // prune) — graph centrality instead of raw frequency; oracle
+    // unrolls the identical weighted rounds over the same 56-bit
+    // md5 word ids and decodes through the same vocab join
+    Q(
+      "text_textrank",
+      (s, dir) =>
+        Corpus.textRankKeywords(table(s, dir, "documents"), "text",
+          minCount = 5L, iters = 4, k = 30)
+          .orderBy(col("rank")),
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""r$i AS (
+             |  SELECT n.node,
+             |    CAST(150000 + 850000 * COALESCE(inf.s, 0) // 1000000 AS BIGINT) AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst, SUM(rp.r * e.w // ow.ow) AS s
+             |    FROM e JOIN r${i - 1} rp ON rp.node = e.src
+             |    JOIN ow ON ow.node = e.src
+             |    GROUP BY e.dst) inf ON inf.dst = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lt AS (
+           |  SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+           |  FROM documents),
+           |bl AS (
+           |  SELECT list_transform(range(1, len(ws)),
+           |    i -> ws[i] || ' ' || ws[i+1]) AS bs FROM lt),
+           |bp AS (
+           |  SELECT string_split(b0, ' ')[1] AS w1, string_split(b0, ' ')[2] AS w2
+           |  FROM (SELECT unnest(bs) AS b0 FROM bl) u),
+           |p AS MATERIALIZED (
+           |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM (
+           |    SELECT CASE WHEN w1 < w2 THEN w1 ELSE w2 END AS a,
+           |           CASE WHEN w1 < w2 THEN w2 ELSE w1 END AS b
+           |    FROM bp WHERE w1 != w2) c
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+           |e AS MATERIALIZED (
+           |  SELECT ('0x' || substr(md5(a), 1, 14))::BIGINT AS src,
+           |         ('0x' || substr(md5(b), 1, 14))::BIGINT AS dst, w FROM p
+           |  UNION ALL
+           |  SELECT ('0x' || substr(md5(b), 1, 14))::BIGINT,
+           |         ('0x' || substr(md5(a), 1, 14))::BIGINT, w FROM p),
+           |ow AS MATERIALIZED (
+           |  SELECT src AS node, CAST(SUM(w) AS BIGINT) AS ow
+           |  FROM e GROUP BY 1),
+           |nodes AS (SELECT node FROM ow),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+           |$rounds,
+           |top AS (
+           |  SELECT node, rank, pr_ppm FROM (
+           |    SELECT node,
+           |      CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INT) AS rank,
+           |      r AS pr_ppm
+           |    FROM r4) t WHERE rank <= 30),
+           |vocab AS (
+           |  SELECT DISTINCT word,
+           |    ('0x' || substr(md5(word), 1, 14))::BIGINT AS node FROM (
+           |    SELECT a AS word FROM p UNION ALL SELECT b FROM p) v)
+           |SELECT rank, word, pr_ppm FROM top JOIN vocab USING (node)
+           |ORDER BY rank""".stripMargin
+      }),
+
     // BM25 ranking: doc-length normalization + saturating tf, engine-
     // exact via the SHARED fixed-point contribution expression
     // (Corpus.bm25ContribSql — same SQL string on both sides, floor-

@@ -368,4 +368,23 @@ class TextPipelineSpec extends SparkTestBase {
       Funnel.stepTimes(events, "user_id", "ts", "event_type", Seq("a", "a"))
     }
   }
+
+  test("textRankKeywords: the hub word of a star graph ranks first") {
+    // 'hub' is adjacent to every spoke; spokes only touch the hub.
+    // Graph centrality must put the hub on top even though each
+    // individual edge weight is identical — and a word frequent only
+    // via self-adjacency ('noise noise ...') forms no edge at all.
+    val docs = Seq(
+      (1L, "hub aa hub bb hub cc hub dd"),
+      (2L, "hub aa hub bb hub cc hub dd"),
+      (3L, "noise noise noise noise noise noise noise noise"))
+      .toDF("doc_id", "text")
+    val out = Corpus.textRankKeywords(docs, "text", minCount = 2L,
+        iters = 3, k = 10)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.head._2 === "hub")
+    assert(out.map(_._2).toSet === Set("hub", "aa", "bb", "cc", "dd"))
+    assert(out.map(_._1).toSeq === (1 to out.length).toSeq)
+  }
 }
