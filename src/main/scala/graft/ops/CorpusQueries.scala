@@ -4947,6 +4947,29 @@ object CorpusQueries {
     // being just the weights array. Integer-valued weights keep the fold
     // exact, so the single final division matches bit-for-bit.
     Q(
+      "corpus_score_calibration",
+      // per-source quantile calibration: map each doc's raw score
+      // (length here) to its WITHIN-SOURCE percentile ppm via
+      // TwoPass.rank — heterogeneous sources become comparable before
+      // a global keep-threshold (a raw cutoff keeps whole verbose
+      // sources and drops whole terse ones); distributed two-pass, no
+      // per-source single-partition window
+      (s, dir) =>
+        TwoPass.rank(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"), Seq(col("n_chars"), col("doc_id")), "rk",
+          Some("n"))
+          .select(col("doc_id"), col("source"),
+            expr("rk * 1000000 DIV n").as("pct_ppm"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source,
+             |  CAST(CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS BIGINT) * 1000000
+             |    // COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS pct_ppm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "corpus_quality_score",
       (s, dir) =>
         Corpus.scoreLinearHashed(table(s, dir, "documents"),

@@ -2425,6 +2425,44 @@ object Relational {
              |    CAST(SUM(dur) AS BIGINT) AS den
              |  FROM seg WHERE dur IS NOT NULL GROUP BY 1)
              |SELECT user_id, n_segments, CAST(num // den AS BIGINT) AS twa_deci
-             |FROM agg WHERE den > 0 ORDER BY user_id""".stripMargin))
+             |FROM agg WHERE den > 0 ORDER BY user_id""".stripMargin)),
+
+    // ---- exact weighted median price per return flag (weight =
+    //      quantity): TwoPass exclusive prefix sums over the
+    //      (price, orderkey, linenumber) order — no single-partition
+    //      window — then the crossing row via one filter + min per
+    //      group. The "median price actually paid per unit" robust
+    //      statistic, exact at any scale
+    Q(
+      "q_weighted_median",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").as("price"),
+            col("l_quantity").cast("long").as("w"),
+            col("l_orderkey"), col("l_linenumber"))
+        val ps = TwoPass.prefixSum(li, Seq("flag"),
+          Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+          col("w"), "cw0")
+        val tot = li.groupBy(col("flag")).agg(sum(col("w")).as("tw"))
+        // qualifying rows are the crossing row and everything after it
+        // in price order, so min(price) IS the crossing row's price
+        ps.join(tot, "flag")
+          .filter((col("cw0") + col("w")) * 2 >= col("tw"))
+          .groupBy(col("flag"))
+          .agg(min(col("price")).as("wmedian"))
+          .orderBy(col("flag"))
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+             |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+             |      PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             |      ROWS UNBOUNDED PRECEDING) AS cw,
+             |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+             |      PARTITION BY l_returnflag) AS tw
+             |  FROM lineitem)
+             |SELECT flag, MIN(price) AS wmedian
+             |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY flag""".stripMargin))
   )
 }
