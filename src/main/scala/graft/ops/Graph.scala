@@ -593,6 +593,61 @@ object Graph {
           .as("closure_ppm"))
   }
 
+  /** Newman modularity card per community — "are these communities
+    * real?": for each label c over an undirected graph with m edges,
+    * {{{
+    *   contrib(c) = e_c/m − (d_c / 2m)²
+    * }}}
+    * (e_c = intra-community edges, d_c = total degree in c). Positive
+    * contributions mean denser-than-chance communities; Σ contrib is
+    * the global modularity Q. The quality gauge that closes the
+    * community loop: [[labelPropagation]] / [[kTruss]] PROPOSE
+    * communities, this SCORES them.
+    *
+    * Fixed-point spelling (engine-exact): `e_ppm = e_c·10⁶ DIV m`,
+    * `d_ppm = d_c·10⁶ DIV 2m`, `contrib_ppm = e_ppm − d_ppm² DIV 10⁶`
+    * — the square of the truncated ratio, a composed truncation both
+    * engines share (within 2 ppm of the real square), overflow-free to
+    * ~10¹² edges (widest product d_ppm² ≤ 10¹²).
+    *
+    * Shape at scale: one degree aggregate, two label equi-joins onto
+    * the edge list, two partial-aggregated groupBys on the label key;
+    * the edge total is the one driver scalar (the [[Corpus
+    * .pmiCollocations]] precedent).
+    *
+    * @param pairs0 undirected distinct edge list, one row per edge
+    * @param labels (node, label) community assignment — every edge
+    *               endpoint must be labeled (inner joins drop strays)
+    * @return (community, n_nodes, e_intra, d_total, contrib_ppm)
+    */
+  def modularity(pairs0: DataFrame, labels: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label")).localCheckpoint(true)
+    val m = pairs.count()
+    require(m >= 1, "modularity: empty edge list")
+    val deg = pairs.select(col("a").as("node"))
+      .unionByName(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab, "node")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_total"))
+    val ec = pairs
+      .join(lab.select(col("node").as("a"), col("label").as("__la")), "a")
+      .join(lab.select(col("node").as("b"), col("label").as("__lb")), "b")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("e_intra"))
+    dc.join(ec, Seq("label"), "left")
+      .select(col("label").as("community"), col("n_nodes"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_total"))
+      .withColumn("__e_ppm", expr(s"e_intra * 1000000 DIV ${m}L"))
+      .withColumn("__d_ppm", expr(s"d_total * 1000000 DIV ${2 * m}L"))
+      .withColumn("contrib_ppm",
+        expr("__e_ppm - __d_ppm * __d_ppm DIV 1000000"))
+      .drop("__e_ppm", "__d_ppm")
+  }
+
   /** Multi-source BFS hop distances: the exact shortest hop count from
     * any seed to every node reachable within `rounds` hops — the
     * "blast radius" primitive behind contamination spread analysis

@@ -2355,6 +2355,68 @@ object Relational {
       },
       Some(linkPredictionSql(cap = 256, k = 30))),
 
+    // ---- modularity card over the label-propagation communities on
+    //      the part<->supplier graph: e_c/m − (d_c/2m)² per community
+    //      in shared fixed-point ppm — the "are these communities
+    //      denser than chance" gauge closing the community loop
+    Q(
+      "graph_modularity",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val e = li.select(col("a").as("src"), col("b").as("dst"))
+          .union(li.select(col("b").as("src"), col("a").as("dst")))
+        val labels = Graph.labelPropagation(e, iters = 2, checkpointEvery = 2)
+        Graph.modularity(li, labels).orderBy(col("community"))
+      },
+      Some {
+        val rounds = (1 to 2).map { i =>
+          s"""l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT e.dst AS node, lp.lab, COUNT(*) AS c,
+             |      ROW_NUMBER() OVER (PARTITION BY e.dst
+             |        ORDER BY COUNT(*) DESC, lp.lab) AS rn
+             |    FROM e JOIN l${i - 1} lp ON lp.node = e.src
+             |    GROUP BY e.dst, lp.lab) t
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+           |  FROM lineitem),
+           |e AS (SELECT a AS src, b AS dst FROM e0
+           |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |l0 AS (SELECT node, node AS lab FROM nodes),
+           |$rounds,
+           |m AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+           |deg AS (
+           |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+           |  FROM e GROUP BY 1),
+           |dc AS (
+           |  SELECT l.lab, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           |    CAST(SUM(d) AS BIGINT) AS d_total
+           |  FROM deg JOIN l2 l USING (node) GROUP BY 1),
+           |ec AS (
+           |  SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS e_intra
+           |  FROM e0 JOIN l2 la ON la.node = e0.a
+           |  JOIN l2 lb ON lb.node = e0.b
+           |  WHERE la.lab = lb.lab GROUP BY 1),
+           |t AS (
+           |  SELECT dc.lab AS community, n_nodes,
+           |    CAST(COALESCE(e_intra, 0) AS BIGINT) AS e_intra, d_total
+           |  FROM dc LEFT JOIN ec ON ec.lab = dc.lab),
+           |s AS (
+           |  SELECT community, n_nodes, e_intra, d_total,
+           |    CAST(e_intra * 1000000 // (SELECT m FROM m) AS BIGINT) AS ep,
+           |    CAST(d_total * 1000000 // (2 * (SELECT m FROM m)) AS BIGINT) AS dp
+           |  FROM t)
+           |SELECT community, n_nodes, e_intra, d_total,
+           |  CAST(ep - dp * dp // 1000000 AS BIGINT) AS contrib_ppm
+           |FROM s ORDER BY community""".stripMargin
+      }),
+
     // ---- exact change-point per event type: the day splitting the
     //      daily-count series at the largest mean shift — integer
     //      cross-multiplied scores over the calendar-bounded daily

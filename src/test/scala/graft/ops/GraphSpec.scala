@@ -221,6 +221,25 @@ class GraphSpec extends SparkTestBase {
     assert(est === direct)
   }
 
+  test("modularity: barbell communities score positive, one-blob is 0") {
+    // two triangles bridged by 3-4: m = 7, each triangle community has
+    // e_c = 3, d_c = 7 => e_ppm 428571, d_ppm 500000, contrib 178571
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L).toDF("a", "b")
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 20L).toDF("node", "label")
+    val r = Graph.modularity(pairs, labels)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r === Map(10L -> ((3L, 3L, 7L, 178571L)),
+      20L -> ((3L, 3L, 7L, 178571L))))
+    // everything in one community: e = m, d = 2m, contrib exactly 0 —
+    // a single blob is never "denser than chance"
+    val one = labels.select(col("node"), lit(1L).as("label"))
+    val r1 = Graph.modularity(pairs, one).collect()
+    assert(r1.length === 1 && r1(0).getLong(4) === 0L)
+  }
+
   test("bfsLevels: hop distances on a path, min over multiple seeds") {
     // undirected path 1-2-3-4-5-6; seeds {1, 5}
     val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
