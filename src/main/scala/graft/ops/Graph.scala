@@ -593,6 +593,56 @@ object Graph {
           .as("closure_ppm"))
   }
 
+  /** Per-node local clustering coefficients — "how clique-like is each
+    * node's neighborhood": tri(v) / C(deg v, 2) in exact integer ppm.
+    * The node-level diagnostic the one-row [[triangleStats]] census
+    * cannot give (which nodes sit in dense cores vs. bridge sparse
+    * regions — a spam-hub screen over co-occurrence graphs).
+    *
+    * Per-edge triangle counts come from the same unoriented
+    * sorted-adjacency merge as [[kTruss]] support; each edge's count is
+    * credited to BOTH endpoints, and a triangle has exactly two edges
+    * at each of its vertices, so `tri(v) = Σ_{e∋v} t_e DIV 2` — exact,
+    * division always even.
+    *
+    * Shape at scale: one adjacency build + one per-edge merge + one
+    * partial-aggregated per-node sum. Like [[kTruss]], the merge is
+    * UNORIENTED (per-edge cost deg a + deg b, no √m hub bound), so
+    * feed a pre-sparsified graph (the ≥2-co-orders registry spelling);
+    * for global counts on raw graphs use the oriented
+    * [[triangleStats]].
+    *
+    * @param pairs0 undirected distinct edge list with `a < b` per row
+    * @return (node, deg, n_triangles, cc_ppm); deg-1 nodes score 0
+    */
+  def localClustering(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
+    val ee = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val adj = ee.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
+        count(lit(1)).as("d"))
+      .localCheckpoint(true) // feeds two merge joins + the degree base
+    val t = pairs
+      .join(adj.select(col("src").as("a"), col("nbrs").as("__na")), "a")
+      .join(adj.select(col("src").as("b"), col("nbrs").as("__nb")), "b")
+      .withColumn("t", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("__na"), col("__nb")))
+    val tri = t.select(col("a").as("node"), col("t"))
+      .unionByName(t.select(col("b").as("node"), col("t")))
+      .groupBy(col("node"))
+      .agg(expr("sum(t) DIV 2").as("n_triangles"))
+    adj.select(col("src").as("node"), col("d").as("deg"))
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc_ppm",
+        expr("CASE WHEN deg >= 2 " +
+          "THEN n_triangles * 2000000 DIV (deg * (deg - 1)) " +
+          "ELSE 0L END"))
+  }
+
   /** Newman modularity card per community — "are these communities
     * real?": for each label c over an undirected graph with m edges,
     * {{{

@@ -2355,6 +2355,58 @@ object Relational {
       },
       Some(linkPredictionSql(cap = 256, k = 30))),
 
+    // ---- per-node local clustering over the >=2-co-orders part
+    //      graph: tri(v)/C(deg v, 2) in exact ppm — per-edge triangle
+    //      counts from the sorted-adjacency merge credited to both
+    //      endpoints (each triangle has two edges at each vertex, so
+    //      the per-node sum halves exactly)
+    Q(
+      "graph_clustering_local",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+          .distinct()
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+        Graph.localClustering(pairs).orderBy(col("node"))
+      },
+      Some("""WITH p AS MATERIALIZED (
+             |  SELECT a, b FROM (
+             |    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM (
+             |      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b,
+             |        l1.l_orderkey AS ok
+             |      FROM lineitem l1 JOIN lineitem l2
+             |        ON l1.l_orderkey = l2.l_orderkey
+             |       AND l1.l_partkey < l2.l_partkey) t
+             |    GROUP BY a, b) u WHERE w >= 2),
+             |e AS MATERIALIZED (
+             |  SELECT a AS src, b AS dst FROM p
+             |  UNION ALL SELECT b AS src, a AS dst FROM p),
+             |t AS (
+             |  SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS t
+             |  FROM p JOIN e ea ON ea.src = p.a
+             |  JOIN e eb ON eb.src = p.b AND eb.dst = ea.dst
+             |  GROUP BY 1, 2),
+             |tri AS (
+             |  SELECT node, CAST(SUM(t) // 2 AS BIGINT) AS n_triangles
+             |  FROM (SELECT a AS node, t FROM t
+             |        UNION ALL SELECT b AS node, t FROM t) c
+             |  GROUP BY 1),
+             |deg AS (
+             |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+             |  FROM e GROUP BY 1)
+             |SELECT d.node, d.deg,
+             |  CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+             |  CAST(CASE WHEN d.deg >= 2
+             |    THEN COALESCE(n_triangles, 0) * 2000000 // (d.deg * (d.deg - 1))
+             |    ELSE 0 END AS BIGINT) AS cc_ppm
+             |FROM deg d LEFT JOIN tri ON tri.node = d.node
+             |ORDER BY d.node""".stripMargin)),
+
     // ---- modularity card over the label-propagation communities on
     //      the part<->supplier graph: e_c/m − (d_c/2m)² per community
     //      in shared fixed-point ppm — the "are these communities

@@ -221,6 +221,19 @@ class GraphSpec extends SparkTestBase {
     assert(est === direct)
   }
 
+  test("localClustering: triangle nodes saturate, bridge dilutes, leaf 0") {
+    // triangle 1-2-3 with pendant 4 on 3: cc(1)=cc(2)=10^6 (their
+    // whole neighborhood is one edge), cc(3)=1/C(3,2)=333333 ppm,
+    // cc(4)=0 by the deg<2 convention
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L).toDF("a", "b")
+    val r = Graph.localClustering(pairs)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r === Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)), 4L -> ((1L, 0L, 0L))))
+  }
+
   test("modularity: barbell communities score positive, one-blob is 0") {
     // two triangles bridged by 3-4: m = 7, each triangle community has
     // e_c = 3, d_c = 7 => e_ppm 428571, d_ppm 500000, contrib 178571
