@@ -4135,6 +4135,67 @@ object CorpusQueries {
              |SELECT d1, d2, n_shared FROM p WHERE n_shared >= 2
              |ORDER BY d1, d2""".stripMargin)),
 
+    // scene-cut detection: REAL GVID decode → per-frame 24-bit gradient
+    // fingerprints → a cut wherever consecutive frames' hamming
+    // distance >= 8 of 24 bits (shot-boundary segmentation, the
+    // pre-chunking step before per-scene sampling); per-doc lag window
+    // over the handful of frames each video holds, exact off raw bytes
+    Q(
+      "multimodal_scene_cuts",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.{MediaRow, VideoDecoder}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 240)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 240).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          val n = (2 + id % 4).toInt
+          val frames = (0 until n).map(i => px.slice(i * 48, (i + 1) * 48))
+          MediaRow(id, "video", MediaPipeline.encodeGvid(4, 4, frames),
+            "gvid", 4, 4, n * 1000L)
+        }
+        implicit val sp = s
+        val fps = MediaPipeline.frameFingerprints(
+            MediaPipeline.sampleFrames(media, new VideoDecoder, 1)(s))(s)
+          .toDF("doc_id", "fi", "fp")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("fi"))
+        fps.withColumn("__prev", lag(col("fp"), 1).over(w))
+          .filter(col("__prev").isNotNull)
+          .withColumn("hamming",
+            expr("CAST(bit_count(fp ^ __prev) AS BIGINT)"))
+          .filter(col("hamming") >= 8L)
+          .select(col("doc_id"), col("fi").as("cut_frame"), col("hamming"))
+          .orderBy(col("doc_id"), col("cut_frame"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, CAST(2 + doc_id % 4 AS BIGINT) AS n,
+             |    substr(hex(encode(text)), 1, 480) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 240),
+             |fr AS (SELECT doc_id, unnest(range(0, n)) AS fi, hx FROM h),
+             |g AS (SELECT doc_id, fi, list_transform(range(0, 16), p ->
+             |   ((('0x' || substr(hx, 96*fi + 6*p + 1, 2))::BIGINT
+             |   + ('0x' || substr(hx, 96*fi + 6*p + 3, 2))::BIGINT
+             |   + ('0x' || substr(hx, 96*fi + 6*p + 5, 2))::BIGINT) // 3)) AS gray
+             |  FROM fr),
+             |f AS (SELECT doc_id, fi,
+             |  CAST(list_sum(list_transform(range(0, 12), b ->
+             |    CASE WHEN gray[(b // 3) * 4 + (b % 3) + 1] > gray[(b // 3) * 4 + (b % 3) + 2]
+             |         THEN (1::BIGINT << b) ELSE 0 END)) +
+             |  list_sum(list_transform(range(0, 12), b ->
+             |    CASE WHEN gray[(b % 3) * 4 + (b // 3) + 1] > gray[(b % 3 + 1) * 4 + (b // 3) + 1]
+             |         THEN (1::BIGINT << (12 + b)) ELSE 0 END)) AS BIGINT) AS fp
+             |  FROM g),
+             |c AS (SELECT doc_id, fi, fp,
+             |  lag(fp) OVER (PARTITION BY doc_id ORDER BY fi) AS prev FROM f)
+             |SELECT doc_id, CAST(fi AS INT) AS cut_frame,
+             |  CAST(bit_count(xor(fp, prev)) AS BIGINT) AS hamming
+             |FROM c WHERE prev IS NOT NULL
+             |  AND bit_count(xor(fp, prev)) >= 8
+             |ORDER BY doc_id, cut_frame""".stripMargin)),
+
     // priority-aware dedup: among identical texts keep the preferred
     // source's copy (tie-break doc_id) — the "trusted source wins" rule
     Q(
