@@ -527,6 +527,68 @@ object StreamingQueries {
              |WHERE ts >= TIMESTAMP '$WatermarkCutoff'
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // streaming drift monitor: the ingest maintains per-(type, day)
+    // counts as streaming state (1-day tumbling windows, complete
+    // mode), and the exact change-point detector runs over the drained
+    // daily series — "which day did this source's volume jump" off a
+    // live feed; oracle = the identical batch detector (q_changepoint)
+    Q(
+      "stream_changepoint",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+        val stream = eventsStream(s, dir)
+        val agg = stream
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        withStreamShuffle(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // cut lineage off the memory sink: changePoint self-joins its
+        // input (totals back onto the ranked series), and conflicting
+        // MemoryPlan references don't dedup like file relations do
+        val daily = s.table(name)
+          .select(col("event_type"), to_date(col("window.start")).as("day"),
+            col("n"))
+          .localCheckpoint(true)
+        EventState.changePoint(daily, "event_type", "day", "n")
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("score_ppm"), col("mean_before_ppm"), col("mean_after_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, day, n,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY day) AS BIGINT) AS i,
+             |    CAST(SUM(n) OVER (PARTITION BY event_type
+             |      ORDER BY day) AS BIGINT) AS p
+             |  FROM d),
+             |tot AS (
+             |  SELECT event_type, MAX(i) AS tt, CAST(SUM(n) AS BIGINT) AS s
+             |  FROM t GROUP BY 1),
+             |sc AS (
+             |  SELECT t.event_type, day, i,
+             |    CAST(abs(p*(tt-i) - (s-p)*i) * 1000000
+             |      // (i*(tt-i)) AS BIGINT) AS score_ppm,
+             |    CAST(p * 1000000 // i AS BIGINT) AS mean_before_ppm,
+             |    CAST((s-p) * 1000000 // (tt-i) AS BIGINT) AS mean_after_ppm
+             |  FROM t JOIN tot USING (event_type) WHERE i < tt),
+             |best AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |    ORDER BY score_ppm DESC, i) AS rn FROM sc)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |  score_ppm, mean_before_ppm, mean_after_ppm
+             |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     // streaming exact dedup: dropDuplicates state + downstream aggregation
     // — the streaming form of the dedup operator (distinct aggregates are
     // not allowed in streaming; the dedup-then-count pipeline is)
