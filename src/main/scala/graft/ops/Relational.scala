@@ -2414,10 +2414,12 @@ object Relational {
     Q(
       "graph_modularity",
       (s, dir) => {
+        // cut once: the distinct pair-gen feeds BOTH the propagation
+        // edges and modularity's own pair checkpoint
         val li = table(s, dir, "lineitem")
           .select((col("l_partkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b"))
-          .distinct()
+          .distinct().localCheckpoint(true)
         val e = li.select(col("a").as("src"), col("b").as("dst"))
           .union(li.select(col("b").as("src"), col("a").as("dst")))
         val labels = Graph.labelPropagation(e, iters = 2, checkpointEvery = 2)
@@ -2540,6 +2542,56 @@ object Relational {
              |  FROM seg WHERE dur IS NOT NULL GROUP BY 1)
              |SELECT user_id, n_segments, CAST(num // den AS BIGINT) AS twa_deci
              |FROM agg WHERE den > 0 ORDER BY user_id""".stripMargin)),
+
+    // ---- first-touch attribution: every purchase credited to the
+    //      event type that OPENED its 30-minute-gap session — the
+    //      marketing-channel question over the sessionize machinery;
+    //      per-user windows (data-scaled key), min_by for the opener
+    Q(
+      "q_first_touch",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ev = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"))
+          .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("__ns",
+            when(col("__prev").isNull ||
+              unix_micros(col("ts")) - col("__prev") >= 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("__ns"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val opener = ev.groupBy(col("user_id"), col("sid"))
+          .agg(min_by(col("event_type"),
+            struct(col("ts"), col("event_id"))).as("first_touch"))
+        ev.filter(col("event_type") === "purchase")
+          .join(opener, Seq("user_id", "sid"))
+          .select(col("event_id"), col("user_id"), col("first_touch"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM ev),
+             |opener AS (
+             |  SELECT user_id, sid, event_type AS first_touch FROM (
+             |    SELECT user_id, sid, event_type,
+             |      ROW_NUMBER() OVER (PARTITION BY user_id, sid
+             |        ORDER BY ts, event_id) AS rn
+             |    FROM sess) t WHERE rn = 1)
+             |SELECT s.event_id, s.user_id, o.first_touch
+             |FROM sess s JOIN opener o USING (user_id, sid)
+             |WHERE s.event_type = 'purchase'
+             |ORDER BY s.event_id""".stripMargin)),
 
     // ---- exact weighted median price per return flag (weight =
     //      quantity): TwoPass exclusive prefix sums over the
