@@ -203,11 +203,10 @@ object EventState {
     *
     * Exact integers end to end: `quant` is the caller's integral
     * quantization of the value (deci-units, cents, …), durations are
-    * µs, and the final division floors on BOTH engines — spelled
-    * `(num − pmod(num, den)) DIV den`, which is floor division for
-    * den > 0 even when the value series (hence num) is negative,
-    * matching the oracle's `//` rather than DIV's truncation toward
-    * zero.
+    * µs, and the final division truncates toward zero on BOTH engines
+    * (Spark's `DIV` and DuckDB's integer `//` share that convention,
+    * verified on negative numerators), so a negative value series
+    * stays engine-exact.
     *
     * Shape at scale: one per-key window (lead) over the raw events —
     * key cardinality is data-scaled, the partition is one entity's
@@ -233,7 +232,7 @@ object EventState {
         sum(col("__dur")).as("__den"))
       .filter(col("__den") > 0)
       .select(col(keyCol), col("n_segments"),
-        expr("(__num - pmod(__num, __den)) DIV __den").as("twa_q"))
+        expr("__num DIV __den").as("twa_q"))
   }
 
   def aggState(df: DataFrame, keyCol: String, cents: Column): DataFrame =

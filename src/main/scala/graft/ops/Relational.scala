@@ -2314,6 +2314,126 @@ object Relational {
              |ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons
              |LIMIT 30""".stripMargin)),
 
+    // ---- sequential purchase rules: "customers who buy A later buy
+    //      B" — the temporal sibling of q_assoc_rules. Antecedent =
+    //      each customer's FIRST purchase date per part; only strictly
+    //      earlier-than pairs count (equal first dates are order-
+    //      ambiguous and excluded). Apriori prune bounds the per-
+    //      customer pair fan-out; all-integer ppm confidence
+    Q(
+      "q_seq_rules",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val ord = table(s, dir, "orders")
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"),
+            col("o_orderdate").as("d"))
+        val cp = li.join(ord, "ok")
+          .groupBy(col("c"), col("pk")).agg(min(col("d")).as("d"))
+        val ic = cp.groupBy(col("pk")).agg(count(lit(1)).as("n_cust"))
+          .filter(col("n_cust") >= 15L).localCheckpoint(true)
+        val cpF = cp.join(ic.select(col("pk")), Seq("pk"), "left_semi")
+        val pairs = cpF.as("x").join(cpF.as("y"),
+            col("x.c") === col("y.c") && col("x.d") < col("y.d") &&
+              col("x.pk") =!= col("y.pk"))
+          .groupBy(col("x.pk").as("ante"), col("y.pk").as("cons"))
+          .agg(count(lit(1)).as("n_seq"))
+          .filter(col("n_seq") >= 4L)
+        pairs
+          .join(ic.select(col("pk").as("ante"), col("n_cust").as("c_ante")),
+            "ante")
+          .withColumn("conf_ppm", expr("n_seq * 1000000 DIV c_ante"))
+          .select(col("ante"), col("cons"), col("n_seq"), col("conf_ppm"))
+          .orderBy(col("n_seq").desc, col("conf_ppm").desc,
+            col("ante"), col("cons"))
+          .limit(30)
+      },
+      Some("""WITH cp AS (
+             |  SELECT o_custkey AS c, l_partkey AS pk, MIN(o_orderdate) AS d
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  GROUP BY 1, 2),
+             |ic AS (
+             |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_cust FROM cp
+             |  GROUP BY 1 HAVING COUNT(*) >= 15),
+             |cf AS (SELECT cp.c, cp.pk, cp.d FROM cp JOIN ic USING (pk)),
+             |pc AS (
+             |  SELECT x.pk AS ante, y.pk AS cons,
+             |    CAST(COUNT(*) AS BIGINT) AS n_seq
+             |  FROM cf x JOIN cf y
+             |    ON x.c = y.c AND x.d < y.d AND x.pk != y.pk
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+             |SELECT ante, cons, n_seq,
+             |  CAST(n_seq * 1000000 // n_cust AS BIGINT) AS conf_ppm
+             |FROM pc JOIN ic ON ic.pk = pc.ante
+             |ORDER BY n_seq DESC, conf_ppm DESC, ante, cons
+             |LIMIT 30""".stripMargin)),
+
+    // ---- degree assortativity card over the >=2-co-orders graph:
+    //      exact integer Pearson sums across edge endpoints (both
+    //      orientations), ratio floored identically on both engines —
+    //      "do hubs attach to hubs or to leaves" in one row
+    Q(
+      "graph_assortativity",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+          .distinct()
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b")).localCheckpoint(true)
+        val ee = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val deg = ee.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        val xy = ee
+          .join(deg.select(col("src"), col("d").as("__dx")), "src")
+          .join(deg.select(col("src").as("dst"), col("d").as("__dy")), "dst")
+        xy.agg(count(lit(1)).as("m2"),
+            sum(col("__dx")).as("sum_x"),
+            sum(expr("__dx * __dx")).as("sum_xx"),
+            sum(expr("__dx * __dy")).as("sum_xy"))
+          // num can be negative (disassortative); DIV truncates toward
+          // zero, exactly like DuckDB's integer `//` — verified, both
+          // engines give -7903 on this card's own negatives
+          .withColumn("__num", expr("m2 * sum_xy - sum_x * sum_x"))
+          .withColumn("__den", expr("m2 * sum_xx - sum_x * sum_x"))
+          .select(col("m2"), col("sum_x"), col("sum_xx"), col("sum_xy"),
+            expr("CASE WHEN __den = 0 THEN 0L ELSE " +
+              "__num * 1000000 DIV __den END").as("assortativity_ppm"))
+      },
+      Some("""WITH p AS MATERIALIZED (
+             |  SELECT a, b FROM (
+             |    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM (
+             |      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b,
+             |        l1.l_orderkey AS ok
+             |      FROM lineitem l1 JOIN lineitem l2
+             |        ON l1.l_orderkey = l2.l_orderkey
+             |       AND l1.l_partkey < l2.l_partkey) t
+             |    GROUP BY a, b) u WHERE w >= 2),
+             |e AS MATERIALIZED (
+             |  SELECT a AS src, b AS dst FROM p
+             |  UNION ALL SELECT b AS src, a AS dst FROM p),
+             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+             |        FROM e GROUP BY 1),
+             |xy AS (
+             |  SELECT dx.d AS x, dy.d AS y
+             |  FROM e JOIN deg dx ON dx.src = e.src
+             |  JOIN deg dy ON dy.src = e.dst),
+             |s AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             |    CAST(SUM(x) AS BIGINT) AS sum_x,
+             |    CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+             |    CAST(SUM(x * y) AS BIGINT) AS sum_xy
+             |  FROM xy)
+             |SELECT m2, sum_x, sum_xx, sum_xy,
+             |  CAST(CASE WHEN m2 * sum_xx - sum_x * sum_x = 0 THEN 0
+             |    ELSE (m2 * sum_xy - sum_x * sum_x) * 1000000
+             |      // (m2 * sum_xx - sum_x * sum_x) END AS BIGINT)
+             |    AS assortativity_ppm
+             |FROM s""".stripMargin)),
+
     // ---- multi-source BFS: exact hop distances from nation-0
     //      suppliers through the part<->supplier bipartite graph,
     //      frontier-propagated (each edge expanded once per endpoint

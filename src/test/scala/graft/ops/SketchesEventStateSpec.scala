@@ -147,12 +147,12 @@ class SketchesEventStateSpec extends SparkTestBase {
       "g2" -> ((1L, 0L, 7000000L, 7000000L))))
   }
 
-  test("timeWeightedAvg weights by holding duration and floors like //") {
+  test("timeWeightedAvg weights by duration; negatives truncate like //") {
     // u1: value 10 deci held 3 us, then 40 held 1 us, last drops =>
-    // twa = (10*3 + 40*1) / 4 = 17 (floor of 17.5)
+    // twa = (10*3 + 40*1) / 4 = 17 (truncation of 17.5)
     // u2: all events at one instant => zero total duration, dropped
-    // u3: negative series: (-7*1 + -8*1) / 2 = -7.5 -> floor -8 (DIV
-    // truncation would give -7)
+    // u3: negative series: (-7*1 + -8*1) / 2 = -7.5 -> -7 (both Spark
+    // DIV and DuckDB integer // truncate toward zero)
     val df = Seq(
       (1L, 10L, 0L, 1.0), (1L, 11L, 3L, 4.0), (1L, 12L, 4L, 9.9),
       (2L, 20L, 5L, 1.0), (2L, 21L, 5L, 2.0),
@@ -163,6 +163,6 @@ class SketchesEventStateSpec extends SparkTestBase {
         expr("CAST(FLOOR(value * 10.0) AS BIGINT)"))
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
       .toMap
-    assert(r === Map(1L -> ((2L, 17L)), 3L -> ((2L, -8L))))
+    assert(r === Map(1L -> ((2L, 17L)), 3L -> ((2L, -7L))))
   }
 }
