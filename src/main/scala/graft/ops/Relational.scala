@@ -2314,6 +2314,84 @@ object Relational {
              |ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons
              |LIMIT 30""".stripMargin)),
 
+    // ---- customer order-count distribution (TPC-H Q13 shape): LEFT
+    //      join so zero-order customers survive into the histogram —
+    //      the classic two-level aggregation with an outer-join base
+    Q(
+      "q13_cust_distribution",
+      (s, dir) => {
+        val cust = table(s, dir, "customer").select(col("c_custkey"))
+        val ord = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+             |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey) t
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---- exact median absolute deviation per return flag: two
+    //      TwoPass rank passes (median = the ceil(n/2)-th value, then
+    //      the same rank over |x − median| deci-units) — the robust
+    //      spread statistic with zero single-partition windows and no
+    //      sampling error, unlike approx_percentile
+    Q(
+      "q_mad",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(FLOOR(l_extendedprice * 10.0) AS BIGINT)").as("v"),
+            col("l_orderkey"), col("l_linenumber"))
+        def medianOf(df: DataFrame, valueCol: String,
+            out: String): DataFrame =
+          TwoPass.rank(df, Seq("flag"),
+              Seq(col(valueCol), col("l_orderkey"), col("l_linenumber")),
+              "__rk", Some("__n"))
+            .filter(col("__rk") === expr("(__n + 1) DIV 2"))
+            .select(col("flag"), col(valueCol).as(out))
+        val med = medianOf(li, "v", "median_deci").localCheckpoint(true)
+        val dev = li.join(med, "flag")
+          .withColumn("ad", abs(col("v") - col("median_deci")))
+        medianOf(dev, "ad", "mad_deci")
+          .join(med, "flag")
+          .select(col("flag"), col("median_deci"), col("mad_deci"))
+          .orderBy(col("flag"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(FLOOR(l_extendedprice * 10.0) AS BIGINT) AS v,
+             |    l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |r1 AS (
+             |  SELECT flag, v,
+             |    ROW_NUMBER() OVER (PARTITION BY flag
+             |      ORDER BY v, l_orderkey, l_linenumber) AS rk,
+             |    COUNT(*) OVER (PARTITION BY flag) AS n
+             |  FROM v),
+             |med AS (SELECT flag, v AS median_deci FROM r1
+             |        WHERE rk = (n + 1) // 2),
+             |d AS (
+             |  SELECT v.flag, abs(v.v - m.median_deci) AS ad,
+             |    v.l_orderkey, v.l_linenumber
+             |  FROM v JOIN med m ON m.flag = v.flag),
+             |r2 AS (
+             |  SELECT flag, ad,
+             |    ROW_NUMBER() OVER (PARTITION BY flag
+             |      ORDER BY ad, l_orderkey, l_linenumber) AS rk,
+             |    COUNT(*) OVER (PARTITION BY flag) AS n
+             |  FROM d)
+             |SELECT r2.flag, m.median_deci, r2.ad AS mad_deci
+             |FROM r2 JOIN med m ON m.flag = r2.flag
+             |WHERE rk = (n + 1) // 2
+             |ORDER BY r2.flag""".stripMargin)),
+
     // ---- sequential purchase rules: "customers who buy A later buy
     //      B" — the temporal sibling of q_assoc_rules. Antecedent =
     //      each customer's FIRST purchase date per part; only strictly
