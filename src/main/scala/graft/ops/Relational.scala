@@ -2314,6 +2314,60 @@ object Relational {
              |ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons
              |LIMIT 30""".stripMargin)),
 
+    // ---- RFM segmentation: customers bucketed into terciles on
+    //      recency / frequency / monetary (exact cents), segment
+    //      census out — three TwoPass global ranks over the customer
+    //      aggregate, tercile = rank*3 vs n thresholds (identical
+    //      closed form both engines), no single-partition window
+    Q(
+      "q_rfm_segments",
+      (s, dir) => {
+        val base = table(s, dir, "orders")
+          .groupBy(col("o_custkey").as("c"))
+          .agg(max(col("o_orderdate")).as("last_d"),
+            count(lit(1)).as("f"),
+            sum(expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)"))
+              .as("m"))
+        def seg(rk: String, out: String) =
+          expr(s"CASE WHEN $rk * 3 <= __n THEN 1 " +
+            s"WHEN $rk * 3 <= 2 * __n THEN 2 ELSE 3 END").as(out)
+        val ranked = TwoPass.rank(
+          TwoPass.rank(
+            TwoPass.rank(base, Seq.empty,
+              Seq(col("last_d").desc, col("c")), "rr", Some("__n")),
+            Seq.empty, Seq(col("f").desc, col("c")), "fr"),
+          Seq.empty, Seq(col("m").desc, col("c")), "mr")
+        ranked
+          .select(seg("rr", "r_seg"), seg("fr", "f_seg"), seg("mr", "m_seg"))
+          .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_custkey AS c, MAX(o_orderdate) AS last_d,
+             |    CAST(COUNT(*) AS BIGINT) AS f,
+             |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+             |      AS BIGINT) AS m
+             |  FROM orders GROUP BY 1),
+             |r AS (
+             |  SELECT c,
+             |    ROW_NUMBER() OVER (ORDER BY last_d DESC, c) AS rr,
+             |    ROW_NUMBER() OVER (ORDER BY f DESC, c) AS fr,
+             |    ROW_NUMBER() OVER (ORDER BY m DESC, c) AS mr,
+             |    COUNT(*) OVER () AS n
+             |  FROM base),
+             |s AS (
+             |  SELECT
+             |    CASE WHEN rr*3 <= n THEN 1 WHEN rr*3 <= 2*n THEN 2
+             |         ELSE 3 END AS r_seg,
+             |    CASE WHEN fr*3 <= n THEN 1 WHEN fr*3 <= 2*n THEN 2
+             |         ELSE 3 END AS f_seg,
+             |    CASE WHEN mr*3 <= n THEN 1 WHEN mr*3 <= 2*n THEN 2
+             |         ELSE 3 END AS m_seg
+             |  FROM r)
+             |SELECT r_seg, f_seg, m_seg, CAST(COUNT(*) AS BIGINT) AS n_customers
+             |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // ---- customer order-count distribution (TPC-H Q13 shape): LEFT
     //      join so zero-order customers survive into the histogram —
     //      the classic two-level aggregation with an outer-join base
