@@ -2845,6 +2845,65 @@ object Relational {
              |WHERE s.event_type = 'purchase'
              |ORDER BY s.event_id""".stripMargin)),
 
+    // ---- channel conversion rates: per opening event type, the share
+    //      of its sessions that contain a purchase — the aggregate
+    //      companion to q_first_touch over the same 30-minute-gap
+    //      session scaffold, integer ppm
+    Q(
+      "q_conversion_by_channel",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ev = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"))
+          .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("__ns",
+            when(col("__prev").isNull ||
+              unix_micros(col("ts")) - col("__prev") >= 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("__ns"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        ev.groupBy(col("user_id"), col("sid"))
+          .agg(min_by(col("event_type"),
+              struct(col("ts"), col("event_id"))).as("channel"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("__conv"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("__conv")).as("n_converted"))
+          .withColumn("conv_ppm",
+            expr("n_converted * 1000000 DIV n_sessions"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM ev),
+             |opener AS (
+             |  SELECT user_id, sid, event_type AS channel FROM (
+             |    SELECT user_id, sid, event_type,
+             |      ROW_NUMBER() OVER (PARTITION BY user_id, sid
+             |        ORDER BY ts, event_id) AS rn
+             |    FROM sess) t WHERE rn = 1),
+             |conv AS (
+             |  SELECT user_id, sid,
+             |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+             |  FROM sess GROUP BY 1, 2)
+             |SELECT o.channel, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |  CAST(SUM(c.c) AS BIGINT) AS n_converted,
+             |  CAST(SUM(c.c) * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm
+             |FROM opener o JOIN conv c USING (user_id, sid)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- exact weighted median price per return flag (weight =
     //      quantity): TwoPass exclusive prefix sums over the
     //      (price, orderkey, linenumber) order — no single-partition
