@@ -343,13 +343,16 @@ object Dedup {
       s"cosine threshold p/q must be a rational in (0,1), got $p/$q")
     require(weightCap >= 1, s"weightCap must be >= 1, got $weightCap")
     import org.apache.spark.sql.types.DecimalType
-    // bounded driver scalar (the kmeans pattern): one count to pin N
-    // for the idf weights
-    val nDocs = df.select(col(idCol)).distinct().count()
     val sh = shingleRows(df, idCol, textCol, n)
       .select(col("doc"),
         conv(substring(md5(col("shingle").cast("binary")), 1, 14), 16, 10)
           .cast("long").as("tok"))
+    // bounded driver scalar (the kmeans pattern): one count to pin N
+    // for the idf weights. N counts docs that PRODUCED a shingle — the
+    // same population the oracle's COUNT(DISTINCT doc) sees — so a doc
+    // shorter than n tokens cannot shift every idf weight and break
+    // cross-engine equality.
+    val nDocs = sh.select(col("doc")).distinct().count()
     val dfTab = sh.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
     val idx0 = sh.join(dfTab, "tok")
       .withColumn("__w2",

@@ -818,10 +818,19 @@ object Graph {
           col("a") >= lit(2147483648L) || col("b") >= lit(2147483648L),
         raise_error(lit("linkPrediction: node ids must fit in 31 bits")))
         .otherwise(col("a") * lit(4294967296L) + col("b")))
+      // score packing is exact only while common*2^21 + ppm < 2^53;
+      // fail loud (repo convention, same as the id packing above)
+      // instead of silently corrupting the ranking on an
+      // extreme-degree graph
+      .withColumn("__score",
+        when(col("common") >= lit(2147483648L),
+          raise_error(lit(
+            "linkPrediction: common-neighbor count >= 2^31 overflows the packed score")))
+          .otherwise((col("common") * lit(2097152L) + col("jaccard_ppm"))
+            .cast("double")))
     guarded
       .agg(graft.functions.TopKByScore.top_k_by_score(
-        (col("common") * lit(2097152L) + col("jaccard_ppm")).cast("double"),
-        col("__id"), k).as("top"))
+        col("__score"), col("__id"), k).as("top"))
       .select(posexplode(col("top")).as(Seq("r0", "t")))
       .select(expr("t.id DIV 4294967296").as("a"),
         expr("t.id % 4294967296").as("b"),

@@ -168,11 +168,17 @@ object Sketches {
     val sa = cmsSketch(a.select(col(aKey)), aKey)
     val sb = cmsSketch(b.select(col(bKey)), bKey)
       .select(col("i"), col("bucket"), col("cnt").as("cnt_b"))
-    val est = sa.join(sb, Seq("i", "bucket"))
+    // densify over the depth spine: a depth row with ZERO overlapping
+    // cells certifies the true join size is 0 and must reach the min as
+    // ip = 0, not be dropped by the inner join (which would leave the
+    // min over overlapping rows only — still one-sided, but looser than
+    // CMS allows)
+    val depths = a.sparkSession.range(CmsDepth.toLong)
+      .select(col("id").cast("int").as("i"))
+    val perDepth = sa.join(sb, Seq("i", "bucket"))
       .groupBy(col("i")).agg(sum(col("cnt") * col("cnt_b")).as("ip"))
-      // no overlapping cell on any depth row ⇒ the true inner product is
-      // 0 too — coalesce keeps the one-row card total
-      .agg(coalesce(min(col("ip")), lit(0L)).as("est_pairs"))
+    val est = depths.join(perDepth, Seq("i"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_pairs"))
     val fa = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("fa"))
     val fb = b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("fb"))
     val exact = fa.join(fb, "k")

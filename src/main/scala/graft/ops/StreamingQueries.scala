@@ -392,7 +392,10 @@ object StreamingQueries {
       streamEpoch += 2
       (s"graft_stream_${streamEpoch - 1}", s"graft_stream_$streamEpoch")
     }
-    val base = s"/tmp/graft_stream_ckpt_${new java.io.File(dir).getName}"
+    // pid-suffixed like corpus_shard_export / graft_bkt_*: two sessions
+    // on one machine must not rmTree each other's in-flight checkpoint
+    val base = s"/tmp/graft_stream_ckpt_${new java.io.File(dir).getName}" +
+      s"_${ProcessHandle.current().pid()}"
     val inDir = new java.io.File(s"$base/in")
     val ckpt = s"$base/ckpt"
     rmTree(new java.io.File(base))
