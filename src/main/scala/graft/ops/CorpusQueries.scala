@@ -1036,6 +1036,37 @@ object CorpusQueries {
              |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
              |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // schema-evolution read over three corpus releases with divergent
+    // PHYSICAL parquet schemas (renamed id/body, int-narrowed columns,
+    // a release missing `source` entirely), projected through the
+    // declared mapping onto the newest schema as one DataFrame. The
+    // fixture is staged eagerly at plan-construction (pid-scoped,
+    // single-writer contract), so the gate exercises real parquet
+    // footers, not views: a silently dropped column, a wrong null-fill,
+    // or a lossy cast breaks the hash against the UNION-ALL-BY-NAME
+    // oracle recomputed from the base table
+    Q(
+      "corpus_schema_evolution",
+      (s, dir) => {
+        val base = "/tmp/graft_schema_evo_" + new java.io.File(dir).getName +
+          "_pid" + java.lang.ProcessHandle.current().pid()
+        val versions =
+          SchemaEvolution.stageVersionFixture(table(s, dir, "documents"), base)
+        SchemaEvolution.evolvedRead(s, versions,
+          SchemaEvolution.FixtureRenames, SchemaEvolution.FixtureTarget)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source,
+             |  n_chars, 'v1' AS version
+             |FROM documents WHERE doc_id % 3 = 0
+             |UNION ALL BY NAME
+             |SELECT doc_id, text, lang, source, n_chars, 'v2' AS version
+             |FROM documents WHERE doc_id % 3 = 1
+             |UNION ALL BY NAME
+             |SELECT doc_id, text, lang, source, n_chars, 'v3' AS version
+             |FROM documents WHERE doc_id % 3 = 2
+             |ORDER BY doc_id""".stripMargin)),
+
     // small-file compaction plan over a 64-shard manifest: greedy
     // next-fit running sum in shard order packs undersized shards into
     // ~4000-token outputs — the window folds the 64-row manifest, never
