@@ -138,26 +138,28 @@ object CorpusQueries {
     * The final centers CTE is named `c<iters>`. Shared by
     * `ann_ivf_kmeans` and `dedup_semantic` so the two queries cannot
     * drift apart. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, where: String = "TRUE",
+      pfx: String = ""): String = {
     def lloyd(prev: String, a: String, sTbl: String, next: String) =
       s"""$a AS (SELECT vec_id, cid, qv FROM (
          |    SELECT q.vec_id, c.cid, q.qv,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |        ORDER BY ${icosSql("q.qv", "c.cv")} DESC, c.cid) AS rn
-         |    FROM qvt q CROSS JOIN $prev c) t WHERE rn = 1),
+         |    FROM ${pfx}qvt q CROSS JOIN $prev c) t WHERE rn = 1),
          |$sTbl AS (SELECT cid, i AS d, SUM(qv[i]) AS sx
          |  FROM $a CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) dims
          |  GROUP BY cid, i),
          |$next AS (SELECT cid, list(CAST(sx AS DOUBLE) ORDER BY d) AS cv
          |  FROM $sTbl GROUP BY cid)""".stripMargin
     val chain = (1 to iters)
-      .map(i => lloyd(s"c${i - 1}", s"a$i", s"s$i", s"c$i")).mkString(",\n")
-    s"""qvt AS (
+      .map(i => lloyd(s"${pfx}c${i - 1}", s"${pfx}a$i", s"${pfx}s$i",
+        s"${pfx}c$i")).mkString(",\n")
+    s"""${pfx}qvt AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-       |  FROM qvt WHERE vec_id < $k),
+       |  FROM embeddings WHERE $where),
+       |${pfx}c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM ${pfx}qvt WHERE vec_id < $k),
        |$chain""".stripMargin
   }
 
@@ -3213,6 +3215,112 @@ object CorpusQueries {
            |  JOIN embeddings q ON q.vec_id = c.q_id
            |  JOIN embeddings n ON n.vec_id = c.n_id) t
            |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
+    // incremental IVF index maintenance: centers trained on the history
+    // slice are PERSISTED (parquet artifact), and the new batch joins
+    // the index through one broadcast assignment pass — no retraining,
+    // history never rescanned. The oracle recomputes the stored
+    // training (k-means over history only) and assigns the batch under
+    // those centers, so a Spark side that retrained on the union — or
+    // read the artifact wrong — hash-mismatches
+    Q(
+      "ann_ivf_incremental",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val history = e.filter(col("vec_id") < 400)
+        val batch = e.filter(col("vec_id") >= 400)
+        // pid-scoped artifact dir: eager write at plan construction,
+        // single-writer contract as corpus_shard_export
+        val path = "/tmp/graft_ivf_cents_" + new java.io.File(dir).getName +
+          "_pid" + java.lang.ProcessHandle.current().pid()
+        Similarity.kmeansCentroids(history, "vec_id", "embedding", Dim,
+          k = 8, iters = 2).write.mode("overwrite").parquet(path)
+        Similarity.ivfAssign(batch, "vec_id", "embedding", Dim,
+          s.read.parquet(path)).orderBy(col("vec_id"))
+      },
+      Some {
+        s"""WITH ${kmeansCtes(8, 2, "vec_id < 400")}
+           |SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id >= 400) t
+           |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+      }),
+
+    // recall drift of the STALE index (centers trained on history only,
+    // corpus fully re-assigned under them) against a FRESH rebuild over
+    // the whole corpus, both measured against brute-force truth — the
+    // report that tells a daily-ingest vector index when incremental
+    // assignment has drifted enough to pay for a retrain
+    Q(
+      "ann_recall_stale",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        def cents(src: org.apache.spark.sql.DataFrame) =
+          Similarity.kmeansCentroids(src, "vec_id", "embedding", Dim,
+            k = 8, iters = 2)
+            .select(col("cid").as("vec_id"), col("c_v").as("embedding"))
+        val stale = cents(e.filter(col("vec_id") < 400))
+        val fresh = cents(e)
+        val exact =
+          Similarity.cosineTopK(q, e, "vec_id", "embedding", Dim, k = 5)
+        val hs = Similarity.recallAtK(exact,
+          Similarity.ivfTopK(q, e, "vec_id", "embedding", Dim,
+            centroids = 8, nProbe = 2, k = 5, centroidsDf = stale))
+          .select(col("q_id"), col("n_exact"), col("hits").as("hits_stale"))
+        val hf = Similarity.recallAtK(exact,
+          Similarity.ivfTopK(q, e, "vec_id", "embedding", Dim,
+            centroids = 8, nProbe = 2, k = 5, centroidsDf = fresh))
+          .select(col("q_id"), col("hits").as("hits_fresh"))
+        hs.join(hf, "q_id").orderBy(col("q_id"))
+      },
+      Some {
+        def ivCtes(pfx: String): String =
+          s"""${pfx}ca AS (SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN ${pfx}c2 c) t WHERE rn = 1),
+             |${pfx}qa AS (SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN ${pfx}c2 c
+             |    WHERE e.vec_id < 20) t WHERE rn <= 2),
+             |${pfx}cand AS (
+             |  SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS n_id
+             |  FROM ${pfx}qa qa JOIN ${pfx}ca ca ON qa.cid = ca.cid
+             |  WHERE qa.vec_id != ca.vec_id),
+             |${pfx}iv AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT c.q_id, c.n_id,
+             |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+             |        ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, c.n_id) AS rank
+             |    FROM ${pfx}cand c
+             |    JOIN embeddings q ON q.vec_id = c.q_id
+             |    JOIN embeddings n ON n.vec_id = c.n_id) t
+             |  WHERE rank <= 5)""".stripMargin
+        s"""WITH ex AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+           |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           |    WHERE a.vec_id < 20) t WHERE rank <= 5),
+           |${kmeansCtes(8, 2, "vec_id < 400", "st")},
+           |${ivCtes("st")},
+           |${kmeansCtes(8, 2, "TRUE", "fr")},
+           |${ivCtes("fr")}
+           |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |  CAST(SUM(CASE WHEN stiv.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_stale,
+           |  CAST(SUM(CASE WHEN friv.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_fresh
+           |FROM ex
+           |LEFT JOIN stiv ON ex.q_id = stiv.q_id AND ex.n_id = stiv.n_id
+           |LEFT JOIN friv ON ex.q_id = friv.q_id AND ex.n_id = friv.n_id
+           |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
       }),
 
     // metadata-filtered ANN: top-k restricted to a corpus predicate

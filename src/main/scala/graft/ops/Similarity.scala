@@ -646,6 +646,35 @@ object Similarity {
         e => e.getField("mx")).as("c_qv"))
   }
 
+  /** Assign vectors to their nearest STORED centroid (max cosine, ties
+    * to the lowest cid) without retraining — the daily-ingest half of
+    * IVF index maintenance. A vector index at corpus scale is not
+    * retrained per batch: centers are a persisted artifact (bounded —
+    * k·dim values, the same seam [[ivfTopK]]'s `centroidsDf` reads),
+    * and each new batch pays ONE broadcast map-side pass to join the
+    * index. History is never rescanned; recall drift against a fresh
+    * rebuild is a separate report ([[recallAtK]] over both indexes —
+    * the `ann_recall_stale` gate), which is what tells the pipeline
+    * when a retrain is actually due.
+    *
+    * @param centroidsDf (cid: long, c_v: array&lt;double&gt;) — exactly
+    *                    [[kmeansCentroids]]'s output, live or read back
+    *                    from its parquet artifact
+    * @return (vec_id, cid) one row per input vector
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      centroidsDf: DataFrame): DataFrame = {
+    val cents = centroidsDf.select(col("cid"), col("c_v"))
+    df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__v"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("__cos",
+        dot(col("__v"), col("c_v"), dim) /
+          (sqrt(dot(col("__v"), col("__v"), dim)) *
+            sqrt(dot(col("c_v"), col("c_v"), dim))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("__cos"), -col("cid"))).as("cid"))
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned once into
     * `centroids` cells (nearest-centroid assignment — one broadcast pass,
     * no shuffle of the corpus beyond the cell grouping), and each query

@@ -18,7 +18,7 @@ class PlanLintSpec extends SparkTestBase {
   // bucketed join, by BucketingSpec's no-Exchange assertion)
   private val skip = Set("dsl_jdbc_roundtrip", "dsl_chunked_upsert",
     "dsl_generated_ids", "corpus_shard_export", "corpus_sorted_export",
-    "corpus_schema_evolution", "q_bucketed_join")
+    "corpus_schema_evolution", "ann_ivf_incremental", "q_bucketed_join")
 
   // intentional bounded broadcast crossings (see scaladoc above);
   // dedup_semantic crosses the corpus with the k COLLECTED k-means
@@ -49,7 +49,11 @@ class PlanLintSpec extends SparkTestBase {
     // SINGLE-ROW basket-count aggregate broadcast onto the rule table
     // for the lift denominator — bounded by construction (global
     // count_distinct; see the q_assoc_rules registry comment)
-    "q_assoc_rules")
+    "q_assoc_rules",
+    // k-means centroid assignment (k COLLECTED centers × corpus, each
+    // immediately bounded by the per-vector max_by/top-k) for both the
+    // stale and fresh index arms — the ann_ivf_kmeans shape twice
+    "ann_recall_stale")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.
@@ -61,7 +65,7 @@ class PlanLintSpec extends SparkTestBase {
     "ann_pq_topk", "ann_ivfpq_topk", "multimodal_ann", "ann_filtered_topk",
     "ann_recall_ivf", "ann_recall_ivfpq", "ann_recall_lsh", "ann_recall_pq",
     "ann_recall_int8", "text_ann_topk", "ann_radius", "ann_mmr_rerank",
-    "ann_lsh_multiprobe")
+    "ann_lsh_multiprobe", "ann_recall_stale")
 
   // Tables that stay broadcastable at ANY scale factor (TPC-H fixes them
   // at 25 / 5 rows). customer/part/supplier/orders/lineitem GROW with SF
