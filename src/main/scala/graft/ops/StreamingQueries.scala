@@ -299,6 +299,67 @@ object StreamingQueries {
     (out, dropped, evicted)
   }
 
+  /** The deployment spelling of `stream_latest_snapshot` for an
+    * UNBOUNDED stream: a forever latest-row-per-key needs unbounded
+    * state, so the CDC current-state view is scoped to
+    * (6 h window × user) — the TTL-evicted form: `withWatermark` +
+    * UPDATE mode drops late rows and EVICTS window state behind the
+    * watermark, bounding the store to live windows × active keys.
+    *
+    * Determinism of the drained fold: within one (window, user) key,
+    * successive update-mode emissions carry a strictly increasing
+    * (ts, event_id) pair (the state is a max_by on exactly that pair),
+    * so folding the memory sink with the same max_by keeps the final
+    * state row; across windows the same pair picks the latest window's
+    * row — the per-user current state over the on-time slice.
+    *
+    * Returns (result, late rows dropped, state rows evicted) so the
+    * spec can assert both state effects actually happened. */
+  private[graft] def watermarkLatestSnapshot(s: SparkSession,
+      dir: String): (DataFrame, Long, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    val streamDir =
+      s"/tmp/graft_stream_snap_${new java.io.File(dir).getName}"
+    val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val agg = stream
+      .withWatermark("ts", "3 hours")
+      .groupBy(window(col("ts"), "6 hours"), col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("__last"))
+    var dropped = 0L
+    var evicted = 0L
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try {
+        q.processAllAvailable()
+        val ops = q.recentProgress.flatMap(_.stateOperators)
+        dropped = ops.map(_.numRowsDroppedByWatermark).sum
+        evicted = ops.map(_.numRowsRemoved).sum
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("__last"),
+        struct(col("__last.ts"), col("__last.event_id"))).as("__cur"))
+      .select(col("user_id"),
+        unix_micros(col("__cur.ts")).as("last_ts_us"),
+        col("__cur.event_type").as("last_type"),
+        col("__cur.value").as("last_value"))
+      .orderBy(col("user_id"))
+    (out, dropped, evicted)
+  }
+
   /** The deployment spelling of `stream_funnel` for an UNBOUNDED stream:
     * a forever-funnel per user needs unbounded state, so conversion is
     * scoped to event-time windows — the [[Funnel.stepFold]] fold keyed
@@ -1231,6 +1292,24 @@ object StreamingQueries {
              |    ROW_NUMBER() OVER (PARTITION BY user_id
              |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
              |  FROM events)
+             |SELECT user_id, epoch_us(t) AS last_ts_us,
+             |  event_type AS last_type, value AS last_value
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // the state-EVICTING CDC current-state spelling for unbounded
+    // streams: latest row per (6 h window x user) with watermark +
+    // update mode (late drop + expired-window eviction asserted in
+    // StatefulStreamingSpec), the per-user current state folded from
+    // the drained window rows. Oracle = latest row per user over the
+    // on-time slice.
+    Q(
+      "stream_latest_snapshot_watermark",
+      (s, dir) => watermarkLatestSnapshot(s, dir)._1,
+      Some(s"""WITH r AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |  FROM events WHERE ts >= TIMESTAMP '$WatermarkCutoff')
              |SELECT user_id, epoch_us(t) AS last_ts_us,
              |  event_type AS last_type, value AS last_value
              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin))

@@ -120,6 +120,27 @@ class StatefulStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("update-mode CDC current state drops late rows and evicts state") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (out, dropped, evicted) =
+      graft.ops.StreamingQueries.watermarkLatestSnapshot(spark, dir)
+    assert(dropped > 0L, "late slice was not dropped by the watermark")
+    assert(evicted > 0L, "no expired-window state rows were evicted")
+    // the folded current-state view equals the batch latest-row-per-user
+    // over the ON-TIME slice (late rows must be invisible in it)
+    val got = out.collect().map(_.toSeq).toSet
+    val expect = graft.ops.Relational.events(spark, dir)
+      .filter($"ts" >= "2024-01-15 00:00:00")
+      .groupBy($"user_id")
+      .agg(max_by(struct($"ts", $"event_type", $"value"),
+        struct($"ts", $"event_id")).as("l"))
+      .select($"user_id", unix_micros($"l.ts").as("last_ts_us"),
+        $"l.event_type".as("last_type"), $"l.value".as("last_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+  }
+
   test("watermarked drain is provider-agnostic: RocksDB state store") {
     // at deployment scale the HDFS-backed in-memory store caps state at
     // executor heap; RocksDB spills to local disk. Same drained result
