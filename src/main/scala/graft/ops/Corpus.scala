@@ -1307,22 +1307,22 @@ object Corpus {
       .select(col(groupCol), posexplode(col("__top")).as(Seq("__r0", "__t")))
       .select(col(groupCol), (col("__r0") + 1).cast("int").as("rank"),
         col("__t").getField("id").as("__id"))
-    // winners are ≤ #groups × k rows — broadcast them back for decode
-    val decoded = scored.join(broadcast(top), Seq(groupCol, "__id"))
-      .select(col(groupCol), col("rank"), col("term"), col("score"),
-        col("__id"))
-    // collision guard (see scaladoc): a (group, id) decoding to >1 term
-    // means a 56-bit hash collision inside one group — raise instead of
-    // emitting duplicate/wrong rank rows. `decoded` is bounded, so the
-    // count table is too; broadcast it back.
-    val dup = decoded.groupBy(col(groupCol), col("__id"))
-      .agg(count(lit(1)).as("__n"))
-    decoded.join(broadcast(dup), Seq(groupCol, "__id"))
+    // winners are ≤ #groups × k rows — broadcast them back for decode.
+    // The collision guard (see scaladoc) RIDES the decode aggregate: a
+    // (group, id) decoding to >1 term means a 56-bit hash collision
+    // inside one group, so the per-key row count is folded in the same
+    // bounded groupBy that finalizes the decode — one aggregate, no
+    // second shuffle+broadcast. On the non-collision path the group has
+    // exactly one row, so min(term)/max(score) are that row's values.
+    scored.join(broadcast(top), Seq(groupCol, "__id"))
+      .groupBy(col(groupCol), col("__id"))
+      .agg(first(col("rank")).as("rank"), min(col("term")).as("term"),
+        max(col("score")).as("__score"), count(lit(1)).as("__n"))
       .select(col(groupCol), col("rank"), col("term"),
         when(col("__n") > 1, raise_error(concat(
           lit("distinctiveTerms: 56-bit id collision in group '"),
           col(groupCol).cast("string"), lit("' — two terms share id "),
-          col("__id").cast("string")))).otherwise(col("score")).as("score"))
+          col("__id").cast("string")))).otherwise(col("__score")).as("score"))
   }
 
   /** Encode every document as a sequence of vocabulary ids — the
