@@ -1925,12 +1925,15 @@ object Corpus {
     * scaladoc above); `driverVocabMax` selects the training venue. */
   private[ops] def bpeCore(docs: DataFrame, idCol: String, textCol: String,
       merges: Int, window: Int = 1, maxRounds: Int = Int.MaxValue,
-      driverVocabMax: Int = BpeDriverVocabMax)
+      driverVocabMax: Int = BpeDriverVocabMax,
+      batchCandidates: Int = BpeBatchCandidates)
       : (Seq[(String, String, Long)], DataFrame) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     require(driverVocabMax >= 0,
       s"driverVocabMax must be >= 0, got $driverVocabMax")
+    require(batchCandidates >= 1,
+      s"batchCandidates must be >= 1, got $batchCandidates")
     val spark = docs.sparkSession
     val hist = pretokenHistogram(docs, textCol, window)
     // venue dispatch: limit(max + 1) either returns the WHOLE histogram
@@ -1938,9 +1941,9 @@ object Corpus {
     // discarded, distributed loop below). Bounded by construction.
     val probe = hist.limit(driverVocabMax + 1).collect()
     if (probe.length <= driverVocabMax)
-      bpeTrainLocal(spark, probe, merges, maxRounds, hist)
+      bpeTrainLocal(spark, probe, merges, maxRounds, hist, batchCandidates)
     else
-      bpeTrainDistributed(hist, merges, maxRounds)
+      bpeTrainDistributed(hist, merges, maxRounds, batchCandidates)
   }
 
   /** The distinct-pretoken training/replay histogram:
@@ -1961,7 +1964,8 @@ object Corpus {
     * order for the BMP text the marker precondition already assumes. */
   private def bpeTrainLocal(spark: SparkSession,
       probe: Array[org.apache.spark.sql.Row], merges: Int, maxRounds: Int,
-      emptyHist: DataFrame): (Seq[(String, String, Long)], DataFrame) = {
+      emptyHist: DataFrame, batchCandidates: Int = BpeBatchCandidates)
+      : (Seq[(String, String, Long)], DataFrame) = {
     var rows = probe.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     val found = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var rounds = 0
@@ -1987,7 +1991,7 @@ object Corpus {
             else if (a1 != b1) a1 < b1
             else a2 < b2
           }
-          .take(BpeBatchCandidates)
+          .take(batchCandidates)
         // same acceptance rule as the distributed venue and the oracle
         val accepted = cands.zipWithIndex.filter { case ((u1, u2, _), i) =>
           cands.take(i).forall { case (v1, v2, _) =>
@@ -2012,7 +2016,8 @@ object Corpus {
   /** Distributed venue: per-round pair count + bounded candidate
     * collect + AFFECTED-SLICE rewrite (see scaladoc above). */
   private def bpeTrainDistributed(hist: DataFrame, merges: Int,
-      maxRounds: Int): (Seq[(String, String, Long)], DataFrame) = {
+      maxRounds: Int, batchCandidates: Int = BpeBatchCandidates)
+      : (Seq[(String, String, Long)], DataFrame) = {
     var cur = hist
     var sinceBarrier = 0
     val found = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -2030,7 +2035,7 @@ object Corpus {
           element_at(col("__us"), col("__i") + 1).as("u2"), col("__cnt"))
         .groupBy(col("u1"), col("u2")).agg(sum(col("__cnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("u1"), col("u2"))
-        .limit(BpeBatchCandidates)
+        .limit(batchCandidates)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (cands.isEmpty) exhausted = true
@@ -2066,11 +2071,12 @@ object Corpus {
   /** The learned merge table: (rank, u1, u2, cnt) for `merges` rounds. */
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
       merges: Int, window: Int = 1, maxRounds: Int = Int.MaxValue,
-      driverVocabMax: Int = BpeDriverVocabMax): DataFrame = {
+      driverVocabMax: Int = BpeDriverVocabMax,
+      batchCandidates: Int = BpeBatchCandidates): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     bpeCore(docs, idCol, textCol, merges, window, maxRounds,
-      driverVocabMax)._1.zipWithIndex
+      driverVocabMax, batchCandidates)._1.zipWithIndex
       .map { case ((u1, u2, c), i) => (i + 1, u1, u2, c) }
       .toDF("rank", "u1", "u2", "cnt")
   }

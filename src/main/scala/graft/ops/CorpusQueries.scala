@@ -49,6 +49,32 @@ object CorpusQueries {
     * truncates identically on both sides. */
   val BpeMaxRounds = 112
 
+  /** Where the BPE gates stop and why — measured this round:
+    *
+    * The 512-merge headline sits at the PRACTICAL CEILING of the
+    * chained-CTE oracle architecture. DuckDB's cost for the training
+    * chain is superlinear in (rounds × replace slots): the headline's
+    * 112-round × 16-slot chain runs in ~1.6 min at sf0.01, a
+    * 180 × 16 chain (1,024 merges at the same constants) in 7.3 min
+    * at 29 GB RSS, a 130 × 32 chain in >7 min, and a 260 × 64 chain
+    * (2,048 merges at window 3) never finished (>16 min CPU, 74 GB
+    * RSS, killed). Wider candidate batches don't help: acceptance
+    * saturates ~8 merges/round on this corpus (m = 32/64/128 measured
+    * within one round of each other), so the round count — the thing
+    * the oracle pays for superlinearly — cannot be bought down.
+    *
+    * The corpus itself also ceilings: window-2 pretokens
+    * merge-EXHAUST at 1,045 (measured — every pretoken collapses to a
+    * single unit), so ≥2,048 merges requires window-3 pretokens
+    * (~7.5k distinct, capacity >4k) and lands at 252/230 rounds.
+    *
+    * Tokenizer-scale training is therefore gated in `BpeScaleSpec`:
+    * 2,048 merges at window 3 / batch 64 on the driver venue (dense
+    * ranks, distinct pairs, budget actually reached), with the
+    * DISTRIBUTED venue replaying the identical acceptance chain at
+    * the same configuration — the venue-equality axis the SQL oracle
+    * provides for the headline sizes. */
+
   /** Budget/cap for the forced-DISTRIBUTED gate query
     * (`corpus_bpe_merges_dist`): the distributed venue pays one Spark
     * round-trip per synchronization round (~0.7 s of fixed scheduling
@@ -196,8 +222,8 @@ object CorpusQueries {
     * appends its own final SELECT over `f1..f\$n`/`t0..t\$n` or `s\$n`;
     * the global rank of an accepted merge is `tot\${k-1} + ak`. */
   private def bpeRoundsSql(nRounds: Int, budget: Int, window: Int,
-      src: String = "documents"): String = {
-    val m = Corpus.BpeBatchCandidates
+      src: String = "documents",
+      m: Int = Corpus.BpeBatchCandidates): String = {
     val rounds = (1 to nRounds).map { k =>
       val applied = (1 to m).foldLeft("s") { (acc, j) =>
         s"""replace($acc,
