@@ -47,6 +47,14 @@ object Relational {
   private val d182 = DecimalType(18, 2)
   private val d184 = DecimalType(18, 4)
 
+  /** Per-customer timeline cap for `q_seq_rules` — the per-entity
+    * fan-out contract (see the query's registry comment): each
+    * customer contributes at most this many earliest first-purchase
+    * parts, capping its pair expansion at K(K−1)/2. Shared with the
+    * oracle's ROW_NUMBER cap. Sized to bind only the tail at test SFs
+    * (p99 = 77, max = 105 qualifying parts at sf0.1). */
+  val SeqRulesMaxParts = 64
+
   /** Bucketed-table lifecycle state for [[bucketedOrderLines]]: names
     * are unique per (JVM pid, run counter), so two concurrent sessions
     * sharing one warehouse can never write/drop each other's tables —
@@ -2450,8 +2458,21 @@ object Relational {
     //      B" — the temporal sibling of q_assoc_rules. Antecedent =
     //      each customer's FIRST purchase date per part; only strictly
     //      earlier-than pairs count (equal first dates are order-
-    //      ambiguous and excluded). Apriori prune bounds the per-
-    //      customer pair fan-out; all-integer ppm confidence
+    //      ambiguous and excluded).
+    //
+    //      PER-ENTITY FAN-OUT CONTRACT (the q_funnel pattern): the
+    //      Apriori prune bounds which parts qualify GLOBALLY, not per
+    //      customer, so a power-user entity would make the pair
+    //      expansion quadratic in ITS qualifying parts. Each customer
+    //      therefore contributes only its SeqRulesMaxParts (64)
+    //      EARLIEST first-purchase parts — deterministic (d, pk)
+    //      order, shared with the oracle, binding for the tail
+    //      (p99 = 77, max = 105 at sf0.1) — which hard-caps the
+    //      per-key pair count at K(K-1)/2 no matter how hot the key.
+    //      The expansion itself is the PRE-AGGREGATED spelling: one
+    //      groupBy(c) builds the capped sorted timeline array (the
+    //      collect_list is bounded by the cap contract), pairs explode
+    //      map-side from the array — no self-join of a skewed key
     Q(
       "q_seq_rules",
       (s, dir) => {
@@ -2465,9 +2486,13 @@ object Relational {
         val ic = cp.groupBy(col("pk")).agg(count(lit(1)).as("n_cust"))
           .filter(col("n_cust") >= 15L).localCheckpoint(true)
         val cpF = cp.join(ic.select(col("pk")), Seq("pk"), "left_semi")
-        val pairs = cpF.as("x").join(cpF.as("y"),
-            col("x.c") === col("y.c") && col("x.d") < col("y.d") &&
-              col("x.pk") =!= col("y.pk"))
+        val timeline = cpF.groupBy(col("c"))
+          .agg(slice(array_sort(collect_list(struct(col("d"), col("pk")))),
+            1, SeqRulesMaxParts).as("__tl"))
+        val pairs = timeline
+          .select(col("c"), col("__tl"), explode(col("__tl")).as("x"))
+          .select(col("x"), explode(col("__tl")).as("y"))
+          .filter(col("x.d") < col("y.d") && col("x.pk") =!= col("y.pk"))
           .groupBy(col("x.pk").as("ante"), col("y.pk").as("cons"))
           .agg(count(lit(1)).as("n_seq"))
           .filter(col("n_seq") >= 4L)
@@ -2480,7 +2505,7 @@ object Relational {
             col("ante"), col("cons"))
           .limit(30)
       },
-      Some("""WITH cp AS (
+      Some(s"""WITH cp AS (
              |  SELECT o_custkey AS c, l_partkey AS pk, MIN(o_orderdate) AS d
              |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
              |  GROUP BY 1, 2),
@@ -2488,10 +2513,15 @@ object Relational {
              |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_cust FROM cp
              |  GROUP BY 1 HAVING COUNT(*) >= 15),
              |cf AS (SELECT cp.c, cp.pk, cp.d FROM cp JOIN ic USING (pk)),
+             |tl AS (
+             |  SELECT c, pk, d FROM (
+             |    SELECT c, pk, d,
+             |      ROW_NUMBER() OVER (PARTITION BY c ORDER BY d, pk) AS rn
+             |    FROM cf) t WHERE rn <= $SeqRulesMaxParts),
              |pc AS (
              |  SELECT x.pk AS ante, y.pk AS cons,
              |    CAST(COUNT(*) AS BIGINT) AS n_seq
-             |  FROM cf x JOIN cf y
+             |  FROM tl x JOIN tl y
              |    ON x.c = y.c AND x.d < y.d AND x.pk != y.pk
              |  GROUP BY 1, 2 HAVING COUNT(*) >= 4)
              |SELECT ante, cons, n_seq,
