@@ -68,6 +68,17 @@ object Bench {
     emit(qs.map(_.name), samples.toMap, sfDir)
   }
 
+  /** family (= registry file) per query name, for the per-family
+    * subtotals: lets a reader see family-level drift between rounds
+    * without hand-diffing hundreds of per-query numbers. */
+  private def familyOf: Map[String, String] = {
+    def tag(qs: Seq[Q], f: String) = qs.map(q => q.name -> f)
+    (tag(ops.Relational.queries, "relational") ++
+      tag(ops.DslQueries.queries, "dsl") ++
+      tag(ops.CorpusQueries.queries, "corpus") ++
+      tag(ops.StreamingQueries.queries, "streaming")).toMap
+  }
+
   /** Failed queries (no successful pass) are excluded from the total and
     * listed in an explicit "failed" field instead of silently shrinking
     * the sum with a sentinel. The line is also written to
@@ -80,7 +91,12 @@ object Bench {
     val qs = ok.map(k => JsonUtil.quote(k) + ":" + samples(k)).mkString("{", ",", "}")
     val failedJson = failed.map(JsonUtil.quote).mkString("[", ",", "]")
     val total = ok.map(samples).sum
-    val line = s"""{"metric":"steady_state_total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${JsonUtil.quote(sfDir)}}"""
+    val fam = familyOf
+    val famJson = ok.groupBy(k => fam.getOrElse(k, "other")).toSeq.sortBy(_._1)
+      .map { case (f, ks) =>
+        JsonUtil.quote(f) + ":" + ks.map(samples).sum }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"steady_state_total","value":$total,"unit":"sec","queries":$qs,"families":$famJson,"failed":$failedJson,"sf":${JsonUtil.quote(sfDir)}}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
