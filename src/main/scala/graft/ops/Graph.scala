@@ -748,6 +748,66 @@ object Graph {
     settled
   }
 
+  /** Bounded-round weighted shortest paths — Bellman-Ford
+    * min-relaxation, the weighted sibling of [[bfsLevels]]: the exact
+    * minimum path WEIGHT from any seed to every node reachable within
+    * `rounds` edges. `rounds` is part of the result contract (the
+    * oracle unrolls identical rounds): dist(v) = min weight over paths
+    * of ≤ `rounds` edges, the classic DP truncation.
+    *
+    * Frontier-delta relaxation (SPFA's set form): round r relaxes only
+    * edges out of nodes IMPROVED in round r−1 — a node whose distance
+    * did not change cannot improve a neighbor it already relaxed — so
+    * per-round join work tracks the shrinking frontier, not the
+    * settled set, while the result stays equal to full per-round
+    * relaxation (a standard induction: any ≤ r-edge path's prefix
+    * value was either improved last round, and relaxes now, or was
+    * already propagated the round after it last improved).
+    *
+    * Shape at scale: per round ONE frontier⋈edges equi-join on a
+    * compact long key plus two partial-aggregated min-folds, inputs
+    * checkpointed every `checkpointEvery` rounds (the [[pageRank]]
+    * discipline). Nothing reaches the driver. Overflow contract:
+    * dist ≤ rounds · max(w) must stay below 2^63 — any real weight
+    * domain at bounded rounds.
+    *
+    * @param edges (src, dst, w) directed weighted edges; feed both
+    *              directions for an undirected graph; w ≥ 0 integral
+    *              (negative weights relax correctly but the ≤ rounds
+    *              truncation is then not a lower bound of the true
+    *              distance)
+    * @param seeds (node) distinct-able seed set, distance 0
+    * @return (node, dist): every node within `rounds` edges of a seed
+    */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L))
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val cand = e.join(
+          frontier.select(col("node").as("src"), col("dist").as("__d")),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("__d") + col("w")).as("__nd"))
+        .groupBy(col("node")).agg(min(col("__nd")).as("__nd"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("__nd") < col("dist"))
+        .select(col("node"), col("__nd").as("dist"))
+      dist = dist.unionByName(improved)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      frontier = improved
+      if (r % checkpointEvery == 0 && r < rounds) {
+        dist = dist.localCheckpoint(true)
+        frontier = frontier.localCheckpoint(true)
+      }
+    }
+    dist
+  }
+
   /** Link prediction over an undirected graph: the top-k NON-adjacent
     * node pairs ranked by common-neighbor count, Jaccard-of-
     * neighborhoods tie-break — "parts that should co-occur but don't

@@ -572,6 +572,30 @@ object Relational {
        |FROM d$rounds ORDER BY node""".stripMargin
   }
 
+  private def ssspWeightedSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + e.w AS dist
+         |    FROM e JOIN d${i - 1} d ON e.src = d.node) u
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |    CAST(MIN(l_quantity) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |e AS (SELECT src, dst, w FROM e0
+       |      UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+       |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node,
+       |         CAST(0 AS BIGINT) AS dist
+       |       FROM supplier WHERE s_nationkey = 0),
+       |$steps
+       |SELECT node, CAST(dist AS BIGINT) AS dist
+       |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
   private def linkPredictionSql(cap: Int, k: Int): String =
     s"""WITH p AS (
        |  SELECT a, b FROM (
@@ -2614,6 +2638,29 @@ object Relational {
         Graph.bfsLevels(e, seeds, rounds = 3).orderBy(col("node"))
       },
       Some(bfsLevelsSql(rounds = 3))),
+
+    // ---- weighted shortest paths over the part-supplier bipartite
+    //      graph (edge weight = min quantity ever supplied on the
+    //      link), seeds = nation-0 suppliers: bounded-round
+    //      Bellman-Ford with frontier-delta relaxation; dist = exact
+    //      min path weight over <=4-edge paths, the oracle unrolls the
+    //      identical rounds. Closes the classic-graph set next to
+    //      graph_bfs_levels' hop distances
+    Q(
+      "graph_sssp_weighted",
+      (s, dir) => {
+        val e0 = table(s, dir, "lineitem")
+          .groupBy((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .agg(min(col("l_quantity")).cast("long").as("w"))
+        val e = e0.unionByName(e0.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+        val seeds = table(s, dir, "supplier")
+          .filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+        Graph.ssspWeighted(e, seeds, rounds = 4).orderBy(col("node"))
+      },
+      Some(ssspWeightedSql(rounds = 4))),
 
     // ---- link prediction over the parts-co-ordered-in->=2-orders
     //      graph: top-30 non-adjacent pairs by common neighbors +
