@@ -299,6 +299,60 @@ object StreamingQueries {
     (out, dropped, evicted)
   }
 
+  /** The deployment spelling of `stream_quantile` for an UNBOUNDED
+    * stream: the ≤64-counter log₂-bucket sketch is scoped to a
+    * (6 h window × bucket) key so the watermark can EVICT expired
+    * window state — the monitor keeps live windows only, yet never
+    * sorts or retains raw values. UPDATE mode; late rows drop. The
+    * drained per-(window, bucket) counts fold with max (counts only
+    * grow within a key) and the per-window quantile report is the
+    * same batch tail as the complete-mode form. Returns
+    * (result, late rows dropped, state rows evicted) for the spec. */
+  private[graft] def watermarkQuantile(s: SparkSession,
+      dir: String): (DataFrame, Long, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    val streamDir =
+      s"/tmp/graft_stream_wmq_${new java.io.File(dir).getName}"
+    val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val agg = stream
+      .withWatermark("ts", "3 hours")
+      .select(col("ts"),
+        length(bin(expr("CAST(floor(value * 100) AS BIGINT)")))
+          .cast("int").as("bucket"))
+      .groupBy(window(col("ts"), "6 hours"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    var dropped = 0L
+    var evicted = 0L
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try {
+        q.processAllAvailable()
+        val ops = q.recentProgress.flatMap(_.stateOperators)
+        dropped = ops.map(_.numRowsDroppedByWatermark).sum
+        evicted = ops.map(_.numRowsRemoved).sum
+      } finally q.stop()
+    }
+    val counts = s.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+        .as("win_start"), col("bucket"), col("cnt"))
+      .groupBy(col("win_start"), col("bucket"))
+      .agg(max(col("cnt")).as("cnt"))
+    val out = Sketches.quantileEstimate(counts, "win_start",
+      Seq(500000L, 900000L, 990000L))
+      .orderBy(col("win_start"), col("p_ppm"))
+    (out, dropped, evicted)
+  }
+
   /** The deployment spelling of `stream_latest_snapshot` for an
     * UNBOUNDED stream: a forever latest-row-per-key needs unbounded
     * state, so the CDC current-state view is scoped to
@@ -1295,6 +1349,33 @@ object StreamingQueries {
              |SELECT user_id, epoch_us(t) AS last_ts_us,
              |  event_type AS last_type, value AS last_value
              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // the state-EVICTING quantile-sketch spelling for unbounded
+    // streams: (6 h window x log2 bucket) counts with watermark +
+    // update mode (late drop + expired-window eviction asserted in
+    // StatefulStreamingSpec); the per-window p50/p90/p99 report reads
+    // the drained sketch. Oracle = the same bucket arithmetic over the
+    // on-time slice.
+    Q(
+      "stream_quantile_watermark",
+      (s, dir) => watermarkQuantile(s, dir)._1,
+      Some(s"""WITH v AS (
+             |  SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M') AS win_start,
+             |    CAST(length(bin(CAST(floor(value * 100) AS BIGINT))) AS INT) AS bucket
+             |  FROM events WHERE ts >= TIMESTAMP '$WatermarkCutoff'),
+             |b AS (SELECT win_start, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+             |      FROM v GROUP BY 1, 2),
+             |c AS (SELECT win_start, bucket, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY win_start ORDER BY bucket) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY win_start) AS BIGINT) AS n
+             |  FROM b),
+             |p AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS p_ppm),
+             |sel AS (
+             |  SELECT win_start, p_ppm, MIN(bucket) AS bucket, MAX(n) AS n
+             |  FROM c, p WHERE cum * 1000000 >= p_ppm * n GROUP BY 1, 2)
+             |SELECT win_start, p_ppm, CAST(bucket AS INT) AS bucket, n,
+             |  CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS upper_bound
+             |FROM sel ORDER BY win_start, p_ppm""".stripMargin)),
 
     // the state-EVICTING CDC current-state spelling for unbounded
     // streams: latest row per (6 h window x user) with watermark +

@@ -141,6 +141,26 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("update-mode windowed quantile sketch drops late and evicts state") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (out, dropped, evicted) =
+      graft.ops.StreamingQueries.watermarkQuantile(spark, dir)
+    assert(dropped > 0L, "late slice was not dropped by the watermark")
+    assert(evicted > 0L, "no expired-window state rows were evicted")
+    val got = out.collect().map(_.toSeq).toSet
+    val counts = graft.ops.Relational.events(spark, dir)
+      .filter($"ts" >= "2024-01-15 00:00:00")
+      .select(date_format(window($"ts", "6 hours").getField("start"),
+        "yyyy-MM-dd HH:mm").as("win_start"),
+        length(bin(expr("CAST(floor(value * 100) AS BIGINT)")))
+          .cast("int").as("bucket"))
+      .groupBy($"win_start", $"bucket").agg(count(lit(1)).as("cnt"))
+    val expect = graft.ops.Sketches.quantileEstimate(counts, "win_start",
+      Seq(500000L, 900000L, 990000L)).collect().map(_.toSeq).toSet
+    assert(got === expect)
+  }
+
   test("watermarked drain is provider-agnostic: RocksDB state store") {
     // at deployment scale the HDFS-backed in-memory store caps state at
     // executor heap; RocksDB spills to local disk. Same drained result
