@@ -3349,6 +3349,54 @@ object CorpusQueries {
            |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
       }),
 
+    // incremental PQ index maintenance — the compressed-index sibling
+    // of ann_ivf_incremental: the codebook trained on the HISTORY
+    // slice is persisted (parquet artifact) and the new batch is
+    // ENCODED against it in one map-only pass, no retraining, history
+    // codes untouched. History starts at vec_id 100, so its codebook
+    // differs from what a fresh full-corpus train would produce — a
+    // Spark side that retrained on the union, or misread the
+    // artifact, hash-mismatches the oracle's history-only codebook
+    Q(
+      "ann_pq_incremental",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val history = e.filter(col("vec_id") >= 100)
+        val batch = e.filter(col("vec_id") < 100)
+        // pid-scoped artifact dir: eager write at plan construction,
+        // single-writer contract as corpus_shard_export
+        val path = "/tmp/graft_pq_cb_" + new java.io.File(dir).getName +
+          "_pid" + java.lang.ProcessHandle.current().pid()
+        Similarity.pqCodebook(history, "vec_id", "embedding", ksub = 8)
+          .write.mode("overwrite").parquet(path)
+        Similarity.pqEncode(batch, "vec_id", "embedding", Dim, m = 4,
+          s.read.parquet(path)).orderBy(col("vec_id"))
+      },
+      Some {
+        val m = 4; val ksub = 8; val sub = Dim / m
+        def subdist(a: String, b: String) =
+          s"""list_sum(list_transform(range(j*$sub + 1, j*$sub + ${sub + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        s"""WITH qvt AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |cb AS (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv
+           |  FROM (SELECT vec_id, qv FROM qvt WHERE vec_id >= 100
+           |        ORDER BY vec_id LIMIT $ksub)),
+           |js AS (SELECT unnest(range(0, $m)) AS j),
+           |enc AS (
+           |  SELECT vec_id, j, code FROM (
+           |    SELECT v.vec_id, js.j, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, js.j
+           |        ORDER BY ${subdist("v.qv", "c.qv")}, c.code) AS rn
+           |    FROM qvt v CROSS JOIN cb c CROSS JOIN js
+           |    WHERE v.vec_id < 100) t WHERE rn = 1)
+           |SELECT vec_id, list(code ORDER BY j) AS codes
+           |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      }),
+
     // metadata-filtered ANN: top-k restricted to a corpus predicate
     // (label = 2), the "search only the docs matching this filter" shape.
     // The filter reaches the parquet scan (PushedFilters) BEFORE any

@@ -430,6 +430,64 @@ object Similarity {
         (-col("t.score")).cast("long").as("dist"))
   }
 
+  /** The PQ codebook as a PERSISTABLE ARTIFACT: the `ksub` smallest-id
+    * corpus vectors in [[quantize]] space, coded 0..ksub−1 in id order
+    * — the same deterministic seam [[pqTopK]] trains from (a real
+    * deployment stores per-subspace k-means codewords through the same
+    * (code, cqv) shape). Bounded by construction: ksub rows collected,
+    * re-emitted as a local relation fit for `write.parquet`.
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      ksub: Int): DataFrame = {
+    require(ksub > 0, s"ksub must be positive, got $ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(quantize(col(vecCol)).as("qv")).collect()
+      .map(_.getSeq[Long](0)).zipWithIndex
+      .map { case (cw, i) => (i, cw) }.toSeq
+    require(rows.nonEmpty, "pqCodebook: corpus is empty")
+    rows.toDF("code", "cqv")
+  }
+
+  /** Encode vectors against a STORED codebook without retraining — the
+    * PQ sibling of [[ivfAssign]], the second half of incremental
+    * vector-index maintenance: a compressed corpus at rest is
+    * (id, m codes) per row, and a daily ingest batch must join it
+    * WITHOUT re-deriving the codewords (re-training re-codes history —
+    * a full rewrite of the index). The bounded codebook is collected
+    * once and re-emitted as literals (the [[pqTopK]] shape), so the
+    * encode is ONE map-only pass over the batch: no join, no shuffle,
+    * history untouched.
+    *
+    * @param codebookDf (code: int, cqv: array&lt;long&gt;) —
+    *                   [[pqCodebook]]'s output, live or read back from
+    *                   its parquet artifact
+    * @return (vec_id, codes: array&lt;long&gt;), code j = argmin
+    *         subspace-j squared-L2 to the codewords, ties to the
+    *         lowest code
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, codebookDf: DataFrame): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val cbRows = codebookDf.orderBy(col("code"))
+      .select(col("cqv")).collect().map(_.getSeq[Long](0))
+    require(cbRows.nonEmpty, "pqEncode: empty codebook")
+    def cbLit(j: Int): Column = array(cbRows.map(cw =>
+      array(cw.slice(j * sub, (j + 1) * sub).map(lit(_)): _*)): _*)
+    def subdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    def dists(j: Int): Column =
+      transform(cbLit(j), c => subdist(slice(col("__qv"), j * sub + 1, sub), c))
+    df.select(col(idCol).cast("long").as("vec_id"),
+        quantize(col(vecCol)).as("__qv"))
+      .select(col("vec_id"), array((0 until m).map { j =>
+        val d = dists(j)
+        array_position(d, array_min(d)) - 1
+      }: _*).as("codes"))
+  }
+
   /** IVF-PQ ANN (IVFADC, Jégou et al. 2011 §IV): the FAISS-standard
     * composite — a coarse inverted-file quantizer restricts each query to
     * its `nProbe` nearest cells, and within a cell candidates are scored
