@@ -351,8 +351,13 @@ object Dedup {
     // for the idf weights. N counts docs that PRODUCED a shingle — the
     // same population the oracle's COUNT(DISTINCT doc) sees — so a doc
     // shorter than n tokens cannot shift every idf weight and break
-    // cross-engine equality.
-    val nDocs = sh.select(col("doc")).distinct().count()
+    // cross-engine equality. A doc shingles iff it has ≥ n tokens
+    // (shinglesFromTokens' emptiness condition), so the count is one
+    // MAP-ONLY pass over docs instead of re-executing the shingle
+    // explode pipeline.
+    val nDocs = df
+      .filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol)).distinct().count()
     val dfTab = sh.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
     val idx0 = sh.join(dfTab, "tok")
       .withColumn("__w2",

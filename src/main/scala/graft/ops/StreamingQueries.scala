@@ -299,6 +299,64 @@ object StreamingQueries {
     (out, dropped, evicted)
   }
 
+  /** The deployment spelling of `stream_changepoint` for an UNBOUNDED
+    * stream: the per-(day window × type) counts the drift detector
+    * reads are maintained with `withWatermark` + UPDATE mode, so late
+    * rows drop and day-window state behind the watermark is EVICTED —
+    * the monitor's store holds live days only, not the whole history.
+    * The drained counts fold with max (counts only grow within a key)
+    * and the exact change-point detector runs as the batch tail over
+    * the folded daily series. Returns (result, late rows dropped,
+    * state rows evicted) for the spec. */
+  private[graft] def watermarkChangepoint(s: SparkSession,
+      dir: String): (DataFrame, Long, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    val streamDir =
+      s"/tmp/graft_stream_wmc_${new java.io.File(dir).getName}"
+    val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val agg = stream
+      .withWatermark("ts", "3 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    var dropped = 0L
+    var evicted = 0L
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try {
+        q.processAllAvailable()
+        val ops = q.recentProgress.flatMap(_.stateOperators)
+        dropped = ops.map(_.numRowsDroppedByWatermark).sum
+        evicted = ops.map(_.numRowsRemoved).sum
+      } finally q.stop()
+    }
+    // fold update-mode re-emissions (counts only grow within a key);
+    // localCheckpoint cuts the memory-sink lineage before changePoint
+    // self-joins the series (conflicting MemoryPlan references don't
+    // dedup like file relations do)
+    val daily = s.table(name)
+      .select(col("event_type"), to_date(col("window.start")).as("day"),
+        col("n"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("n")).as("n"))
+      .localCheckpoint(true)
+    val out = EventState.changePoint(daily, "event_type", "day", "n")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("score_ppm"), col("mean_before_ppm"), col("mean_after_ppm"))
+      .orderBy(col("event_type"))
+    (out, dropped, evicted)
+  }
+
   /** The deployment spelling of `stream_quantile` for an UNBOUNDED
     * stream: the ≤64-counter log₂-bucket sketch is scoped to a
     * (6 h window × bucket) key so the watermark can EVICT expired
@@ -1349,6 +1407,44 @@ object StreamingQueries {
              |SELECT user_id, epoch_us(t) AS last_ts_us,
              |  event_type AS last_type, value AS last_value
              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // the state-EVICTING drift-monitor spelling for unbounded streams:
+    // per-(day window x type) counts with watermark + update mode
+    // (late drop + expired-day eviction asserted in
+    // StatefulStreamingSpec), the exact change-point detector as the
+    // batch tail over the folded daily series. Oracle = the batch
+    // detector over the on-time slice.
+    Q(
+      "stream_changepoint_watermark",
+      (s, dir) => watermarkChangepoint(s, dir)._1,
+      Some(s"""WITH d AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events WHERE ts >= TIMESTAMP '$WatermarkCutoff'
+             |  GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, day, n,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY day) AS BIGINT) AS i,
+             |    CAST(SUM(n) OVER (PARTITION BY event_type
+             |      ORDER BY day) AS BIGINT) AS p
+             |  FROM d),
+             |tot AS (
+             |  SELECT event_type, MAX(i) AS tt, CAST(SUM(n) AS BIGINT) AS s
+             |  FROM t GROUP BY 1),
+             |sc AS (
+             |  SELECT t.event_type, day, i,
+             |    CAST(abs(p*(tt-i) - (s-p)*i) * 1000000
+             |      // (i*(tt-i)) AS BIGINT) AS score_ppm,
+             |    CAST(p * 1000000 // i AS BIGINT) AS mean_before_ppm,
+             |    CAST((s-p) * 1000000 // (tt-i) AS BIGINT) AS mean_after_ppm
+             |  FROM t JOIN tot USING (event_type) WHERE i < tt),
+             |best AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |    ORDER BY score_ppm DESC, i) AS rn FROM sc)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |  score_ppm, mean_before_ppm, mean_after_ppm
+             |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
     // the state-EVICTING quantile-sketch spelling for unbounded
     // streams: (6 h window x log2 bucket) counts with watermark +

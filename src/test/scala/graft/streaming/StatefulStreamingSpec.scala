@@ -161,6 +161,26 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("update-mode daily drift monitor drops late rows and evicts state") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (out, dropped, evicted) =
+      graft.ops.StreamingQueries.watermarkChangepoint(spark, dir)
+    assert(dropped > 0L, "late slice was not dropped by the watermark")
+    assert(evicted > 0L, "no expired-day state rows were evicted")
+    val got = out.collect().map(_.toSeq).toSet
+    val daily = graft.ops.Relational.events(spark, dir)
+      .filter($"ts" >= "2024-01-15 00:00:00")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val expect = graft.ops.EventState.changePoint(daily,
+        "event_type", "day", "n")
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"score_ppm", $"mean_before_ppm", $"mean_after_ppm")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+  }
+
   test("watermarked drain is provider-agnostic: RocksDB state store") {
     // at deployment scale the HDFS-backed in-memory store caps state at
     // executor heap; RocksDB spills to local disk. Same drained result
