@@ -357,6 +357,63 @@ object StreamingQueries {
     (out, dropped, evicted)
   }
 
+  /** The deployment spelling of `stream_incremental_agg` for an
+    * UNBOUNDED stream: the algebraic count/sum/min/max state is scoped
+    * to (6 h window × type) so the watermark can EVICT expired window
+    * state — the materialized view holds live windows only. UPDATE
+    * mode; late rows drop. The drained fold keys on the row count,
+    * which strictly increases with every update of a key (an update
+    * only fires when rows were added), so max_by(n) keeps each key's
+    * final state. Returns (result, late rows dropped, state rows
+    * evicted) for the spec. */
+  private[graft] def watermarkIncrementalAgg(s: SparkSession,
+      dir: String): (DataFrame, Long, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    val streamDir =
+      s"/tmp/graft_stream_wmi_${new java.io.File(dir).getName}"
+    val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val cents = expr("CAST(floor(value * 100) AS BIGINT)")
+    val agg = stream
+      .withWatermark("ts", "3 hours")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("total_cents"),
+        min(cents).as("min_cents"), max(cents).as("max_cents"))
+    var dropped = 0L
+    var evicted = 0L
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try {
+        q.processAllAvailable()
+        val ops = q.recentProgress.flatMap(_.stateOperators)
+        dropped = ops.map(_.numRowsDroppedByWatermark).sum
+        evicted = ops.map(_.numRowsRemoved).sum
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+        .as("win_start"), col("event_type"), col("n"),
+        col("total_cents"), col("min_cents"), col("max_cents"))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(max_by(struct(col("n"), col("total_cents"), col("min_cents"),
+        col("max_cents")), col("n")).as("__f"))
+      .select(col("win_start"), col("event_type"), col("__f.n").as("n"),
+        col("__f.total_cents").as("total_cents"),
+        col("__f.min_cents").as("min_cents"),
+        col("__f.max_cents").as("max_cents"))
+      .orderBy(col("win_start"), col("event_type"))
+    (out, dropped, evicted)
+  }
+
   /** The deployment spelling of `stream_quantile` for an UNBOUNDED
     * stream: the ≤64-counter log₂-bucket sketch is scoped to a
     * (6 h window × bucket) key so the watermark can EVICT expired
@@ -1407,6 +1464,22 @@ object StreamingQueries {
              |SELECT user_id, epoch_us(t) AS last_ts_us,
              |  event_type AS last_type, value AS last_value
              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // the state-EVICTING incremental-aggregate spelling for unbounded
+    // streams: (6 h window x type) count/sum/min/max with watermark +
+    // update mode (late drop + expired-window eviction asserted in
+    // StatefulStreamingSpec) — the materialized view holds live
+    // windows only. Oracle = the same algebra over the on-time slice.
+    Q(
+      "stream_incremental_agg_watermark",
+      (s, dir) => watermarkIncrementalAgg(s, dir)._1,
+      Some(s"""SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M') AS win_start,
+             |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             |  MIN(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+             |  MAX(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+             |FROM events WHERE ts >= TIMESTAMP '$WatermarkCutoff'
+             |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
     // the state-EVICTING drift-monitor spelling for unbounded streams:
     // per-(day window x type) counts with watermark + update mode

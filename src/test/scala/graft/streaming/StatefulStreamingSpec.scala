@@ -181,6 +181,25 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("update-mode windowed incremental agg drops late and evicts state") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (out, dropped, evicted) =
+      graft.ops.StreamingQueries.watermarkIncrementalAgg(spark, dir)
+    assert(dropped > 0L, "late slice was not dropped by the watermark")
+    assert(evicted > 0L, "no expired-window state rows were evicted")
+    val got = out.collect().map(_.toSeq).toSet
+    val cents = expr("CAST(floor(value * 100) AS BIGINT)")
+    val expect = graft.ops.Relational.events(spark, dir)
+      .filter($"ts" >= "2024-01-15 00:00:00")
+      .groupBy(date_format(window($"ts", "6 hours").getField("start"),
+        "yyyy-MM-dd HH:mm").as("win_start"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(cents).as("total_cents"),
+        min(cents).as("min_cents"), max(cents).as("max_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+  }
+
   test("watermarked drain is provider-agnostic: RocksDB state store") {
     // at deployment scale the HDFS-backed in-memory store caps state at
     // executor heap; RocksDB spills to local disk. Same drained result
