@@ -65,41 +65,61 @@ object SchemaEvolution {
       renames: Map[String, String], target: StructType,
       versionCol: String = "version"): DataFrame = {
     require(versions.nonEmpty, "evolvedRead: need at least one version")
-    require(!target.fieldNames.contains(versionCol),
-      s"evolvedRead: target schema already has a '$versionCol' column")
+    // validate the declared mapping BEFORE touching any path: a typo'd
+    // rename target should fail on the mapping, not on whichever
+    // version directory happens to be read first
     val badRename = renames.valuesIterator
       .filterNot(target.fieldNames.contains).toSeq.sorted
     require(badRename.isEmpty,
       s"evolvedRead: rename targets not in the target schema: " +
         badRename.mkString(", "))
     versions.map { case (tag, path) =>
-      val raw = s.read.parquet(path)
-      val renamed = renames.foldLeft(raw) { case (d, (from, to)) =>
-        if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
-      }
-      val have = renamed.schema.fields.map(f => f.name -> f.dataType).toMap
-      // fail loud on unmapped extras: a column the target does not know
-      // is either a rename the caller forgot to declare or data that
-      // would silently vanish
-      val unmapped = have.keys.filterNot(target.fieldNames.contains).toSeq.sorted
-      if (unmapped.nonEmpty) sys.error(
-        s"evolvedRead: version '$tag' carries columns not in the target " +
-          s"schema and not renamed: ${unmapped.mkString(", ")} — declare " +
-          "them in the rename map or extend the target schema")
-      val cols = target.fields.map { f =>
-        have.get(f.name) match {
-          case Some(dt) if dt == f.dataType => col(f.name)
-          case Some(dt) if widenings((dt, f.dataType)) =>
-            col(f.name).cast(f.dataType).as(f.name)
-          case Some(dt) => sys.error(
-            s"evolvedRead: version '$tag' column '${f.name}' has type " +
-              s"${dt.simpleString} which does not widen to target " +
-              s"${f.dataType.simpleString} — refusing a lossy cast")
-          case None => lit(null).cast(f.dataType).as(f.name)
-        }
-      }
-      renamed.select(cols :+ lit(tag).as(versionCol): _*)
+      conformTo(s.read.parquet(path), tag, renames, target, versionCol)
     }.reduce(_ unionByName _)
+  }
+
+  /** Project ONE version's frame onto the target schema through the
+    * declared mapping — the per-version half of [[evolvedRead]],
+    * public because it composes with STREAMING frames too (a
+    * `readStream` per version directory, conformed then unioned, is
+    * the live-ingest spelling of the versioned read; all validation
+    * here is schema-level, so it runs identically at plan time for
+    * batch and streaming plans). */
+  def conformTo(raw: DataFrame, tag: String,
+      renames: Map[String, String], target: StructType,
+      versionCol: String = "version"): DataFrame = {
+    require(!target.fieldNames.contains(versionCol),
+      s"conformTo: target schema already has a '$versionCol' column")
+    val badRename = renames.valuesIterator
+      .filterNot(target.fieldNames.contains).toSeq.sorted
+    require(badRename.isEmpty,
+      s"conformTo: rename targets not in the target schema: " +
+        badRename.mkString(", "))
+    val renamed = renames.foldLeft(raw) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+    val have = renamed.schema.fields.map(f => f.name -> f.dataType).toMap
+    // fail loud on unmapped extras: a column the target does not know
+    // is either a rename the caller forgot to declare or data that
+    // would silently vanish
+    val unmapped = have.keys.filterNot(target.fieldNames.contains).toSeq.sorted
+    if (unmapped.nonEmpty) sys.error(
+      s"conformTo: version '$tag' carries columns not in the target " +
+        s"schema and not renamed: ${unmapped.mkString(", ")} — declare " +
+        "them in the rename map or extend the target schema")
+    val cols = target.fields.map { f =>
+      have.get(f.name) match {
+        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(dt) if widenings((dt, f.dataType)) =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case Some(dt) => sys.error(
+          s"conformTo: version '$tag' column '${f.name}' has type " +
+            s"${dt.simpleString} which does not widen to target " +
+            s"${f.dataType.simpleString} — refusing a lossy cast")
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    renamed.select(cols :+ lit(tag).as(versionCol): _*)
   }
 
   /** Stage the three-version fixture the `corpus_schema_evolution` gate

@@ -357,6 +357,49 @@ object StreamingQueries {
     (out, dropped, evicted)
   }
 
+  /** Versioned-corpus LIVE ingest: one `readStream` per release
+    * directory, each conformed onto the newest schema through the
+    * declared mapping ([[SchemaEvolution.conformTo]] — validation is
+    * schema-level, so it runs identically at plan time on streaming
+    * plans), unioned into ONE stream. This is how a training-data feed
+    * survives a schema release without a backfill: old-release files
+    * keep arriving (delayed movers, retries) and keep conforming
+    * through the same mapping the batch read uses. Append mode, no
+    * state; the drained union equals the batch evolved read. */
+  private[graft] def streamSchemaEvolution(s: SparkSession,
+      dir: String): DataFrame = {
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    // pid-scoped staging (single-writer contract, the
+    // corpus_shard_export convention)
+    val base = s"/tmp/graft_stream_evo_${new java.io.File(dir).getName}" +
+      s"_pid${ProcessHandle.current().pid()}"
+    rmTree(new java.io.File(base))
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").cast("int").as("id"), col("text").as("body"),
+        col("lang"), col("n_chars").cast("int").as("n_chars"))
+      .write.parquet(s"$base/v1")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .write.parquet(s"$base/v2")
+    def arm(tag: String, renames: Map[String, String]): DataFrame =
+      SchemaEvolution.conformTo(
+        s.readStream.schema(s.read.parquet(s"$base/$tag").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/$tag"),
+        tag, renames, SchemaEvolution.FixtureTarget)
+    val unioned = arm("v1", SchemaEvolution.FixtureRenames)
+      .unionByName(arm("v2", Map.empty))
+    withStreamShuffle(s, 4) {
+      val q = unioned.writeStream
+        .outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).orderBy(col("doc_id"))
+  }
+
   /** The deployment spelling of `stream_incremental_agg` for an
     * UNBOUNDED stream: the algebraic count/sum/min/max state is scoped
     * to (6 h window × type) so the watermark can EVICT expired window
@@ -1464,6 +1507,22 @@ object StreamingQueries {
              |SELECT user_id, epoch_us(t) AS last_ts_us,
              |  event_type AS last_type, value AS last_value
              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // versioned-corpus LIVE ingest: per-release readStream arms
+    // conformed through the declared schema mapping and unioned — the
+    // streaming spelling of corpus_schema_evolution (a feed surviving
+    // a schema release with no backfill). Oracle = the batch
+    // UNION ALL BY NAME over the same version slices.
+    Q(
+      "stream_schema_evolution",
+      (s, dir) => streamSchemaEvolution(s, dir),
+      Some("""SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source,
+             |  n_chars, 'v1' AS version
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL BY NAME
+             |SELECT doc_id, text, lang, source, n_chars, 'v2' AS version
+             |FROM documents WHERE doc_id % 2 = 1
+             |ORDER BY doc_id""".stripMargin)),
 
     // the state-EVICTING incremental-aggregate spelling for unbounded
     // streams: (6 h window x type) count/sum/min/max with watermark +
