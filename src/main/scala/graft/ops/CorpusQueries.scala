@@ -3397,6 +3397,82 @@ object CorpusQueries {
            |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
       }),
 
+    // incremental IVF-PQ (IVFADC) index maintenance — the composition
+    // of the two incremental halves: BOTH stored artifacts (coarse
+    // centers + residual codebook, trained on the history slice,
+    // persisted as parquet) drive a one-pass map-only encode of the
+    // new batch into the (cid, codes) rows the compressed index
+    // stores. History starts past the smallest ids, so a retrain on
+    // the union — or a broken artifact read — produces different
+    // centers/codewords and fails the oracle's history-only recompute
+    Q(
+      "ann_ivfpq_incremental",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val history = e.filter(col("vec_id") >= 100)
+        val batch = e.filter(col("vec_id") < 100)
+        // pid-scoped artifact dir: eager write at plan construction,
+        // single-writer contract as corpus_shard_export
+        val path = "/tmp/graft_ivfpq_" + new java.io.File(dir).getName +
+          "_pid" + java.lang.ProcessHandle.current().pid()
+        Similarity.ivfpqCoarse(history, "vec_id", "embedding",
+          centroids = 8).write.mode("overwrite").parquet(s"$path/coarse")
+        Similarity.ivfpqResidualCodebook(history, "vec_id", "embedding",
+          Dim, ksub = 8, s.read.parquet(s"$path/coarse"))
+          .write.mode("overwrite").parquet(s"$path/cb")
+        Similarity.ivfpqEncode(batch, "vec_id", "embedding", Dim, m = 4,
+          s.read.parquet(s"$path/coarse"), s.read.parquet(s"$path/cb"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val m = 4; val ksub = 8; val nc = 8; val sub = Dim / m
+        def l2full(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, ${Dim + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        def subdist(a: String, b: String) =
+          s"""list_sum(list_transform(range(j*$sub + 1, j*$sub + ${sub + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        s"""WITH qvt AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cid, qv AS cqv FROM qvt
+           |  WHERE vec_id >= 100 ORDER BY vec_id LIMIT $nc),
+           |seeds AS (SELECT vec_id, qv FROM qvt WHERE vec_id >= 100
+           |          ORDER BY vec_id LIMIT $ksub),
+           |hasgn AS (
+           |  SELECT vec_id, qv, cqv FROM (
+           |    SELECT v.vec_id, v.qv, c.cqv,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2full("v.qv", "c.cqv")}, c.cid) AS rn
+           |    FROM seeds v CROSS JOIN cents c) t WHERE rn = 1),
+           |cb AS (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+           |    list_transform(range(1, ${Dim + 1}), i -> qv[i] - cqv[i]) AS rv
+           |  FROM hasgn),
+           |basgn AS (
+           |  SELECT vec_id, cid, cqv FROM (
+           |    SELECT v.vec_id, c.cid, c.cqv,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2full("v.qv", "c.cqv")}, c.cid) AS rn
+           |    FROM qvt v CROSS JOIN cents c WHERE v.vec_id < 100) t
+           |  WHERE rn = 1),
+           |bres AS (
+           |  SELECT b.vec_id, b.cid,
+           |    list_transform(range(1, ${Dim + 1}), i -> v.qv[i] - b.cqv[i]) AS rv
+           |  FROM basgn b JOIN qvt v USING (vec_id)),
+           |js AS (SELECT unnest(range(0, $m)) AS j),
+           |enc AS (
+           |  SELECT vec_id, cid, j, code FROM (
+           |    SELECT r.vec_id, r.cid, js.j, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, js.j
+           |        ORDER BY ${subdist("r.rv", "c.rv")}, c.code) AS rn
+           |    FROM bres r CROSS JOIN cb c CROSS JOIN js) t WHERE rn = 1)
+           |SELECT vec_id, MIN(cid) AS cid, list(code ORDER BY j) AS codes
+           |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      }),
+
     // metadata-filtered ANN: top-k restricted to a corpus predicate
     // (label = 2), the "search only the docs matching this filter" shape.
     // The filter reaches the parquet scan (PushedFilters) BEFORE any

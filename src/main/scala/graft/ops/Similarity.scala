@@ -488,6 +488,95 @@ object Similarity {
       }: _*).as("codes"))
   }
 
+  /** The IVF-PQ COARSE-CENTER artifact: the `centroids` smallest-id
+    * corpus vectors in [[quantize]] space keyed by their vector id —
+    * [[ivfpqTopK]]'s deterministic default-center seam as a persistable
+    * (cid, c_qv) table. Bounded: `centroids` rows collected and
+    * re-emitted. */
+  def ivfpqCoarse(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Int): DataFrame = {
+    require(centroids > 0, s"centroids must be positive, got $centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.orderBy(col(idCol)).limit(centroids)
+      .select(col(idCol).cast("long"), quantize(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    require(rows.nonEmpty, "ivfpqCoarse: corpus is empty")
+    rows.toDF("cid", "c_qv")
+  }
+
+  /** The IVF-PQ RESIDUAL-CODEBOOK artifact: residuals of the `ksub`
+    * smallest-id corpus vectors under their assignment to the stored
+    * coarse centers, coded 0..ksub−1 in id order — the second bounded
+    * table a persisted IVFADC index consists of. All arithmetic is
+    * exact integers on ≤ ksub·dim driver values. */
+  def ivfpqResidualCodebook(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, ksub: Int, coarseDf: DataFrame): DataFrame = {
+    require(ksub > 0, s"ksub must be positive, got $ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = coarseDf.orderBy(col("cid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(coarse.nonEmpty, "ivfpqResidualCodebook: empty coarse centers")
+    val seeds = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).cast("long"), quantize(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(seeds.nonEmpty, "ivfpqResidualCodebook: corpus is empty")
+    val rows = seeds.zipWithIndex.map { case ((_, qv), i) =>
+      // nearest coarse center by exact integer L2, ties to lowest cid
+      // (coarse is cid-sorted, minBy keeps the first minimum)
+      val (_, cqv) = coarse.minBy { case (_, cq) =>
+        qv.zip(cq).map { case (x, y) => val d = x - y; d * d }.sum }
+      (i, qv.zip(cqv).map { case (x, y) => x - y })
+    }.toSeq
+    rows.toDF("code", "rv")
+  }
+
+  /** Encode vectors against a STORED IVF-PQ index (coarse centers +
+    * residual codebook) without retraining — the IVFADC completion of
+    * the incremental family ([[ivfAssign]] assigns, [[pqEncode]]
+    * flat-codes; this does both through the residual, producing the
+    * (cid, codes) row the compressed index stores per vector). Both
+    * artifacts are bounded, collected once, and re-emitted as literals,
+    * so the encode is ONE map-only pass over the batch: no join, no
+    * shuffle, history untouched.
+    *
+    * @return (vec_id, cid, codes: array&lt;long&gt;)
+    */
+  def ivfpqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, coarseDf: DataFrame, codebookDf: DataFrame): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val coarse = coarseDf.orderBy(col("cid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(coarse.nonEmpty, "ivfpqEncode: empty coarse centers")
+    val cb = codebookDf.orderBy(col("code"))
+      .select(col("rv")).collect().map(_.getSeq[Long](0))
+    require(cb.nonEmpty, "ivfpqEncode: empty codebook")
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val centArr = array(coarse.map { case (_, cq) =>
+      array(cq.map(lit(_)): _*) }: _*)
+    val cidArr = array(coarse.map(c => lit(c._1)): _*)
+    def cbLit(j: Int): Column = array(cb.map(cw =>
+      array(cw.slice(j * sub, (j + 1) * sub).map(lit(_)): _*)): _*)
+    df.select(col(idCol).cast("long").as("vec_id"),
+        quantize(col(vecCol)).as("__qv"))
+      // array_position finds the FIRST minimum — lowest-cid tie-break
+      // (centers are cid-sorted in the literal)
+      .withColumn("__d", transform(centArr, c => l2(col("__qv"), c)))
+      .withColumn("__i",
+        array_position(col("__d"), array_min(col("__d"))).cast("int"))
+      .withColumn("__rv", zip_with(col("__qv"),
+        element_at(centArr, col("__i")), (x, y) => x - y))
+      .select(col("vec_id"), element_at(cidArr, col("__i")).as("cid"),
+        array((0 until m).map { j =>
+          val d = transform(cbLit(j),
+            c => l2(slice(col("__rv"), j * sub + 1, sub), c))
+          array_position(d, array_min(d)) - 1
+        }: _*).as("codes"))
+  }
+
   /** IVF-PQ ANN (IVFADC, Jégou et al. 2011 §IV): the FAISS-standard
     * composite — a coarse inverted-file quantizer restricts each query to
     * its `nProbe` nearest cells, and within a cell candidates are scored
