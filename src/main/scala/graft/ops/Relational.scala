@@ -2423,6 +2423,46 @@ object Relational {
              |GROUP BY c_count
              |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
+    // ---- large-volume orders (TPC-H Q18 shape): orders whose total
+    //      quantity exceeds the bar, with their customer — the
+    //      aggregate-then-join-back spelling (one partial-aggregated
+    //      groupBy shrinks lineitem to qualifying orders BEFORE any
+    //      join; the survivors are rare, so AQE broadcasts them into
+    //      orders/customer at scale). Deterministic top-100 via the
+    //      (price, date, orderkey) total order
+    Q(
+      "q18_large_orders",
+      (s, dir) => {
+        val big = table(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+          .filter(col("total_qty") > 250)
+        big
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+            col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+             |  FROM lineitem GROUP BY 1
+             |  HAVING CAST(SUM(l_quantity) AS BIGINT) > 250)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             |  CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+             |FROM big
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+             |LIMIT 100""".stripMargin)),
+
     // ---- exact median absolute deviation per return flag: two
     //      TwoPass rank passes (median = the ceil(n/2)-th value, then
     //      the same rank over |x − median| deci-units) — the robust
