@@ -2463,6 +2463,61 @@ object Relational {
              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
              |LIMIT 100""".stripMargin)),
 
+    // ---- suppliers who kept waiting (TPC-H Q21 shape, lateness =
+    //      shipped > 75 days after the order date since this corpus
+    //      carries no receipt/commit dates): on finished multi-supplier
+    //      orders, the supplier who was the SOLE late one. The classic
+    //      exists / not-exists pair spelled as one conditional
+    //      LEFT-SEMI (another supplier exists on the order) chained
+    //      with one conditional LEFT-ANTI (no OTHER late supplier) —
+    //      both hash joins on the order key with the supplier
+    //      inequality riding the join condition, no correlated
+    //      subquery re-scans
+    Q(
+      "q21_waiting_supplier",
+      (s, dir) => {
+        val ord = table(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val l = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+            (col("l_shipdate") > date_add(col("o_orderdate"), 75)).as("late"))
+        val lateDistinct = l.filter(col("late"))
+          .select(col("ok"), col("sk")).distinct()
+        val hasOther = lateDistinct
+          .join(l.select(col("ok").as("yok"), col("sk").as("ysk")),
+            col("ok") === col("yok") && col("sk") =!= col("ysk"),
+            "left_semi")
+        val soleLate = hasOther
+          .join(lateDistinct.select(col("ok").as("zok"), col("sk").as("zsk")),
+            col("ok") === col("zok") && col("sk") =!= col("zsk"),
+            "left_anti")
+        soleLate
+          .join(table(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH l AS (
+             |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+             |    (l_shipdate > o_orderdate + INTERVAL 75 DAY) AS late
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'),
+             |l1 AS (SELECT DISTINCT ok, sk FROM l WHERE late),
+             |cand AS (
+             |  SELECT x.ok, x.sk FROM l1 x
+             |  WHERE EXISTS (SELECT 1 FROM l y
+             |          WHERE y.ok = x.ok AND y.sk != x.sk)
+             |    AND NOT EXISTS (SELECT 1 FROM l z
+             |          WHERE z.ok = x.ok AND z.sk != x.sk AND z.late))
+             |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             |FROM cand JOIN supplier ON s_suppkey = sk
+             |GROUP BY s_name ORDER BY numwait DESC, s_name
+             |LIMIT 20""".stripMargin)),
+
     // ---- exact median absolute deviation per return flag: two
     //      TwoPass rank passes (median = the ceil(n/2)-th value, then
     //      the same rank over |x − median| deci-units) — the robust
