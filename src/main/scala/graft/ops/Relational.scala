@@ -2518,6 +2518,54 @@ object Relational {
              |GROUP BY s_name ORDER BY numwait DESC, s_name
              |LIMIT 20""".stripMargin)),
 
+    // ---- dormant sales opportunity (TPC-H Q22 shape, country code →
+    //      nation key since this corpus carries no phone column, and
+    //      "never ordered" → "no order in the final year" since every
+    //      synthetic customer has SOME order): customers of the
+    //      selected nations with an account balance above the
+    //      selected-set positive average and no recent order. The
+    //      average is a 1-row (sum_cents, n) aggregate broadcast back
+    //      and compared CROSS-MULTIPLIED (cents·n > sum) so no float
+    //      division can differ between engines; dormancy is one
+    //      left-anti hash join whose date filter reaches the orders
+    //      scan
+    Q(
+      "q22_sales_opportunity",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+          .filter(col("c_nationkey") <= 6)
+          .select(col("c_custkey"), col("c_nationkey"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        val a = c.filter(col("cents") > 0)
+          .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+        val recent = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-08-01").cast("date"))
+          .select(col("o_custkey"))
+        c.crossJoin(broadcast(a))
+          .filter(col("cents") * col("n") > col("s"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("cents")).as("totacctbal_cents"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH c AS (
+             |  SELECT c_custkey, c_nationkey,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |  FROM customer WHERE c_nationkey <= 6),
+             |a AS (
+             |  SELECT CAST(SUM(cents) AS BIGINT) AS s,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM c WHERE cents > 0)
+             |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+             |  CAST(SUM(cents) AS BIGINT) AS totacctbal_cents
+             |FROM c, a
+             |WHERE c.cents * a.n > a.s
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderdate >= DATE '2000-08-01')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- exact median absolute deviation per return flag: two
     //      TwoPass rank passes (median = the ceil(n/2)-th value, then
     //      the same rank over |x − median| deci-units) — the robust

@@ -54,7 +54,11 @@ class PlanLintSpec extends SparkTestBase {
     // k-means centroid assignment (k COLLECTED centers × corpus, each
     // immediately bounded by the per-vector max_by/top-k) for both the
     // stale and fresh index arms — the ann_ivf_kmeans shape twice
-    "ann_recall_stale")
+    "ann_recall_stale",
+    // SINGLE-ROW (sum, count) balance aggregate broadcast onto the
+    // customer slice for the cross-multiplied above-average filter —
+    // bounded by construction (global aggregate; Q22 registry comment)
+    "q22_sales_opportunity")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.
