@@ -225,10 +225,16 @@ object CorpusQueries {
       src: String = "documents",
       m: Int = Corpus.BpeBatchCandidates): String = {
     val rounds = (1 to nRounds).map { k =>
+      // the round's accepted merges folded into ONE 1-row (pats, reps)
+      // list pair (r$k) cross-joined into the rewrite — versus the old
+      // 2 scalar subqueries per slot (32/round, ~3.6k subplans at 112
+      // rounds) whose binder state was the oracle's memory hog. A slot
+      // past len(pats) indexes to NULL -> COALESCE no-op, exactly the
+      // old empty-slot behavior.
       val applied = (1 to m).foldLeft("s") { (acc, j) =>
         s"""replace($acc,
-           |      COALESCE((SELECT '·' || u1 || '··' || u2 || '·' FROM f$k WHERE ak = $j), chr(1)),
-           |      COALESCE((SELECT '·' || u1 || u2 || '·' FROM f$k WHERE ak = $j), ''))""".stripMargin
+           |      COALESCE(pats[$j], chr(1)),
+           |      COALESCE(reps[$j], ''))""".stripMargin
       }
       s"""p$k AS (
          |  SELECT pr[1] AS u1, pr[2] AS u2, cnt FROM (
@@ -249,10 +255,14 @@ object CorpusQueries {
          |  WHERE ak <= $budget - (SELECT tot FROM t${k - 1})),
          |t$k AS MATERIALIZED (SELECT (SELECT tot FROM t${k - 1}) +
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f$k) AS tot),
+         |r$k AS MATERIALIZED (
+         |  SELECT list('·' || u1 || '··' || u2 || '·' ORDER BY ak) AS pats,
+         |         list('·' || u1 || u2 || '·' ORDER BY ak) AS reps
+         |  FROM f$k),
          |s$k AS MATERIALIZED (
          |  SELECT w, cnt,
          |    $applied AS s
-         |  FROM s${k - 1})""".stripMargin
+         |  FROM s${k - 1} CROSS JOIN r$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH s0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -271,14 +281,16 @@ object CorpusQueries {
     * [[bpeRoundsSql]] whose training chain defined the `f\$k` tables. */
   private def bpeApplySql(nRounds: Int, window: Int): String = {
     val m = Corpus.BpeBatchCandidates
+    // replays the r$k (pats, reps) lists the training chain already
+    // materialized — same 1-row cross join, zero extra subplans
     val rounds = (1 to nRounds).map { k =>
       val applied = (1 to m).foldLeft("s") { (acc, j) =>
         s"""replace($acc,
-           |      COALESCE((SELECT '·' || u1 || '··' || u2 || '·' FROM f$k WHERE ak = $j), chr(1)),
-           |      COALESCE((SELECT '·' || u1 || u2 || '·' FROM f$k WHERE ak = $j), ''))""".stripMargin
+           |      COALESCE(pats[$j], chr(1)),
+           |      COALESCE(reps[$j], ''))""".stripMargin
       }
       s"""a$k AS MATERIALIZED (
-         |  SELECT w, cnt, $applied AS s FROM a${k - 1})""".stripMargin
+         |  SELECT w, cnt, $applied AS s FROM a${k - 1} CROSS JOIN r$k)""".stripMargin
     }.mkString(",\n")
     s""", a0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -431,7 +443,7 @@ object CorpusQueries {
     s"""tv AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM toks WHERE len(ws) > 0),
        |vals AS (SELECT doc_id, (${hexVal(1)}) AS hi, (${hexVal(9)}) AS lo FROM tv),
        |bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id),
-       |sims AS (SELECT doc_id, ($shHiSigned) * 4294967296 + ($shLo) AS sh FROM bits)""".stripMargin
+       |sims AS MATERIALIZED (SELECT doc_id, ($shHiSigned) * 4294967296 + ($shLo) AS sh FROM bits)""".stripMargin
   }
 
   /** Language profiles shared by the Spark and oracle sides. */
@@ -2778,7 +2790,7 @@ object CorpusQueries {
         }.mkString(" UNION ALL ")
         s"""WITH $toksCte,
            |$simhashCtes,
-           |blocked AS ($blockRows)
+           |blocked AS MATERIALIZED ($blockRows)
            |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
            |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
            |FROM blocked a JOIN blocked b
@@ -3369,8 +3381,13 @@ object CorpusQueries {
           "_pid" + java.lang.ProcessHandle.current().pid()
         Similarity.pqCodebook(history, "vec_id", "embedding", ksub = 8)
           .write.mode("overwrite").parquet(path)
+        // codes emitted as a canonical comma-joined STRING: the
+        // driver's pandas comparison cannot sort/factorize array
+        // columns (unhashable ndarray), so the gated schema is scalar
         Similarity.pqEncode(batch, "vec_id", "embedding", Dim, m = 4,
-          s.read.parquet(path)).orderBy(col("vec_id"))
+          s.read.parquet(path))
+          .withColumn("codes", array_join(col("codes"), ","))
+          .orderBy(col("vec_id"))
       },
       Some {
         val m = 4; val ksub = 8; val sub = Dim / m
@@ -3393,7 +3410,7 @@ object CorpusQueries {
            |        ORDER BY ${subdist("v.qv", "c.qv")}, c.code) AS rn
            |    FROM qvt v CROSS JOIN cb c CROSS JOIN js
            |    WHERE v.vec_id < 100) t WHERE rn = 1)
-           |SELECT vec_id, list(code ORDER BY j) AS codes
+           |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes
            |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
       }),
 
@@ -3420,8 +3437,10 @@ object CorpusQueries {
         Similarity.ivfpqResidualCodebook(history, "vec_id", "embedding",
           Dim, ksub = 8, s.read.parquet(s"$path/coarse"))
           .write.mode("overwrite").parquet(s"$path/cb")
+        // codes as a canonical comma-joined STRING (see ann_pq_incremental)
         Similarity.ivfpqEncode(batch, "vec_id", "embedding", Dim, m = 4,
           s.read.parquet(s"$path/coarse"), s.read.parquet(s"$path/cb"))
+          .withColumn("codes", array_join(col("codes"), ","))
           .orderBy(col("vec_id"))
       },
       Some {
@@ -3469,7 +3488,8 @@ object CorpusQueries {
            |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, js.j
            |        ORDER BY ${subdist("r.rv", "c.rv")}, c.code) AS rn
            |    FROM bres r CROSS JOIN cb c CROSS JOIN js) t WHERE rn = 1)
-           |SELECT vec_id, MIN(cid) AS cid, list(code ORDER BY j) AS codes
+           |SELECT vec_id, MIN(cid) AS cid,
+           |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes
            |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
       }),
 

@@ -2566,6 +2566,115 @@ object Relational {
              |                    AND o.o_orderdate >= DATE '2000-08-01')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- small-quantity-order revenue (TPC-H Q17 shape, brand filter
+    //      only since this corpus carries no container column): per
+    //      brand, the would-be yearly revenue of orders whose quantity
+    //      sits below 20% of that PART's average quantity. The classic
+    //      correlated scalar AVG decorrelated: ONE partial-aggregated
+    //      (sum_qdeci, cnt) per partkey joined back to the brand's
+    //      lineitems (AQE broadcasts the ~brand-sized aggregate), the
+    //      threshold compared CROSS-MULTIPLIED in integer deci-units
+    //      (5·qdeci·cnt < sum_qdeci ⟺ q < 0.2·avg) so no float
+    //      division can differ between engines; revenue folded in
+    //      integer cents and the /7 yearly split spelled as integer
+    //      DIV on both sides
+    Q(
+      "q17_small_qty_revenue",
+      (s, dir) => {
+        val parts = table(s, dir, "part")
+          .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+          .select(col("p_partkey"), col("p_brand"))
+        val li = table(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            expr("CAST(round(l_quantity * 10) AS BIGINT)").as("qdeci"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("cents"))
+          .join(parts, col("l_partkey") === col("p_partkey"))
+        val avgq = li.groupBy(col("l_partkey").as("apk"))
+          .agg(sum(col("qdeci")).as("sum_qdeci"),
+            count(lit(1)).as("cnt"))
+        li.join(avgq, col("l_partkey") === col("apk"))
+          .filter(col("qdeci") * col("cnt") * 5 < col("sum_qdeci"))
+          .groupBy(col("p_brand"))
+          .agg((sum(col("cents")) / lit(7)).cast("long")
+            .as("avg_yearly_cents"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey, p_brand,
+             |    CAST(round(l_quantity * 10) AS BIGINT) AS qdeci,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')),
+             |avgq AS (
+             |  SELECT l_partkey AS apk,
+             |    CAST(SUM(qdeci) AS BIGINT) AS sum_qdeci,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM li GROUP BY 1)
+             |SELECT p_brand,
+             |  CAST(SUM(cents) // 7 AS BIGINT) AS avg_yearly_cents
+             |FROM li JOIN avgq ON l_partkey = apk
+             |WHERE qdeci * cnt * 5 < sum_qdeci
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---- dominant-supplier stock report (TPC-H Q20 shape; with no
+    //      partsupp availability column, "more than half the part's
+    //      1998 shipments" stands in for "availqty > half the shipped
+    //      quantity"): suppliers in the low nations who, for some
+    //      'small %' part, shipped MORE than half of that part's total
+    //      1998 quantity. The nested-EXISTS-over-correlated-SUM chain
+    //      decorrelated into hash joins only: per-part total (one
+    //      partial agg, AQE-broadcast) → per-(part, supplier) agg
+    //      compared cross-multiplied in deci-units (2·sup > total) →
+    //      DISTINCT suppliers → one LEFT-SEMI into the supplier dim;
+    //      the name LIKE and date filters reach the scans
+    Q(
+      "q20_excess_stock",
+      (s, dir) => {
+        val parts = table(s, dir, "part")
+          .filter(col("p_name").like("small %"))
+          .select(col("p_partkey"))
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("date") &&
+            col("l_shipdate") < lit("1999-01-01").cast("date"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            expr("CAST(round(l_quantity * 10) AS BIGINT)").as("qdeci"))
+          .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+        val perPart = li.groupBy(col("l_partkey").as("tpk"))
+          .agg(sum(col("qdeci")).as("total_qdeci"))
+        val dominant = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("qdeci")).as("sup_qdeci"))
+          .join(perPart, col("l_partkey") === col("tpk"))
+          .filter(col("sup_qdeci") * 2 > col("total_qdeci"))
+          .select(col("l_suppkey")).distinct()
+        table(s, dir, "supplier")
+          .filter(col("s_nationkey") <= 10)
+          .join(dominant, col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_name"), col("s_suppkey"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    CAST(round(l_quantity * 10) AS BIGINT) AS qdeci
+             |  FROM lineitem
+             |  WHERE l_shipdate >= DATE '1998-01-01'
+             |    AND l_shipdate < DATE '1999-01-01'
+             |    AND EXISTS (SELECT 1 FROM part p
+             |                WHERE p.p_partkey = l_partkey
+             |                  AND p.p_name LIKE 'small %'))
+             |SELECT s_suppkey, s_name FROM supplier s
+             |WHERE s_nationkey <= 10
+             |  AND EXISTS (
+             |    SELECT 1 FROM li x
+             |    WHERE x.l_suppkey = s.s_suppkey
+             |      AND 2 * (SELECT CAST(SUM(y.qdeci) AS BIGINT) FROM li y
+             |               WHERE y.l_partkey = x.l_partkey
+             |                 AND y.l_suppkey = x.l_suppkey)
+             |        > (SELECT CAST(SUM(z.qdeci) AS BIGINT) FROM li z
+             |           WHERE z.l_partkey = x.l_partkey))
+             |ORDER BY s_name, s_suppkey""".stripMargin)),
+
     // ---- exact median absolute deviation per return flag: two
     //      TwoPass rank passes (median = the ceil(n/2)-th value, then
     //      the same rank over |x − median| deci-units) — the robust
@@ -2636,10 +2745,13 @@ object Relational {
     //      order, shared with the oracle, binding for the tail
     //      (p99 = 77, max = 105 at sf0.1) — which hard-caps the
     //      per-key pair count at K(K-1)/2 no matter how hot the key.
-    //      The expansion itself is the PRE-AGGREGATED spelling: one
-    //      groupBy(c) builds the capped sorted timeline array (the
-    //      collect_list is bounded by the cap contract), pairs explode
-    //      map-side from the array — no self-join of a skewed key
+    //      The cap is enforced INSIDE the aggregate buffer: (d, pk)
+    //      packs into one long key and top_k_by_score keeps only the
+    //      64 smallest keys per customer (k-capped map-side partials),
+    //      so per-key agg memory is O(64) even for the hottest
+    //      customer — never a collect-then-slice. Pairs explode
+    //      map-side from the bounded array — no self-join of a
+    //      skewed key
     Q(
       "q_seq_rules",
       (s, dir) => {
@@ -2653,9 +2765,32 @@ object Relational {
         val ic = cp.groupBy(col("pk")).agg(count(lit(1)).as("n_cust"))
           .filter(col("n_cust") >= 15L).localCheckpoint(true)
         val cpF = cp.join(ic.select(col("pk")), Seq("pk"), "left_semi")
-        val timeline = cpF.groupBy(col("c"))
-          .agg(slice(array_sort(collect_list(struct(col("d"), col("pk")))),
-            1, SeqRulesMaxParts).as("__tl"))
+        // pack (days, pk) lexicographically into one long; keep the
+        // SeqRulesMaxParts SMALLEST (= earliest (d, pk)) via the
+        // k-capped top_k_by_score buffer (score = -key). Exact while
+        // key < 2^53 (double-representable) — guarded fail-loud, repo
+        // convention. Real TPC-H dates sit near 2^13 days, far under
+        // the 2^20 guard.
+        val pow33 = 1L << 33
+        val days = unix_date(col("d").cast("date")).cast("long")
+        val key = days * lit(pow33) + col("pk").cast("long")
+        val timeline = cpF
+          .withColumn("__key",
+            when(col("pk") < 0 || col("pk") >= lit(pow33) ||
+                days < 0 || days >= lit(1L << 20) ||
+                col("d") =!= date_trunc("day", col("d")),
+              raise_error(lit("q_seq_rules: (d, pk) outside the exact " +
+                "packing range (pk needs 33 bits, days 20, midnight-" +
+                "aligned dates)")))
+              .otherwise(key))
+          .groupBy(col("c"))
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+            -col("__key").cast("double"), col("__key"),
+            SeqRulesMaxParts).as("__top"))
+          .select(col("c"), transform(col("__top"), e => struct(
+            shiftright(e.getField("id"), 33).as("d"),
+            e.getField("id").bitwiseAND(lit(pow33 - 1)).as("pk")))
+            .as("__tl"))
         val pairs = timeline
           .select(col("c"), col("__tl"), explode(col("__tl")).as("x"))
           .select(col("x"), explode(col("__tl")).as("y"))

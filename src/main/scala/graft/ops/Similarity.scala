@@ -812,12 +812,18 @@ object Similarity {
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       centroidsDf: DataFrame): DataFrame = {
     val cents = centroidsDf.select(col("cid"), col("c_v"))
+    // zero-norm guard: cosine's norm product would be 0 -> NaN, and NaN
+    // sorts ABOVE every double, so max_by would silently assign an
+    // arbitrary cid; fail loud instead (repo convention, same as
+    // linkPrediction's packing guards)
+    val nrmProd = sqrt(dot(col("__v"), col("__v"), dim)) *
+      sqrt(dot(col("c_v"), col("c_v"), dim))
     df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__v"))
       .join(broadcast(cents), lit(true))
       .withColumn("__cos",
-        dot(col("__v"), col("c_v"), dim) /
-          (sqrt(dot(col("__v"), col("__v"), dim)) *
-            sqrt(dot(col("c_v"), col("c_v"), dim))))
+        when(nrmProd === 0d, raise_error(lit(
+          "ivfAssign: zero-norm vector or centroid (cosine undefined)")))
+          .otherwise(dot(col("__v"), col("c_v"), dim) / nrmProd))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("__cos"), -col("cid"))).as("cid"))
   }

@@ -313,7 +313,10 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
     val streamDir =
-      s"/tmp/graft_stream_wmc_${new java.io.File(dir).getName}"
+      // pid-suffixed like graft_stream_ckpt_: two concurrent sessions
+      // must not rmTree each other's in-flight staging dir
+      s"/tmp/graft_stream_wmc_${new java.io.File(dir).getName}" +
+        s"_${ProcessHandle.current().pid()}"
     val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "batch*.parquet")
@@ -414,7 +417,9 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
     val streamDir =
-      s"/tmp/graft_stream_wmi_${new java.io.File(dir).getName}"
+      // pid-suffixed: see graft_stream_wmc_
+      s"/tmp/graft_stream_wmi_${new java.io.File(dir).getName}" +
+        s"_${ProcessHandle.current().pid()}"
     val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "batch*.parquet")
@@ -471,7 +476,9 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
     val streamDir =
-      s"/tmp/graft_stream_wmq_${new java.io.File(dir).getName}"
+      // pid-suffixed: see graft_stream_wmc_
+      s"/tmp/graft_stream_wmq_${new java.io.File(dir).getName}" +
+        s"_${ProcessHandle.current().pid()}"
     val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "batch*.parquet")
@@ -532,7 +539,9 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
     val streamDir =
-      s"/tmp/graft_stream_snap_${new java.io.File(dir).getName}"
+      // pid-suffixed: see graft_stream_wmc_
+      s"/tmp/graft_stream_snap_${new java.io.File(dir).getName}" +
+        s"_${ProcessHandle.current().pid()}"
     val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "batch*.parquet")
