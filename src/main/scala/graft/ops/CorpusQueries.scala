@@ -3213,6 +3213,208 @@ object CorpusQueries {
            |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
       }),
 
+    // two-stage IVF-PQ read: the compressed index proposes nCand=20
+    // candidates, the exact quantized-L2 re-ranks the SURVIVORS ONLY
+    // and keeps 5 — the candidate→refine deployment read path every
+    // vector store runs. The oracle replays the identical PQ chain,
+    // takes the same top-20 (dist, n_id) candidates, and re-ranks them
+    // by the exact full-vector distance
+    Q(
+      "ann_ivfpq_refined",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.ivfpqRefinedTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", Dim,
+          centroids = 8, nProbe = 2, m = 4, ksub = 8, nCand = 20, k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val m = 4; val ksub = 8; val nc = 8; val nProbe = 2
+        val nCand = 20
+        val sub = Dim / m
+        def l2full(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, ${Dim + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        def subdist(a: String, b: String) =
+          s"""list_sum(list_transform(range(j*$sub + 1, j*$sub + ${sub + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        s"""WITH qvt AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cid, qv AS cqv FROM qvt ORDER BY vec_id LIMIT $nc),
+           |asgn AS (
+           |  SELECT vec_id, cid, cqv FROM (
+           |    SELECT v.vec_id, c.cid, c.cqv,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2full("v.qv", "c.cqv")}, c.cid) AS rn
+           |    FROM qvt v CROSS JOIN cents c) t WHERE rn = 1),
+           |res AS (
+           |  SELECT v.vec_id, a.cid,
+           |    list_transform(range(1, ${Dim + 1}), i -> v.qv[i] - a.cqv[i]) AS rv
+           |  FROM qvt v JOIN asgn a USING (vec_id)),
+           |cb AS (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, rv
+           |  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT $ksub)),
+           |js AS (SELECT unnest(range(0, $m)) AS j),
+           |enc AS (
+           |  SELECT vec_id, cid, j, code FROM (
+           |    SELECT r.vec_id, r.cid, js.j, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, js.j
+           |        ORDER BY ${subdist("r.rv", "c.rv")}, c.code) AS rn
+           |    FROM res r CROSS JOIN cb c CROSS JOIN js) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS q_id, cid, cqv FROM (
+           |    SELECT v.vec_id, c.cid, c.cqv,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2full("v.qv", "c.cqv")}, c.cid) AS rn
+           |    FROM qvt v CROSS JOIN cents c WHERE v.vec_id < 20) t
+           |  WHERE rn <= $nProbe),
+           |qres AS (
+           |  SELECT p.q_id, p.cid,
+           |    list_transform(range(1, ${Dim + 1}), i -> v.qv[i] - p.cqv[i]) AS rv
+           |  FROM probes p JOIN qvt v ON v.vec_id = p.q_id),
+           |lut AS (
+           |  SELECT q.q_id, q.cid, js.j, c.code,
+           |    ${subdist("q.rv", "c.rv")} AS d
+           |  FROM qres q CROSS JOIN cb c CROSS JOIN js),
+           |sc AS (
+           |  SELECT l.q_id, e.vec_id AS n_id, SUM(l.d) AS dist
+           |  FROM enc e JOIN lut l ON l.cid = e.cid AND l.j = e.j AND l.code = e.code
+           |  WHERE l.q_id != e.vec_id GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY dist, n_id) AS rk
+           |    FROM sc) t WHERE rk <= $nCand),
+           |rf AS (
+           |  SELECT c.q_id, c.n_id, ${l2full("q.qv", "n.qv")} AS dist
+           |  FROM cand c
+           |  JOIN qvt q ON q.vec_id = c.q_id
+           |  JOIN qvt n ON n.vec_id = c.n_id)
+           |SELECT q_id, n_id, rank, dist FROM (
+           |  SELECT q_id, n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY dist, n_id) AS INT) AS rank,
+           |    CAST(dist AS BIGINT) AS dist
+           |  FROM rf) t
+           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      }),
+
+    // the refine stage's RECALL RECOVERY, measured: hits@5 vs the
+    // exact scan for the plain compressed read (PQ-distance top-5) and
+    // for the refined read (same index, top-20 candidates exactly
+    // re-ranked) side by side per query — the report that justifies
+    // paying nCand exact distances at read time
+    Q(
+      "ann_recall_refined",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        val exact = Similarity.cosineTopK(q, e, "vec_id", "embedding",
+          Dim, k = 5)
+        val hp = Similarity.recallAtK(exact,
+          Similarity.ivfpqTopK(q, e, "vec_id", "embedding", Dim,
+            centroids = 8, nProbe = 2, m = 4, ksub = 8, k = 5))
+          .select(col("q_id"), col("n_exact"), col("hits").as("hits_pq"))
+        val hr = Similarity.recallAtK(exact,
+          Similarity.ivfpqRefinedTopK(q, e, "vec_id", "embedding", Dim,
+            centroids = 8, nProbe = 2, m = 4, ksub = 8,
+            nCand = 20, k = 5))
+          .select(col("q_id"), col("hits").as("hits_refined"))
+        hp.join(hr, "q_id")
+          .select(col("q_id"), col("n_exact"), col("hits_pq"),
+            col("hits_refined"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val m = 4; val ksub = 8; val nc = 8; val nProbe = 2
+        val nCand = 20
+        val sub = Dim / m
+        def l2full(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, ${Dim + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        def subdist(a: String, b: String) =
+          s"""list_sum(list_transform(range(j*$sub + 1, j*$sub + ${sub + 1}),
+             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+        s"""WITH ex AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+           |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           |    WHERE a.vec_id < 20) t WHERE rank <= 5),
+           |qvt AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cid, qv AS cqv FROM qvt ORDER BY vec_id LIMIT $nc),
+           |asgn AS (
+           |  SELECT vec_id, cid, cqv FROM (
+           |    SELECT v.vec_id, c.cid, c.cqv,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2full("v.qv", "c.cqv")}, c.cid) AS rn
+           |    FROM qvt v CROSS JOIN cents c) t WHERE rn = 1),
+           |res AS (
+           |  SELECT v.vec_id, a.cid,
+           |    list_transform(range(1, ${Dim + 1}), i -> v.qv[i] - a.cqv[i]) AS rv
+           |  FROM qvt v JOIN asgn a USING (vec_id)),
+           |cb AS (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, rv
+           |  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT $ksub)),
+           |js AS (SELECT unnest(range(0, $m)) AS j),
+           |enc AS (
+           |  SELECT vec_id, cid, j, code FROM (
+           |    SELECT r.vec_id, r.cid, js.j, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, js.j
+           |        ORDER BY ${subdist("r.rv", "c.rv")}, c.code) AS rn
+           |    FROM res r CROSS JOIN cb c CROSS JOIN js) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS q_id, cid, cqv FROM (
+           |    SELECT v.vec_id, c.cid, c.cqv,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2full("v.qv", "c.cqv")}, c.cid) AS rn
+           |    FROM qvt v CROSS JOIN cents c WHERE v.vec_id < 20) t
+           |  WHERE rn <= $nProbe),
+           |qres AS (
+           |  SELECT p.q_id, p.cid,
+           |    list_transform(range(1, ${Dim + 1}), i -> v.qv[i] - p.cqv[i]) AS rv
+           |  FROM probes p JOIN qvt v ON v.vec_id = p.q_id),
+           |lut AS (
+           |  SELECT q.q_id, q.cid, js.j, c.code,
+           |    ${subdist("q.rv", "c.rv")} AS d
+           |  FROM qres q CROSS JOIN cb c CROSS JOIN js),
+           |sc AS MATERIALIZED (
+           |  SELECT l.q_id, e.vec_id AS n_id, SUM(l.d) AS dist
+           |  FROM enc e JOIN lut l ON l.cid = e.cid AND l.j = e.j AND l.code = e.code
+           |  WHERE l.q_id != e.vec_id GROUP BY 1, 2),
+           |pq5 AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY dist, n_id) AS rk FROM sc) t WHERE rk <= 5),
+           |cand AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY dist, n_id) AS rk FROM sc) t WHERE rk <= $nCand),
+           |rf5 AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT c.q_id, c.n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+           |        ORDER BY ${l2full("q.qv", "n.qv")}, c.n_id) AS rk
+           |    FROM cand c
+           |    JOIN qvt q ON q.vec_id = c.q_id
+           |    JOIN qvt n ON n.vec_id = c.n_id) t WHERE rk <= 5)
+           |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |  CAST(SUM(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_pq,
+           |  CAST(SUM(CASE WHEN r.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_refined
+           |FROM ex
+           |LEFT JOIN pq5 p ON ex.q_id = p.q_id AND ex.n_id = p.n_id
+           |LEFT JOIN rf5 r ON ex.q_id = r.q_id AND ex.n_id = r.n_id
+           |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+      }),
+
     // IVF over REAL k-means centers: 2 Lloyd iterations on integer-
     // quantized vectors (exact in both engines regardless of aggregation
     // order), centers fed through ivfTopK's centroidsDf seam

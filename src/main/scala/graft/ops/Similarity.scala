@@ -695,6 +695,52 @@ object Similarity {
         (-col("t.score")).cast("long").as("dist"))
   }
 
+  /** Two-stage IVF-PQ read path: [[ivfpqTopK]] proposes `nCand`
+    * candidates per query from the compressed index, then the
+    * SURVIVORS ONLY are re-ranked by the exact (integer-quantized)
+    * full-vector squared L2 and the top `k` kept — the standard
+    * candidate→refine deployment read of every production vector store
+    * (Jégou et al. 2011 §IV.E's re-ranking stage).
+    *
+    * Scale shape: stage 1 never touches full vectors beyond the scan
+    * that encoded them; stage 2 touches exactly |Q|·nCand corpus rows —
+    * the bounded candidate set BROADCASTS into the corpus scan (one
+    * map-side semi-join-like hash join, no corpus shuffle), and the
+    * k-capped heap again bounds the final shuffle. The recall knob is
+    * nCand (pay more exact distances, recover more of the PQ
+    * quantization loss) — `ann_recall_*` measures exactly that gap.
+    *
+    * @return (q_id, n_id, rank, dist): ≤ k rows per query ranked by
+    *         ascending EXACT quantized squared-L2 distance
+    */
+  def ivfpqRefinedTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      centroids: Int, nProbe: Int, m: Int, ksub: Int,
+      nCand: Int, k: Int): DataFrame = {
+    require(nCand >= k, s"nCand=$nCand must be >= k=$k")
+    val cand = ivfpqTopK(queries, corpus, idCol, vecCol, dim,
+      centroids, nProbe, m, ksub, k = nCand)
+      .select(col("q_id"), col("n_id"))
+    val qv = queries.select(col(idCol).as("q_id"),
+      quantize(col(vecCol)).as("__qv"))
+    val nv = corpus.select(col(idCol).as("n_id"),
+      quantize(col(vecCol)).as("__nv"))
+    def sqdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    // candidate set is |Q|·nCand by construction — broadcast it into
+    // the corpus scan so the exact re-read is one map-side hash join
+    nv.join(broadcast(cand), Seq("n_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("dist", sqdist(col("__qv"), col("__nv")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        -col("dist").cast("double"), col("n_id").cast("long"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"),
+        (col("r0") + 1).cast("int").as("rank"),
+        (-col("t.score")).cast("long").as("dist"))
+  }
+
   /** Distributed spherical k-means over integer-quantized vectors (Lloyd
     * iterations: assign to the max-cosine centroid, recompute centers).
     *

@@ -31,6 +31,9 @@ class PlanLintSpec extends SparkTestBase {
     "multimodal_ann", "ann_filtered_topk", "ann_recall_ivf",
     "ann_recall_ivfpq", "ann_recall_lsh", "ann_recall_pq",
     "ann_recall_int8", "text_ann_topk", "ann_radius", "ann_mmr_rerank",
+    // exact cosine truth arm (the ann_recall_* shape); the refined arm
+    // itself is equi-join only
+    "ann_recall_refined",
     // per-round 1-ROW dangling-mass aggregate broadcast back onto the
     // rank table — the bounded-by-construction cross join (the side is
     // a global aggregate; see Graph.pageRankDangling scaladoc)
@@ -70,7 +73,11 @@ class PlanLintSpec extends SparkTestBase {
     "ann_pq_topk", "ann_ivfpq_topk", "multimodal_ann", "ann_filtered_topk",
     "ann_recall_ivf", "ann_recall_ivfpq", "ann_recall_lsh", "ann_recall_pq",
     "ann_recall_int8", "text_ann_topk", "ann_radius", "ann_mmr_rerank",
-    "ann_lsh_multiprobe", "ann_recall_stale")
+    "ann_lsh_multiprobe", "ann_recall_stale",
+    // the refine stage broadcasts the query batch (exact-distance side)
+    // on top of ivfpqTopK's probe-row broadcast; the candidate-set
+    // broadcast is Aggregate-bounded (k-capped heap) on its own
+    "ann_ivfpq_refined", "ann_recall_refined")
 
   // Tables that stay broadcastable at ANY scale factor (TPC-H fixes them
   // at 25 / 5 rows). customer/part/supplier/orders/lineitem GROW with SF
