@@ -219,20 +219,20 @@ object Corpus {
     * Returns one row per planned output: shard range, file count,
     * token total (the instruction sheet for a rewrite job).
     *
-    * The unpartitioned window is over the MANIFEST (one row per shard,
-    * already aggregated) — #shards rows regardless of corpus size, the
-    * same bounded-input exemption as the mixture normalizers. Greedy
-    * next-fit in id order (not first-fit-decreasing) is deliberate:
-    * it preserves shard locality in the merged files and is
-    * deterministic under any partitioning.
+    * The running sum is the [[TwoPass.prefixSum]] exclusive prefix sum
+    * (range-partition on shard id, per-partition local window,
+    * P-row offset fold) — a long-lived table's manifest can reach 10⁶+
+    * shards, so no single task ever folds the whole manifest the way
+    * the naive `Window.orderBy(shard)` would. Greedy next-fit in id
+    * order (not first-fit-decreasing) is deliberate: it preserves
+    * shard locality in the merged files and is deterministic under any
+    * partitioning.
     */
   def compactionPlan(manifest: DataFrame, shardCol: String,
       tokensCol: String, targetTokens: Long): DataFrame = {
     require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
-    val w = Window.orderBy(col(shardCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    manifest
-      .withColumn("__before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+    TwoPass.prefixSum(manifest, Seq.empty, Seq(col(shardCol)),
+        col(tokensCol), "__before")
       .withColumn("out_id", expr(s"__before DIV ${targetTokens}L"))
       .groupBy(col("out_id"))
       .agg(count(lit(1)).as("n_shards"),

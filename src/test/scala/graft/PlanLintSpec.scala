@@ -324,6 +324,41 @@ class PlanLintSpec extends SparkTestBase {
       }
   }
 
+  // A window with NO partition key moves ALL its input rows to one task
+  // — the hardest scale cliff of all. Acceptable ONLY over an input a
+  // bounding operator has already shrunk (an aggregate: manifests, ≤k
+  // vocabularies, per-source normalizers, TwoPass's P-row offset folds;
+  // or an explicit limit). compactionPlan's manifest fold was the last
+  // raw-input global window — respelled over TwoPass.prefixSum in r10,
+  // and this rule keeps the anti-pattern out structurally.
+  private val globalWindowAllow = Map.empty[String, String]
+
+  test("no unpartitioned window over an input with no bounding operator") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, Window => WindowOp}
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.all
+      .filterNot(q => skip(q.name) || q.name.startsWith("stream_"))
+      .foreach { q =>
+        val bad = q.run(spark, dir).queryExecution.analyzed.collect {
+          case w: WindowOp if w.partitionSpec.isEmpty &&
+            w.child.collectFirst {
+              case _: Aggregate => (); case _: GlobalLimit => ()
+              case _: Deduplicate => ()
+            }.isEmpty => w
+        }
+        if (globalWindowAllow.contains(q.name))
+          assert(bad.nonEmpty,
+            s"${q.name} is global-window-allowlisted but no window trips " +
+              "the detector — remove the stale entry")
+        else
+          assert(bad.isEmpty,
+            s"${q.name} runs an unpartitioned window over an input with " +
+              "no bounding aggregate/limit beneath it: every input row " +
+              "funnels one task at scale. Respell with TwoPass.\n" +
+              bad.map(_.simpleString(3)).mkString("\n"))
+      }
+  }
+
   test("agg-window detector flags the retired corpus_keywords spelling") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

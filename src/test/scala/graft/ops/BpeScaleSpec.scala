@@ -31,6 +31,50 @@ class BpeScaleSpec extends SparkTestBase {
     assert(m.forall(_.getLong(3) >= 1L))
   }
 
+  // ---- tokenizer-scale gate: ≥ 8k merges. The documents fixture
+  // merge-exhausts around 1k (window 2) / ~4k (window 3), so the 8k
+  // budget trains on a SYNTHETIC wide-vocabulary corpus: 15,000
+  // distinct md5-derived 12-hex-char words (deterministic, no RNG),
+  // merge capacity ≈ Σ(len−1) ≫ 8k. Real tokenizers run 32k–100k; 8k
+  // on a 15k vocab exercises the same regime (multi-character units,
+  // near-full 64-candidate batches, thousands of rounds of the
+  // identical acceptance rule) one order below, still driver-venue
+  // test-sized.
+  private def syntheticDocs = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, (0 until 5).map(j => hex(s"$i-$j")).mkString(" "))
+    }
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("driver venue trains 8,192 merges on a synthetic 15k-word vocabulary") {
+    val m = Corpus.bpeMerges(syntheticDocs, "doc_id", "text",
+      merges = 8192, window = 1, batchCandidates = 64)
+      .orderBy("rank").collect()
+    assert(m.length === 8192, "merge budget not reached — exhausted early")
+    assert(m.map(_.getInt(0)).toSeq === (1 to 8192))
+    val pairs = m.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length === pairs.length)
+    assert(m.forall(_.getLong(3) >= 1L))
+  }
+
+  test("distributed venue replays the synthetic-corpus chain prefix") {
+    val budget = 48
+    val dist = Corpus.bpeMerges(syntheticDocs, "doc_id", "text",
+      merges = budget, window = 1, driverVocabMax = 0,
+      batchCandidates = 64).orderBy("rank").collect()
+    val local = Corpus.bpeMerges(syntheticDocs, "doc_id", "text",
+      merges = budget, window = 1, batchCandidates = 64)
+      .orderBy("rank").collect()
+    assert(dist.length === budget)
+    assert(dist.map(_.toSeq).toSeq === local.map(_.toSeq).toSeq)
+  }
+
   test("distributed venue replays the same chain at window 3 / batch 64") {
     // driverVocabMax=0 forces the per-round Spark loop; a small budget
     // keeps its one-roundtrip-per-round cost test-sized. Equality of
