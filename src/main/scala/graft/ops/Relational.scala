@@ -2675,6 +2675,237 @@ object Relational {
              |           WHERE z.l_partkey = x.l_partkey))
              |ORDER BY s_name, s_suppkey""".stripMargin)),
 
+    // ---- order-priority checking (TPC-H Q4 shape, lateness = shipped
+    //      > 60 days after the order date since this corpus carries no
+    //      commit/receipt dates): per-priority count of one quarter's
+    //      orders with at least one late line. The EXISTS decorrelates
+    //      to ONE left-semi hash join with the lateness inequality
+    //      riding the join condition; the quarter filter reaches the
+    //      orders scan before the join
+    Q(
+      "q4_order_priority",
+      (s, dir) => {
+        val ord = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1998-07-01").cast("date") &&
+            col("o_orderdate") < lit("1998-10-01").cast("date"))
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        ord.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > date_add(col("o_orderdate"), 60),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(COUNT(*) AS BIGINT) AS order_count
+             |FROM orders o
+             |WHERE o_orderdate >= DATE '1998-07-01'
+             |  AND o_orderdate < DATE '1998-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- returned-item reporting (TPC-H Q10 shape): the 20 customers
+    //      who returned the most revenue in a half-year — lineitem
+    //      (returnflag filter on the scan) ⋈ orders (date filter on the
+    //      scan) ⋈ customer ⋈ broadcast nation, one partial-aggregated
+    //      groupBy per customer, bounded top-20. Revenue in the q3
+    //      DECIMAL convention cast to double at the very end
+    Q(
+      "q10_returned_items",
+      (s, dir) => {
+        val ord = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("date") &&
+            col("o_orderdate") < lit("1998-07-01").cast("date"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+        val cust = table(s, dir, "customer")
+        val nation = table(s, dir, "nation")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(revTerm).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+             |  CAST(SUM($revTermSql) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= DATE '1998-01-01'
+             |  AND o_orderdate < DATE '1998-07-01'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin)),
+
+    // ---- volume shipping between nation pairs (TPC-H Q7 shape):
+    //      revenue flowing supplier-nation → customer-nation per year
+    //      for the two directed pairs of nations 1 and 2. Both nation
+    //      joins are broadcast dims; the pair filter applies to the
+    //      bounded (n1, n2) pair, not the fact rows; one grouped
+    //      aggregate keyed (supp_nation, cust_nation, year)
+    Q(
+      "q7_nation_volume",
+      (s, dir) => {
+        val nation = table(s, dir, "nation")
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"))
+        val cust = table(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey"))
+        val supp = table(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("snk"),
+            col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+          .join(broadcast(nation.select(col("n_nationkey").as("cnk"),
+            col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+          .filter((col("snk") === 1 && col("cnk") === 2) ||
+            (col("snk") === 2 && col("cnk") === 1))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(revTerm).cast("double").as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |  CAST(SUM($revTermSql) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE (n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+             |   OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1)
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- promotion revenue share (TPC-H Q14 shape): the month's
+    //      promo-type revenue as ppm of total — ONE conditional
+    //      aggregate over the month's lineitem ⋈ part, the ratio
+    //      integer-DIV'd on exact cent·percent units (cents ≤ 1e9/row
+    //      keeps the ×1e6 ppm product < 2^63 up to ~7e3 SF — the
+    //      envelope is the corpus contract, documented here)
+    Q(
+      "q14_promo_share",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-03-01").cast("date") &&
+            col("l_shipdate") < lit("1998-04-01").cast("date"))
+          .select(col("l_partkey"),
+            (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+              (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+              .as("rev_cp"))
+        val part = table(s, dir, "part").select(col("p_partkey"),
+          col("p_type"))
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .agg(sum(when(col("p_type") === "PROMO", col("rev_cp"))
+              .otherwise(0L)).as("promo_cp"),
+            sum(col("rev_cp")).as("total_cp"))
+          .select(col("promo_cp"), col("total_cp"),
+            expr("promo_cp * 1000000L DIV total_cp").as("promo_ppm"))
+      },
+      Some("""WITH r AS (
+             |  SELECT p_type,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= DATE '1998-03-01'
+             |    AND l_shipdate < DATE '1998-04-01')
+             |SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_cp ELSE 0 END) AS BIGINT) AS promo_cp,
+             |  CAST(SUM(rev_cp) AS BIGINT) AS total_cp,
+             |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_cp ELSE 0 END)
+             |    * 1000000 // SUM(rev_cp) AS BIGINT) AS promo_ppm
+             |FROM r""".stripMargin)),
+
+    // ---- top supplier by revenue (TPC-H Q15 shape): one quarter's
+    //      revenue per supplier, then the supplier(s) AT the maximum —
+    //      the scalar-max subquery decorrelated as a 1-row broadcast
+    //      aggregate equality-compared on exact cent·percent integers
+    //      (no float max can tie-break differently across engines)
+    Q(
+      "q15_top_supplier",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("date") &&
+            col("l_shipdate") < lit("1998-04-01").cast("date"))
+          .select(col("l_suppkey"),
+            (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+              (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+              .as("rev_cp"))
+        val perSupp = li.groupBy(col("l_suppkey"))
+          .agg(sum(col("rev_cp")).as("total_cp"))
+        val mx = perSupp.agg(max(col("total_cp")).as("max_cp"))
+        perSupp.crossJoin(broadcast(mx))
+          .filter(col("total_cp") === col("max_cp"))
+          .join(table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cp"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH r AS (
+             |  SELECT l_suppkey,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             |      AS total_cp
+             |  FROM lineitem
+             |  WHERE l_shipdate >= DATE '1998-01-01'
+             |    AND l_shipdate < DATE '1998-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_cp
+             |FROM r JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE total_cp = (SELECT MAX(total_cp) FROM r)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- disjunctive-predicate revenue (TPC-H Q19 shape): three
+    //      (brand, size-range, quantity-range) arms OR'd together —
+    //      the join stays ONE equi hash join on partkey; the
+    //      disjunction is a post-join filter on already-joined rows
+    //      (never a union of three scans), quantities compared in
+    //      exact deci-units
+    Q(
+      "q19_disjunct_revenue",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            expr("CAST(round(l_quantity * 10) AS BIGINT)").as("qdeci"),
+            revTerm.as("rev"))
+        val part = table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val arm1 = col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 15) && col("qdeci").between(10L, 110L)
+        val arm2 = col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 25) && col("qdeci").between(100L, 200L)
+        val arm3 = col("p_brand") === "Brand#34" &&
+          col("p_size").between(1, 35) && col("qdeci").between(200L, 300L)
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .filter(arm1 || arm2 || arm3)
+          .agg(sum(col("rev")).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT CAST(SUM($revTermSql) AS DOUBLE) AS revenue,
+             |  CAST(COUNT(*) AS BIGINT) AS n_lines
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             |       AND CAST(round(l_quantity * 10) AS BIGINT) BETWEEN 10 AND 110)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             |       AND CAST(round(l_quantity * 10) AS BIGINT) BETWEEN 100 AND 200)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+             |       AND CAST(round(l_quantity * 10) AS BIGINT) BETWEEN 200 AND 300)""".stripMargin)),
+
     // ---- exact median absolute deviation per return flag: two
     //      TwoPass rank passes (median = the ceil(n/2)-th value, then
     //      the same rank over |x − median| deci-units) — the robust

@@ -61,7 +61,11 @@ class PlanLintSpec extends SparkTestBase {
     // SINGLE-ROW (sum, count) balance aggregate broadcast onto the
     // customer slice for the cross-multiplied above-average filter —
     // bounded by construction (global aggregate; Q22 registry comment)
-    "q22_sales_opportunity")
+    "q22_sales_opportunity",
+    // SINGLE-ROW max-revenue aggregate broadcast onto the per-supplier
+    // totals for the scalar-max equality — bounded by construction
+    // (global aggregate; Q15 registry comment)
+    "q15_top_supplier")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.
