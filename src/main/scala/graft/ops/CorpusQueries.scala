@@ -446,6 +446,36 @@ object CorpusQueries {
        |sims AS MATERIALIZED (SELECT doc_id, ($shHiSigned) * 4294967296 + ($shLo) AS sh FROM bits)""".stripMargin
   }
 
+  /** Shared oracle of `ann_pq_incremental` AND `stream_ann_encode`
+    * (the live-ingest spelling of the same encode): history-slice
+    * codebook (ksub smallest ids ≥ 100), batch rows (< 100) coded per
+    * subspace by argmin exact integer squared-L2, ties to the lowest
+    * code; codes emitted as the canonical comma-joined string. */
+  private lazy val pqIncrementalOracleSql: String = {
+    val m = 4; val ksub = 8; val sub = Dim / m
+    def subdist(a: String, b: String) =
+      s"""list_sum(list_transform(range(j*$sub + 1, j*$sub + ${sub + 1}),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+    s"""WITH qvt AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv
+       |  FROM (SELECT vec_id, qv FROM qvt WHERE vec_id >= 100
+       |        ORDER BY vec_id LIMIT $ksub)),
+       |js AS (SELECT unnest(range(0, $m)) AS j),
+       |enc AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT v.vec_id, js.j, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, js.j
+       |        ORDER BY ${subdist("v.qv", "c.qv")}, c.code) AS rn
+       |    FROM qvt v CROSS JOIN cb c CROSS JOIN js
+       |    WHERE v.vec_id < 100) t WHERE rn = 1)
+       |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes
+       |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   /** Language profiles shared by the Spark and oracle sides. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "fast", "slow", "small"),
@@ -3591,30 +3621,17 @@ object CorpusQueries {
           .withColumn("codes", array_join(col("codes"), ","))
           .orderBy(col("vec_id"))
       },
-      Some {
-        val m = 4; val ksub = 8; val sub = Dim / m
-        def subdist(a: String, b: String) =
-          s"""list_sum(list_transform(range(j*$sub + 1, j*$sub + ${sub + 1}),
-             |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
-        s"""WITH qvt AS (
-           |  SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-           |  FROM embeddings),
-           |cb AS (
-           |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv
-           |  FROM (SELECT vec_id, qv FROM qvt WHERE vec_id >= 100
-           |        ORDER BY vec_id LIMIT $ksub)),
-           |js AS (SELECT unnest(range(0, $m)) AS j),
-           |enc AS (
-           |  SELECT vec_id, j, code FROM (
-           |    SELECT v.vec_id, js.j, c.code,
-           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, js.j
-           |        ORDER BY ${subdist("v.qv", "c.qv")}, c.code) AS rn
-           |    FROM qvt v CROSS JOIN cb c CROSS JOIN js
-           |    WHERE v.vec_id < 100) t WHERE rn = 1)
-           |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes
-           |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
-      }),
+      Some(pqIncrementalOracleSql)),
+
+    // the LIVE-INGEST spelling of ann_pq_incremental: the same stored
+    // codebook artifact, but the new batch arrives as an unbounded
+    // parquet stream and each micro-batch is ONE codegen'd map-only
+    // projection (codebook = literals; zero state, zero shuffle).
+    // Same oracle — the drained stream must equal the batch encode
+    Q(
+      "stream_ann_encode",
+      (s, dir) => StreamingQueries.streamAnnEncode(s, dir, Dim),
+      Some(pqIncrementalOracleSql)),
 
     // incremental IVF-PQ (IVFADC) index maintenance — the composition
     // of the two incremental halves: BOTH stored artifacts (coarse

@@ -403,6 +403,51 @@ object StreamingQueries {
     s.table(name).orderBy(col("doc_id"))
   }
 
+  /** LIVE vector ingest against a STORED index artifact: new vectors
+    * arrive on an unbounded stream and are PQ-encoded map-only against
+    * yesterday's persisted codebook ([[Similarity.pqEncode]] — the
+    * codebook re-emits as literals, so each micro-batch is ONE
+    * codegen'd projection: zero state, zero shuffle, history never
+    * rescanned). This is the readStream spelling of
+    * `ann_pq_incremental`; append mode, and the drained stream must
+    * equal the batch encode of the same rows — which is exactly what
+    * the shared oracle recomputes. */
+  private[graft] def streamAnnEncode(s: SparkSession, dir: String,
+      dim: Int): DataFrame = {
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    // pid-scoped staging + artifact dirs (single-writer contract, the
+    // corpus_shard_export convention)
+    val base = s"/tmp/graft_stream_annenc_${new java.io.File(dir).getName}" +
+      s"_pid${ProcessHandle.current().pid()}"
+    val cbPath = s"$base/codebook"
+    Similarity.pqCodebook(e.filter(col("vec_id") >= 100),
+        "vec_id", "embedding", ksub = 8)
+      .write.mode("overwrite").parquet(cbPath)
+    val batch = e.filter(col("vec_id") < 100)
+    val streamDir = s"$base/in"
+    val schema = stageBatches(s, streamDir, Seq(
+      "b0" -> batch.filter(col("vec_id") % 2 === 0),
+      "b1" -> batch.filter(col("vec_id") % 2 =!= 0)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    // codes as the canonical comma-joined string (the gated schema of
+    // ann_pq_incremental)
+    val enc = Similarity.pqEncode(stream, "vec_id", "embedding", dim,
+        m = 4, s.read.parquet(cbPath))
+      .withColumn("codes", array_join(col("codes"), ","))
+    withStreamShuffle(s, 4) {
+      val q = enc.writeStream
+        .outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).orderBy(col("vec_id"))
+  }
+
   /** The deployment spelling of `stream_incremental_agg` for an
     * UNBOUNDED stream: the algebraic count/sum/min/max state is scoped
     * to (6 h window × type) so the watermark can EVICT expired window
