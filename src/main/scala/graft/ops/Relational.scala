@@ -2870,6 +2870,91 @@ object Relational {
              |WHERE total_cp = (SELECT MAX(total_cp) FROM r)
              |ORDER BY s_suppkey""".stripMargin)),
 
+    // ---- forecasting revenue change (TPC-H Q6 shape): the pure
+    //      scan-aggregate — every predicate (year, discount band,
+    //      quantity cap) reaches the parquet scan as a pushed filter,
+    //      no join anywhere; the would-be revenue delta folded on
+    //      exact cent·percent integers
+    Q(
+      "q6_forecast_revenue",
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("date") &&
+            col("l_shipdate") < lit("1999-01-01").cast("date"))
+          .select(
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
+            expr("CAST(round(l_quantity * 10) AS BIGINT)").as("qdeci"))
+          .filter(col("disc_pct").between(5L, 7L) && col("qdeci") < 240L)
+          .agg(sum(col("cents") * col("disc_pct")).as("forecast_cp"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT
+             |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |    CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             |    AS forecast_cp,
+             |  CAST(COUNT(*) AS BIGINT) AS n_lines
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '1998-01-01'
+             |  AND l_shipdate < DATE '1999-01-01'
+             |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+             |  AND CAST(round(l_quantity * 10) AS BIGINT) < 240""".stripMargin)),
+
+    // ---- national market share (TPC-H Q8 shape): nation 2's share of
+    //      ASIA-customer revenue per order year — the conditional
+    //      ratio per group (vs Q14's single group). Suppliers flag the
+    //      numerator through one broadcast nation dim; customers
+    //      restrict to the region through the other; share ppm
+    //      integer-DIV'd on exact cent·percent units
+    Q(
+      "q8_market_share",
+      (s, dir) => {
+        val nation = table(s, dir, "nation")
+        val region = table(s, dir, "region")
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_cp"))
+        val ord = table(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+        val cust = table(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey"))
+        val supp = table(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("cnk"),
+            col("n_regionkey"))), col("c_nationkey") === col("cnk"))
+          .join(broadcast(region.filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("o_year"))
+          .agg(sum(when(col("s_nationkey") === 2, col("rev_cp"))
+              .otherwise(0L)).as("nation_cp"),
+            sum(col("rev_cp")).as("total_cp"))
+          .select(col("o_year"), col("nation_cp"), col("total_cp"),
+            expr("nation_cp * 1000000L DIV total_cp").as("share_ppm"))
+          .orderBy(col("o_year"))
+      },
+      Some("""WITH r AS (
+             |  SELECT year(o_orderdate) AS o_year, s_nationkey,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE r_name = 'ASIA')
+             |SELECT CAST(o_year AS BIGINT) AS o_year,
+             |  CAST(SUM(CASE WHEN s_nationkey = 2 THEN rev_cp ELSE 0 END) AS BIGINT) AS nation_cp,
+             |  CAST(SUM(rev_cp) AS BIGINT) AS total_cp,
+             |  CAST(SUM(CASE WHEN s_nationkey = 2 THEN rev_cp ELSE 0 END)
+             |    * 1000000 // SUM(rev_cp) AS BIGINT) AS share_ppm
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- disjunctive-predicate revenue (TPC-H Q19 shape): three
     //      (brand, size-range, quantity-range) arms OR'd together —
     //      the join stays ONE equi hash join on partkey; the
