@@ -3611,6 +3611,198 @@ object Relational {
              |      PARTITION BY l_returnflag) AS tw
              |  FROM lineitem)
              |SELECT flag, MIN(price) AS wmedian
-             |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY flag""".stripMargin))
+             |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY flag""".stripMargin)),
+
+    // ---- minimum-cost supplier (TPC-H Q2 shape; with no partsupp
+    //      table, "supply cost" is the cheapest shipment ever received
+    //      from that supplier for that part, in exact cents): for each
+    //      small low-size part, the EUROPE supplier(s) achieving the
+    //      part's global minimum cost, with their account balance and
+    //      nation. The correlated MIN subquery decorrelated: per-(part,
+    //      supplier) min → per-part min (both partial-aggregated,
+    //      AQE-broadcast on the join back) → equality join keeps ties
+    //      like the spec. Supplier→nation→region is a broadcast dim
+    //      chain; the top-100 order is total (acctbal, nation, name,
+    //      partkey pins every row) so LIMIT is deterministic
+    Q(
+      "q2_min_cost_supplier",
+      (s, dir) => {
+        val eu = table(s, dir, "supplier")
+          .join(table(s, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(
+            table(s, dir, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            expr("CAST(round(s_acctbal * 100) AS BIGINT)")
+              .as("acctbal_cents"),
+            col("n_name"))
+        val parts = table(s, dir, "part")
+          .filter(col("p_size") <= 15 && col("p_type") === "SMALL")
+          .select(col("p_partkey"))
+        val cost = table(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("cents"))
+          .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(eu.select(col("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("cents")).as("min_cents"))
+        val best = cost.groupBy(col("l_partkey").as("bpk"))
+          .agg(min(col("min_cents")).as("best_cents"))
+        cost
+          .join(best, col("l_partkey") === col("bpk") &&
+            col("min_cents") === col("best_cents"))
+          .join(eu, col("l_suppkey") === col("s_suppkey"))
+          .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+            col("l_partkey").as("p_partkey"), col("min_cents"))
+          .orderBy(col("acctbal_cents").desc, col("n_name"),
+            col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH eu AS (
+             |  SELECT s_suppkey, s_name,
+             |    CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             |    n_name
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE'),
+             |cost AS MATERIALIZED (
+             |  SELECT l_partkey, l_suppkey,
+             |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS min_cents
+             |  FROM lineitem
+             |  WHERE EXISTS (SELECT 1 FROM part
+             |                WHERE p_partkey = l_partkey
+             |                  AND p_size <= 15 AND p_type = 'SMALL')
+             |    AND EXISTS (SELECT 1 FROM eu WHERE s_suppkey = l_suppkey)
+             |  GROUP BY 1, 2)
+             |SELECT acctbal_cents, s_name, n_name,
+             |  l_partkey AS p_partkey, min_cents
+             |FROM cost c JOIN eu ON l_suppkey = s_suppkey
+             |WHERE min_cents = (SELECT MIN(c2.min_cents) FROM cost c2
+             |                   WHERE c2.l_partkey = c.l_partkey)
+             |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // ---- important-part value concentration (TPC-H Q11 shape; value =
+    //      total spend in cents on the part through the low-nation
+    //      suppliers, standing in for supplycost·availqty): parts whose
+    //      share of the total exceeds 0.1%. The HAVING-against-a-global-
+    //      scalar-fraction shape: ONE partial-aggregated per-part sum,
+    //      ONE single-row grand total broadcast back (bounded by
+    //      construction), the fraction compared CROSS-MULTIPLIED in
+    //      integers (value·1000 > total) so no float division exists
+    Q(
+      "q11_important_parts",
+      (s, dir) => {
+        val sup = table(s, dir, "supplier")
+          .filter(col("s_nationkey") <= 7)
+          .select(col("s_suppkey"))
+        val perPart = table(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("cents"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("cents")).as("value_cents"))
+        val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("value_cents") * 1000 > col("total_cents"))
+          .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+          .orderBy(col("value_cents").desc, col("p_partkey"))
+      },
+      Some("""WITH pp AS MATERIALIZED (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS BIGINT) AS value_cents
+             |  FROM lineitem
+             |  WHERE EXISTS (SELECT 1 FROM supplier
+             |                WHERE s_suppkey = l_suppkey
+             |                  AND s_nationkey <= 7)
+             |  GROUP BY 1)
+             |SELECT l_partkey AS p_partkey, value_cents FROM pp
+             |WHERE value_cents * 1000 >
+             |  (SELECT CAST(SUM(value_cents) AS BIGINT) FROM pp)
+             |ORDER BY value_cents DESC, p_partkey""".stripMargin)),
+
+    // ---- late-shipment priority split (TPC-H Q12 shape; l_returnflag
+    //      stands in for l_shipmode and shipped > 30 days after order
+    //      for the commit/receipt lateness): per flag, one year's late
+    //      lines split into high- vs low-priority order counts. The
+    //      conditional-aggregation shape: the year filter reaches the
+    //      lineitem scan, ONE equi hash join into orders, both CASE
+    //      sums fold in the same partial aggregate — one shuffle total
+    Q(
+      "q12_late_priority_split",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1999-01-01").cast("date") &&
+            col("l_shipdate") < lit("2000-01-01").cast("date"))
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_shipdate"))
+        val ord = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > date_add(col("o_orderdate"), 30))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= DATE '1999-01-01'
+             |  AND l_shipdate < DATE '2000-01-01'
+             |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- supplier counts by part attributes (TPC-H Q16 shape;
+    //      negative account balance stands in for the complaint
+    //      filter): per (brand, type, size) over the sampled sizes,
+    //      how many distinct non-excluded suppliers ship the part.
+    //      The NOT-IN-subquery decorrelated to ONE left-anti hash
+    //      join against the (bounded, but never hinted) exclusion
+    //      set; count_distinct plans the standard two-phase
+    //      partial-aggregated expand — no row ever leaves with the
+    //      full (key, suppkey) pair fan-out unaggregated
+    Q(
+      "q16_supplier_part_counts",
+      (s, dir) => {
+        val excl = table(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        val parts = table(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))
+        table(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+          .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"),
+            col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin))
   )
 }

@@ -65,7 +65,11 @@ class PlanLintSpec extends SparkTestBase {
     // SINGLE-ROW max-revenue aggregate broadcast onto the per-supplier
     // totals for the scalar-max equality — bounded by construction
     // (global aggregate; Q15 registry comment)
-    "q15_top_supplier")
+    "q15_top_supplier",
+    // SINGLE-ROW grand-total aggregate broadcast onto the per-part
+    // values for the cross-multiplied 0.1%-share filter — bounded by
+    // construction (global aggregate; Q11 registry comment)
+    "q11_important_parts")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.
