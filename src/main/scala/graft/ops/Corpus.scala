@@ -1203,6 +1203,81 @@ object Corpus {
       .toDF("rank", "doc", "gain")
   }
 
+  /** Stochastic-greedy coverage selection (Mirzasoleiman et al.,
+    * "Lazier Than Lazy Greedy", AAAI 2015): each round scores only a
+    * SAMPLE of the remaining documents instead of all of them, trading
+    * the exact-greedy (1−1/e) bound for (1−1/e−ε) at sample size
+    * (N/k)·ln(1/ε) — the scale path when [[coverageMaxSelect]]'s
+    * k-full-scans wall matters (its per-round cost is the whole
+    * residual; this one's is the residual RESTRICTED to sampleSize
+    * docs).
+    *
+    * Engine-exact determinism: "uniformly at random" is replaced by
+    * the sampleSize smallest 56-bit md5(doc ':' round) draws over the
+    * remaining docs — a fixed permutation per round that any engine
+    * reproduces bit-for-bit (the distributed analogue of a seeded
+    * shuffle), so the oracle unrolls the identical rounds.
+    *
+    * Shape at scale: the per-round sample is a TakeOrdered (top
+    * sampleSize by hash — never a global sort materialization), its
+    * doc ids broadcast as a LIMIT-bounded set into the residual
+    * semi-join; everything else is [[coverageMaxSelect]]'s residual
+    * maintenance (one partial-aggregated count, a 1-row argmax
+    * collect, an anti-join against only the picked doc's tokens).
+    *
+    * @return (rank 1..k, doc, gain)
+    */
+  def coverageStochasticSelect(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int, sampleSize: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sampleSize >= 1, s"sampleSize must be >= 1, got $sampleSize")
+    val spark = docs.sparkSession
+    val feats = docs
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .select(col("doc"),
+        conv(substring(md5(col("sh").cast("binary")), 1, 14), 16, 10)
+          .cast("long").as("tok"))
+      .distinct()
+      .localCheckpoint(true)
+    var remaining = feats
+    var picked = Vector.empty[(Long, Long)]
+    for (t <- 1 to k) {
+      // the round's candidate pool: sampleSize remaining docs, drawn by
+      // the (doc, round)-keyed hash permutation; limit-bounded so the
+      // semi-join side broadcasts safely at any corpus size
+      val cand = remaining.select(col("doc")).distinct()
+        .orderBy(conv(substring(md5(
+            concat(col("doc").cast("string"), lit(s":$t"))
+              .cast("binary")), 1, 14), 16, 10).cast("long"),
+          col("doc"))
+        .limit(sampleSize)
+      val top = remaining
+        .join(broadcast(cand), Seq("doc"), "left_semi")
+        .groupBy(col("doc")).agg(count(lit(1)).as("g"))
+        .agg(max_by(struct(col("doc"), col("g")),
+          struct(col("g"), -col("doc"))).as("w"))
+        .select(col("w.doc"), col("w.g")).collect()
+      require(top.nonEmpty && !top(0).isNullAt(0),
+        s"coverageStochasticSelect: no positive-gain candidate at round " +
+          s"$t — k·sampleSize exceeds the corpus's coverable diversity")
+      val (d, g) = (top(0).getLong(0), top(0).getLong(1))
+      picked = picked :+ (d, g)
+      if (t < k) {
+        val dToks = remaining.filter(col("doc") === d)
+          .select(col("tok")).distinct()
+        remaining = remaining.filter(col("doc") =!= d)
+          .join(broadcast(dToks), Seq("tok"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((d, g), i) => (i + 1, d, g) }
+      .toDF("rank", "doc", "gain")
+  }
+
   /** Three-way snapshot merge — the versioned-corpus reconciliation
     * when two curation branches edited the same release (team A's PII
     * re-scrub, team B's quality re-filter): per id, classic VCS

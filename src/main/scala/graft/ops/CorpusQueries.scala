@@ -5215,6 +5215,62 @@ object CorpusQueries {
            |ORDER BY rank""".stripMargin
       }),
 
+    // stochastic-greedy coverage selection: each round scores only the
+    // 128 remaining docs with the smallest (doc, round)-keyed hash —
+    // the lazier-than-lazy-greedy scale path next to the exact pick;
+    // oracle unrolls the identical sampled rounds
+    Q(
+      "corpus_coverage_stochastic",
+      (s, dir) =>
+        Corpus.coverageStochasticSelect(table(s, dir, "documents"),
+          "doc_id", "text", n = 3, k = 4, sampleSize = 128)
+          .orderBy(col("rank")),
+      Some {
+        def candSql(t: Int, extra: String) =
+          s"""cand$t AS MATERIALIZED (
+             |  SELECT doc FROM (SELECT DISTINCT doc FROM f$extra)
+             |  ORDER BY ('0x' || substr(md5(doc::VARCHAR || ':$t'), 1, 14))::BIGINT, doc
+             |  LIMIT 128)""".stripMargin
+        val rounds = (2 to 4).map { t =>
+          val notCovered =
+            s"""
+               |  WHERE doc NOT IN (SELECT doc FROM pku${t - 1})
+               |    AND tok NOT IN (SELECT tok FROM cov${t - 1})""".stripMargin
+          s"""${candSql(t, notCovered)},
+             |g$t AS (
+             |  SELECT doc, CAST(COUNT(*) AS BIGINT) AS g FROM f
+             |  WHERE doc IN (SELECT doc FROM cand$t)
+             |    AND tok NOT IN (SELECT tok FROM cov${t - 1})
+             |  GROUP BY 1),
+             |p$t AS MATERIALIZED (
+             |  SELECT doc, g FROM g$t ORDER BY g DESC, doc LIMIT 1),
+             |cov$t AS MATERIALIZED (
+             |  SELECT tok FROM cov${t - 1}
+             |  UNION SELECT f.tok FROM f JOIN p$t USING (doc)),
+             |pku$t AS MATERIALIZED (
+             |  SELECT doc FROM pku${t - 1} UNION SELECT doc FROM p$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $toksCte, $shingleCte,
+           |f AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id AS doc,
+           |    ('0x' || substr(md5(tok0), 1, 14))::BIGINT AS tok
+           |  FROM (SELECT doc_id, unnest(shingles) AS tok0 FROM sh)),
+           |${candSql(1, "")},
+           |g1 AS (
+           |  SELECT doc, CAST(COUNT(*) AS BIGINT) AS g FROM f
+           |  WHERE doc IN (SELECT doc FROM cand1) GROUP BY 1),
+           |p1 AS MATERIALIZED (SELECT doc, g FROM g1 ORDER BY g DESC, doc LIMIT 1),
+           |cov1 AS MATERIALIZED (SELECT DISTINCT f.tok FROM f JOIN p1 USING (doc)),
+           |pku1 AS MATERIALIZED (SELECT doc FROM p1),
+           |$rounds
+           |SELECT rank, doc, g AS gain FROM (
+           |  SELECT CAST(1 AS INT) AS rank, doc, g FROM p1
+           |  UNION ALL SELECT CAST(2 AS INT), doc, g FROM p2
+           |  UNION ALL SELECT CAST(3 AS INT), doc, g FROM p3
+           |  UNION ALL SELECT CAST(4 AS INT), doc, g FROM p4) u
+           |ORDER BY rank""".stripMargin
+      }),
+
     // three-way snapshot merge: two curation branches against a common
     // base — one-sided edits win automatically, identical edits
     // collapse, divergent edits surface as conflicts with pick = NULL;

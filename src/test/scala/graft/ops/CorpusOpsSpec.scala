@@ -918,4 +918,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.map(_._3).sliding(2).forall(w => w.head >= w.last))
     assert(out.head._3 > 0L)
   }
+
+  test("coverageStochasticSelect: full sample reduces to exact greedy; " +
+    "small sample still picks distinct docs with positive gains") {
+    // sampleSize >= corpus: every round's candidate pool is everything,
+    // so the stochastic pick IS the exact greedy pick
+    val exact = Corpus.coverageMaxSelect(docs, "doc_id", "text",
+      n = 3, k = 3).collect().map(r => (r.getInt(0), r.getLong(1)))
+    val full = Corpus.coverageStochasticSelect(docs, "doc_id", "text",
+      n = 3, k = 3, sampleSize = 10000)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(full.toSeq === exact.toSeq)
+    // a genuinely restricted pool: distinct picks, positive gains, and
+    // the hash permutation is deterministic across runs
+    val s1 = Corpus.coverageStochasticSelect(docs, "doc_id", "text",
+      n = 3, k = 3, sampleSize = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val s2 = Corpus.coverageStochasticSelect(docs, "doc_id", "text",
+      n = 3, k = 3, sampleSize = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.map(_._2).distinct.length === 3)
+    assert(s1.forall(_._3 > 0L))
+  }
 }
