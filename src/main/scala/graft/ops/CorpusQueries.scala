@@ -446,6 +446,20 @@ object CorpusQueries {
        |sims AS MATERIALIZED (SELECT doc_id, ($shHiSigned) * 4294967296 + ($shLo) AS sh FROM bits)""".stripMargin
   }
 
+  /** Shared oracle of `dedup_minhash_incremental` AND
+    * `stream_dedup_ingest` (the live-ingest spelling of the same
+    * gate): full-corpus banded LSH pairs restricted to those touching
+    * the new batch (doc_id >= 400) — old-old pairs are never
+    * regenerated. */
+  private lazy val minhashIncrementalOracleSql: String =
+    s"""WITH $toksCte, $shingleCte,
+       |$minhashCtes
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+       |WHERE a.doc_id >= 400 OR b.doc_id >= 400
+       |ORDER BY d1, d2""".stripMargin
+
   /** Shared oracle of `ann_pq_incremental` AND `stream_ann_encode`
     * (the live-ingest spelling of the same encode): history-slice
     * codebook (ksub smallest ids ≥ 100), batch rows (< 100) coded per
@@ -2294,15 +2308,19 @@ object CorpusQueries {
           historySigs, n = 3, bands = 4, rowsPerBand = 3)
           .orderBy(col("d1"), col("d2"))
       },
-      Some {
-        s"""WITH $toksCte, $shingleCte,
-           |$minhashCtes
-           |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |FROM banded a JOIN banded b
-           |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-           |WHERE a.doc_id >= 400 OR b.doc_id >= 400
-           |ORDER BY d1, d2""".stripMargin
-      }),
+      Some(minhashIncrementalOracleSql)),
+
+    // the LIVE-INGEST spelling of dedup_minhash_incremental: the same
+    // stored signature artifact, but the new docs arrive as an
+    // unbounded stream and every micro-batch runs the gate's
+    // probe-then-register loop (candidates against the store as of
+    // arrival, then the batch's signatures join the store). Same
+    // oracle — the drained pair log must equal the one-shot answer
+    // regardless of how the stream slices the arrivals
+    Q(
+      "stream_dedup_ingest",
+      (s, dir) => StreamingQueries.streamDedupIngest(s, dir),
+      Some(minhashIncrementalOracleSql)),
 
     // the incremental family composed END TO END, the way a daily
     // ingest runs it: history signed once (stored signature table) and

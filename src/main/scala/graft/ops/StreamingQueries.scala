@@ -448,6 +448,68 @@ object StreamingQueries {
     s.table(name).orderBy(col("vec_id"))
   }
 
+  /** The LIVE-INGEST spelling of `dedup_minhash_incremental`: the
+    * continuous-crawl dedup gate. History is signed once into a parquet
+    * signature STORE; new docs arrive as an unbounded parquet stream and
+    * every micro-batch runs the probe-then-register loop a production
+    * gate runs — sign the arrivals (map-only), band them, join against
+    * the store PLUS the in-flight batch (so same-batch duplicates
+    * surface), append the candidate pairs to the result log, then
+    * register the arrivals' signatures in the store. Pair identity is
+    * order-free ((least, greatest) + distinct), so the drained log
+    * equals the one-shot incremental-LSH answer no matter how the
+    * stream slices the arrivals — gated by sharing
+    * dedup_minhash_incremental's oracle. History is never re-shingled:
+    * each batch touches only its own text plus the store's compact
+    * (id, 12 longs) rows.
+    */
+  private[graft] def streamDedupIngest(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    // pid-scoped staging + store dirs (single-writer contract, the
+    // corpus_shard_export convention)
+    val base = s"/tmp/graft_stream_dedupin_${new java.io.File(dir).getName}" +
+      s"_pid${ProcessHandle.current().pid()}"
+    val storePath = s"$base/store"
+    val outPath = s"$base/pairs"
+    // a previous same-pid run's pair log / offsets would replay as
+    // already-committed: wipe both (the store is mode-overwrite)
+    Seq(s"$base/pairs", s"$base/ckpt").foreach { p =>
+      val f = new java.io.File(p); if (f.exists()) rmTree(f)
+    }
+    Dedup.minhashSignatureTable(docs.filter(col("doc_id") < 400),
+        "doc_id", "text", n = 3, k = 12)
+      .write.mode("overwrite").parquet(storePath)
+    val fresh = docs.filter(col("doc_id") >= 400)
+    val streamDir = s"$base/in"
+    val schema = stageBatches(s, streamDir, Seq(
+      "b0" -> fresh.filter(col("doc_id") % 2 === 0),
+      "b1" -> fresh.filter(col("doc_id") % 2 =!= 0)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    withStreamShuffle(s, 4) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // probe: candidates touching this batch, against the store
+          // as of arrival time (plus the batch itself)
+          Dedup.minhashLshIncremental(batch, "doc_id", "text",
+              s.read.parquet(storePath), n = 3, bands = 4,
+              rowsPerBand = 3)
+            .write.mode("append").parquet(outPath)
+          // register: this batch's signatures join the store so later
+          // arrivals find their duplicates against it
+          Dedup.minhashSignatureTable(batch, "doc_id", "text",
+              n = 3, k = 12)
+            .write.mode("append").parquet(storePath)
+        }
+        .start()
+      // stop in finally: a failed drain must not leak a running query
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.read.parquet(outPath).distinct().orderBy(col("d1"), col("d2"))
+  }
+
   /** The deployment spelling of `stream_incremental_agg` for an
     * UNBOUNDED stream: the algebraic count/sum/min/max state is scoped
     * to (6 h window × type) so the watermark can EVICT expired window
