@@ -3619,11 +3619,14 @@ object Relational {
     //      small low-size part, the EUROPE supplier(s) achieving the
     //      part's global minimum cost, with their account balance and
     //      nation. The correlated MIN subquery decorrelated: per-(part,
-    //      supplier) min → per-part min (both partial-aggregated,
-    //      AQE-broadcast on the join back) → equality join keeps ties
-    //      like the spec. Supplier→nation→region is a broadcast dim
-    //      chain; the top-100 order is total (acctbal, nation, name,
-    //      partkey pins every row) so LIMIT is deterministic
+    //      supplier) min (partial-aggregated) → per-part min as a
+    //      WINDOW over the aggregated cost table (keyed on the
+    //      data-scaled partkey with supplier-bounded fan-in — ONE
+    //      lineitem scan, where an aggregate-and-join-back would
+    //      evaluate the cost lineage twice) → equality filter keeps
+    //      ties like the spec. Supplier→nation→region is a broadcast
+    //      dim chain; the top-100 order is total (acctbal, nation,
+    //      name, partkey pins every row) so LIMIT is deterministic
     Q(
       "q2_min_cost_supplier",
       (s, dir) => {
@@ -3649,11 +3652,10 @@ object Relational {
             col("l_suppkey") === col("s_suppkey"), "left_semi")
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(min(col("cents")).as("min_cents"))
-        val best = cost.groupBy(col("l_partkey").as("bpk"))
-          .agg(min(col("min_cents")).as("best_cents"))
         cost
-          .join(best, col("l_partkey") === col("bpk") &&
-            col("min_cents") === col("best_cents"))
+          .withColumn("best_cents",
+            min(col("min_cents")).over(Window.partitionBy(col("l_partkey"))))
+          .filter(col("min_cents") === col("best_cents"))
           .join(eu, col("l_suppkey") === col("s_suppkey"))
           .select(col("acctbal_cents"), col("s_name"), col("n_name"),
             col("l_partkey").as("p_partkey"), col("min_cents"))
