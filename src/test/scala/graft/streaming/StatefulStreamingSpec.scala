@@ -292,4 +292,30 @@ class StatefulStreamingSpec extends SparkTestBase {
     // the first session was closed when the far event arrived
     assert(closed.toSeq === Seq(("u1", 1000L, 2)))
   }
+
+  test("stream_dedup_ingest: drained pairs equal the one-shot batch " +
+    "answer and every arrival is registered in the signature store") {
+    import graft.ops.{Dedup, StreamingQueries}
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingQueries.streamDedupIngest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val history = docs.filter(col("doc_id") < 400)
+    val fresh = docs.filter(col("doc_id") >= 400)
+    val oneShot = Dedup.minhashLshIncremental(fresh, "doc_id", "text",
+        Dedup.minhashSignatureTable(history, "doc_id", "text", n = 3, k = 12),
+        n = 3, bands = 4, rowsPerBand = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === oneShot)
+    assert(got.nonEmpty)
+    // the register half of the loop: after the drain the store holds
+    // exactly one signature row per signable doc (history + arrivals)
+    val storePath = s"/tmp/graft_stream_dedupin_sf0.001" +
+      s"_pid${ProcessHandle.current().pid()}/store"
+    val store = spark.read.parquet(storePath)
+    val expected =
+      Dedup.minhashSignatureTable(docs, "doc_id", "text", n = 3, k = 12)
+    assert(store.count() === expected.count())
+    assert(store.select("doc_id").except(expected.select("doc_id")).isEmpty)
+  }
 }
