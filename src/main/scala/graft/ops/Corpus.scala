@@ -1214,16 +1214,21 @@ object Corpus {
     *
     * Engine-exact determinism: "uniformly at random" is replaced by
     * the sampleSize smallest 56-bit md5(doc ':' round) draws over the
-    * remaining docs — a fixed permutation per round that any engine
-    * reproduces bit-for-bit (the distributed analogue of a seeded
-    * shuffle), so the oracle unrolls the identical rounds.
+    * NOT-YET-PICKED docs (the paper's N∖S pool — a fully covered doc
+    * can still be drawn and simply contributes no gain row) — a fixed
+    * permutation per round that any engine reproduces bit-for-bit
+    * (the distributed analogue of a seeded shuffle), so the oracle
+    * unrolls the identical rounds.
     *
-    * Shape at scale: the per-round sample is a TakeOrdered (top
-    * sampleSize by hash — never a global sort materialization), its
-    * doc ids broadcast as a LIMIT-bounded set into the residual
-    * semi-join; everything else is [[coverageMaxSelect]]'s residual
-    * maintenance (one partial-aggregated count, a 1-row argmax
-    * collect, an anti-join against only the picked doc's tokens).
+    * Shape at scale: the doc-id pool is built ONCE (one distinct over
+    * the feature table); each round's sample is a TakeOrdered over
+    * that id list (map-only filter of the ≤k picked ids, top
+    * sampleSize by hash — never a global sort materialization, never
+    * a per-round re-distinct of the residual), its ids broadcast as a
+    * LIMIT-bounded set into the residual semi-join; everything else
+    * is [[coverageMaxSelect]]'s residual maintenance (one
+    * partial-aggregated count, a 1-row argmax collect, an anti-join
+    * against only the picked doc's tokens).
     *
     * @return (rank 1..k, doc, gain)
     */
@@ -1241,13 +1246,19 @@ object Corpus {
           .cast("long").as("tok"))
       .distinct()
       .localCheckpoint(true)
+    // the sampling pool's id list, built once — per-round restriction
+    // is a map-only filter of the ≤k picked ids, not a re-distinct of
+    // the shrinking residual
+    val docIds = feats.select(col("doc")).distinct().localCheckpoint(true)
     var remaining = feats
     var picked = Vector.empty[(Long, Long)]
     for (t <- 1 to k) {
-      // the round's candidate pool: sampleSize remaining docs, drawn by
-      // the (doc, round)-keyed hash permutation; limit-bounded so the
-      // semi-join side broadcasts safely at any corpus size
-      val cand = remaining.select(col("doc")).distinct()
+      // the round's candidate pool: sampleSize not-yet-picked docs,
+      // drawn by the (doc, round)-keyed hash permutation;
+      // limit-bounded so the semi-join side broadcasts safely at any
+      // corpus size
+      val cand = (if (picked.isEmpty) docIds
+        else docIds.filter(!col("doc").isin(picked.map(_._1): _*)))
         .orderBy(conv(substring(md5(
             concat(col("doc").cast("string"), lit(s":$t"))
               .cast("binary")), 1, 14), 16, 10).cast("long"),

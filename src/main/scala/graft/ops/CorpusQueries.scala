@@ -5246,15 +5246,14 @@ object CorpusQueries {
       Some {
         def candSql(t: Int, extra: String) =
           s"""cand$t AS MATERIALIZED (
-             |  SELECT doc FROM (SELECT DISTINCT doc FROM f$extra)
+             |  SELECT doc FROM alldocs$extra
              |  ORDER BY ('0x' || substr(md5(doc::VARCHAR || ':$t'), 1, 14))::BIGINT, doc
              |  LIMIT 128)""".stripMargin
         val rounds = (2 to 4).map { t =>
-          val notCovered =
+          val notPicked =
             s"""
-               |  WHERE doc NOT IN (SELECT doc FROM pku${t - 1})
-               |    AND tok NOT IN (SELECT tok FROM cov${t - 1})""".stripMargin
-          s"""${candSql(t, notCovered)},
+               |  WHERE doc NOT IN (SELECT doc FROM pku${t - 1})""".stripMargin
+          s"""${candSql(t, notPicked)},
              |g$t AS (
              |  SELECT doc, CAST(COUNT(*) AS BIGINT) AS g FROM f
              |  WHERE doc IN (SELECT doc FROM cand$t)
@@ -5273,6 +5272,7 @@ object CorpusQueries {
            |  SELECT DISTINCT doc_id AS doc,
            |    ('0x' || substr(md5(tok0), 1, 14))::BIGINT AS tok
            |  FROM (SELECT doc_id, unnest(shingles) AS tok0 FROM sh)),
+           |alldocs AS MATERIALIZED (SELECT DISTINCT doc FROM f),
            |${candSql(1, "")},
            |g1 AS (
            |  SELECT doc, CAST(COUNT(*) AS BIGINT) AS g FROM f
