@@ -462,6 +462,13 @@ object StreamingQueries {
     * dedup_minhash_incremental's oracle. History is never re-shingled:
     * each batch touches only its own text plus the store's compact
     * (id, 12 longs) rows.
+    *
+    * Exactly-once: foreachBatch can REPLAY a batch after a crash
+    * between the write and the offset commit, so both sinks key their
+    * writes on the batch id (`part=b<id>` partition dirs written with
+    * overwrite) — a replay rewrites the same paths instead of
+    * duplicating rows. The blind `mode(append)` spelling would double
+    * pairs and store rows on every recovery.
     */
   private[graft] def streamDedupIngest(s: SparkSession,
       dir: String): DataFrame = {
@@ -472,14 +479,14 @@ object StreamingQueries {
       s"_pid${ProcessHandle.current().pid()}"
     val storePath = s"$base/store"
     val outPath = s"$base/pairs"
-    // a previous same-pid run's pair log / offsets would replay as
-    // already-committed: wipe both (the store is mode-overwrite)
-    Seq(s"$base/pairs", s"$base/ckpt").foreach { p =>
+    // a previous same-pid run's pair log / store batches / offsets
+    // would replay as already-committed: wipe all three
+    Seq(s"$base/pairs", s"$base/store", s"$base/ckpt").foreach { p =>
       val f = new java.io.File(p); if (f.exists()) rmTree(f)
     }
     Dedup.minhashSignatureTable(docs.filter(col("doc_id") < 400),
         "doc_id", "text", n = 3, k = 12)
-      .write.mode("overwrite").parquet(storePath)
+      .write.mode("overwrite").parquet(s"$storePath/part=history")
     val fresh = docs.filter(col("doc_id") >= 400)
     val streamDir = s"$base/in"
     val schema = stageBatches(s, streamDir, Seq(
@@ -490,24 +497,27 @@ object StreamingQueries {
     withStreamShuffle(s, 4) {
       val q = stream.writeStream
         .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
           // probe: candidates touching this batch, against the store
           // as of arrival time (plus the batch itself)
           Dedup.minhashLshIncremental(batch, "doc_id", "text",
               s.read.parquet(storePath), n = 3, bands = 4,
               rowsPerBand = 3)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite").parquet(s"$outPath/part=b$id")
           // register: this batch's signatures join the store so later
-          // arrivals find their duplicates against it
+          // arrivals find their duplicates against it; batch-id-keyed
+          // overwrite makes a post-crash replay idempotent
           Dedup.minhashSignatureTable(batch, "doc_id", "text",
               n = 3, k = 12)
-            .write.mode("append").parquet(storePath)
+            .write.mode("overwrite").parquet(s"$storePath/part=b$id")
         }
         .start()
       // stop in finally: a failed drain must not leak a running query
       try q.processAllAvailable() finally q.stop()
     }
-    s.read.parquet(outPath).distinct().orderBy(col("d1"), col("d2"))
+    // project the batch-id partition column away before the dedup
+    s.read.parquet(outPath).select(col("d1"), col("d2"))
+      .distinct().orderBy(col("d1"), col("d2"))
   }
 
   /** The deployment spelling of `stream_incremental_agg` for an
