@@ -2215,6 +2215,34 @@ object CorpusQueries {
       },
       Some(clustersOracleSql)),
 
+    // the DELETE verb of the stored-cluster lifecycle: a takedown set
+    // (every 17th doc) leaves, ONLY the clusters that lost a member
+    // re-solve over the stored pair rows (removal can only split
+    // components), untouched clusters carry stored labels forward.
+    // Oracle = the full recompute over the remaining corpus, so a
+    // missed split, a stale root, or a touched carry all break the hash
+    Q(
+      "dedup_takedown_scoped",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+          .localCheckpoint(true)
+        // the persisted full-corpus state a previous run left behind
+        val stored = Dedup.connectedComponentsStar(
+          docs.select(col("doc_id")), "doc_id", pairs)
+          .withColumnRenamed("id", "doc_id")
+          .localCheckpoint(true)
+        val takedown = docs.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"))
+        Dedup.takedownComponents(stored, "doc_id", takedown, pairs)
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+            (col("id") === col("cluster")).as("is_canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some(clustersOracleSql
+        .replace("FROM documents", "FROM documents WHERE doc_id % 17 <> 0"))),
+
     Q(
       "dedup_minhash_lsh",
       (s, dir) =>

@@ -843,6 +843,56 @@ object Dedup {
     oldOut.unionByName(newOut)
   }
 
+  /** Scoped takedown relabel — the DELETE verb of the stored-cluster
+    * lifecycle ([[connectedComponentsStar]] creates,
+    * [[incrementalComponents]] adds, this removes): drop a takedown set
+    * (GDPR erasure, DMCA, opt-out) from the stored labels and re-solve
+    * ONLY the clusters that lost a member. Removing nodes can only
+    * split components (never merge them), so untouched clusters carry
+    * their stored rows forward verbatim — at 100 TB the work is
+    * proportional to the affected clusters' members and pairs, not the
+    * corpus.
+    *
+    * Per affected cluster the survivors re-solve over the STORED pair
+    * rows restricted to surviving endpoints (pairs were verified when
+    * the docs arrived; nothing is re-shingled), re-rooting each piece
+    * at its new minimum id — exactly what a full recompute over the
+    * remaining corpus produces, which is the oracle.
+    *
+    * Precondition (by construction of any component labeling): every
+    * stored pair's endpoints share a cluster.
+    *
+    * @param storedLabels (idCol, cluster) as persisted by a previous
+    *        solve
+    * @param storedPairs the verified pair table the labels were built
+    *        from (aCol, bCol)
+    * @return (id, cluster) for every remaining doc
+    */
+  def takedownComponents(storedLabels: DataFrame, idCol: String,
+      takedownIds: DataFrame, storedPairs: DataFrame,
+      aCol: String = "d1", bCol: String = "d2",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val gone = takedownIds.select(col(idCol).as("__gone"))
+    val affected = storedLabels
+      .join(gone, col(idCol) === col("__gone"), "left_semi")
+      .select(col("cluster")).distinct()
+    val survivors = storedLabels
+      .join(affected, Seq("cluster"), "left_semi")
+      .join(gone, col(idCol) === col("__gone"), "left_anti")
+      .select(col(idCol))
+    val scopedPairs = storedPairs
+      .join(survivors.select(col(idCol).as("__s1")),
+        col(aCol) === col("__s1"), "left_semi")
+      .join(survivors.select(col(idCol).as("__s2")),
+        col(bCol) === col("__s2"), "left_semi")
+    val resolved = connectedComponentsStar(survivors, idCol, scopedPairs,
+      aCol, bCol, checkpointDir = checkpointDir)
+    storedLabels
+      .join(affected, Seq("cluster"), "left_anti")
+      .select(col(idCol).as("id"), col("cluster"))
+      .unionByName(resolved)
+  }
+
   /** Near-duplicate clusters: df-capped n-gram Jaccard pairs →
     * connected components → (id, cluster_id, is_canonical). Keeping only
     * `is_canonical` rows is the standard "one document per near-dup

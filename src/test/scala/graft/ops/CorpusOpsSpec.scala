@@ -248,6 +248,43 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(inc(20L) === 20L && inc(31L) === 20L && inc(32L) === 32L)
   }
 
+  test("takedownComponents splits bridged clusters and never touches " +
+    "unaffected stored rows") {
+    // stored world: chain {0-1-2} (1 is the bridge), pair {10,11},
+    // singleton 20
+    val ids = Seq(0L, 1L, 2L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("d1", "d2")
+    val stored = Dedup.connectedComponentsStar(ids, "id", pairs)
+    // removing the bridge must SPLIT {0,1,2} into {0} and {2}
+    val out = Dedup.takedownComponents(stored, "id",
+        Seq(1L).toDF("id"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 0L, 2L -> 2L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L))
+    // full recompute over the remaining corpus agrees exactly
+    val full = Dedup.connectedComponentsStar(
+      ids.filter(col("id") =!= 1L), "id",
+      pairs.filter(col("d1") =!= 1L && col("d2") =!= 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === full)
+    // carry proof: poison an UNAFFECTED cluster's stored label — the
+    // takedown of 1 must carry the poisoned rows forward verbatim
+    // (it re-solves only clusters that lost a member)
+    val poisoned = stored
+      .withColumn("cluster",
+        when(col("id").isin(10L, 11L), lit(999L)).otherwise(col("cluster")))
+    val carried = Dedup.takedownComponents(poisoned, "id",
+        Seq(1L).toDF("id"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(carried(10L) === 999L && carried(11L) === 999L)
+    // removing a whole cluster leaves nothing of it behind
+    val gone = Dedup.takedownComponents(stored, "id",
+        Seq(10L, 11L).toDF("id"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!gone.contains(10L) && !gone.contains(11L))
+    assert(gone(0L) === 0L && gone(1L) === 0L && gone(2L) === 0L)
+  }
+
   test("nearDupClusters keeps one canonical doc per near-dup group") {
     val out = Dedup.nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .orderBy("doc_id").collect()
