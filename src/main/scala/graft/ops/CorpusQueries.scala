@@ -3565,6 +3565,72 @@ object CorpusQueries {
            |WHERE rn = 1 ORDER BY vec_id""".stripMargin
       }),
 
+    // the DELETE verb of the vector-store lifecycle: a takedown set
+    // (every 23rd vector) leaves the persisted IVF cells artifact via
+    // ONE map-only anti-join rewrite — centroids untouched, nothing
+    // retrained, history never re-encoded — and the search runs
+    // through the MAINTAINED store's stored cell memberships. Oracle =
+    // the same probe over the remaining corpus under the same stored
+    // centers, so a leaked removed id, a dropped survivor, or a
+    // perturbed assignment all break the hash
+    Q(
+      "ann_takedown_search",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        // pid-scoped artifact dir: eager write at plan construction,
+        // single-writer contract as corpus_shard_export
+        val path = "/tmp/graft_ivf_store_" + new java.io.File(dir).getName +
+          "_pid" + java.lang.ProcessHandle.current().pid()
+        Similarity.kmeansCentroids(e.filter(col("vec_id") < 400),
+            "vec_id", "embedding", Dim, k = 8, iters = 2)
+          .write.mode("overwrite").parquet(s"$path/cents")
+        val cents = s.read.parquet(s"$path/cents")
+        // the stored index: every vector assigned once, kept with its
+        // embedding — the cells layout an IVF store persists
+        Similarity.ivfAssign(e, "vec_id", "embedding", Dim, cents)
+          .join(e, Seq("vec_id"))
+          .write.mode("overwrite").parquet(s"$path/cells")
+        // DELETE: one anti-join rewrite of the cells artifact
+        val gone = e.filter(col("vec_id") % 23 === 0).select(col("vec_id"))
+        s.read.parquet(s"$path/cells")
+          .join(gone, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$path/cells_v2")
+        Similarity.ivfTopKAssigned(
+            e.filter(col("vec_id") < 20),
+            s.read.parquet(s"$path/cells_v2"),
+            "vec_id", "embedding", Dim, nProbe = 2, k = 3,
+            centroidsDf = cents)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        s"""WITH ${kmeansCtes(8, 2, "vec_id < 400")},
+           |ca AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN c2 c
+           |    WHERE e.vec_id % 23 <> 0) t WHERE rn = 1),
+           |qa AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 20) t
+           |  WHERE rn <= 2),
+           |cand AS (
+           |  SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS n_id
+           |  FROM qa JOIN ca ON qa.cid = ca.cid
+           |  WHERE qa.vec_id != ca.vec_id)
+           |SELECT q_id, n_id, rank, cos FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, c.n_id) AS INT) AS rank,
+           |    ${cosSql("q.embedding", "n.embedding")} AS cos
+           |  FROM cand c
+           |  JOIN embeddings q ON q.vec_id = c.q_id
+           |  JOIN embeddings n ON n.vec_id = c.n_id) t
+           |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // recall drift of the STALE index (centers trained on history only,
     // corpus fully re-assigned under them) against a FRESH rebuild over
     // the whole corpus, both measured against brute-force truth — the

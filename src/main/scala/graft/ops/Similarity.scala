@@ -930,6 +930,43 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** [[ivfTopK]] over a PRE-ASSIGNED cell store: the corpus side comes
+    * in as the persisted (idCol, cid, vecCol) cells table — the layout
+    * an IVF index actually stores — so the search reads memberships
+    * from the artifact instead of re-assigning the corpus. This is the
+    * read path after store maintenance (incremental adds, takedown
+    * rewrites): queries probe nProbe cells against the stored
+    * centroids and score only the stored members of those cells.
+    */
+  def ivfTopKAssigned(queries: DataFrame, cells: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      nProbe: Int, k: Int, centroidsDf: DataFrame): DataFrame = {
+    val cents = centroidsDf.select(col("cid"), col("c_v"),
+      sqrt(dot(col("c_v"), col("c_v"), dim)).as("c_nrm"))
+    val corpusCells = cells
+      .select(col(idCol).as("n_id"), col("cid"), col(vecCol).as("n_v"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("n_nrm"))
+    val queryCells = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("q_nrm"))
+      .join(broadcast(cents), lit(true))
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("cid"),
+        (dot(col("q_v"), col("c_v"), dim) / (col("q_nrm") * col("c_nrm")))
+          .as("c_cos"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+          col("c_cos"), col("cid"), nProbe).as("cells"),
+        first(col("q_v")).as("q_v"), first(col("q_nrm")).as("q_nrm"))
+      .select(col("q_id"), col("q_v"), col("q_nrm"),
+        explode(col("cells.id")).as("cid"))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_v"), col("n_v"), dim) / (col("q_nrm") * col("n_nrm")))
+      .select(col("q_id"), col("n_id"), col("cos")).distinct()
+    topK(scored, k)
+  }
+
   /** Top principal direction of the embedding cloud (uncentered — the
     * dominant eigenvector of the second-moment/Gram matrix), computed
     * the way PCA actually scales: ONE distributed pass builds the exact
