@@ -2215,6 +2215,66 @@ object CorpusQueries {
       },
       Some(clustersOracleSql)),
 
+    // the right-to-be-forgotten pipeline composed END TO END, the way
+    // an erasure request actually runs: stored full-corpus state (pair
+    // graph, labels, kept export + manifest) → scoped takedown relabel
+    // (only clusters that lost a member re-solve) → keep-min-id rule
+    // over the new labels → incremental manifest refresh (only shards
+    // whose kept docs changed re-aggregate, untouched shards carry
+    // stored rows). The pieces are individually gated; THIS gate
+    // proves seam independence for DELETES at the pipeline level — the
+    // oracle is the one-shot pipeline over the remaining corpus, so a
+    // missed cluster split, a stale canonical, or a mis-carried shard
+    // row all break the hash
+    Q(
+      "corpus_takedown_pipeline",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+          .localCheckpoint(true)
+        val stored = Dedup.connectedComponentsStar(
+          docs.select(col("doc_id")), "doc_id", pairs)
+          .withColumnRenamed("id", "doc_id")
+          .localCheckpoint(true)
+        // day-0 deliverables a previous run persisted
+        val keptV1 = docs.join(
+          stored.filter(col("doc_id") === col("cluster"))
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val m1 = Corpus.shardManifest(keptV1, "doc_id", "text", 64)
+        // the erasure request, folded in scoped
+        val takedown = docs.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"))
+        val updated = Dedup.takedownComponents(stored, "doc_id",
+          takedown, pairs)
+        val keptV2 = docs.join(
+          updated.filter(col("id") === col("cluster"))
+            .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+        Corpus.incrementalShardManifest(keptV1, m1, keptV2,
+          "doc_id", "text", 64).orderBy(col("shard"))
+      },
+      Some {
+        val filtered = clustersOracleSql
+          .replace("FROM documents",
+            "FROM documents WHERE doc_id % 17 <> 0")
+        filtered.replace(
+          """SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+FROM comp ORDER BY doc_id""",
+          """,
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN comp c USING (doc_id) WHERE c.doc_id = c.cluster_id),
+t AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 64 AS INT) AS shard,
+    doc_id,
+    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS toks_n
+  FROM kept)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(toks_n) AS BIGINT) AS n_tokens,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM t GROUP BY shard ORDER BY shard""")
+      }),
+
     // the DELETE verb of the stored-cluster lifecycle: a takedown set
     // (every 17th doc) leaves, ONLY the clusters that lost a member
     // re-solve over the stored pair rows (removal can only split
