@@ -123,6 +123,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(approx.forall { case (qid, nid) => qid != nid })
   }
 
+  test("ivfTopKAssigned over an ivfAssign-built store equals ivfTopK") {
+    // the stored-cells read path must be faithful to the re-assigning
+    // search under the same centroids — the contract the takedown
+    // rewrite relies on
+    val q = emb.filter(col("vec_id") < 10)
+    val centsRaw = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      dim, k = 8, iters = 2)
+    val cents = centsRaw
+      .select(col("cid").as("vec_id"), col("c_v").as("embedding"))
+    val store = Similarity.ivfAssign(emb, "vec_id", "embedding", dim,
+      centsRaw).join(emb, Seq("vec_id"))
+    val viaStore = Similarity.ivfTopKAssigned(q, store, "vec_id",
+        "embedding", dim, nProbe = 2, k = 5, centroidsDf = centsRaw)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Similarity.ivfTopK(q, emb, "vec_id", "embedding", dim,
+        centroids = 8, nProbe = 2, k = 5, centroidsDf = cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaStore === direct)
+    assert(viaStore.nonEmpty)
+  }
+
   test("recallAtK: self-recall is perfect, disjoint result is zero") {
     val q = emb.filter(col("vec_id") < 5)
     val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", dim, k = 4)
