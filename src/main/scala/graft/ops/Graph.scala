@@ -239,6 +239,80 @@ object Graph {
     r
   }
 
+  /** Kleinberg's HITS (Hyperlink-Induced Topic Search, JACM 46(5),
+    * 1999) — the hub/authority dual of [[pageRank]] for DIRECTED
+    * graphs: a good AUTHORITY is pointed to by good hubs, a good HUB
+    * points to good authorities. The curation reading mirrors the
+    * original: in a citation/link graph, authorities are the
+    * canonical documents and hubs are the survey/index pages that
+    * concentrate them — two quality priors PageRank's single score
+    * conflates.
+    *
+    * Update per round, all BIGINT:
+    * {{{
+    *   araw(v) = Σ_{u→v} hub(u)   ;  auth(v) = araw(v)·10^6 DIV max araw
+    *   hraw(u) = Σ_{u→v} auth(v)  ;  hub(u)  = hraw(u)·10^6 DIV max hraw
+    * }}}
+    * i.e. the classic mutual-reinforcement iteration with L∞ (max)
+    * renormalization instead of the textbook L2: the rank ORDER is the
+    * same (normalizations differ by one positive scalar) but every
+    * value stays an exact integer in [0, 10^6], so no float ever enters
+    * the operator, aggregation order cannot change a bit, and a SQL
+    * oracle can unroll the identical rounds. Nodes with no in-edges
+    * hold authority exactly 0; nodes with no out-edges hold hub
+    * exactly 0 (the node universe is src ∪ dst, unlike [[pageRank]]).
+    *
+    * Shape at scale: per round TWO partial-aggregated shuffles on
+    * compact longs (groupBy(dst) for authorities, groupBy(src) for
+    * hubs) over the once-checkpointed edge list, plus two 1-ROW max
+    * aggregates broadcast back as bounded-by-construction nested-loop
+    * joins (the [[pageRankDangling]] dangling-mass pattern). Score
+    * lineage is cut every `checkpointEvery` rounds. Nothing reaches
+    * the driver. Overflow bound: values are ≤ 10^6 and raw sums are
+    * ≤ maxDegree·10^6, so the renormalization product needs
+    * maxDegree·10^12 < 2^63 — safe to per-node degrees of ~9·10^6;
+    * shrink the ppm base past that.
+    *
+    * Requires at least one edge (the per-round max is then always ≥ 1
+    * on both sides, since every authority round gives the argmax node
+    * exactly 10^6 and that node has an in-edge by construction).
+    *
+    * @param edges (src: long, dst: long) directed edge list; duplicate
+    *              edges count twice (pre-distinct if that's not wanted)
+    * @return (node, hub_ppm, auth_ppm) for EVERY node of the graph
+    */
+  def hits(edges: DataFrame, iters: Int = 3,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var h = nodes.withColumn("hub_ppm", lit(1000000L))
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      val araw = e.join(h, e("src") === h("node"))
+        .groupBy(col("dst")).agg(sum(col("hub_ppm")).as("__s"))
+      val amax = araw.agg(max(col("__s")).as("__m"))
+      a = nodes.join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("node"),
+          expr("coalesce(__s, 0L) * 1000000L DIV __m").as("auth_ppm"))
+      val hraw = e.join(a, e("dst") === a("node"))
+        .groupBy(col("src")).agg(sum(col("auth_ppm")).as("__s"))
+      val hmax = hraw.agg(max(col("__s")).as("__m"))
+      h = nodes.join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(col("node"),
+          expr("coalesce(__s, 0L) * 1000000L DIV __m").as("hub_ppm"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        h = h.localCheckpoint(true); a = a.localCheckpoint(true)
+      }
+    }
+    h.join(a, "node")
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection as an iterated aggregate: every node starts labeled with
     * its own id, and each round adopts the most frequent label among

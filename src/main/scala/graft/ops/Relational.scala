@@ -298,6 +298,52 @@ object Relational {
        |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** Unrolled oracle for [[Graph.hits]] over the DIRECTED (small
+    * partkey → large partkey) ≥2-co-orders part graph: per round one
+    * authority aggregate + max renormalization, then the hub dual —
+    * the same integer L∞-ppm update, `//` ≡ `DIV` on non-negative
+    * BIGINTs. `ar`/`hr`/`a`/`h` CTEs are each referenced twice (join +
+    * scalar max, or next round + final select), MATERIALIZED per the
+    * binder-inlining rule. */
+  private def hitsSql(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, SUM(h.r) AS s
+         |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(COALESCE(ar.s, 0) * 1000000 // (SELECT MAX(s) FROM ar$i) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, SUM(a.r) AS s
+         |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(COALESCE(hr.s, 0) * 1000000 // (SELECT MAX(s) FROM hr$i) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM (
+       |    SELECT a, b, COUNT(*) AS w FROM (
+       |      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b,
+       |        l1.l_orderkey AS ok
+       |      FROM lineitem l1 JOIN lineitem l2
+       |        ON l1.l_orderkey = l2.l_orderkey
+       |       AND l1.l_partkey < l2.l_partkey) t
+       |    GROUP BY a, b) u WHERE w >= 2),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, rank, hub_ppm, auth_ppm FROM (
+       |  SELECT n.node,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY a.r DESC, h.r DESC, n.node) AS INT) AS rank,
+       |    h.r AS hub_ppm, a.r AS auth_ppm
+       |  FROM nodes n JOIN h$iters h ON h.node = n.node
+       |  JOIN a$iters a ON a.node = n.node) t
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   /** Unrolled oracle for [[Graph.kTruss]] over the ≥2-co-orders part
     * graph: per round, each edge's support = its common-neighbor count
     * in the current subgraph (one two-hop join over the both-directions
@@ -1832,6 +1878,39 @@ object Relational {
             col("t.score").cast("long").as("pr_ppm"))
       },
       Some(pageRankWeightedSql(iters = 4, k = 30))),
+
+    // ---- Kleinberg HITS over the DIRECTED ≥2-co-orders part graph
+    //      (edges point small partkey → large, so the two scores
+    //      separate: low parts accumulate hub mass, high parts
+    //      authority mass, mid parts both): 3 integer L∞-ppm rounds
+    //      vs the same rounds unrolled — top-30 by (authority, hub),
+    //      both scores packed into one exact ≤2^41 top-k key
+    Q(
+      "graph_hits",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+          .distinct()
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a").as("src"), col("b").as("dst"))
+        // (auth, hub) ≤ (10^6, 10^6) pack into auth·2^21 + hub ≤ 2^41:
+        // exact in the aggregate's double score, ties → smaller node —
+        // the oracle's ORDER BY a.r DESC, h.r DESC, node
+        Graph.hits(e, iters = 3, checkpointEvery = 3)
+          .agg(graft.functions.TopKByScore.top_k_by_score(
+            (col("auth_ppm") * 2097152L + col("hub_ppm")).cast("double"),
+            col("node"), 30).as("top"))
+          .select(posexplode(col("top")).as(Seq("r0", "t")))
+          .select(col("t.id").as("node"),
+            (col("r0") + 1).cast("int").as("rank"),
+            expr("CAST(t.score AS BIGINT) % 2097152").as("hub_ppm"),
+            expr("CAST(t.score AS BIGINT) DIV 2097152").as("auth_ppm"))
+      },
+      Some(hitsSql(iters = 3, k = 30))),
 
     // ---- k-truss peeling over the same sparse graph: edges whose
     //      triangle support < k−2 drop each round — trims low-cohesion

@@ -38,6 +38,10 @@ class PlanLintSpec extends SparkTestBase {
     // rank table — the bounded-by-construction cross join (the side is
     // a global aggregate; see Graph.pageRankDangling scaladoc)
     "graph_pagerank_dangling",
+    // per-round 1-ROW L∞ max aggregates (authority and hub
+    // renormalizers) broadcast back onto the score tables — the same
+    // bounded-by-construction cross join (Graph.hits scaladoc)
+    "graph_hits",
     // three SINGLE-ROW aggregates (deg stats x edge count x triangle
     // count) cross-joined broadcast into the one-row census card —
     // every side is a global aggregate (Graph.triangleStats scaladoc)

@@ -53,6 +53,29 @@ class GraphSpec extends SparkTestBase {
     assert(dang.values.sum > plain.values.sum)
   }
 
+  test("hits: hand-computed round, L∞ saturation, dual roles") {
+    // 1→3, 2→3, 3→4. Round 1 by hand:
+    //   araw = {3: 2e6, 4: 1e6}, max 2e6
+    //     → auth = {3: 1000000, 4: 500000, 1: 0, 2: 0}
+    //   hraw = {1: 1e6, 2: 1e6, 3: 500000}, max 1e6
+    //     → hub = {1: 1000000, 2: 1000000, 3: 500000, 4: 0}
+    // node 3 carries BOTH roles (pointed to by the sources, points to
+    // the sink); pure sources are top hubs, the sink is authority-only.
+    val r = Graph.hits(Seq(1L -> 3L, 2L -> 3L, 3L -> 4L).toDF("src", "dst"),
+      iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r === Map(
+      1L -> ((1000000L, 0L)), 2L -> ((1000000L, 0L)),
+      3L -> ((500000L, 1000000L)), 4L -> ((0L, 500000L))))
+    // the L∞ renormalizer saturates both score families at exactly 10^6
+    // every round, by construction — check it survives more rounds too
+    val r3 = Graph.hits(Seq(1L -> 3L, 2L -> 3L, 3L -> 4L).toDF("src", "dst"),
+      iters = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r3.values.map(_._1).max === 1000000L)
+    assert(r3.values.map(_._2).max === 1000000L)
+  }
+
   test("label propagation pools labels inside communities (hand-computed)") {
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4; after 3
     // synchronous rounds (most-frequent neighbor label, tie -> min) the
