@@ -330,6 +330,51 @@ object Corpus {
         min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1998, the consistent-hashing answer to RESIZING a
+    * shard layout. [[shardManifest]]'s `md5(id) mod nShards` is perfect
+    * while nShards is fixed, but adding ONE shard reassigns ~(N−1)/N of
+    * the corpus (every residue shifts) — at 100 TB that is a full
+    * rewrite. HRW assigns each document to
+    * {{{
+    *   shard(id) = argmax_{s < nShards} md5(id || ':' || s)
+    * }}}
+    * so growing N→N+1 only re-homes the documents whose NEW shard's
+    * weight beats their previous max — an expected 1/(N+1) of the
+    * corpus — and every moved document lands ON THE ADDED SHARD (the
+    * old weights are unchanged, so a reassignment can only be won by
+    * the newcomer). Shrinking is symmetric: only the removed shard's
+    * documents move. No ring, no virtual-node table, no coordination
+    * state — the assignment is a pure function of (id, N).
+    *
+    * Deterministic and engine-reproducible: weights are the first 14
+    * md5 hex chars (< 2^56), packed `w·64 + s` into one BIGINT so the
+    * argmax is a plain `max` with ties broken toward the larger shard
+    * id (56-bit weights make a tie a ~2^-56 event, but the break is
+    * still deterministic on both engines).
+    *
+    * Shape at scale: map-only — one projection computing nShards
+    * hashes per row inside whole-stage codegen; no shuffle, no state,
+    * composes with any downstream partitionBy writer. Cost is
+    * O(nShards) per row, so for thousand-shard layouts prefer
+    * hierarchical HRW (HRW over shard GROUPS, then within the group);
+    * the ≤64 cap keeps the packed argmax inside one BIGINT (56+6
+    * bits) and is documented as this spelling's ceiling.
+    *
+    * @return `df` with an int `shard` column appended
+    */
+  def rendezvousShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 64,
+      s"nShards must be in [1, 64] (packed-argmax ceiling), got $nShards")
+    val idStr = col(idCol).cast("string")
+    val packed = array_max(transform(
+      sequence(lit(0), lit(nShards - 1)),
+      s => conv(substring(
+        md5(concat(idStr, lit(":"), s.cast("string")).cast("binary")),
+        1, 14), 16, 10).cast("long") * 64L + s.cast("long")))
+    df.withColumn("shard", (packed % 64L).cast("int"))
+  }
+
   /** GLOBALLY-SORTED equi-depth export — the pay-sort-once layout for
     * curriculum-ordered training data: every document gets its EXACT
     * global rank under (sortKey, id) via the distributed two-pass rank

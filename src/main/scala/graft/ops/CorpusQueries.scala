@@ -1055,6 +1055,45 @@ object CorpusQueries {
              |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
              |FROM t GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // rendezvous (HRW) re-shard census: assignment at N=12 vs N=13
+    // over the same corpus, rolled up per old shard. The minimal-
+    // disruption property rides IN the gated output — `moved` is the
+    // ~1/13 slice the resize re-homes (vs ~12/13 under mod-N), and
+    // `moved_wrong` counts movers that did NOT land on the added
+    // shard, which HRW guarantees is zero (old weights are unchanged,
+    // so only the newcomer can win a reassignment). Map-only on both
+    // engines: N hashes per row, no shuffle beyond the 12-key census
+    Q(
+      "corpus_rendezvous_shards",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val before = Corpus.rendezvousShard(docs, "doc_id", 12)
+          .withColumnRenamed("shard", "shard12")
+        val both = Corpus.rendezvousShard(before, "doc_id", 13)
+          .withColumnRenamed("shard", "shard13")
+        both.groupBy(col("shard12").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("shard13") =!= col("shard12"), 1L).otherwise(0L))
+              .as("moved"),
+            sum(when(col("shard13") =!= col("shard12") &&
+              col("shard13") =!= 12, 1L).otherwise(0L)).as("moved_wrong"))
+          .orderBy(col("shard"))
+      },
+      Some {
+        def hrw(n: Int) =
+          s"""CAST(list_max(list_transform(range(0, $n), s ->
+             |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 14))::BIGINT * 64 + s)) % 64 AS INT)""".stripMargin
+        s"""WITH w AS (
+           |  SELECT doc_id,
+           |    ${hrw(12)} AS shard12,
+           |    ${hrw(13)} AS shard13
+           |  FROM documents)
+           |SELECT shard12 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN shard13 <> shard12 THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+           |  CAST(SUM(CASE WHEN shard13 <> shard12 AND shard13 <> 12 THEN 1 ELSE 0 END) AS BIGINT) AS moved_wrong
+           |FROM w GROUP BY 1 ORDER BY shard""".stripMargin
+      }),
+
     // incremental manifest refresh: the digest diff marks affected
     // shards, ONLY those re-aggregate over the new snapshot, untouched
     // shards carry their stored manifest rows forward — and the result

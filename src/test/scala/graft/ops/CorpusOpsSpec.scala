@@ -978,4 +978,35 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(s1.map(_._2).distinct.length === 3)
     assert(s1.forall(_._3 > 0L))
   }
+
+  test("rendezvousShard: minimal disruption on grow, pure function of (id, N)") {
+    val ids = (1L to 400L).toDF("doc_id")
+    val n12 = Corpus.rendezvousShard(ids, "doc_id", 12)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n13 = Corpus.rendezvousShard(ids, "doc_id", 13)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every assignment in range for its N
+    assert(n12.values.forall(s => s >= 0 && s < 12))
+    assert(n13.values.forall(s => s >= 0 && s < 13))
+    // HRW's contract: a document either keeps its shard or moves to
+    // THE ADDED one — the old shards' weights are unchanged
+    assert(ids.collect().map(_.getLong(0)).forall(id =>
+      n13(id) == n12(id) || n13(id) == 12))
+    // the moved slice is ~1/13 of the corpus (loose 2x bounds on 400
+    // deterministic ids), nothing like mod-N's ~12/13 reshuffle
+    val moved = n12.keys.count(id => n13(id) != n12(id))
+    assert(moved > 400 / 26 && moved < 2 * 400 / 13,
+      s"moved $moved of 400 — expected ~${400 / 13}")
+    // deterministic: same ids, same N, same assignment (no RNG)
+    val again = Corpus.rendezvousShard(ids, "doc_id", 12)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === n12)
+    // single shard degenerates to the constant assignment
+    assert(Corpus.rendezvousShard(ids, "doc_id", 1)
+      .select("shard").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+    // packed-argmax ceiling is fail-loud
+    intercept[IllegalArgumentException] {
+      Corpus.rendezvousShard(ids, "doc_id", 65)
+    }
+  }
 }
