@@ -2449,6 +2449,31 @@ FROM t GROUP BY shard ORDER BY shard""")
       (s, dir) => StreamingQueries.streamDedupIngest(s, dir),
       Some(minhashIncrementalOracleSql)),
 
+    // the takedown verbs' LIVE half: a stored content-digest erasure
+    // artifact gates the ingest stream — arrivals re-posting taken-down
+    // text are verdicted 'suppressed' (and retained as the quarantine
+    // audit trail), everything else 'admitted'; one map-only digest +
+    // one equi-join per micro-batch, replay-idempotent sinks. The
+    // verdict is a pure per-row function of (arrival, store), so the
+    // drained log's census equals the one-shot batch split for any
+    // stream slicing — the oracle recomputes exactly that
+    Q(
+      "stream_suppression_ingest",
+      (s, dir) => StreamingQueries.streamSuppressionIngest(s, dir),
+      Some("""WITH arr AS (
+             |  SELECT doc_id, source, md5(text) AS digest
+             |  FROM documents WHERE doc_id >= 400),
+             |sup AS (
+             |  SELECT DISTINCT md5(text) AS digest
+             |  FROM documents WHERE doc_id % 17 = 0)
+             |SELECT
+             |  CASE WHEN s.digest IS NOT NULL THEN 'suppressed'
+             |       ELSE 'admitted' END AS verdict,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+             |FROM arr a LEFT JOIN sup s ON a.digest = s.digest
+             |GROUP BY 1 ORDER BY verdict""".stripMargin)),
+
     // the incremental family composed END TO END, the way a daily
     // ingest runs it: history signed once (stored signature table) and
     // labeled once (stored cluster labels from history-only LSH+verify),

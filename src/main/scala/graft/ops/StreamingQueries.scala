@@ -520,6 +520,76 @@ object StreamingQueries {
       .distinct().orderBy(col("d1"), col("d2"))
   }
 
+  /** LIVE suppression gate at ingest — the takedown verbs' streaming
+    * half. A right-to-be-forgotten/DMCA erasure doesn't stop at purging
+    * stores ([[Dedup.takedownComponents]], `ann_takedown_search`): the
+    * SAME content must be refused when it arrives again, or tomorrow's
+    * crawl re-admits what yesterday's takedown removed. The gate keeps
+    * the takedown set as a stored parquet artifact of 16-byte CONTENT
+    * digests (a takedown targets the text, so any copy under any id is
+    * caught), and every micro-batch (1) digests its arrivals map-only,
+    * (2) verdicts them with ONE equi-join against the store
+    * ('suppressed' on digest hit, 'admitted' otherwise), and (3)
+    * appends the verdicted rows to the gate log — suppressed arrivals
+    * are RETAINED with their verdict, not dropped, because the
+    * quarantine trail is what an erasure audit asks for.
+    *
+    * The verdict is a pure per-row function of (arrival, store), so the
+    * drained log equals the one-shot batch anti-join/semi-join split
+    * for ANY stream slicing — which is exactly what the shared oracle
+    * recomputes. Batch-id-keyed overwrite sinks make post-crash
+    * replays idempotent (the [[streamDedupIngest]] convention).
+    *
+    * Returns the per-verdict census (n_docs, n_sources) — both halves
+    * of the gate in one gated row pair.
+    */
+  private[graft] def streamSuppressionIngest(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    // pid-scoped staging + store dirs (single-writer contract)
+    val base = s"/tmp/graft_stream_suppr_${new java.io.File(dir).getName}" +
+      s"_pid${ProcessHandle.current().pid()}"
+    val storePath = s"$base/digests"
+    val logPath = s"$base/log"
+    Seq(logPath, storePath, s"$base/ckpt").foreach { p =>
+      val f = new java.io.File(p); if (f.exists()) rmTree(f)
+    }
+    // the stored takedown artifact: content digests of the erasure set
+    // (doc_id % 17 — the fixture shared with corpus_takedown_pipeline)
+    docs.filter(col("doc_id") % 17 === 0)
+      .select(md5(col("text").cast("binary")).as("digest")).distinct()
+      .write.mode("overwrite").parquet(storePath)
+    val fresh = docs.filter(col("doc_id") >= 400)
+    val streamDir = s"$base/in"
+    val schema = stageBatches(s, streamDir, Seq(
+      "b0" -> fresh.filter(col("doc_id") % 2 === 0),
+      "b1" -> fresh.filter(col("doc_id") % 2 =!= 0)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    withStreamShuffle(s, 4) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val store = s.read.parquet(storePath)
+            .withColumn("__hit", lit(1))
+          batch.withColumn("digest", md5(col("text").cast("binary")))
+            .join(store, Seq("digest"), "left")
+            .select(col("doc_id"), col("source"),
+              when(col("__hit").isNotNull, "suppressed")
+                .otherwise("admitted").as("verdict"))
+            .write.mode("overwrite").parquet(s"$logPath/part=b$id")
+        }
+        .start()
+      // stop in finally: a failed drain must not leak a running query
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.read.parquet(logPath)
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("verdict"))
+  }
+
   /** The deployment spelling of `stream_incremental_agg` for an
     * UNBOUNDED stream: the algebraic count/sum/min/max state is scoped
     * to (6 h window × type) so the watermark can EVICT expired window
