@@ -22,6 +22,13 @@ object CorpusQueries {
   val GopherQueryStops: Seq[String] =
     Seq("data", "join", "scan", "filter", "table", "hash", "merge", "row")
 
+  /** The funnel census's stop probe: deliberately NARROW (two words vs
+    * [[GopherQueryStops]]' eight) so the natural-language rule actually
+    * fires on this corpus and the funnel shows a multi-stage split —
+    * with the full list every ≥40-word document passes it. Shared by
+    * the Spark call and the oracle. */
+  val FunnelStops: Seq[String] = Seq("data", "join")
+
   /** Stop-shingle document-frequency cap for the registered Jaccard query:
     * low enough that the cap is actually exercised on the 500-doc sf0.01
     * corpus (a tenth of the corpus), shared with the oracle SQL. */
@@ -1472,6 +1479,58 @@ object CorpusQueries {
            |  (n >= 30 AND n <= 100000 AND sl >= n * 3 AND sl <= n * 10
            |    AND sym * 10 <= n AND al * 5 >= n * 4 AND st >= 2) AS keep
            |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
+    // the curation FUNNEL report over the same rule set: every document
+    // attributed to the FIRST rule it fails in declared order (a doc
+    // failing three rules is charged once, where the pipeline actually
+    // drops it — the number the flags alone don't give), plus the docs
+    // and word volume each rule costs. Map-side case over the flag
+    // projection, one 6-key census aggregate — the report every
+    // curation run prints before anyone tunes a threshold.
+    // minWords=40 and a 2-word stop probe make BOTH tunable rules
+    // actually split this corpus (symbols/alpha/mean-len are
+    // structurally green on the synthetic text and report zero cost —
+    // absent stages, which is the census semantics)
+    Q(
+      "corpus_filter_funnel",
+      (s, dir) => {
+        val flags = Corpus.gopherRules(table(s, dir, "documents"),
+          "doc_id", "text", minWords = 40, maxWords = 100000,
+          stops = FunnelStops)
+        val stage = when(!col("ok_words"), "1_words")
+          .when(!col("ok_mean_len"), "2_mean_len")
+          .when(!col("ok_symbols"), "3_symbols")
+          .when(!col("ok_alpha"), "4_alpha")
+          .when(!col("ok_stops"), "5_stops")
+          .otherwise("6_kept")
+        flags.select(stage.as("stage"), col("n_words"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+          .orderBy(col("stage"))
+      },
+      Some {
+        val stops = FunnelStops.map(s0 => s"'$s0'")
+          .mkString("[", ", ", "]")
+        s"""WITH $toksCte,
+           |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+           |  CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sl,
+           |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+           |  CAST(len(list_filter($stops,
+           |    s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS BIGINT) AS st
+           |  FROM toks),
+           |f AS (SELECT doc_id, n,
+           |  CASE WHEN NOT (n >= 40 AND n <= 100000) THEN '1_words'
+           |       WHEN NOT (sl >= n * 3 AND sl <= n * 10) THEN '2_mean_len'
+           |       WHEN NOT (sym * 10 <= n) THEN '3_symbols'
+           |       WHEN NOT (al * 5 >= n * 4) THEN '4_alpha'
+           |       WHEN NOT (st >= 2) THEN '5_stops'
+           |       ELSE '6_kept' END AS stage
+           |  FROM m)
+           |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n) AS BIGINT) AS n_words
+           |FROM f GROUP BY 1 ORDER BY stage""".stripMargin
       }),
 
     // composed curation v2 chaining the round-4 operators: canonical
