@@ -229,16 +229,62 @@ object Corpus {
     * partitioning.
     */
   def compactionPlan(manifest: DataFrame, shardCol: String,
-      tokensCol: String, targetTokens: Long): DataFrame = {
-    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
-    TwoPass.prefixSum(manifest, Seq.empty, Seq(col(shardCol)),
-        col(tokensCol), "__before")
-      .withColumn("out_id", expr(s"__before DIV ${targetTokens}L"))
+      tokensCol: String, targetTokens: Long): DataFrame =
+    compactionAssign(manifest, shardCol, tokensCol, targetTokens)
       .groupBy(col("out_id"))
       .agg(count(lit(1)).as("n_shards"),
         sum(col(tokensCol)).as("n_tokens"),
         min(col(shardCol)).as("first_shard"),
         max(col(shardCol)).as("last_shard"))
+
+  /** [[compactionPlan]]'s per-shard routing intermediate — (manifest
+    * row, `out_id`) before the per-bin rollup — exposed for the writer
+    * that EXECUTES the plan ([[applyCompaction]] joins the corpus
+    * through it). Same exclusive-prefix-sum discipline. */
+  def compactionAssign(manifest: DataFrame, shardCol: String,
+      tokensCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    TwoPass.prefixSum(manifest, Seq.empty, Seq(col(shardCol)),
+        col(tokensCol), "__before")
+      .withColumn("out_id", expr(s"__before DIV ${targetTokens}L"))
+  }
+
+  /** EXECUTE the compaction plan — the rewrite job
+    * [[compactionPlan]]'s instruction sheet describes, plus its own
+    * audit (the [[exportShards]] convention): route every document
+    * through its shard's planned output bin (the routing table is the
+    * manifest-sized [[compactionAssign]] result — bounded, broadcast),
+    * write `partitionBy(out_id)` so each merged output is one
+    * directory, read the files back, and RE-DERIVE the plan from the
+    * round-tripped rows (distinct shards, recomputed token totals,
+    * shard range per bin). Hash-matching [[compactionPlan]] proves the
+    * rewrite end to end: no document lost or misrouted, every
+    * undersized shard landed in exactly its planned bin, text intact.
+    *
+    * Shape at scale: one map-only routing join (broadcast of an
+    * nShards-row Aggregate-bounded table) + the fanned-out partition
+    * write; the audit is one bin-keyed aggregate.
+    */
+  def applyCompaction(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, targetTokens: Long, outDir: String): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = conv(substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 14), 16, 10)
+      .cast("long")
+    val route = compactionAssign(
+        shardManifest(df, idCol, textCol, nShards),
+        "shard", "n_tokens", targetTokens)
+      .select(col("shard"), col("out_id"))
+    df.withColumn("shard", (h % nShards).cast("int"))
+      .join(broadcast(route), Seq("shard"))
+      .write.mode("overwrite").partitionBy("out_id").parquet(outDir)
+    val back = df.sparkSession.read.parquet(outDir)
+    back.groupBy(col("out_id").cast("long").as("out_id"))
+      .agg(count_distinct(col("shard")).as("n_shards"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"),
+        min(col("shard")).as("first_shard"),
+        max(col("shard")).as("last_shard"))
   }
 
   /** Deterministic training-shard manifest — the WebDataset/Megatron

@@ -22,6 +22,28 @@ object CorpusQueries {
   val GopherQueryStops: Seq[String] =
     Seq("data", "join", "scan", "filter", "table", "hash", "merge", "row")
 
+  /** Shared oracle for the compaction PLAN and its APPLY gate: the
+    * 64-shard manifest, the exclusive prefix sum in shard order, the
+    * 4000-token next-fit bins. The apply query re-derives exactly this
+    * from round-tripped files, so both sides pin one answer. */
+  private val compactionOracleSql: String =
+    """WITH t AS (
+      |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 64 AS INT) AS shard,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT shard, CAST(SUM(toks) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY shard),
+      |r AS (
+      |  SELECT shard, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+      |  FROM m)
+      |SELECT bef // 4000 AS out_id, COUNT(*) AS n_shards,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  MIN(shard) AS first_shard, MAX(shard) AS last_shard
+      |FROM r GROUP BY 1 ORDER BY out_id""".stripMargin
+
   /** The funnel census's stop probe: deliberately NARROW (two words vs
     * [[GopherQueryStops]]' eight) so the natural-language rule actually
     * fires on this corpus and the funnel shows a multi-stage split —
@@ -1209,22 +1231,25 @@ object CorpusQueries {
             nShards = 64),
           "shard", "n_tokens", targetTokens = 4000L)
           .orderBy(col("out_id")),
-      Some("""WITH t AS (
-             |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 64 AS INT) AS shard,
-             |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS toks
-             |  FROM documents),
-             |m AS (
-             |  SELECT shard, CAST(SUM(toks) AS BIGINT) AS n_tokens
-             |  FROM t GROUP BY shard),
-             |r AS (
-             |  SELECT shard, n_tokens,
-             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shard
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
-             |  FROM m)
-             |SELECT bef // 4000 AS out_id, COUNT(*) AS n_shards,
-             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-             |  MIN(shard) AS first_shard, MAX(shard) AS last_shard
-             |FROM r GROUP BY 1 ORDER BY out_id""".stripMargin)),
+      Some(compactionOracleSql)),
+
+    // the rewrite job the plan describes, gated end to end (the
+    // corpus_shard_export convention): documents routed through the
+    // broadcast shard→bin table, written partitionBy(out_id), read
+    // back, and the PLAN re-derived from the round-tripped rows —
+    // same oracle as corpus_compaction_plan, so a lost/misrouted doc,
+    // a bin seam off by one shard, or corrupted text breaks the hash
+    Q(
+      "corpus_compaction_apply",
+      (s, dir) =>
+        Corpus.applyCompaction(table(s, dir, "documents"), "doc_id",
+          "text", nShards = 64, targetTokens = 4000L,
+          // pid suffix: eager overwrite at plan-construction time —
+          // single writer/reader per session (see corpus_shard_export)
+          outDir = "/tmp/graft_compaction_" +
+            new java.io.File(dir).getName + "_pid" +
+            java.lang.ProcessHandle.current().pid()).orderBy(col("out_id")),
+      Some(compactionOracleSql)),
 
     // C4-style line-level dedup: documents re-lined into 3-token lines
     // (the synthetic corpus has no newlines — the fixed re-lining is

@@ -1443,6 +1443,86 @@ object Relational {
              |  COUNT(*) AS n_users
              |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- data-quality audit card (the Deequ-style constraint sweep):
+    //      eight checks — PK uniqueness, two FK integrities, two value
+    //      ranges, a NOT NULL, a domain membership, and a cross-table
+    //      date-sequence consistency — in THREE scans total (all
+    //      lineitem checks fold into one aggregate over ONE left join
+    //      to orders; all orders checks into one left join to
+    //      customer), each a map-side conditional sum, emitted as
+    //      (check, n_checked, n_bad) rows via stack. The fixture's
+    //      uncorrelated ship dates make the sequence check FIRE
+    //      (~half of lineitem) while the structural checks hold at 0 —
+    //      the card proves both directions
+    Q(
+      "q_dq_audit",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        val jli = li.join(
+          o.select(col("o_orderkey").as("__ok"), col("o_orderdate")),
+          li("l_orderkey") === col("__ok"), "left")
+        val liCard = jli.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("qty"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("disc"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("shipn"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+            .otherwise(0L)).as("flag"),
+          sum(when(col("__ok").isNull, 1L).otherwise(0L)).as("orphan"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+            .otherwise(0L)).as("seqbad"))
+          .select(expr("""stack(6,
+            'range_quantity', n, qty,
+            'range_discount', n, disc,
+            'not_null_shipdate', n, shipn,
+            'domain_returnflag', n, flag,
+            'fk_lineitem_orders', n, orphan,
+            'seq_ship_after_order', n, seqbad) AS (chk, n_checked, n_bad)"""))
+        val oCard = o.join(
+            c.select(col("c_custkey").as("__ck")),
+            o("o_custkey") === col("__ck"), "left")
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("o_orderkey")).as("ndv"),
+            sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("orphan"))
+          .select(expr("""stack(2,
+            'pk_orders_unique', n, n - ndv,
+            'fk_orders_customer', n, orphan) AS (chk, n_checked, n_bad)"""))
+        liCard.unionByName(oCard)
+          .withColumnRenamed("chk", "check")
+          .orderBy(col("check"))
+      },
+      Some("""WITH jli AS (
+             |  SELECT l.*, o.o_orderkey AS ok, o.o_orderdate
+             |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+             |lic AS MATERIALIZED (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty,
+             |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+             |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipn,
+             |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS flag,
+             |    CAST(SUM(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan,
+             |    CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS seqbad
+             |  FROM jli),
+             |oc AS MATERIALIZED (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+             |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan
+             |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+             |SELECT "check", n_checked, n_bad FROM (
+             |  SELECT 'range_quantity' AS "check", n AS n_checked, qty AS n_bad FROM lic
+             |  UNION ALL SELECT 'range_discount', n, disc FROM lic
+             |  UNION ALL SELECT 'not_null_shipdate', n, shipn FROM lic
+             |  UNION ALL SELECT 'domain_returnflag', n, flag FROM lic
+             |  UNION ALL SELECT 'fk_lineitem_orders', n, orphan FROM lic
+             |  UNION ALL SELECT 'seq_ship_after_order', n, seqbad FROM lic
+             |  UNION ALL SELECT 'pk_orders_unique', n, n - ndv FROM oc
+             |  UNION ALL SELECT 'fk_orders_customer', n, orphan FROM oc) t
+             |ORDER BY "check"""".stripMargin)),
+
     // ---- JSON extraction from the events.props payload column
     //
     // BENCH_r02 note: the 1.02→2.57 s "regression" flagged in the round-2

@@ -32,7 +32,18 @@ object Sketches {
     * (group, bucket).
     */
   private def hllRegisters(items: DataFrame, groupCol: String,
-      itemCol: String): DataFrame = {
+      itemCol: String): DataFrame =
+    hllProject(items, itemCol)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+
+  /** The per-item HLL update projection — `bucket` and `rho` columns
+    * appended map-only, NO aggregation: exposed for streaming register
+    * folds where the groupBy must carry a watermark window key
+    * (`stream_ndv_watermark` groups by (event-time window, bucket) so
+    * the state store can evict expired windows; the batch form's
+    * groupBy lives in [[hllDistinct]]/[[hllSketch]]). */
+  def hllProject(items: DataFrame, itemCol: String): DataFrame = {
     val h = conv(substring(
       md5(col(itemCol).cast("string").cast("binary")), 1, 12), 16, 10)
       .cast("long")
@@ -41,10 +52,7 @@ object Sketches {
     // leading zeros in either engine, so length(bin(r)) = floor(log2)+1
     val rho = when(r === 0, lit(39))
       .otherwise(lit(39) - length(bin(r)))
-    items
-      .select(col(groupCol), shiftright(h, 38).as("bucket"), rho.as("rho"))
-      .groupBy(col(groupCol), col("bucket"))
-      .agg(max(col("rho")).as("m"))
+    items.withColumn("bucket", shiftright(h, 38)).withColumn("rho", rho)
   }
 
   /** HLL distinct-count estimate per group, next to the exact NDV for

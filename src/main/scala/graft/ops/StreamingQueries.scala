@@ -705,6 +705,65 @@ object StreamingQueries {
     (out, dropped, evicted)
   }
 
+  /** The state-EVICTING HyperLogLog spelling for unbounded streams:
+    * per-(6 h window) DISTINCT-USER estimate with BOUNDED state — a
+    * streaming `count_distinct` would hold every key it has seen, while
+    * the register fold holds ≤ 1024 max-registers per live window and
+    * the watermark evicts expired windows (the live-audience monitor a
+    * deployment actually runs). UPDATE mode; late rows drop.
+    *
+    * Determinism of the drained fold: a register is a max of md5-derived
+    * rho values, so within a (window, bucket) key successive update-mode
+    * emissions only GROW — folding the memory sink with the same max
+    * keeps each key's final register, and the estimate is the identical
+    * batch tail as `sketch_hll_ndv` ([[Sketches.hllEstimate]]'s exact
+    * power-of-two harmonic sum), so the oracle reproduces the estimate
+    * bit-for-bit over the on-time slice.
+    *
+    * Returns (result, late rows dropped, state rows evicted) for the
+    * spec's state-effect assertions. */
+  private[graft] def watermarkNdv(s: SparkSession,
+      dir: String): (DataFrame, Long, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = synchronized { streamEpoch += 1; s"graft_stream_$streamEpoch" }
+    val streamDir =
+      // pid-suffixed: see graft_stream_wmc_
+      s"/tmp/graft_stream_wmn_${new java.io.File(dir).getName}" +
+        s"_${ProcessHandle.current().pid()}"
+    val schema = buildLateArrivalDir(s, dir, WatermarkCutoff, streamDir)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val agg = Sketches.hllProject(stream.withWatermark("ts", "3 hours"),
+        "user_id")
+      .groupBy(window(col("ts"), "6 hours"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    var dropped = 0L
+    var evicted = 0L
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      // stop in finally: a failed drain must not leak a running
+      // query + memory-sink state into later queries in the session
+      try {
+        q.processAllAvailable()
+        val ops = q.recentProgress.flatMap(_.stateOperators)
+        dropped = ops.map(_.numRowsDroppedByWatermark).sum
+        evicted = ops.map(_.numRowsRemoved).sum
+      } finally q.stop()
+    }
+    val regs = s.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+        .as("win_start"), col("bucket"), col("m"))
+      .groupBy(col("win_start"), col("bucket"))
+      .agg(max(col("m")).as("m"))
+    val out = Sketches.hllEstimate(regs, "win_start").orderBy(col("win_start"))
+    (out, dropped, evicted)
+  }
+
   /** The deployment spelling of `stream_latest_snapshot` for an
     * UNBOUNDED stream: a forever latest-row-per-key needs unbounded
     * state, so the CDC current-state view is scoped to
@@ -1800,6 +1859,41 @@ object StreamingQueries {
              |SELECT win_start, p_ppm, CAST(bucket AS INT) AS bucket, n,
              |  CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS upper_bound
              |FROM sel ORDER BY win_start, p_ppm""".stripMargin)),
+
+    // the state-EVICTING HLL distinct-count spelling for unbounded
+    // streams: per-(6 h window) distinct-user estimate from ≤1024
+    // max-registers per live window (watermark + update mode; late
+    // drop + eviction asserted in StatefulStreamingSpec) — bounded
+    // state where a streaming count_distinct would hold every key.
+    // Registers only grow, so the drained fold is max per (window,
+    // bucket); the estimate is sketch_hll_ndv's exact batch tail and
+    // the oracle reproduces it bit-for-bit over the on-time slice
+    Q(
+      "stream_ndv_watermark",
+      (s, dir) => watermarkNdv(s, dir)._1,
+      Some(s"""WITH v AS (
+             |  SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M') AS win_start,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+             |  FROM events WHERE ts >= TIMESTAMP '$WatermarkCutoff'),
+             |rb AS (
+             |  SELECT win_start, h >> 38 AS bucket,
+             |    CASE WHEN h % (1::BIGINT << 38) = 0 THEN 39
+             |      ELSE 39 - length(bin(h % (1::BIGINT << 38))) END AS rho
+             |  FROM v),
+             |regs AS (
+             |  SELECT win_start, bucket, MAX(rho) AS m FROM rb GROUP BY 1, 2),
+             |e AS (
+             |  SELECT win_start, COUNT(*) AS n_occ,
+             |    SUM(CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << m) AS DOUBLE)) AS s_occ
+             |  FROM regs GROUP BY 1),
+             |x AS (
+             |  SELECT win_start, CAST(1024 - n_occ AS DOUBLE) + s_occ AS sum_inv
+             |  FROM e)
+             |SELECT win_start,
+             |  CAST(FLOOR(CAST(0.7213 AS DOUBLE) /
+             |    (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE)) *
+             |    CAST(1048576.0 AS DOUBLE) / sum_inv) AS BIGINT) AS est_ndv
+             |FROM x ORDER BY win_start""".stripMargin)),
 
     // the state-EVICTING CDC current-state spelling for unbounded
     // streams: latest row per (6 h window x user) with watermark +

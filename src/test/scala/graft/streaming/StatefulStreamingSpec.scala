@@ -161,6 +161,28 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("update-mode windowed HLL register fold drops late and evicts state") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (out, dropped, evicted) =
+      graft.ops.StreamingQueries.watermarkNdv(spark, dir)
+    assert(dropped > 0L, "late slice was not dropped by the watermark")
+    assert(evicted > 0L, "no expired-window state rows were evicted")
+    // the drained register fold's estimate equals the one-shot batch
+    // sketch over the on-time slice — register maxes commute with any
+    // stream slicing, so this is an equality, not a tolerance
+    val got = out.collect().map(_.toSeq).toSet
+    val onTime = graft.ops.Relational.events(spark, dir)
+      .filter($"ts" >= "2024-01-15 00:00:00")
+      .select(date_format(window($"ts", "6 hours").getField("start"),
+        "yyyy-MM-dd HH:mm").as("win_start"), $"user_id")
+    val expect = graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllSketch(onTime, "win_start", "user_id"),
+        "win_start")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+  }
+
   test("update-mode daily drift monitor drops late rows and evicts state") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
