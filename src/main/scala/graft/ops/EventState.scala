@@ -194,6 +194,71 @@ object EventState {
         col("__best.__ma").as("mean_after_ppm"))
   }
 
+  /** Holt's linear-trend exponential smoothing per group (Holt 1957 /
+    * Winters 1960, the no-seasonality member) — the one-card forecast
+    * every operational dashboard wants on top of a daily aggregate:
+    * {{{
+    *   l_t = (α·y_t·10^6 + (10^6−α)·(l_{t−1} + b_{t−1})) DIV 10^6
+    *   b_t = (β·(l_t − l_{t−1}) + (10^6−β)·b_{t−1}) DIV 10^6
+    *   forecast(h) = l_T + h·b_T
+    * }}}
+    * with l₀ = y₀·10^6, b₀ = 0 — all BIGINT in ppm of a count unit,
+    * truncations in exactly this order (Spark `DIV` ≡ DuckDB `//`
+    * toward zero, negative trends included), so the recursive oracle
+    * reproduces every intermediate bit-for-bit. No float ever enters:
+    * the smoothing weights are ppm integers.
+    *
+    * The recurrence is inherently sequential per group, so it runs as
+    * ONE `aggregate()` fold over the group's ordered series — the
+    * input contract is an ALREADY-AGGREGATED calendar-bounded series
+    * (daily/hourly counts: ≤ a few thousand rows per group for a
+    * decade of days), the q_changepoint convention; never raw events.
+    * One partial-aggregated collect per group, one codegen'd fold, no
+    * window, no driver round-trips.
+    *
+    * Overflow: (10^6−α)·(l+b) needs |l| ≤ ~9·10^6·10^6 ppm — counts to
+    * ~9·10^6 per period at ppm scale; rescale the unit past that.
+    *
+    * @param horizons forecast steps emitted as `f<h>_ppm` columns
+    * @return (groupCol, n_periods, level_ppm, trend_ppm, f<h>_ppm…)
+    */
+  def holtLinear(daily: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, alphaPpm: Long = 300000L, betaPpm: Long = 200000L,
+      horizons: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000L,
+      s"alphaPpm must be in [0, 1000000], got $alphaPpm")
+    require(betaPpm >= 0 && betaPpm <= 1000000L,
+      s"betaPpm must be in [0, 1000000], got $betaPpm")
+    require(horizons.nonEmpty, "horizons must be non-empty")
+    val ia = 1000000L - alphaPpm
+    val ib = 1000000L - betaPpm
+    // l_t spelled once and substituted into the b_t line (a lambda
+    // cannot bind intermediates; the recompute is pure and codegen'd)
+    val lt = s"($alphaPpm * x.v * 1000000 + $ia * (acc.l + acc.b)) DIV 1000000"
+    val fold = s"""aggregate(
+      slice(__s, 2, size(__s) - 1),
+      named_struct('l', CAST(element_at(__s, 1).v * 1000000 AS BIGINT),
+                   'b', CAST(0 AS BIGINT)),
+      (acc, x) -> named_struct(
+        'l', CAST($lt AS BIGINT),
+        'b', CAST(($betaPpm * (($lt) - acc.l) + $ib * acc.b) DIV 1000000
+          AS BIGINT)))"""
+    val base = daily
+      .select(col(groupCol), struct(col(orderCol).as("o"),
+        col(valueCol).cast("long").as("v")).as("__e"))
+      .groupBy(col(groupCol))
+      // calendar-bounded collect (see scaladoc): sorts by the order
+      // key — one row per (group, period) by input contract
+      .agg(array_sort(collect_list(col("__e"))).as("__s"))
+      .select(col(groupCol), size(col("__s")).cast("long").as("n_periods"),
+        expr(fold).as("__hw"))
+    val fcols = horizons.map(h =>
+      (col("__hw.l") + lit(h.toLong) * col("__hw.b")).as(s"f${h}_ppm"))
+    base.select(Seq(col(groupCol), col("n_periods"),
+      col("__hw.l").as("level_ppm"), col("__hw.b").as("trend_ppm")) ++
+      fcols: _*)
+  }
+
   /** Time-weighted average per key over a LOCF timeline: each value
     * holds from its event until the next event, weighted by that
     * duration — the honest "average balance / average sensor reading"

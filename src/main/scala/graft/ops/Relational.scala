@@ -3597,6 +3597,53 @@ object Relational {
              |  score_ppm, mean_before_ppm, mean_after_ppm
              |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
+    // ---- Holt linear-trend forecast per event type over the same
+    //      calendar-bounded daily series: the sequential ppm
+    //      recurrence runs as ONE codegen'd aggregate() fold per type
+    //      (never raw events, no window, no driver loop); the oracle
+    //      replays the identical recurrence as a recursive CTE, so
+    //      every intermediate (level, trend) matches bit-for-bit.
+    //      NOT list_reduce: DuckDB v1.0.0 mis-folds chained struct
+    //      accumulators (measured: step-isolated 158400 vs chained
+    //      125280 on the same inputs), the recursive spelling is the
+    //      trustworthy one
+    Q(
+      "q_holt_forecast",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        EventState.holtLinear(daily, "event_type", "day", "n")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH RECURSIVE d0 AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |d AS MATERIALIZED (
+             |  SELECT event_type, n,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY day) AS BIGINT) AS i
+             |  FROM d0),
+             |hw AS (
+             |  SELECT event_type, i, CAST(n * 1000000 AS BIGINT) AS l,
+             |    CAST(0 AS BIGINT) AS b
+             |  FROM d WHERE i = 1
+             |  UNION ALL
+             |  SELECT d.event_type, d.i,
+             |    CAST((300000 * d.n * 1000000 + 700000 * (hw.l + hw.b)) // 1000000 AS BIGINT),
+             |    CAST((200000 * (((300000 * d.n * 1000000 + 700000 * (hw.l + hw.b)) // 1000000) - hw.l)
+             |      + 800000 * hw.b) // 1000000 AS BIGINT)
+             |  FROM hw JOIN d ON d.event_type = hw.event_type AND d.i = hw.i + 1),
+             |fin AS (
+             |  SELECT hw.*, ROW_NUMBER() OVER (PARTITION BY event_type
+             |    ORDER BY i DESC) AS rn
+             |  FROM hw)
+             |SELECT event_type, i AS n_periods, l AS level_ppm, b AS trend_ppm,
+             |  CAST(l + 1 * b AS BIGINT) AS f1_ppm,
+             |  CAST(l + 7 * b AS BIGINT) AS f7_ppm
+             |FROM fin WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     // ---- time-weighted average value per user over the LOCF timeline
     //      (irregular observations weighted by how long they held);
     //      deci-unit quantization, floor division spelled identically

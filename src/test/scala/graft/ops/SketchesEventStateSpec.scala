@@ -165,4 +165,31 @@ class SketchesEventStateSpec extends SparkTestBase {
       .toMap
     assert(r === Map(1L -> ((2L, 17L)), 3L -> ((2L, -7L))))
   }
+
+  test("holtLinear matches the hand-unrolled ppm recurrence") {
+    // g=a, y = 5, 6, 7 (α=0.3, β=0.2 ppm):
+    //   l0=5000000 b0=0
+    //   l1=(3e5·6e6+7e5·5e6)//1e6=5300000, b1=2e5·300000//1e6=60000
+    //   l2=(3e5·7e6+7e5·5360000)//1e6=5852000
+    //   b2=(2e5·552000+8e5·60000)//1e6=158400
+    // g=b, y = 10, 4, 7 — a DECREASING start, so the trend goes
+    // negative and the toward-zero truncation is exercised:
+    //   l1=8200000 b1=-360000; l2=7588000 b2=-410400
+    val df = Seq(("a", 1, 5L), ("a", 2, 6L), ("a", 3, 7L),
+      ("b", 1, 10L), ("b", 2, 4L), ("b", 3, 7L))
+      .toDF("g", "d", "n")
+    val r = EventState.holtLinear(df, "g", "d", "n")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5)))).toMap
+    assert(r("a") === ((3L, 5852000L, 158400L,
+      5852000L + 158400L, 5852000L + 7L * 158400L)))
+    assert(r("b") === ((3L, 7588000L, -410400L,
+      7588000L - 410400L, 7588000L - 7L * 410400L)))
+    // a one-period group is the init state: level = y0 ppm, no trend
+    val one = EventState.holtLinear(Seq(("c", 1, 9L)).toDF("g", "d", "n"),
+      "g", "d", "n").collect()
+    assert(one.map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).toSeq ===
+      Seq((1L, 9000000L, 0L)))
+  }
 }
