@@ -266,8 +266,11 @@ object Graph {
     * compact longs (groupBy(dst) for authorities, groupBy(src) for
     * hubs) over the once-checkpointed edge list, plus two 1-ROW max
     * aggregates broadcast back as bounded-by-construction nested-loop
-    * joins (the [[pageRankDangling]] dangling-mass pattern). Score
-    * lineage is cut every `checkpointEvery` rounds. Nothing reaches
+    * joins (the [[pageRankDangling]] dangling-mass pattern). Each raw
+    * score table is materialized per round — it feeds two consumers
+    * (the max and the score join), so the [[distanceDistribution]]
+    * every-round checkpoint convention applies, and plan depth stays
+    * constant at any iteration count. Nothing reaches
     * the driver. Overflow bound: values are ≤ 10^6 and raw sums are
     * ≤ maxDegree·10^6, so the renormalization product needs
     * maxDegree·10^12 < 2^63 — safe to per-node degrees of ~9·10^6;
@@ -281,8 +284,7 @@ object Graph {
     *              edges count twice (pre-distinct if that's not wanted)
     * @return (node, hub_ppm, auth_ppm) for EVERY node of the graph
     */
-  def hits(edges: DataFrame, iters: Int = 3,
-      checkpointEvery: Int = 2): DataFrame = {
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint(true)
@@ -291,9 +293,14 @@ object Graph {
       .distinct().localCheckpoint(true)
     var h = nodes.withColumn("hub_ppm", lit(1000000L))
     var a: DataFrame = null
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
+      // each raw-score table has TWO consumers (the 1-row max and the
+      // score join), so it is materialized every round — the
+      // distanceDistribution convention; #nodes-bounded rows, and the
+      // materialization also keeps plan depth constant per round
       val araw = e.join(h, e("src") === h("node"))
         .groupBy(col("dst")).agg(sum(col("hub_ppm")).as("__s"))
+        .localCheckpoint(true)
       val amax = araw.agg(max(col("__s")).as("__m"))
       a = nodes.join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(amax))
@@ -301,14 +308,12 @@ object Graph {
           expr("coalesce(__s, 0L) * 1000000L DIV __m").as("auth_ppm"))
       val hraw = e.join(a, e("dst") === a("node"))
         .groupBy(col("src")).agg(sum(col("auth_ppm")).as("__s"))
+        .localCheckpoint(true)
       val hmax = hraw.agg(max(col("__s")).as("__m"))
       h = nodes.join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
         .crossJoin(broadcast(hmax))
         .select(col("node"),
           expr("coalesce(__s, 0L) * 1000000L DIV __m").as("hub_ppm"))
-      if (i % checkpointEvery == 0 && i < iters) {
-        h = h.localCheckpoint(true); a = a.localCheckpoint(true)
-      }
     }
     h.join(a, "node")
   }

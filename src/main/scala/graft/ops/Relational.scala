@@ -1980,7 +1980,7 @@ object Relational {
         // (auth, hub) ≤ (10^6, 10^6) pack into auth·2^21 + hub ≤ 2^41:
         // exact in the aggregate's double score, ties → smaller node —
         // the oracle's ORDER BY a.r DESC, h.r DESC, node
-        Graph.hits(e, iters = 3, checkpointEvery = 3)
+        Graph.hits(e, iters = 3)
           .agg(graft.functions.TopKByScore.top_k_by_score(
             (col("auth_ppm") * 2097152L + col("hub_ppm")).cast("double"),
             col("node"), 30).as("top"))
