@@ -1316,10 +1316,17 @@ object Corpus {
     * that id list (map-only filter of the ≤k picked ids, top
     * sampleSize by hash — never a global sort materialization, never
     * a per-round re-distinct of the residual), its ids broadcast as a
-    * LIMIT-bounded set into the residual semi-join; everything else
-    * is [[coverageMaxSelect]]'s residual maintenance (one
-    * partial-aggregated count, a 1-row argmax collect, an anti-join
-    * against only the picked doc's tokens).
+    * LIMIT-bounded set into the feature semi-join. Unlike
+    * [[coverageMaxSelect]], the residual is NEVER rewritten: because
+    * scoring touches only the sampled docs' rows, the accumulated
+    * COVERED-token set (≤ k picked docs' tokens — bounded, broadcast,
+    * materialized per round at its tiny size) restricts the gain count
+    * as one map-side anti-join over the once-checkpointed feature
+    * table. Per round: one broadcast-pruned scan, a 1-row argmax
+    * collect, zero residual materializations. At the test fixture the
+    * win is modest (~10%, round scheduling dominates); at scale it is
+    * the difference between rewriting a TB-sized residual k times and
+    * never rewriting it at all.
     *
     * @return (rank 1..k, doc, gain)
     */
@@ -1341,7 +1348,8 @@ object Corpus {
     // is a map-only filter of the ≤k picked ids, not a re-distinct of
     // the shrinking residual
     val docIds = feats.select(col("doc")).distinct().localCheckpoint(true)
-    var remaining = feats
+    // covered tokens of the picked set so far: k·|doc| bounded
+    var covered: Option[DataFrame] = None
     var picked = Vector.empty[(Long, Long)]
     for (t <- 1 to k) {
       // the round's candidate pool: sampleSize not-yet-picked docs,
@@ -1355,8 +1363,10 @@ object Corpus {
               .cast("binary")), 1, 14), 16, 10).cast("long"),
           col("doc"))
         .limit(sampleSize)
-      val top = remaining
-        .join(broadcast(cand), Seq("doc"), "left_semi")
+      val pool = feats.join(broadcast(cand), Seq("doc"), "left_semi")
+      val uncov = covered.fold(pool)(cov =>
+        pool.join(broadcast(cov), Seq("tok"), "left_anti"))
+      val top = uncov
         .groupBy(col("doc")).agg(count(lit(1)).as("g"))
         .agg(max_by(struct(col("doc"), col("g")),
           struct(col("g"), -col("doc"))).as("w"))
@@ -1367,11 +1377,9 @@ object Corpus {
       val (d, g) = (top(0).getLong(0), top(0).getLong(1))
       picked = picked :+ (d, g)
       if (t < k) {
-        val dToks = remaining.filter(col("doc") === d)
-          .select(col("tok")).distinct()
-        remaining = remaining.filter(col("doc") =!= d)
-          .join(broadcast(dToks), Seq("tok"), "left_anti")
-          .localCheckpoint(true)
+        val dToks = feats.filter(col("doc") === d).select(col("tok"))
+        covered = Some(covered.fold(dToks)(_ unionByName dToks)
+          .distinct().localCheckpoint(true))
       }
     }
     import spark.implicits._
