@@ -3597,6 +3597,47 @@ object Relational {
              |  score_ppm, mean_before_ppm, mean_after_ppm
              |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
+    // ---- Benford first-digit screen over order totals (the classic
+    //      forensic-accounting audit: natural multiplicative amounts
+    //      follow P(d) = log10(1 + 1/d); synthetic/fabricated amounts
+    //      don't — this fixture's uniform prices FAIL the law, which
+    //      is exactly what the screen exists to surface). Expected
+    //      ppm shares are driver-computed literals (no log in either
+    //      engine); digit = leading char of the cent total, observed
+    //      share integer-DIV'd against the 1-row broadcast count
+    Q(
+      "q_benford",
+      (s, dir) => {
+        val benford = Seq(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+          4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
+          8 -> 51152L, 9 -> 45757L)
+        val expCol = element_at(
+          map(benford.flatMap { case (d, p) =>
+            Seq(lit(d), lit(p)) }: _*), col("digit"))
+        val d = table(s, dir, "orders")
+          .select(substring(expr(
+            "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING)"),
+            1, 1).cast("int").as("digit"))
+        val g = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = g.agg(sum(col("n")).as("__total"))
+        g.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("n * 1000000 DIV __total").as("obs_ppm"),
+            expCol.as("exp_ppm"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM orders),
+             |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+             |SELECT digit, n, CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+             |  CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+             |    WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+             |    WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+             |    WHEN 9 THEN 45757 END AS BIGINT) AS exp_ppm
+             |FROM g, t ORDER BY digit""".stripMargin)),
+
     // ---- Holt linear-trend forecast per event type over the same
     //      calendar-bounded daily series: the sequential ppm
     //      recurrence runs as ONE codegen'd aggregate() fold per type

@@ -74,7 +74,11 @@ class PlanLintSpec extends SparkTestBase {
     // SINGLE-ROW grand-total aggregate broadcast onto the per-part
     // values for the cross-multiplied 0.1%-share filter — bounded by
     // construction (global aggregate; Q11 registry comment)
-    "q11_important_parts")
+    "q11_important_parts",
+    // SINGLE-ROW order-count aggregate broadcast onto the ≤9-row
+    // digit census for the observed-share division — bounded by
+    // construction (global aggregate; q_benford registry comment)
+    "q_benford")
 
   // ANN contract: the corpus stays partitioned and the QUERY BATCH is
   // broadcast — bounded by the caller, not by the plan shape.
