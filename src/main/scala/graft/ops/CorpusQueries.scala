@@ -984,6 +984,95 @@ object CorpusQueries {
              |) nd USING (lang)
              |ORDER BY lang""".stripMargin)),
 
+    // cross-group overlap by sketch inclusion-exclusion: per language
+    // pair, |A∩B| ≈ est(A) + est(B) − est(A∪B) where the union sketch
+    // is the register-wise max — the contamination/overlap profile a
+    // 100 TB pipeline reads from STORED kilobyte register artifacts
+    // without rescanning or joining the item sets; exact intersection
+    // rides as the test-scale calibration column (the hllDistinct
+    // convention), and the raw inclusion-exclusion value is returned
+    // unclamped so the calibration tells the truth
+    Q(
+      "sketch_overlap",
+      (s, dir) => {
+        val t = table(s, dir, "documents")
+          .select(col("lang"), TextFunctions.tokens(col("text")).as("__ws"))
+          .select(col("lang"),
+            explode(TextFunctions.shinglesFromTokens(col("__ws"), 5))
+              .as("shingle"))
+        Sketches.hllOverlap(t, "lang", "shingle")
+          .orderBy(col("ga"), col("gb"))
+      },
+      Some(s"""WITH stoks AS (
+             |  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS ws
+             |  FROM documents),
+             |shd AS (
+             |  SELECT lang,
+             |    list_distinct(list_transform(range(1, len(ws) - 3),
+             |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingles
+             |  FROM stoks WHERE len(ws) >= 5),
+             |t AS MATERIALIZED (SELECT lang, unnest(shingles) AS shingle FROM shd),
+             |hx AS (
+             |  SELECT lang, shingle,
+             |    ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h
+             |  FROM t),
+             |rb AS (
+             |  SELECT lang, h >> 38 AS bucket,
+             |    CASE WHEN h % (1::BIGINT << 38) = 0 THEN 39
+             |      ELSE 39 - length(bin(h % (1::BIGINT << 38))) END AS rho
+             |  FROM hx),
+             |regs AS MATERIALIZED (
+             |  SELECT lang, bucket, MAX(rho) AS m FROM rb GROUP BY 1, 2),
+             |langs AS MATERIALIZED (SELECT DISTINCT lang FROM regs),
+             |pairs AS MATERIALIZED (
+             |  SELECT a.lang AS ga, b.lang AS gb
+             |  FROM langs a JOIN langs b ON a.lang < b.lang),
+             |eg AS MATERIALIZED (
+             |  SELECT lang,
+             |    CAST(FLOOR(CAST(0.7213 AS DOUBLE) /
+             |      (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE)) *
+             |      CAST(1048576.0 AS DOUBLE) / sum_inv) AS BIGINT) AS e
+             |  FROM (
+             |    SELECT lang, CAST(1024 - COUNT(*) AS DOUBLE) +
+             |      SUM(CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << m) AS DOUBLE)) AS sum_inv
+             |    FROM regs GROUP BY 1) s0),
+             |ur AS (
+             |  SELECT ga, gb, bucket, MAX(m) AS m FROM (
+             |    SELECT p.ga, p.gb, r.bucket, r.m
+             |    FROM pairs p JOIN regs r ON r.lang = p.ga
+             |    UNION ALL
+             |    SELECT p.ga, p.gb, r.bucket, r.m
+             |    FROM pairs p JOIN regs r ON r.lang = p.gb) u
+             |  GROUP BY 1, 2, 3),
+             |eu AS MATERIALIZED (
+             |  SELECT ga, gb,
+             |    CAST(FLOOR(CAST(0.7213 AS DOUBLE) /
+             |      (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE)) *
+             |      CAST(1048576.0 AS DOUBLE) / sum_inv) AS BIGINT) AS e
+             |  FROM (
+             |    SELECT ga, gb, CAST(1024 - COUNT(*) AS DOUBLE) +
+             |      SUM(CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << m) AS DOUBLE)) AS sum_inv
+             |    FROM ur GROUP BY 1, 2) s1),
+             |it AS MATERIALIZED (
+             |  SELECT DISTINCT lang,
+             |    ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS i
+             |  FROM t),
+             |ex AS MATERIALIZED (
+             |  SELECT x.lang AS ga, y.lang AS gb,
+             |    CAST(COUNT(*) AS BIGINT) AS exact_overlap
+             |  FROM it x JOIN it y ON x.i = y.i AND x.lang < y.lang
+             |  GROUP BY 1, 2)
+             |SELECT p.ga, p.gb, ea.e AS est_a, eb.e AS est_b,
+             |  eu.e AS est_union,
+             |  CAST(ea.e + eb.e - eu.e AS BIGINT) AS est_overlap,
+             |  COALESCE(ex.exact_overlap, 0) AS exact_overlap
+             |FROM pairs p
+             |JOIN eg ea ON ea.lang = p.ga
+             |JOIN eg eb ON eb.lang = p.gb
+             |JOIN eu ON eu.ga = p.ga AND eu.gb = p.gb
+             |LEFT JOIN ex ON ex.ga = p.ga AND ex.gb = p.gb
+             |ORDER BY p.ga, p.gb""".stripMargin)),
+
     // deterministic count-min sketch: estimated counts of the true
     // top-10 tokens from a 4×1024-cell counter table — est >= true by
     // construction, and the oracle pins the exact cell values, so the

@@ -111,6 +111,81 @@ object Sketches {
         floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)) *
             lit(1048576.0) / col("sum_inv")).cast("long").as("est_ndv"))
 
+  /** Pairwise cross-group OVERLAP estimates by sketch
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
+    * union sketch the register-wise max ([[hllMerge]]'s exactness: the
+    * union registers equal the concatenated input's bit-for-bit). The
+    * 100 TB read: per-source/per-snapshot sketches are kilobyte
+    * artifacts, so cross-corpus contamination/overlap profiles come
+    * from stored registers without ever rescanning or joining the
+    * item sets. The raw estimator's regime caveat applies doubly (a
+    * difference of estimates); the exact-overlap column is the
+    * test-scale calibration, dropped at deployment like
+    * [[hllDistinct]]'s.
+    *
+    * Shape: one sketch pass (the [[hllDistinct]] shuffle), a BOUNDED
+    * driver collect of the group names (#groups — the kmeans-centroid
+    * collect contract; pairs become a LocalRelation, so no cartesian
+    * ever enters the plan), two equi-joins fanning registers to
+    * #pairs × 1024 rows, and one distinct-pair equi-join on the item
+    * hash for the calibration column.
+    *
+    * `est_overlap` is the raw inclusion–exclusion value and may be
+    * negative at small true overlaps — returned unclamped so the
+    * calibration column tells the truth about the estimator.
+    *
+    * @return (ga, gb, est_a, est_b, est_union, est_overlap,
+    *         exact_overlap) for every unordered group pair, ga < gb
+    */
+  def hllOverlap(items: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val regs = hllSketch(items, groupCol, itemCol).localCheckpoint(true)
+    val est = hllEstimate(regs, groupCol)
+    // bounded collect: #groups rows (sources/langs/snapshots)
+    val gs = regs.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    // '|' is the pair-key separator; a group name containing it would
+    // silently mis-split after the union estimate
+    gs.foreach(g => require(!g.contains("|"),
+      s"hllOverlap: group name '$g' contains the reserved separator '|'"))
+    val pairsDf = (for { a <- gs; b <- gs if a < b } yield (a, b))
+      .toSeq.toDF("ga", "gb")
+    val ra = pairsDf.join(regs.withColumnRenamed(groupCol, "ga"), "ga")
+    val rb = pairsDf.join(regs.withColumnRenamed(groupCol, "gb"), "gb")
+    val estU = hllEstimate(
+      ra.unionByName(rb)
+        .groupBy(col("ga"), col("gb"), col("bucket"))
+        .agg(max(col("m")).as("m"))
+        .withColumn("__k", concat_ws("|", col("ga"), col("gb"))),
+      "__k")
+      .select(split(col("__k"), "\\|").getItem(0).as("ga"),
+        split(col("__k"), "\\|").getItem(1).as("gb"),
+        col("est_ndv").as("est_union"))
+    val itemsKeyed = items
+      .select(col(groupCol).cast("string").as("g"),
+        conv(substring(md5(col(itemCol).cast("string").cast("binary")),
+          1, 14), 16, 10).cast("long").as("it"))
+      .distinct()
+    val exact = itemsKeyed.as("x")
+      .join(itemsKeyed.as("y"), col("x.it") === col("y.it"))
+      .filter(col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    pairsDf
+      .join(est.select(col(groupCol).cast("string").as("ga"),
+        col("est_ndv").as("est_a")), "ga")
+      .join(est.select(col(groupCol).cast("string").as("gb"),
+        col("est_ndv").as("est_b")), "gb")
+      .join(estU, Seq("ga", "gb"))
+      .join(exact, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+  }
+
   private val CmsDepth = 4
   private val CmsWidth = 1024
 
