@@ -1212,6 +1212,96 @@ object CorpusQueries {
            |FROM w GROUP BY 1 ORDER BY shard""".stripMargin
       }),
 
+    // ORC roundtrip gate: the corpus written as ORC (Spark's second
+    // native columnar format) and read back — the per-lang census
+    // re-derives doc/char counts AND an order-pinned md5 of every
+    // text byte from the round-tripped rows, so a type coercion, a
+    // dropped row, or any mangled character in the ORC writer/reader
+    // path breaks the hash. Proves the engine's source layer is not
+    // parquet-bound; the oracle computes the same census from the
+    // parquet truth
+    Q(
+      "corpus_orc_roundtrip",
+      (s, dir) => {
+        val out = "/tmp/graft_orc_" + new java.io.File(dir).getName +
+          "_pid" + java.lang.ProcessHandle.current().pid()
+        table(s, dir, "documents").write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")),
+              "\n\n").cast("binary")).as("packed_md5"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             |  md5(STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id)) AS packed_md5
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // CSV ingest with a corrupt-record quarantine (the malformed-data
+    // reality of 100 TB file drops): the corpus round-trips through
+    // Spark's quoting CSV writer, a staged drop-file adds
+    // deterministically malformed lines (non-numeric id), and the
+    // PERMISSIVE read routes them into _corrupt_record — admitted
+    // rows re-derive the same byte-pinned census as the ORC gate,
+    // quarantined raw lines land in their own order-pinned digest
+    // row, so both the parser's accept AND reject paths are gated
+    Q(
+      "corpus_csv_ingest_quarantine",
+      (s, dir) => {
+        import org.apache.spark.sql.types.StringType
+        val base = "/tmp/graft_csv_" + new java.io.File(dir).getName +
+          "_pid" + java.lang.ProcessHandle.current().pid()
+        val docs = table(s, dir, "documents")
+        docs.write.option("header", "true").mode("overwrite")
+          .csv(s"$base/good")
+        val badLines = (1 to 7).map(i => s"notanumber$i,text $i,xx,drop,$i")
+        // first line poses as the header (header=true skips one line
+        // PER FILE); the rest must quarantine
+        s.createDataset("doc_id,text,lang,source,n_chars" +: badLines)(
+            org.apache.spark.sql.Encoders.STRING)
+          .coalesce(1).write.mode("overwrite").text(s"$base/bad")
+        val back = s.read
+          .schema(docs.schema.add("_corrupt_record", StringType))
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(s"$base/good", s"$base/bad")
+          .localCheckpoint(true)
+        val admitted = back.filter(col("_corrupt_record").isNull)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")),
+              "\n\n").cast("binary")).as("packed_md5"))
+        val quarantined = back.filter(col("_corrupt_record").isNotNull)
+          .agg(count(lit(1)).as("n_docs"), lit(0L).as("n_chars"),
+            md5(array_join(array_sort(collect_list(col("_corrupt_record"))),
+              "\n").cast("binary")).as("packed_md5"))
+          .select(lit("zz_quarantine").as("lang"), col("n_docs"),
+            col("n_chars"), col("packed_md5"))
+        admitted.unionByName(quarantined).orderBy(col("lang"))
+      },
+      Some {
+        val badLines = (1 to 7).map(i => s"notanumber$i,text $i,xx,drop,$i")
+        val badList = badLines.map(l => s"'$l'").mkString("[", ", ", "]")
+        s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |  md5(STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id)) AS packed_md5
+           |FROM documents GROUP BY lang
+           |UNION ALL
+           |SELECT 'zz_quarantine', ${badLines.size},
+           |  0, md5(list_aggregate(list_sort($badList), 'string_agg', chr(10)))
+           |ORDER BY lang""".stripMargin
+      }),
+
     // incremental manifest refresh: the digest diff marks affected
     // shards, ONLY those re-aggregate over the new snapshot, untouched
     // shards carry their stored manifest rows forward — and the result
