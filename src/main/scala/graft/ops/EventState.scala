@@ -208,6 +208,12 @@ object EventState {
     * reproduces every intermediate bit-for-bit. No float ever enters:
     * the smoothing weights are ppm integers.
     *
+    * The fold also carries the one-step BACKTEST: before consuming
+    * y_t it charges `|y_t·10^6 − (l_{t−1} + b_{t−1})|` — the error of
+    * the forecast the model would have issued — and reports the mean
+    * as `backtest_mae_ppm` (NULL for single-period groups), so every
+    * forecast ships with its own honesty metric.
+    *
     * The recurrence is inherently sequential per group, so it runs as
     * ONE `aggregate()` fold over the group's ordered series — the
     * input contract is an ALREADY-AGGREGATED calendar-bounded series
@@ -238,11 +244,12 @@ object EventState {
     val fold = s"""aggregate(
       slice(__s, 2, size(__s) - 1),
       named_struct('l', CAST(element_at(__s, 1).v * 1000000 AS BIGINT),
-                   'b', CAST(0 AS BIGINT)),
+                   'b', CAST(0 AS BIGINT), 'e', CAST(0 AS BIGINT)),
       (acc, x) -> named_struct(
         'l', CAST($lt AS BIGINT),
         'b', CAST(($betaPpm * (($lt) - acc.l) + $ib * acc.b) DIV 1000000
-          AS BIGINT)))"""
+          AS BIGINT),
+        'e', CAST(acc.e + abs(x.v * 1000000 - (acc.l + acc.b)) AS BIGINT)))"""
     val base = daily
       .select(col(groupCol), struct(col(orderCol).as("o"),
         col(valueCol).cast("long").as("v")).as("__e"))
@@ -256,7 +263,10 @@ object EventState {
       (col("__hw.l") + lit(h.toLong) * col("__hw.b")).as(s"f${h}_ppm"))
     base.select(Seq(col(groupCol), col("n_periods"),
       col("__hw.l").as("level_ppm"), col("__hw.b").as("trend_ppm")) ++
-      fcols: _*)
+      fcols :+
+      when(col("n_periods") === 1L, lit(null).cast("long"))
+        .otherwise(expr("__hw.e DIV (n_periods - 1)"))
+        .as("backtest_mae_ppm"): _*)
   }
 
   /** Time-weighted average per key over a LOCF timeline: each value

@@ -3668,13 +3668,14 @@ object Relational {
              |  FROM d0),
              |hw AS (
              |  SELECT event_type, i, CAST(n * 1000000 AS BIGINT) AS l,
-             |    CAST(0 AS BIGINT) AS b
+             |    CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS e
              |  FROM d WHERE i = 1
              |  UNION ALL
              |  SELECT d.event_type, d.i,
              |    CAST((300000 * d.n * 1000000 + 700000 * (hw.l + hw.b)) // 1000000 AS BIGINT),
              |    CAST((200000 * (((300000 * d.n * 1000000 + 700000 * (hw.l + hw.b)) // 1000000) - hw.l)
-             |      + 800000 * hw.b) // 1000000 AS BIGINT)
+             |      + 800000 * hw.b) // 1000000 AS BIGINT),
+             |    CAST(hw.e + abs(d.n * 1000000 - (hw.l + hw.b)) AS BIGINT)
              |  FROM hw JOIN d ON d.event_type = hw.event_type AND d.i = hw.i + 1),
              |fin AS (
              |  SELECT hw.*, ROW_NUMBER() OVER (PARTITION BY event_type
@@ -3682,7 +3683,9 @@ object Relational {
              |  FROM hw)
              |SELECT event_type, i AS n_periods, l AS level_ppm, b AS trend_ppm,
              |  CAST(l + 1 * b AS BIGINT) AS f1_ppm,
-             |  CAST(l + 7 * b AS BIGINT) AS f7_ppm
+             |  CAST(l + 7 * b AS BIGINT) AS f7_ppm,
+             |  CASE WHEN i = 1 THEN NULL
+             |    ELSE CAST(e // (i - 1) AS BIGINT) END AS backtest_mae_ppm
              |FROM fin WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
     // ---- time-weighted average value per user over the LOCF timeline

@@ -181,15 +181,19 @@ class SketchesEventStateSpec extends SparkTestBase {
     val r = EventState.holtLinear(df, "g", "d", "n")
       .collect().map(x => x.getString(0) ->
         ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
-          x.getLong(5)))).toMap
+          x.getLong(5), x.getLong(6)))).toMap
+    // backtest: charged BEFORE consuming each y_t against (l+b):
+    //   a: |6e6-5e6| + |7e6-5360000| = 1000000 + 1640000 -> mae 1320000
+    //   b: |4e6-10e6| + |7e6-7840000| = 6000000 + 840000 -> mae 3420000
     assert(r("a") === ((3L, 5852000L, 158400L,
-      5852000L + 158400L, 5852000L + 7L * 158400L)))
+      5852000L + 158400L, 5852000L + 7L * 158400L, 1320000L)))
     assert(r("b") === ((3L, 7588000L, -410400L,
-      7588000L - 410400L, 7588000L - 7L * 410400L)))
-    // a one-period group is the init state: level = y0 ppm, no trend
+      7588000L - 410400L, 7588000L - 7L * 410400L, 3420000L)))
+    // a one-period group is the init state: level = y0 ppm, no trend,
+    // and no backtest to report (NULL, not a zero that fakes accuracy)
     val one = EventState.holtLinear(Seq(("c", 1, 9L)).toDF("g", "d", "n"),
       "g", "d", "n").collect()
-    assert(one.map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).toSeq ===
-      Seq((1L, 9000000L, 0L)))
+    assert(one.map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+      x.isNullAt(6))).toSeq === Seq((1L, 9000000L, 0L, true)))
   }
 }
