@@ -984,6 +984,60 @@ object CorpusQueries {
              |) nd USING (lang)
              |ORDER BY lang""".stripMargin)),
 
+    // the sketch STORE lifecycle gated end to end (the incremental-ANN
+    // artifact convention): per-language register tables persisted as
+    // parquet artifacts, read back, and register-max-merged into ONE
+    // global distinct-shingle estimate — hllMerge's exactness means
+    // the stored-artifact rollup must BIT-EQUAL the one-shot global
+    // sketch the oracle computes, so any artifact write/read/merge
+    // drift (a lost register, a type coercion) breaks the hash. This
+    // is the 100 TB deployment shape: per-shard/day sketches
+    // persisted at kilobytes, profiles rolled up without rescanning
+    Q(
+      "sketch_hll_store_merge",
+      (s, dir) => {
+        val base = "/tmp/graft_hllstore_" + new java.io.File(dir).getName +
+          "_pid" + java.lang.ProcessHandle.current().pid()
+        val t = table(s, dir, "documents")
+          .select(col("lang"), TextFunctions.tokens(col("text")).as("__ws"))
+          .select(col("lang"),
+            explode(TextFunctions.shinglesFromTokens(col("__ws"), 5))
+              .as("shingle"))
+        Sketches.hllSketch(t, "lang", "shingle")
+          .write.mode("overwrite").partitionBy("lang").parquet(base)
+        val stored = s.read.parquet(base)
+          .withColumn("corpus", lit("all"))
+        Sketches.hllEstimate(
+          Sketches.hllMerge(Seq(stored), "corpus"), "corpus")
+      },
+      Some("""WITH stoks AS (
+             |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws
+             |  FROM documents),
+             |shd AS (
+             |  SELECT list_distinct(list_transform(range(1, len(ws) - 3),
+             |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingles
+             |  FROM stoks WHERE len(ws) >= 5),
+             |t AS (SELECT unnest(shingles) AS shingle FROM shd),
+             |hx AS (
+             |  SELECT shingle, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h
+             |  FROM t),
+             |rb AS (
+             |  SELECT h >> 38 AS bucket,
+             |    CASE WHEN h % (1::BIGINT << 38) = 0 THEN 39
+             |      ELSE 39 - length(bin(h % (1::BIGINT << 38))) END AS rho
+             |  FROM hx),
+             |regs AS (SELECT bucket, MAX(rho) AS m FROM rb GROUP BY 1),
+             |e AS (
+             |  SELECT COUNT(*) AS n_occ,
+             |    SUM(CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << m) AS DOUBLE)) AS s_occ
+             |  FROM regs)
+             |SELECT 'all' AS corpus,
+             |  CAST(FLOOR(CAST(0.7213 AS DOUBLE) /
+             |    (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE)) *
+             |    CAST(1048576.0 AS DOUBLE) /
+             |    (CAST(1024 - n_occ AS DOUBLE) + s_occ)) AS BIGINT) AS est_ndv
+             |FROM e""".stripMargin)),
+
     // cross-group overlap by sketch inclusion-exclusion: per language
     // pair, |A∩B| ≈ est(A) + est(B) − est(A∪B) where the union sketch
     // is the register-wise max — the contamination/overlap profile a
