@@ -1525,7 +1525,12 @@ object CorpusQueries {
              |  SELECT doc_id,
              |    list_filter(lines, l -> NOT list_contains(f, l)) AS k
              |  FROM lined, fl)
-             |SELECT doc_id, md5(array_to_string(k, chr(10))) AS clean_md5,
+             |-- COALESCE: array_to_string([]) is NULL in DuckDB, but a
+             |-- fully-dropped document's cleaned text IS the empty
+             |-- string (surfaced by the sf0.001 corpus, where short
+             |-- docs can lose every line)
+             |SELECT doc_id,
+             |  md5(COALESCE(array_to_string(k, chr(10)), '')) AS clean_md5,
              |  CAST(len(k) AS BIGINT) AS kept_lines
              |FROM kept ORDER BY doc_id""".stripMargin)),
 

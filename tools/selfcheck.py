@@ -22,7 +22,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: decimals -> float via str to preserve exactness check
     for c in df.columns:
-        df[c] = df[c].map(lambda v: str(v) if v is not None else "NULL")
+        # astype(object): an EMPTY column keeps its raw dtype through
+        # map, and DataFrame.equals is dtype-sensitive — a 0-row result
+        # would "differ" on float64-vs-object with no cell differing
+        df[c] = df[c].map(lambda v: str(v) if v is not None else "NULL") \
+            .astype(object)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
@@ -67,9 +71,10 @@ def main():
         if not a.equals(b):
             diff = (a != b).any(axis=1)
             print(f"FAIL {name}: {int(diff.sum())}/{len(a)} rows differ; first:")
-            idx = diff.idxmax()
-            print("  spark:", a.iloc[idx].to_dict())
-            print("  duck :", b.iloc[idx].to_dict())
+            if len(a):
+                idx = diff.idxmax()
+                print("  spark:", a.iloc[idx].to_dict())
+                print("  duck :", b.iloc[idx].to_dict())
             n_fail += 1
             continue
         print(f"PASS {name} ({len(a)} rows)")
