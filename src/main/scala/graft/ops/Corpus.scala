@@ -268,14 +268,11 @@ object Corpus {
   def applyCompaction(df: DataFrame, idCol: String, textCol: String,
       nShards: Int, targetTokens: Long, outDir: String): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val h = conv(substring(
-      md5(col(idCol).cast("string").cast("binary")), 1, 14), 16, 10)
-      .cast("long")
     val route = compactionAssign(
         shardManifest(df, idCol, textCol, nShards),
         "shard", "n_tokens", targetTokens)
       .select(col("shard"), col("out_id"))
-    df.withColumn("shard", (h % nShards).cast("int"))
+    df.withColumn("shard", shardOf(col(idCol), nShards))
       .join(broadcast(route), Seq("shard"))
       .write.mode("overwrite").partitionBy("out_id").parquet(outDir)
     val back = df.sparkSession.read.parquet(outDir)
@@ -300,14 +297,20 @@ object Corpus {
     * counterpart is `df.withColumn("shard", …).write.partitionBy
     * ("shard")`; this query IS its manifest.
     */
+  /** The one shard-routing hash: `md5(id) mod nShards` as an int column.
+    * [[shardManifest]] builds the plan from it and [[applyCompaction]]
+    * routes documents by it — a single definition so the two can never
+    * diverge (a drift would route by one hash while planning by the
+    * other, caught only at gate time).
+    * 14 hex chars < 2^56: non-negative in a long, so `%` == pmod. */
+  private[graft] def shardOf(idCol: Column, nShards: Int): Column =
+    (conv(substring(md5(idCol.cast("string").cast("binary")), 1, 14), 16, 10)
+      .cast("long") % nShards).cast("int")
+
   def shardManifest(df: DataFrame, idCol: String, textCol: String,
       nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    // 14 hex chars < 2^56: non-negative in a long, so `%` == pmod
-    val h = conv(substring(
-      md5(col(idCol).cast("string").cast("binary")), 1, 14), 16, 10)
-      .cast("long")
-    df.select((h % nShards).cast("int").as("shard"), col(idCol).as("__id"),
+    df.select(shardOf(col(idCol), nShards).as("shard"), col(idCol).as("__id"),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("__toks"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"),
@@ -329,16 +332,13 @@ object Corpus {
       newDf: DataFrame, idCol: String, textCol: String,
       nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val h = conv(substring(
-      md5(col(idCol).cast("string").cast("binary")), 1, 14), 16, 10)
-      .cast("long")
     val affected = snapshotDiff(oldDf, newDf, idCol, textCol)
       .filter(col("status") =!= "unchanged")
-      .select((h % nShards).cast("int").as("shard"))
+      .select(shardOf(col(idCol), nShards).as("shard"))
       .distinct()
     val carried = oldManifest.join(affected, Seq("shard"), "left_anti")
     val rebuilt = shardManifest(
-      newDf.withColumn("__shard", (h % nShards).cast("int"))
+      newDf.withColumn("__shard", shardOf(col(idCol), nShards))
         .join(affected.withColumnRenamed("shard", "__shard"),
           Seq("__shard"), "left_semi")
         .drop("__shard"),
@@ -363,10 +363,7 @@ object Corpus {
   def exportShards(df: DataFrame, idCol: String, textCol: String,
       nShards: Int, outDir: String): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val h = conv(substring(
-      md5(col(idCol).cast("string").cast("binary")), 1, 14), 16, 10)
-      .cast("long")
-    df.withColumn("shard", (h % nShards).cast("int"))
+    df.withColumn("shard", shardOf(col(idCol), nShards))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     val back = df.sparkSession.read.parquet(outDir)
     back.select(col("shard").cast("int").as("shard"), col(idCol).as("__id"),
@@ -833,6 +830,33 @@ object Corpus {
         col("t.score").cast("long").as("rrf_score"))
   }
 
+  /** The sparse half of [[hashedEmbedding]] — per-(doc, component)
+    * SIGNED hashed token counts `(doc, j, v)`, one partial-aggregated
+    * sum keyed by the doc id. Exposed for consumers that want the
+    * sparse form directly (the perceptron trainer joins components
+    * against a weight table; densifying first would rebuild the
+    * sparsity it needs).
+    *
+    * The ±1 sign must be independent of the component index or the
+    * Weinberger unbiasedness property dies: with sign = h % 2 and
+    * component = h % dim, any even dim makes the sign a function of the
+    * component (same parity class), so colliding tokens ALWAYS add
+    * constructively and dot products are biased upward. Use a hash bit
+    * the bucket never sees: the 13th hex char of the same md5.
+    */
+  private[graft] def hashedFeatures(df: DataFrame, idCol: String,
+      textCol: String, dim: Int): DataFrame = {
+    val h = conv(substring(md5(col("tok").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    val sb = conv(substring(md5(col("tok").cast("binary")), 13, 1), 16, 10)
+      .cast("long")
+    df.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc"), (h % dim).cast("int").as("j"),
+        when(sb % 2 === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy(col("doc"), col("j")).agg(sum(col("s")).as("v"))
+  }
+
   /** Deterministic feature-hashed document embedding — the "bag of
     * hashed tokens" vector (Weinberger et al. 2009 feature hashing):
     * token t adds sign(t) (±1 from an md5 bit disjoint from the bucket
@@ -850,27 +874,138 @@ object Corpus {
   def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     require(dim >= 2, s"dim must be >= 2, got $dim")
-    val h = conv(substring(md5(col("tok").cast("binary")), 1, 12), 16, 10)
-      .cast("long")
-    // The ±1 sign must be independent of the component index or the
-    // Weinberger unbiasedness property dies: with sign = h % 2 and
-    // component = h % dim, any even dim makes the sign a function of the
-    // component (same parity class), so colliding tokens ALWAYS add
-    // constructively and dot products are biased upward. Use a hash bit
-    // the bucket never sees: the 13th hex char of the same md5.
-    val sb = conv(substring(md5(col("tok").cast("binary")), 13, 1), 16, 10)
-      .cast("long")
-    df.select(col(idCol).as("doc"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("doc"), (h % dim).cast("int").as("j"),
-        when(sb % 2 === 0, 1L).otherwise(-1L).as("s"))
-      .groupBy(col("doc"), col("j")).agg(sum(col("s")).as("v"))
+    hashedFeatures(df, idCol, textCol, dim)
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(struct(col("j"), col("v")))).as("__jv"))
       // dense array: absent components are exact zeros
       .select(col("doc").as(idCol),
         expr(s"transform(sequence(0, ${dim - 1}), i -> " +
           "coalesce(element_at(map_from_entries(__jv), i), 0L))").as("hvec"))
+  }
+
+  /** The feature projection the LINEAR QUALITY MODEL family shares
+    * with [[scoreLinearHashed]]: token t lands in bucket
+    * `md5(t)[1..6] mod dim` (the scorer's own map), `v` = the UNSIGNED
+    * token count per (doc, bucket), plus a constant bias component 1
+    * at index `dim` for every doc. One explode + one partial-aggregated
+    * (doc, j) count; ≤ docs × (dim+1) rows out. */
+  private def scorerFeatures(df: DataFrame, idCol: String,
+      textCol: String, dim: Int): DataFrame = {
+    val j = pmod(conv(substring(md5(col("tok").cast("binary")), 1, 6),
+      16, 10).cast("long"), lit(dim.toLong)).cast("int")
+    df.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc"), j.as("j"))
+      .groupBy(col("doc"), col("j")).agg(count(lit(1)).as("v"))
+      .unionByName(df.select(col(idCol).as("doc"),
+        lit(dim).cast("int").as("j"), lit(1L).as("v")))
+  }
+
+  /** In-engine LINEAR QUALITY-MODEL TRAINING — least-squares
+    * distillation of an integer teacher score onto hashed token-count
+    * features (Widrow–Hoff 1960 LMS, run as damped Jacobi iterations
+    * on the normal equations; [[scoreLinearHashed]] consumes a trained
+    * weight vector, this is where one comes from without leaving the
+    * engine). No sigmoid: logistic loss needs exp(), which no two
+    * engines reproduce bit-equal — every quantity here is BIGINT, so
+    * the unrolled-rounds oracle matches bit-for-bit (the
+    * PageRank/Holt integer-recurrence contract).
+    *
+    * The round recurrence is a pure function of two bounded moments —
+    * the Gram matrix H = XᵀX ((dim+1)² cells) and the moment vector
+    * b = Xᵀt — so training runs the DRIVER VENUE the hybrid BPE
+    * trainer established: ONE distributed pass builds H and b (a
+    * dim²-key partial-aggregated self-join on the doc id, the PCA
+    * Gram-pass shape), the collect is dim²-bounded (the
+    * kmeans-centroid contract), and the R synchronous rounds
+    *   w ← w + (b − H·w) quot (damp · max(H_jj, 1))
+    * cost zero Spark jobs (quot = BIGINT division truncating toward
+    * zero — Spark `Long./` ≡ DuckDB `//`, both engines verified on
+    * negatives). The per-feature H_jj scaling is Jacobi
+    * preconditioning: an unscaled step either diverges or crawls on
+    * token-count Grams, whose condition number is dominated by the
+    * shared doc-length direction.
+    *
+    * Scale: H and b are the ONLY data-scaled aggregates, one corpus
+    * pass each. Overflow: |H·w| ≤ (dim+1)·H_max·|w|_max with |w|
+    * bounded by the teacher's own scale (≈ teacher weight × SCALE,
+    * empirically ≤ 4·10³ here), so BIGINT holds past 10¹²
+    * training tokens; beyond that train on a hash-sampled slice — the
+    * standard quality-classifier regime (train on a sample, score
+    * everything) — or drop SCALE.
+    *
+    * @param target integer teacher score per doc (e.g. the stand-in
+    *               scorer's token-weight SUM × 1000 — distilling
+    *               [[scoreLinearHashed]]'s decision function; any
+    *               external model's integer score column slots in)
+    * @return trained weights, index dim = bias
+    */
+  private[graft] def linearDistillCore(df: DataFrame, idCol: String,
+      textCol: String, target: Column, dim: Int, damp: Long,
+      rounds: Int): Array[Long] = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    require(damp >= 1, s"damp must be >= 1, got $damp")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val tv = df.select(col(idCol).as("doc"), target.cast("long").as("t"))
+    val fx = scorerFeatures(df, idCol, textCol, dim).localCheckpoint(true)
+    // bounded collects: (dim+1)² Gram cells, dim+1 moment rows
+    val hm = Array.ofDim[Long](dim + 1, dim + 1)
+    fx.as("a").join(fx.as("b"), "doc")
+      .groupBy(col("a.j").as("j"), col("b.j").as("k"))
+      .agg(sum(col("a.v") * col("b.v")).as("h"))
+      .collect()
+      .foreach(r => hm(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val bv = Array.fill(dim + 1)(0L)
+    fx.join(tv, "doc")
+      .groupBy(col("j")).agg(sum(col("v") * col("t")).as("b"))
+      .collect()
+      .foreach(r => bv(r.getInt(0)) = r.getLong(1))
+    val w = Array.fill(dim + 1)(0L)
+    (1 to rounds).foreach { _ =>
+      val g = Array.tabulate(dim + 1)(j =>
+        bv(j) - (0 to dim).map(k => hm(j)(k) * w(k)).sum)
+      (0 to dim).foreach(j =>
+        w(j) += g(j) / (damp * math.max(hm(j)(j), 1L)))
+    }
+    w
+  }
+
+  /** The trained-model artifact of [[linearDistillCore]]: (j, w) for
+    * every feature bucket plus the bias at j = dim. `w quot SCALE`
+    * slots straight into [[scoreLinearHashed]]'s weight seam (same
+    * bucket map), closing the train→deploy loop in-engine. */
+  def linearDistillTrain(df: DataFrame, idCol: String, textCol: String,
+      target: Column, dim: Int, damp: Long, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    linearDistillCore(df, idCol, textCol, target, dim, damp, rounds)
+      .toSeq.zipWithIndex.map { case (wj, j) => (j, wj) }
+      .toDF("j", "w")
+      .select(col("j").cast("int").as("j"), col("w"))
+  }
+
+  /** Train→score composed end-to-end: [[linearDistillCore]] on the
+    * `trainPred` slice, then the trained weights score the HELD-OUT
+    * slice — prediction sign(margin) with 0 → −1 against the teacher's
+    * sign on docs the trainer never saw, rolled up as the confusion
+    * census (y, pred, n). Scoring is one margin aggregate over the
+    * held-out feature table with the weights crossing as a dim+1
+    * literal (map-side), plus the (y, pred) fold. */
+  def linearDistillScore(df: DataFrame, idCol: String, textCol: String,
+      target: Column, trainPred: Column, dim: Int, damp: Long,
+      rounds: Int): DataFrame = {
+    val w = linearDistillCore(df.filter(trainPred), idCol, textCol,
+      target, dim, damp, rounds)
+    val wArr = array(w.toSeq.map(lit): _*)
+    val ho = df.filter(!trainPred)
+    val tv = ho.select(col(idCol).as("doc"), target.cast("long").as("t"))
+    scorerFeatures(ho, idCol, textCol, dim)
+      .groupBy(col("doc"))
+      .agg(sum(col("v") * element_at(wArr, col("j") + 1)).as("marg"))
+      .join(tv, "doc")
+      .select(when(col("t") > 0, 1L).otherwise(-1L).as("y"),
+        when(col("marg") > 0, 1L).otherwise(-1L).as("pred"))
+      .groupBy(col("y"), col("pred")).agg(count(lit(1)).as("n"))
   }
 
   /** Independence deviation of a categorical crosstab — the "is my

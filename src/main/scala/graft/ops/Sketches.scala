@@ -44,6 +44,11 @@ object Sketches {
     * the state store can evict expired windows; the batch form's
     * groupBy lives in [[hllDistinct]]/[[hllSketch]]). */
   def hllProject(items: DataFrame, itemCol: String): DataFrame = {
+    // the two appended columns would silently REPLACE same-named input
+    // columns (withColumn semantics) — fail loud instead
+    Seq("bucket", "rho").foreach(c => require(!items.columns.contains(c),
+      s"hllProject: input already has a '$c' column; rename it — " +
+        "hllProject appends its own 'bucket' and 'rho'"))
     val h = conv(substring(
       md5(col(itemCol).cast("string").cast("binary")), 1, 12), 16, 10)
       .cast("long")
@@ -128,7 +133,8 @@ object Sketches {
     * collect contract; pairs become a LocalRelation, so no cartesian
     * ever enters the plan), two equi-joins fanning registers to
     * #pairs × 1024 rows, and one distinct-pair equi-join on the item
-    * hash for the calibration column.
+    * value for the calibration column (true intersection, not
+    * hash-identity — test-scale only, dropped at deployment).
     *
     * `est_overlap` is the raw inclusion–exclusion value and may be
     * negative at small true overlaps — returned unclamped so the
@@ -163,10 +169,12 @@ object Sketches {
       .select(split(col("__k"), "\\|").getItem(0).as("ga"),
         split(col("__k"), "\\|").getItem(1).as("gb"),
         col("est_ndv").as("est_union"))
+    // calibration joins on the item VALUE (not a hash prefix) so
+    // exact_overlap is the true intersection — it's test-scale only,
+    // so the wider string join key costs nothing that matters
     val itemsKeyed = items
       .select(col(groupCol).cast("string").as("g"),
-        conv(substring(md5(col(itemCol).cast("string").cast("binary")),
-          1, 14), 16, 10).cast("long").as("it"))
+        col(itemCol).cast("string").as("it"))
       .distinct()
     val exact = itemsKeyed.as("x")
       .join(itemsKeyed.as("y"), col("x.it") === col("y.it"))

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Unit-level semantics for the in-engine linear quality-model
+  * trainer (damped-Jacobi LMS distillation over hashed token counts;
+  * the sf-scale gate is `corpus_quality_train` / `_train_score`).
+  */
+class LinearDistillSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // a teacher that is EXACTLY linear in the hashed-count features:
+  // +5 per "good" token, -5 per "bad" token, 0 otherwise — so the
+  // normal equations have a zero-residual solution and the Jacobi
+  // iterations must drive the residual toward it
+  private def teacher = coalesce(
+    aggregate(
+      transform(graft.functions.TextFunctions.tokens(col("text")), t =>
+        when(t === "good", 5L).when(t === "bad", -5L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x),
+    lit(0L)) * 1000
+
+  private lazy val docs = Seq.tabulate(40) { i =>
+    val good = "good " * (i % 5)
+    val bad = "bad " * (i % 3)
+    val noise = "alpha beta gamma delta " * (i % 4)
+    (i.toLong, s"$good$bad$noise".trim)
+  }.toDF("doc_id", "text")
+
+  test("trained weights are deterministic and carry the bias row") {
+    val w1 = Corpus.linearDistillTrain(docs, "doc_id", "text", teacher,
+      dim = 16, damp = 12, rounds = 64).collect()
+    val w2 = Corpus.linearDistillTrain(docs, "doc_id", "text", teacher,
+      dim = 16, damp = 12, rounds = 64).collect()
+    assert(w1.map(_.toSeq).toSeq === w2.map(_.toSeq).toSeq)
+    assert(w1.length === 17) // 16 buckets + bias at j = 16
+    assert(w1.map(_.getInt(0)).toSeq === (0 to 16))
+  }
+
+  // the same (doc, j, v) projection linearDistillCore trains over:
+  // 6-char-md5 bucket counts + the bias component at index `dim`
+  private def margins(dim: Int, w: Array[Long]) = {
+    val j = pmod(conv(substring(md5(col("tok").cast("binary")), 1, 6),
+      16, 10).cast("long"), lit(dim.toLong)).cast("int")
+    val wArr = array(w.toSeq.map(lit): _*)
+    docs.select(col("doc_id").as("doc"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc"), j.as("j"))
+      .groupBy(col("doc"), col("j")).agg(count(lit(1)).as("v"))
+      .unionByName(docs.select(col("doc_id").as("doc"),
+        lit(dim).cast("int").as("j"), lit(1L).as("v")))
+      .groupBy(col("doc"))
+      .agg(sum(col("v") * element_at(wArr, col("j") + 1)).as("marg"))
+  }
+
+  test("more rounds shrink the normal-equation residual") {
+    def residualL1(rounds: Int): Long = {
+      val w = Corpus.linearDistillCore(docs, "doc_id", "text", teacher,
+        dim = 16, damp = 12, rounds = rounds)
+      margins(16, w)
+        .join(docs.select(col("doc_id").as("doc"), teacher.as("t")), "doc")
+        .select(abs(col("t") - col("marg")).as("r"))
+        .agg(sum(col("r"))).collect()(0).getLong(0)
+    }
+    val r8 = residualL1(8)
+    val r128 = residualL1(128)
+    assert(r128 < r8, s"residual did not shrink: 8 rounds=$r8, 128=$r128")
+  }
+
+  test("train→score census reaches high held-out agreement") {
+    val census = Corpus.linearDistillScore(docs, "doc_id", "text", teacher,
+      trainPred = col("doc_id") % 2 === 0, dim = 16, damp = 12,
+      rounds = 128).collect()
+    val total = census.map(_.getLong(2)).sum
+    val agree = census.filter(r => r.getLong(0) == r.getLong(1))
+      .map(_.getLong(2)).sum
+    assert(total === 20) // the odd-id half is held out
+    // must beat predicting the majority class outright, and clear 75%
+    // (the 7-token fixture caps at ~80%: bucket collisions between
+    // opposing-weight tokens are unresolvable at dim 16; the sf-scale
+    // census in corpus_quality_train_score sits at 96%+)
+    val prior = census.groupBy(_.getLong(0)).values
+      .map(_.map(_.getLong(2)).sum).max
+    assert(agree > prior, s"no better than the class prior: $agree/$prior")
+    assert(agree * 4 >= total * 3,
+      s"held-out agreement below 75%: $agree/$total")
+  }
+}

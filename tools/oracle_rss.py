@@ -34,7 +34,7 @@ sql = json.loads((Path(out_dir) / "oracle_sql.json").read_text())[name]
 t0 = time.time()
 n = len(con.execute(sql).fetchdf())
 rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-print(f"{{n}} {{time.time() - t0:.1f}} {{rss:.2f}}")
+print(f"GRAFT_RSS_RESULT {{n}} {{time.time() - t0:.1f}} {{rss:.2f}}")
 '''.format(tables=TABLES)
 
 
@@ -46,11 +46,15 @@ def main():
     for name in names:
         r = subprocess.run([sys.executable, "-c", CHILD, out_dir, sf_dir, name],
                            capture_output=True, text=True)
-        if r.returncode != 0:
+        # the child's stdout may carry duckdb progress/warning noise —
+        # only the GRAFT_RSS_RESULT-prefixed line is the result
+        result = [l for l in (r.stdout or "").splitlines()
+                  if l.startswith("GRAFT_RSS_RESULT ")]
+        if r.returncode != 0 or not result:
             tail = (r.stderr or "").strip().splitlines()
             rows.append((float("inf"), name, f"FAILED: {tail[-1] if tail else '?'}"))
             continue
-        n, wall, rss = r.stdout.split()
+        _, n, wall, rss = result[-1].split()
         rows.append((float(rss), name, f"rows={n} wall={wall}s peakRSS={rss}GB"))
     for _, name, msg in sorted(rows, reverse=True):
         print(f"{name}: {msg}")
