@@ -66,22 +66,34 @@ object CorpusQueries {
     * vocabulary. Training runs the driver-local venue (the vocab is
     * far under [[Corpus.BpeDriverVocabMax]]); the oracle runs the
     * identical batched loop as a [[BpeMaxRounds]]-round chained-CTE
-    * program. Shared by the Spark calls and the generated oracle. */
-  val BpeMerges = 512
+    * program. Shared by the Spark calls and the generated oracle.
+    *
+    * 192 (r11, down from r10's 512): the oracle gate only has to prove
+    * ALGORITHM IDENTITY — merge-scale coverage lives in `BpeScaleSpec`
+    * (8,192 merges driver venue + the distributed venue replaying the
+    * identical chain). The 512 config cost each of the four
+    * training-chain oracles 6.4 GB / ~32 s under the harness limits
+    * (measured, 20× the suite median); 192 lands them at ~1.5 GB / 7 s
+    * with the identity proof intact. */
+  val BpeMerges = 192
 
   /** Pretokenization window for the registered BPE queries. */
   val BpeWindow = 2
 
   /** Synchronization-round cap shared by both engines (part of the
     * result contract — see Corpus.bpeCore). Sized from the measured
-    * acceptance rate at this corpus: 512 merges land in 83–95 rounds
-    * across sf0.001/0.01/0.1; 112 leaves ~20% headroom, and a cap hit
-    * truncates identically on both sides. */
-  val BpeMaxRounds = 112
+    * acceptance rate at this corpus: 192 merges land in ~45-48 rounds
+    * at sf0.01; 56 leaves headroom, and a cap hit truncates
+    * identically on both sides (the oracle memory cost is superlinear
+    * in the round count, so the cap is also the RSS knob). */
+  val BpeMaxRounds = 56
 
-  /** Where the BPE gates stop and why — measured this round:
+  /** Where the BPE gates stop and why — measured in round 10 (the
+    * headline has since been re-sized to 192 for oracle RSS, see
+    * [[BpeMerges]]; the ceiling analysis below still bounds the
+    * architecture):
     *
-    * The 512-merge headline sits at the PRACTICAL CEILING of the
+    * The 512-merge configuration sits at the PRACTICAL CEILING of the
     * chained-CTE oracle architecture. DuckDB's cost for the training
     * chain is superlinear in (rounds × replace slots): the headline's
     * 112-round × 16-slot chain runs in ~1.6 min at sf0.01, a
