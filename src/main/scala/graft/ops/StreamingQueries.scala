@@ -484,8 +484,7 @@ object StreamingQueries {
     Seq(s"$base/pairs", s"$base/store", s"$base/ckpt").foreach { p =>
       val f = new java.io.File(p); if (f.exists()) rmTree(f)
     }
-    Dedup.minhashSignatureTable(docs.filter(col("doc_id") < 400),
-        "doc_id", "text", n = 3, k = 12)
+    CorpusQueries.historySigsFixture(s, dir)
       .write.mode("overwrite").parquet(s"$storePath/part=history")
     val fresh = docs.filter(col("doc_id") >= 400)
     val streamDir = s"$base/in"
