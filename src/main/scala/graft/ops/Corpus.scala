@@ -1467,17 +1467,16 @@ object Corpus {
     * that id list (map-only filter of the ≤k picked ids, top
     * sampleSize by hash — never a global sort materialization, never
     * a per-round re-distinct of the residual), its ids broadcast as a
-    * LIMIT-bounded set into the feature semi-join. Unlike
-    * [[coverageMaxSelect]], the residual is NEVER rewritten: because
-    * scoring touches only the sampled docs' rows, the accumulated
-    * COVERED-token set (≤ k picked docs' tokens — bounded, broadcast,
-    * materialized per round at its tiny size) restricts the gain count
-    * as one map-side anti-join over the once-checkpointed feature
-    * table. Per round: one broadcast-pruned scan, a 1-row argmax
-    * collect, zero residual materializations. At the test fixture the
-    * win is modest (~10%, round scheduling dominates); at scale it is
-    * the difference between rewriting a TB-sized residual k times and
-    * never rewriting it at all.
+    * LIMIT-bounded set into the feature semi-join. The residual is
+    * NEVER rewritten (the shape [[coverageMaxSelect]] now shares):
+    * the accumulated COVERED-token set (≤ k picked docs' tokens —
+    * bounded, broadcast, materialized per round at its tiny size)
+    * restricts the gain count as one map-side anti-join over the
+    * once-checkpointed feature table. Per round: one broadcast-pruned
+    * scan, a 1-row argmax collect, zero residual materializations —
+    * and this variant's scan is further restricted to the sampleSize
+    * sampled docs, which is what makes it the scale path when even
+    * one full-residual gain scan per round is the wall.
     *
     * @return (rank 1..k, doc, gain)
     */

