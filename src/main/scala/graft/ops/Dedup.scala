@@ -1982,8 +1982,16 @@ object Dedup {
     */
   def prefixDupKeep(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thresholdPpm: Long = 500000L,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = prefixFilterPairs(docs, idCol, textCol, n, thresholdPpm)
+      checkpointDir: Option[String] = None): DataFrame =
+    prefixDupKeepFromPairs(docs,
+      prefixFilterPairs(docs, idCol, textCol, n, thresholdPpm), idCol,
+      checkpointDir)
+
+  /** [[prefixDupKeep]] over an already-discovered pair table (d1, d2) —
+    * the form that reads a staged/persisted pair artifact instead of
+    * re-running the prefix-filter join (see [[graft.ops.Staged]]). */
+  def prefixDupKeepFromPairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String, checkpointDir: Option[String] = None): DataFrame = {
     val cc = connectedComponentsStar(docs.select(col(idCol)), idCol, pairs,
       checkpointDir = checkpointDir)
     val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
