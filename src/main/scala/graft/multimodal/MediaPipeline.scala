@@ -100,8 +100,149 @@ object MediaPipeline {
       val parsed =
         if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(b)
         else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+        else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+          b(2) == 'N' && b(3) == 'G') decodePng(b)
         else None
       parsed.toSeq.map { case (w, h, px) => DecodedFrame(row.id, 0, w, h, px) }
+    }
+
+    /** REAL baseline-PNG decode (the public spec, RFC 2083 / W3C
+      * PNG): signature → chunk walk (IHDR, concatenated IDAT, IEND) →
+      * zlib inflate (`java.util.zip.Inflater` — part of the JDK, not a
+      * codec library) → per-row DEFILTER of all five spec filter types
+      * (None/Sub/Up/Average/Paeth) → packed RGB24. Supported baseline
+      * subset: bit depth 8, color types 0 (gray, replicated to RGB),
+      * 2 (RGB), 6 (RGBA, alpha dropped), interlace 0; Adam7, palettes,
+      * and 16-bit depths are a decode MISS (None), never an exception —
+      * the same never-throw contract as the PPM/BMP/WAV/GVID parsers.
+      */
+    private def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      val Sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+      if (b.length < 8 + 25 || !java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(b, 0, 8), Sig)) return None
+      def u32(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      var i = 8
+      var dims: Option[(Int, Int, Int)] = None // (w, h, channels)
+      val idat = new java.io.ByteArrayOutputStream()
+      var ended = false
+      while (!ended && i + 8 <= b.length) {
+        val len = u32(i)
+        if (len < 0 || len > Int.MaxValue || i + 12 + len > b.length) return None
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        val payload = i + 8
+        typ match {
+          case "IHDR" =>
+            if (len != 13 || dims.isDefined) return None
+            val w = u32(payload); val h = u32(payload + 4)
+            val depth = b(payload + 8) & 0xff
+            val colorType = b(payload + 9) & 0xff
+            val comp = b(payload + 10) & 0xff
+            val filt = b(payload + 11) & 0xff
+            val interlace = b(payload + 12) & 0xff
+            val channels = colorType match {
+              case 0 => 1; case 2 => 3; case 6 => 4; case _ => -1
+            }
+            // Long arithmetic: the inflated buffer is h*(1+w*ch) bytes
+            // and must fit an Int even at ch=4 (a lying IHDR is a miss)
+            if (w <= 0 || h <= 0 || channels < 0 ||
+              w * h * math.max(channels, 3) + h > Int.MaxValue ||
+              depth != 8 || comp != 0 || filt != 0 ||
+              interlace != 0) return None
+            dims = Some((w.toInt, h.toInt, channels))
+          case "IDAT" =>
+            if (dims.isEmpty) return None
+            idat.write(b, payload, len.toInt)
+          case "IEND" => ended = true
+          case _ => () // ancillary chunks (tEXt, gAMA, ...) skip
+        }
+        i = payload + len.toInt + 4 // + CRC
+      }
+      for {
+        (w, h, ch) <- dims
+        raw <- inflateExact(idat.toByteArray, h * (1 + w * ch))
+        rgb <- defilterToRgb(raw, w, h, ch)
+      } yield (w, h, rgb)
+    }
+
+    /** Per-row DEFILTER of the five spec filter types over the inflated
+      * scanlines, then normalization to packed RGB24 (gray replicated,
+      * alpha dropped). An out-of-range filter byte is a decode miss. */
+    private def defilterToRgb(raw: Array[Byte], w: Int, h: Int,
+        ch: Int): Option[Array[Byte]] = {
+      val stride = w * ch
+      val out = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (stride + 1)) & 0xff
+        val src = y * (stride + 1) + 1
+        val dst = y * stride
+        if (ft > 4) return None
+        var x = 0
+        while (x < stride) {
+          val rawv = raw(src + x) & 0xff
+          val left = if (x >= ch) out(dst + x - ch) & 0xff else 0
+          val up = if (y > 0) out(dst - stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= ch) out(dst - stride + x - ch) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case _ => // 4 = Paeth
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          out(dst + x) = ((rawv + pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(ch match {
+        case 3 => out
+        case 1 =>
+          val r = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            r(3 * p) = out(p); r(3 * p + 1) = out(p); r(3 * p + 2) = out(p)
+            p += 1
+          }
+          r
+        case _ => // 4 = RGBA
+          val r = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            r(3 * p) = out(4 * p); r(3 * p + 1) = out(4 * p + 1)
+            r(3 * p + 2) = out(4 * p + 2)
+            p += 1
+          }
+          r
+      })
+    }
+
+    /** zlib-inflate to EXACTLY `n` bytes — fewer (truncated stream),
+      * more (lying IHDR), or malformed deflate data are all a decode
+      * miss, not an exception. */
+    private def inflateExact(z: Array[Byte], n: Int): Option[Array[Byte]] = {
+      if (n <= 0) return None
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(z)
+        val out = new Array[Byte](n)
+        var got = 0
+        while (got < n && !inf.finished()) {
+          val k = inf.inflate(out, got, n - got)
+          if (k == 0 && inf.needsInput()) return None // truncated
+          got += k
+        }
+        if (got == n && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0))
+          Some(out)
+        else None
+      } catch {
+        case _: java.util.zip.DataFormatException => None
+      } finally inf.end()
     }
 
     private def decodePpm(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
@@ -413,6 +554,77 @@ object MediaPipeline {
       s"need ${w.toLong * h * 3} bytes, got ${pixels.length}")
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     header ++ pixels
+  }
+
+  /** Encode packed RGB24 as a REAL baseline PNG (inverse of the
+    * [[ImageDecoder]]'s PNG path): per-row filter of the requested spec
+    * type (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth — the encoder
+    * supports all five so tests can roundtrip each defilter branch),
+    * zlib DEFLATE via `java.util.zip.Deflater` (the JDK, not a codec
+    * library), CRC32-stamped IHDR/IDAT/IEND chunks. The compressed
+    * byte stream is deflater-version-dependent; the decode→featurize
+    * gates compare FEATURES of the reconstructed raster, which are
+    * independent of how deflate chose its blocks. */
+  def encodePng(w: Int, h: Int, pixels: Array[Byte],
+      rowFilter: Int = 4): Array[Byte] = {
+    require(w > 0 && h > 0, s"need positive dimensions, got ${w}x$h")
+    require(pixels.length == w.toLong * h * 3,
+      s"need ${w.toLong * h * 3} bytes, got ${pixels.length}")
+    require(rowFilter >= 0 && rowFilter <= 4,
+      s"filter type must be 0..4, got $rowFilter")
+    val stride = w * 3
+    val filtered = new Array[Byte](h * (stride + 1))
+    var y = 0
+    while (y < h) {
+      filtered(y * (stride + 1)) = rowFilter.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pixels(y * stride + x) & 0xff
+        val left = if (x >= 3) pixels(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) pixels((y - 1) * stride + x - 3) & 0xff else 0
+        val pred = rowFilter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        filtered(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val z = try {
+      deflater.setInput(filtered)
+      deflater.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      while (!deflater.finished()) buf.write(chunk, 0, deflater.deflate(chunk))
+      buf.toByteArray
+    } finally deflater.end()
+    def chunkOf(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // comp/filter/interlace
+      .array()
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte) ++
+      chunkOf("IHDR", ihdr) ++ chunkOf("IDAT", z) ++
+      chunkOf("IEND", Array.emptyByteArray)
   }
 
   /** Minimal uncompressed video container ("GVID") — the codec-free

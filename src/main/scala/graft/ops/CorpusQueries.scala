@@ -4853,6 +4853,43 @@ FROM t GROUP BY shard ORDER BY shard""")
              |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // REAL baseline-PNG decode through the same seam (r11: the first
+    // COMPRESSED real-world image codec — the public PNG spec, zlib
+    // DEFLATE via the JDK): the raster goes through encodePng with the
+    // PAETH row filter and real deflate, ImageDecoder walks the chunk
+    // stream, inflates, defilters, and the reconstructed pixel sum must
+    // equal the byte sum DuckDB computes straight off the text — so the
+    // inflate + defilter path is byte-gated, not trusted. (The other
+    // four filter types and gray/RGBA roundtrips are spec-gated in
+    // ImageDecoderSpec; crawl-real PNGs ride the identical code path.)
+    Q(
+      "multimodal_png",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.{ImageDecoder, MediaRow}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 192)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 192).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          MediaRow(id, "image", MediaPipeline.encodePng(8, 8, px, rowFilter = 4),
+            "png", 8, 8, 0L)
+        }
+        MediaPipeline.sampleFrames(media, new ImageDecoder, 1)(s)
+          .map(f => (f.id, f.width, f.height,
+            f.pixels.foldLeft(0L)((a, b) => a + (b & 0xff))))
+          .toDF("doc_id", "width", "height", "px_sum")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, substr(hex(encode(text)), 1, 384) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 192)
+             |SELECT doc_id, 8 AS width, 8 AS height,
+             |  CAST(list_sum(list_transform(range(0, 192),
+             |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // int8-quantization recall report: completes the recall family —
     // the fp32-vs-int8 quality number a user consults before flipping
     // the quantized index on
