@@ -943,6 +943,24 @@ object Corpus {
   private[graft] def linearDistillCore(df: DataFrame, idCol: String,
       textCol: String, target: Column, dim: Int, damp: Long,
       rounds: Int): Array[Long] = {
+    val (hm, bv) = distillMoments(df, idCol, textCol, target, dim, damp,
+      rounds)
+    val w = Array.fill(dim + 1)(0L)
+    (1 to rounds).foreach { _ =>
+      val g = Array.tabulate(dim + 1)(j =>
+        bv(j) - (0 to dim).map(k => hm(j)(k) * w(k)).sum)
+      (0 to dim).foreach(j =>
+        w(j) += g(j) / (damp * math.max(hm(j)(j), 1L)))
+    }
+    w
+  }
+
+  /** ONE distributed pass building the normal-equation moments the
+    * distillation rounds run on: the (dim+1)² Gram H = XᵀX and the
+    * moment vector b = Xᵀt, both bounded collects. */
+  private def distillMoments(df: DataFrame, idCol: String,
+      textCol: String, target: Column, dim: Int, damp: Long,
+      rounds: Int): (Array[Array[Long]], Array[Long]) = {
     require(dim >= 2, s"dim must be >= 2, got $dim")
     require(damp >= 1, s"damp must be >= 1, got $damp")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -960,14 +978,38 @@ object Corpus {
       .groupBy(col("j")).agg(sum(col("v") * col("t")).as("b"))
       .collect()
       .foreach(r => bv(r.getInt(0)) = r.getLong(1))
+    (hm, bv)
+  }
+
+  /** The CONVERGENCE RECEIPT of [[linearDistillCore]]: the L1 norm of
+    * the normal-equation residual g = b − H·w sampled every
+    * `checkpointEvery` rounds (post-update) — a monotone-decaying
+    * curve is the "training works" evidence next to the held-out
+    * census; a flat or rising tail says the damping is outside the
+    * stable band for this corpus. Same one distributed Gram/moment
+    * pass; the checkpoints are free driver arithmetic on the collected
+    * (dim+1)² state. */
+  def linearDistillCurve(df: DataFrame, idCol: String, textCol: String,
+      target: Column, dim: Int, damp: Long, rounds: Int,
+      checkpointEvery: Int): DataFrame = {
+    require(checkpointEvery >= 1 && rounds % checkpointEvery == 0,
+      s"rounds=$rounds must tile checkpointEvery=$checkpointEvery")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (hm, bv) = distillMoments(df, idCol, textCol, target, dim, damp,
+      rounds)
     val w = Array.fill(dim + 1)(0L)
-    (1 to rounds).foreach { _ =>
+    def residualL1: Long = (0 to dim).map(j =>
+      math.abs(bv(j) - (0 to dim).map(k => hm(j)(k) * w(k)).sum)).sum
+    val curve = (1 to rounds).flatMap { r =>
       val g = Array.tabulate(dim + 1)(j =>
         bv(j) - (0 to dim).map(k => hm(j)(k) * w(k)).sum)
       (0 to dim).foreach(j =>
         w(j) += g(j) / (damp * math.max(hm(j)(j), 1L)))
+      if (r % checkpointEvery == 0) Some((r, residualL1)) else None
     }
-    w
+    curve.toDF("round", "g_l1")
+      .select(col("round").cast("int").as("round"), col("g_l1"))
   }
 
   /** The trained-model artifact of [[linearDistillCore]]: (j, w) for

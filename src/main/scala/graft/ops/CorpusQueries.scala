@@ -6321,7 +6321,37 @@ FROM t GROUP BY shard ORDER BY shard""")
            |       ELSE CAST(-1 AS BIGINT) END AS pred,
            |  CAST(COUNT(*) AS BIGINT) AS n
            |FROM mh m JOIN fxh0 h ON m.doc = h.doc_id
-           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // the trainer's CONVERGENCE RECEIPT: the normal-equation residual
+    // |b − H·w|₁ sampled every 32 of the 256 Jacobi rounds — the
+    // monotone-decaying curve that shows the training WORKS (next to
+    // the held-out census that shows it generalizes); the oracle
+    // recomputes each checkpoint's residual from the same unrolled
+    // w$k tables, so the whole trajectory is engine-exact, not just
+    // the endpoint
+    Q(
+      "corpus_quality_train_curve",
+      (s, dir) =>
+        Corpus.linearDistillCurve(
+          table(s, dir, "documents")
+            .filter(md5(col("doc_id").cast("string").cast("binary"))
+              < lit(QtTrainBound)),
+          "doc_id", "text", target = qtTeacher,
+          dim = QtDim, damp = QtDamp, rounds = QtRounds,
+          checkpointEvery = QtRounds / 8)
+          .orderBy(col("round")),
+      Some(linearDistillSql(QtDim, QtDamp, QtRounds, QtTrainBound) +
+        (1 to 8).map { c =>
+          val k = c * (QtRounds / 8)
+          s"""SELECT CAST($k AS INT) AS round,
+             |  (SELECT CAST(SUM(ABS(COALESCE(b.b, 0) - COALESCE(hw.hw, 0))) AS BIGINT)
+             |   FROM w0 wz
+             |   LEFT JOIN bvec b ON b.j = wz.j
+             |   LEFT JOIN (SELECT h.j, CAST(SUM(h.v * w2.w) AS BIGINT) AS hw
+             |              FROM hmat h JOIN w$k w2 ON w2.j = h.k
+             |              GROUP BY 1) hw ON hw.j = wz.j) AS g_l1""".stripMargin
+        }.mkString("\n", "\nUNION ALL ", "\nORDER BY round")))
   )
 
   /** One staged BPE training run (chain + trained histogram) shared by
