@@ -102,6 +102,8 @@ object MediaPipeline {
         else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
         else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
           b(2) == 'N' && b(3) == 'G') decodePng(b)
+        else if (b.length >= 4 && (b(0) & 0xff) == 0xff &&
+          (b(1) & 0xff) == 0xd8) Jpeg.decode(b)
         else None
       parsed.toSeq.map { case (w, h, px) => DecodedFrame(row.id, 0, w, h, px) }
     }
@@ -158,6 +160,9 @@ object MediaPipeline {
         }
         i = payload + len.toInt + 4 // + CRC
       }
+      // a stream with no IEND chunk is truncated = miss, even if the
+      // buffer happens to end exactly after the last IDAT
+      if (!ended) return None
       for {
         (w, h, ch) <- dims
         raw <- inflateExact(idat.toByteArray, h * (1 + w * ch))
@@ -224,7 +229,10 @@ object MediaPipeline {
 
     /** zlib-inflate to EXACTLY `n` bytes — fewer (truncated stream),
       * more (lying IHDR), or malformed deflate data are all a decode
-      * miss, not an exception. */
+      * miss, not an exception. Acceptance requires `Inflater.finished()`
+      * so the final-block bit AND the Adler32 trailer are both verified;
+      * a stream truncated exactly at the n-byte payload boundary (no
+      * trailer) is a miss, not a success. */
     private def inflateExact(z: Array[Byte], n: Int): Option[Array[Byte]] = {
       if (n <= 0) return None
       val inf = new java.util.zip.Inflater()
@@ -237,9 +245,13 @@ object MediaPipeline {
           if (k == 0 && inf.needsInput()) return None // truncated
           got += k
         }
-        if (got == n && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0))
-          Some(out)
-        else None
+        if (got < n) return None
+        // all n payload bytes produced; drive the inflater through the
+        // final-block end + Adler32 trailer. Extra real output (lying
+        // IHDR) returns >0; a missing/short trailer leaves finished()
+        // false; a wrong Adler32 throws DataFormatException.
+        if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return None
+        if (inf.finished()) Some(out) else None
       } catch {
         case _: java.util.zip.DataFormatException => None
       } finally inf.end()

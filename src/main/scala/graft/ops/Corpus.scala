@@ -942,9 +942,9 @@ object Corpus {
     */
   private[graft] def linearDistillCore(df: DataFrame, idCol: String,
       textCol: String, target: Column, dim: Int, damp: Long,
-      rounds: Int): Array[Long] = {
+      rounds: Int, ridge: Long = 0L): Array[Long] = {
     val (hm, bv) = distillMoments(df, idCol, textCol, target, dim, damp,
-      rounds)
+      rounds, ridge)
     val w = Array.fill(dim + 1)(0L)
     (1 to rounds).foreach { _ =>
       val g = Array.tabulate(dim + 1)(j =>
@@ -957,13 +957,23 @@ object Corpus {
 
   /** ONE distributed pass building the normal-equation moments the
     * distillation rounds run on: the (dim+1)² Gram H = XᵀX and the
-    * moment vector b = Xᵀt, both bounded collects. */
+    * moment vector b = Xᵀt, both bounded collects.
+    *
+    * `ridge` is the integer Tikhonov term: the rounds run on H + λI
+    * instead of H (Hoerl & Kennard 1970). With hashed token counts two
+    * buckets can be near-collinear (rare tokens that always co-occur),
+    * leaving H near-singular — λ bounds the solution and keeps the
+    * damped-Jacobi steps stable where the unridged recurrence
+    * oscillates. λ = 0 reproduces the plain normal equations bit-for-
+    * bit; driver-side +λ on the (dim+1) diagonal cells, zero extra
+    * Spark work. */
   private def distillMoments(df: DataFrame, idCol: String,
       textCol: String, target: Column, dim: Int, damp: Long,
-      rounds: Int): (Array[Array[Long]], Array[Long]) = {
+      rounds: Int, ridge: Long = 0L): (Array[Array[Long]], Array[Long]) = {
     require(dim >= 2, s"dim must be >= 2, got $dim")
     require(damp >= 1, s"damp must be >= 1, got $damp")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(ridge >= 0, s"ridge must be >= 0, got $ridge")
     val tv = df.select(col(idCol).as("doc"), target.cast("long").as("t"))
     val fx = scorerFeatures(df, idCol, textCol, dim).localCheckpoint(true)
     // bounded collects: (dim+1)² Gram cells, dim+1 moment rows
@@ -978,6 +988,7 @@ object Corpus {
       .groupBy(col("j")).agg(sum(col("v") * col("t")).as("b"))
       .collect()
       .foreach(r => bv(r.getInt(0)) = r.getLong(1))
+    (0 to dim).foreach(j => hm(j)(j) += ridge)
     (hm, bv)
   }
 
@@ -991,13 +1002,13 @@ object Corpus {
     * (dim+1)² state. */
   def linearDistillCurve(df: DataFrame, idCol: String, textCol: String,
       target: Column, dim: Int, damp: Long, rounds: Int,
-      checkpointEvery: Int): DataFrame = {
+      checkpointEvery: Int, ridge: Long = 0L): DataFrame = {
     require(checkpointEvery >= 1 && rounds % checkpointEvery == 0,
       s"rounds=$rounds must tile checkpointEvery=$checkpointEvery")
     val spark = df.sparkSession
     import spark.implicits._
     val (hm, bv) = distillMoments(df, idCol, textCol, target, dim, damp,
-      rounds)
+      rounds, ridge)
     val w = Array.fill(dim + 1)(0L)
     def residualL1: Long = (0 to dim).map(j =>
       math.abs(bv(j) - (0 to dim).map(k => hm(j)(k) * w(k)).sum)).sum
@@ -1017,10 +1028,11 @@ object Corpus {
     * slots straight into [[scoreLinearHashed]]'s weight seam (same
     * bucket map), closing the train→deploy loop in-engine. */
   def linearDistillTrain(df: DataFrame, idCol: String, textCol: String,
-      target: Column, dim: Int, damp: Long, rounds: Int): DataFrame = {
+      target: Column, dim: Int, damp: Long, rounds: Int,
+      ridge: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    linearDistillCore(df, idCol, textCol, target, dim, damp, rounds)
+    linearDistillCore(df, idCol, textCol, target, dim, damp, rounds, ridge)
       .toSeq.zipWithIndex.map { case (wj, j) => (j, wj) }
       .toDF("j", "w")
       .select(col("j").cast("int").as("j"), col("w"))
@@ -1035,9 +1047,9 @@ object Corpus {
     * literal (map-side), plus the (y, pred) fold. */
   def linearDistillScore(df: DataFrame, idCol: String, textCol: String,
       target: Column, trainPred: Column, dim: Int, damp: Long,
-      rounds: Int): DataFrame = {
+      rounds: Int, ridge: Long = 0L): DataFrame = {
     val w = linearDistillCore(df.filter(trainPred), idCol, textCol,
-      target, dim, damp, rounds)
+      target, dim, damp, rounds, ridge)
     val wArr = array(w.toSeq.map(lit): _*)
     val ho = df.filter(!trainPred)
     val tv = ho.select(col(idCol).as("doc"), target.cast("long").as("t"))

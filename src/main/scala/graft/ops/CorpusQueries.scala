@@ -166,6 +166,13 @@ object CorpusQueries {
     * the held-out slice the score gate reports on. */
   val QtTrainBound = "80"
 
+  /** Integer ridge λ for the EXTERNAL-teacher gate: H + λI. 16 sits in
+    * the measured sweet spot for this corpus (0 → 98.8% held-out sign
+    * agreement but no collinear protection, 16 → 94.8%, 64 → 85%,
+    * 256 → diverging shrinkage); the gate runs WITH the ridge so the
+    * stability term itself is oracle-proven, not just spec-covered. */
+  val QtRidge = 16L
+
   // ---- shared SQL fragments -------------------------------------------
 
   /** ws := non-empty whitespace tokens of text (matches TextFunctions.tokens). */
@@ -4890,6 +4897,61 @@ FROM t GROUP BY shard ORDER BY shard""")
              |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // REAL baseline-JPEG decode through the same seam (r12: the format
+    // crawl images actually arrive in — ITU-T T.81 sequential DCT +
+    // Huffman). Each doc's first 16 bytes become a 32×32 grayscale of
+    // 16 constant 8×8 blocks; the encoder runs the REAL pipeline
+    // (integer fDCT, flat quant, Annex-K Huffman, DRI/RST4 restart
+    // markers), so the decoder's marker walk, DQT/DHT build, bitstream
+    // Huffman decode with byte unstuffing AND restart resync, DC DPCM
+    // across 16 blocks, dequant, and integer IDCT are all on the gated
+    // path. Constant blocks make the DCT roundtrip integer-EXACT
+    // (DC-only: (64d+4)//8 quantize then ((8d<<2)·descales) recover d
+    // bit-for-bit), so the oracle pins the reconstructed pixel sum
+    // straight off the raw bytes — no tolerance. AC coefficients,
+    // color/4:2:0, and corrupt-stream misses are spec-gated in
+    // ImageDecoderSpec (cross-checked against the JDK's independent
+    // libjpeg-based ImageIO decoder).
+    Q(
+      "multimodal_jpeg",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Jpeg, MediaPipeline}
+        import MediaPipeline.{ImageDecoder, MediaRow}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 16)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 16).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          val gray = new Array[Byte](32 * 32)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              gray(y * 32 + x) = px((y / 8) * 4 + (x / 8)); x += 1
+            }
+            y += 1
+          }
+          MediaRow(id, "image",
+            Jpeg.encodeGray(32, 32, gray, restartInterval = 4),
+            "jpg", 32, 32, 0L)
+        }
+        MediaPipeline.sampleFrames(media, new ImageDecoder, 1)(s)
+          .map(f => (f.id, f.width, f.height,
+            f.pixels.foldLeft(0L)((a, b) => a + (b & 0xff))))
+          .toDF("doc_id", "width", "height", "px_sum")
+          .orderBy(col("doc_id"))
+      },
+      // 192 = 3 (gray→RGB) × 64 (pixels per constant block); byte-exact
+      // off the UTF-8 blob like the PNG/PPM gates
+      Some("""WITH h AS (
+             |  SELECT doc_id, substr(hex(encode(text)), 1, 32) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 16)
+             |SELECT doc_id, 32 AS width, 32 AS height,
+             |  CAST(192 * list_sum(list_transform(range(0, 16),
+             |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // int8-quantization recall report: completes the recall family —
     // the fp32-vs-int8 quality number a user consults before flipping
     // the quantized index on
@@ -6351,7 +6413,43 @@ FROM t GROUP BY shard ORDER BY shard""")
              |   LEFT JOIN (SELECT h.j, CAST(SUM(h.v * w2.w) AS BIGINT) AS hw
              |              FROM hmat h JOIN w$k w2 ON w2.j = h.k
              |              GROUP BY 1) hw ON hw.j = wz.j) AS g_l1""".stripMargin
-        }.mkString("\n", "\nUNION ALL ", "\nORDER BY round")))
+        }.mkString("\n", "\nUNION ALL ", "\nORDER BY round"))),
+
+    // EXTERNAL-teacher training gate (r12): the same distillation
+    // chain learning a target that is NOT a function of its own
+    // feature hash — a fixture-column label (length band + source
+    // tier, see qtExtTeacher) the bucket counts never encode directly.
+    // Runs WITH the integer ridge (H + 16·I) so the collinear-
+    // stability term is itself oracle-proven. Held-out confusion
+    // census: ~95% sign agreement vs the 56% majority prior — the
+    // trainer proven on the task it exists for (distilling a model
+    // whose signal lives OUTSIDE the feature span), not on an
+    // in-span identity.
+    Q(
+      "corpus_quality_train_ext",
+      (s, dir) =>
+        Corpus.linearDistillScore(table(s, dir, "documents"),
+          "doc_id", "text", target = qtExtTeacher,
+          trainPred = md5(col("doc_id").cast("string").cast("binary"))
+            < lit(QtTrainBound),
+          dim = QtDim, damp = QtDamp, rounds = QtRounds, ridge = QtRidge)
+          .orderBy(col("y"), col("pred")),
+      Some(linearDistillSql(QtDim, QtDamp, QtRounds, QtTrainBound,
+          teacherSql = qtExtTeacherSql, tScaleSql = "s", ridge = QtRidge) +
+        s""",
+           |${qtFeaturesSql("fxh",
+              s"NOT md5(CAST(doc_id AS VARCHAR)) < '$QtTrainBound'", QtDim,
+              qtExtTeacherSql)},
+           |mh AS (
+           |  SELECT f.doc, CAST(SUM(f.v * w.w) AS BIGINT) AS marg
+           |  FROM fxh f JOIN w$QtRounds w USING (j) GROUP BY 1)
+           |SELECT CASE WHEN h.s > 0 THEN CAST(1 AS BIGINT)
+           |            ELSE CAST(-1 AS BIGINT) END AS y,
+           |  CASE WHEN m.marg > 0 THEN CAST(1 AS BIGINT)
+           |       ELSE CAST(-1 AS BIGINT) END AS pred,
+           |  CAST(COUNT(*) AS BIGINT) AS n
+           |FROM mh m JOIN fxh0 h ON m.doc = h.doc_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** One staged BPE training run (chain + trained histogram) shared by
@@ -6440,19 +6538,48 @@ FROM t GROUP BY shard ORDER BY shard""")
         lit(0L), (acc, x) => acc + x),
       lit(0L)) * 1000
 
+  /** The EXTERNAL teacher (r12): an integer label built ONLY from
+    * fixture columns the hashed token features never see — the length
+    * band (n_chars − corpus-median 306) plus a source-tier bump
+    * (source number mod 5, centered). Unlike [[qtTeacher]] (a linear
+    * function of the scorer's own feature hash, trivially in the
+    * model's span) this is a genuine regression target: the trainer
+    * must recover document length and source vocabulary signals from
+    * bucket counts whose per-bucket token-length mix it never
+    * observes. Held-out sign agreement ≈ 95% vs a 56% prior. */
+  private def qtExtTeacher: Column =
+    (col("n_chars").cast("long") - 306L) * 100L +
+      (pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(5L)) - 2L) * 400L
+
+  /** DuckDB spelling of [[qtExtTeacher]] (evaluated over the raw
+    * documents row inside the feature CTE). `def`: referenced from the
+    * registry val above its declaration — a plain val would still be
+    * null there (object init order). */
+  private def qtExtTeacherSql: String =
+    "(n_chars - 306) * 100 + ((CAST(substr(source, 4) AS BIGINT) % 5) - 2) * 400"
+
+  /** DuckDB spelling of [[qtTeacher]]'s pre-scale sum (the default the
+    * in-span distillation gates share; `tScaleSql = "s * 1000"`
+    * applies the ×1000). */
+  private def qtScorerTeacherSql: String =
+    """COALESCE(list_sum(list_transform(ws, t ->
+      |      ('0x' || substr(md5(t), 1, 6))::BIGINT % 64 % 7 - 3)), 0)""".stripMargin
+
   /** SQL for the (doc, j, v) hashed-count feature table + bias the
     * distillation oracles share: `name0` keeps (doc_id, s = teacher
-    * sum, ws), `name` is the feature rows. Mirrors
-    * Corpus.scorerFeatures + qtTeacher exactly. */
-  private def qtFeaturesSql(name: String, pred: String,
-      dim: Int): String =
+    * value, ws), `name` is the feature rows. Mirrors
+    * Corpus.scorerFeatures + the chosen teacher exactly. `teacherSql`
+    * may reference `ws` (the tokenized text) or any raw documents
+    * column (n_chars, source, lang) — the external-teacher path. */
+  private def qtFeaturesSql(name: String, pred: String, dim: Int,
+      teacherSql: String = qtScorerTeacherSql): String =
     s"""${name}0 AS (
        |  SELECT doc_id,
-       |    CAST(COALESCE(list_sum(list_transform(ws, t ->
-       |      ('0x' || substr(md5(t), 1, 6))::BIGINT % 64 % 7 - 3)), 0)
+       |    CAST($teacherSql
        |      AS BIGINT) AS s,
        |    ws
-       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+       |  FROM (SELECT doc_id, n_chars, source, lang,
+       |      list_filter(string_split(text, ' '),
        |      x -> x != '') AS ws
        |    FROM documents WHERE $pred)),
        |$name AS MATERIALIZED (
@@ -6475,7 +6602,8 @@ FROM t GROUP BY shard ORDER BY shard""")
     * Corpus.linearDistillCore round for round; consumers append their
     * own final SELECT. */
   private def linearDistillSql(dim: Int, damp: Int, rounds: Int,
-      bound: String): String = {
+      bound: String, teacherSql: String = qtScorerTeacherSql,
+      tScaleSql: String = "s * 1000", ridge: Long = 0L): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""w$k AS MATERIALIZED (
          |  SELECT w.j, CAST(w.w + ((COALESCE(b.b, 0) - COALESCE(hw.hw, 0))
@@ -6487,12 +6615,17 @@ FROM t GROUP BY shard ORDER BY shard""")
          |             FROM hmat h JOIN w${k - 1} w2 ON w2.j = h.k
          |             GROUP BY 1) hw USING (j))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${qtFeaturesSql("fx", s"md5(CAST(doc_id AS VARCHAR)) < '$bound'", dim)},
+    // H + λI: the ridge rides INSIDE hmat so the rounds and the curve's
+    // residual both see the ridged operator (mirrors distillMoments'
+    // driver-side diagonal add; λ = 0 adds exact zeros)
+    s"""WITH ${qtFeaturesSql("fx", s"md5(CAST(doc_id AS VARCHAR)) < '$bound'", dim, teacherSql)},
        |tvec AS MATERIALIZED (
-       |  SELECT doc_id AS doc, CAST(s * 1000 AS BIGINT) AS t FROM fx0),
+       |  SELECT doc_id AS doc, CAST($tScaleSql AS BIGINT) AS t FROM fx0),
        |hmat AS MATERIALIZED (
-       |  SELECT a.j, b.j AS k, CAST(SUM(a.v * b.v) AS BIGINT) AS v
-       |  FROM fx a JOIN fx b USING (doc) GROUP BY 1, 2),
+       |  SELECT j, k,
+       |    CAST(v + CASE WHEN j = k THEN $ridge ELSE 0 END AS BIGINT) AS v
+       |  FROM (SELECT a.j, b.j AS k, CAST(SUM(a.v * b.v) AS BIGINT) AS v
+       |        FROM fx a JOIN fx b USING (doc) GROUP BY 1, 2)),
        |hdiag AS MATERIALIZED (SELECT j, v AS d FROM hmat WHERE j = k),
        |bvec AS MATERIALIZED (
        |  SELECT f.j, CAST(SUM(f.v * t.t) AS BIGINT) AS b

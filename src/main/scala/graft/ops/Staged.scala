@@ -21,8 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 100 TB shape (nobody re-shingles a corpus per consumer there).
   *
   * Keys are scoped by SparkContext application id, so a fixture never
-  * leaks across sessions (test suites, restarted shells); entries from
-  * finished applications are unreachable and harmless.
+  * leaks across sessions (test suites, restarted shells); entries staged
+  * by finished applications are evicted on the next access so their
+  * checkpointed blocks don't pin driver memory for the JVM's lifetime.
   */
 object Staged {
 
@@ -34,9 +35,34 @@ object Staged {
 
   /** Memoized arbitrary staged value (e.g. a (driver chain, DataFrame)
     * pair) — `build` is responsible for materializing any DataFrames it
-    * captures. */
-  def any[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T =
-    cache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}|$key",
-      _ => build).asInstanceOf[T]
+    * captures.
+    *
+    * `build` runs OUTSIDE any map lock: fixture builds may themselves
+    * consume other staged fixtures (the stored-star fixture reads the
+    * stored-pairs fixture), and a nested computeIfAbsent on the same map
+    * violates the ConcurrentHashMap contract (Java 9+ throws "Recursive
+    * update" when both keys land in one bin). get → build → putIfAbsent
+    * accepts a rare duplicate build under a concurrent race — the loser's
+    * checkpoint is orphaned, results are identical either way.
+    */
+  def any[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    val appId = spark.sparkContext.applicationId
+    evictDead(appId)
+    val k = s"$appId|$key"
+    val hit = cache.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val built = build
+      val prev = cache.putIfAbsent(k, built)
+      (if (prev != null) prev else built).asInstanceOf[T]
+    }
+  }
+
+  /** Spark allows one active SparkContext per JVM, so any key scoped to a
+    * different application id belongs to a stopped session — drop it. */
+  private def evictDead(liveAppId: String): Unit = {
+    val prefix = liveAppId + "|"
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (!it.next().startsWith(prefix)) it.remove()
+  }
 }

@@ -12,6 +12,8 @@ package graft
   */
 class PlanLintSpec extends SparkTestBase {
 
+  import java.util.concurrent.{Callable, ConcurrentHashMap, Executors}
+
   // queries whose construction has side effects (JDBC DDL, streaming
   // drains, a partitioned file export, bucketed saveAsTable) — their
   // plan shape is covered by their own oracle queries (and for the
@@ -103,6 +105,49 @@ class PlanLintSpec extends SparkTestBase {
   // and must never carry a forced broadcast hint.
   private val boundedDims = Set("nation", "region")
 
+  // ---- shared plan plumbing: each registry query's QueryExecution is
+  // built ONCE per (name, dir) and reused by every lint test, and each
+  // test's per-query loop runs on a bounded pool (the lint is read-only:
+  // plans for distinct queries analyze independently, no lintable query
+  // touches the shared catalog — the catalog writers are all in `skip`).
+  // This keeps the suite's wall proportional to ONE analysis pass over
+  // the registry instead of five serial ones.
+  private lazy val lintable: Seq[Q] =
+    SparkEntry.all.filterNot(q => skip(q.name) || q.name.startsWith("stream_"))
+
+  private val qeCache =
+    new ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.execution.QueryExecution]()
+
+  private def qe(q: Q, dir: String): org.apache.spark.sql.execution.QueryExecution = {
+    val k = (q.name, dir)
+    val hit = qeCache.get(k)
+    if (hit != null) hit
+    else {
+      // build outside any map lock (query construction may itself stage
+      // shared fixtures); a rare duplicate analysis under a race is free
+      val built = q.run(spark, dir).queryExecution
+      qeCache.putIfAbsent(k, built)
+      qeCache.get(k)
+    }
+  }
+
+  /** Run `body` for every lintable query on a bounded pool, collecting
+    * EVERY failure (not just the first) into one assertion. */
+  private def forAllLintable(body: Q => Unit): Unit = {
+    spark // force session init on the test thread, not a pool thread
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futures = lintable.map(q => pool.submit(new Callable[Option[String]] {
+        def call(): Option[String] =
+          try { body(q); None }
+          catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
+      }))
+      val errs = futures.flatMap(f => Option(f.get()).flatten)
+      assert(errs.isEmpty, "\n" + errs.mkString("\n"))
+    } finally pool.shutdown()
+  }
+
   /** A forced-broadcast subtree is scale-safe iff it is bounded by
     * construction: every leaf is an allowlisted fixed-size dim or a
     * driver-built LocalRelation, or the subtree aggregates/limits to a
@@ -132,17 +177,16 @@ class PlanLintSpec extends SparkTestBase {
   test("forced broadcast() hints only on sides bounded at any scale") {
     import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
     val dir = "/root/testdata/sf0.001"
-    SparkEntry.all
-      .filterNot(q => skip(q.name) || q.name.startsWith("stream_") ||
-        queryBatchBroadcast(q.name))
-      .foreach { q =>
-        val bad = q.run(spark, dir).queryExecution.analyzed.collect {
+    forAllLintable { q =>
+      if (!queryBatchBroadcast(q.name)) {
+        val bad = qe(q, dir).analyzed.collect {
           case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
             !boundedSubtree(h.child) => h
         }
         assert(bad.isEmpty,
           s"${q.name} forces broadcast of an unbounded side:\n${bad.mkString("\n")}")
       }
+    }
   }
 
   // Windows whose partition key is content-derived (a hash of a text
@@ -170,10 +214,8 @@ class PlanLintSpec extends SparkTestBase {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical.{Generate, Window => WindowOp}
     val dir = "/root/testdata/sf0.001"
-    SparkEntry.all
-      .filterNot(q => skip(q.name) || q.name.startsWith("stream_"))
-      .foreach { q =>
-        val plan = q.run(spark, dir).queryExecution.analyzed
+    forAllLintable { q =>
+        val plan = qe(q, dir).analyzed
         val aliases = plan.collect { case p =>
           p.expressions.flatMap(_.collect { case a: Alias => a.exprId -> a.child })
         }.flatten.toMap
@@ -206,7 +248,7 @@ class PlanLintSpec extends SparkTestBase {
           assert(bad.isEmpty,
             s"${q.name} partitions a window by a corpus-cardinality " +
               s"(content-hash or exploded-feature) expression:\n${bad.mkString("\n")}")
-      }
+    }
   }
 
   // The q_window_ranks class: a window partitioned by a PLAIN column
@@ -296,12 +338,10 @@ class PlanLintSpec extends SparkTestBase {
     val dirS = "/root/testdata/sf0.001"
     val dirL = "/root/testdata/sf0.01"
 
-    SparkEntry.all
-      .filterNot(q => skip(q.name) || q.name.startsWith("stream_"))
-      .foreach { q =>
-        val candsS = ndvCandidates(q.run(spark, dirS).queryExecution.analyzed)
+    forAllLintable { q =>
+        val candsS = ndvCandidates(qe(q, dirS).analyzed)
         if (candsS.nonEmpty) {
-          val candsL = ndvCandidates(q.run(spark, dirL).queryExecution.analyzed)
+          val candsL = ndvCandidates(qe(q, dirL).analyzed)
           var tripped = false
           var aggTripped = false
           candsS.zip(candsL).foreach {
@@ -340,7 +380,7 @@ class PlanLintSpec extends SparkTestBase {
               s"${q.name} is agg-window-allowlisted but no window trips " +
                 "the detector — remove the stale entry")
         }
-      }
+    }
   }
 
   // A window with NO partition key moves ALL its input rows to one task
@@ -355,10 +395,8 @@ class PlanLintSpec extends SparkTestBase {
   test("no unpartitioned window over an input with no bounding operator") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, Window => WindowOp}
     val dir = "/root/testdata/sf0.001"
-    SparkEntry.all
-      .filterNot(q => skip(q.name) || q.name.startsWith("stream_"))
-      .foreach { q =>
-        val bad = q.run(spark, dir).queryExecution.analyzed.collect {
+    forAllLintable { q =>
+        val bad = qe(q, dir).analyzed.collect {
           case w: WindowOp if w.partitionSpec.isEmpty &&
             w.child.collectFirst {
               case _: Aggregate => (); case _: GlobalLimit => ()
@@ -375,7 +413,7 @@ class PlanLintSpec extends SparkTestBase {
               "no bounding aggregate/limit beneath it: every input row " +
               "funnels one task at scale. Respell with TwoPass.\n" +
               bad.map(_.simpleString(3)).mkString("\n"))
-      }
+    }
   }
 
   test("agg-window detector flags the retired corpus_keywords spelling") {
@@ -408,8 +446,8 @@ class PlanLintSpec extends SparkTestBase {
       s"ratio rule failed to flag ndv=$ndvS rows=$nS")
     // and the SHIPPED corpus_keywords must not reintroduce any window the
     // ratio rule would flag
-    assert(ndvCandidates(SparkEntry.all.find(_.name == "corpus_keywords").get
-      .run(spark, "/root/testdata/sf0.001").queryExecution.analyzed)
+    assert(ndvCandidates(qe(lintable.find(_.name == "corpus_keywords").get,
+      "/root/testdata/sf0.001").analyzed)
       .forall { case (c, s, agg) =>
         !agg || { val (ndv, n) = measureNdv(c, s); !aggRatioTrips(ndv, n) }
       })
@@ -417,15 +455,13 @@ class PlanLintSpec extends SparkTestBase {
 
   test("no cartesian products; nested-loop joins only where designed") {
     val dir = "/root/testdata/sf0.001"
-    SparkEntry.all
-      .filterNot(q => skip(q.name) || q.name.startsWith("stream_"))
-      .foreach { q =>
-        val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+    forAllLintable { q =>
+        val plan = qe(q, dir).executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
           s"${q.name} plans a cartesian product")
         if (!bnljByDesign(q.name))
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans an unexpected broadcast nested-loop join")
-      }
+    }
   }
 }

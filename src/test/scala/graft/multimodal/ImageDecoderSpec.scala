@@ -145,4 +145,164 @@ class ImageDecoderSpec extends SparkTestBase {
     deep(8 + 8 + 8) = 16
     assert(dec.decode(row(deep)).isEmpty)
   }
+
+  // ---- baseline JPEG (T.81 sequential DCT + Huffman, real bitstream) ----
+
+  private def grayOf(f: DecodedFrame): Array[Int] =
+    Array.tabulate(f.width * f.height)(i => f.pixels(3 * i) & 0xff)
+
+  test("JPEG constant-block grayscale roundtrips exactly, with and without restarts") {
+    // 16 constant 8x8 blocks covering the full signed-byte range: the
+    // DC-only DCT path is integer-exact, so decode == source, bit-for-bit
+    val blockVals = Array(0, 255, 128, 1, 254, 17, 200, 90, 33, 66, 99,
+      240, 13, 180, 127, 129)
+    val gray = new Array[Byte](32 * 32)
+    for (y <- 0 until 32; x <- 0 until 32)
+      gray(y * 32 + x) = blockVals((y / 8) * 4 + (x / 8)).toByte
+    for (rst <- Seq(0, 3)) {
+      val frames = dec.decode(row(Jpeg.encodeGray(32, 32, gray,
+        restartInterval = rst)))
+      assert(frames.size === 1, s"restartInterval=$rst did not decode")
+      val f = frames.head
+      assert(f.width === 32 && f.height === 32)
+      assert(grayOf(f).toSeq === gray.map(_ & 0xff).toSeq,
+        s"restartInterval=$rst mismatch")
+    }
+  }
+
+  test("JPEG AC path matches the JDK's independent libjpeg decoder on our bytes") {
+    // a busy gradient raster (every block has live AC coefficients),
+    // dims not multiples of 8 so the MCU-crop path is exercised too;
+    // both decoders read the SAME compressed bytes, so any disagreement
+    // is in dequant/IDCT/crop — allow |diff| <= 1 for the spec's
+    // permitted IDCT rounding latitude between implementations
+    val w = 21; val h = 14
+    val gray = Array.tabulate(w * h)(i =>
+      ((i % w) * 11 + (i / w) * 29 + (i * i) % 31).toByte)
+    val bytes = Jpeg.encodeGray(w, h, gray)
+    val mine = dec.decode(row(bytes))
+    assert(mine.size === 1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth === w && img.getHeight === h,
+      "ImageIO could not decode our encoder's stream")
+    val g = grayOf(mine.head)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      // raw raster sample: getRGB on a TYPE_BYTE_GRAY image would run
+      // a gray→sRGB colorspace conversion and corrupt the comparison
+      val ref = img.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(g(y * w + x) - ref))
+    }
+    assert(maxDiff <= 1, s"max per-pixel diff vs ImageIO: $maxDiff")
+  }
+
+  test("JPEG decodes the JDK encoder's output (foreign tables, real-world stream)") {
+    // ImageIO writes its own DQT/DHT (not our Annex-K constants) — this
+    // proves the decoder consumes tables from the stream, not baked-in
+    // ones. Constant-chroma input keeps the result invariant to the
+    // chroma upsampling variant (box vs fancy), isolating IDCT + color
+    // convert, where implementations may differ by a rounding step.
+    val w = 24; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 9 + y * 13) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v) // R=G=B: Cb=Cr constant
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val bytes = baos.toByteArray
+    val mine = dec.decode(row(bytes))
+    assert(mine.size === 1, "decoder missed a JDK-encoded baseline JPEG")
+    val f = mine.head
+    assert(f.width === w && f.height === h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgb = ref.getRGB(x, y)
+      val rc = (rgb >> (16 - 8 * c)) & 0xff
+      val mc = f.pixels((y * w + x) * 3 + c) & 0xff
+      maxDiff = math.max(maxDiff, math.abs(mc - rc))
+    }
+    assert(maxDiff <= 2, s"max per-pixel diff vs ImageIO: $maxDiff")
+  }
+
+  test("JPEG 4:4:4 and 4:2:0 color roundtrip constant-chroma rasters exactly") {
+    // per-8x8-block constant colors with ONE shared chroma: colors
+    // differ by v·(1,1,1), which cancels EXACTLY in the fixed-point
+    // chroma rows (−11059−21709+32768 = 0 and 32768−27439−5329 = 0),
+    // so Cb/Cr are bit-identical across blocks while Y varies — the
+    // 4:2:0 downsample+replicate leg becomes lossless and the expected
+    // pixels are computable inline with the same fixed-point forms
+    val colors = Array(0, 60, 120, 175).map(v => (80 + v, 40 + v, 10 + v))
+    val w = 16; val h = 16
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = colors((y / 8) * 2 + (x / 8))
+      val o = (y * w + x) * 3
+      rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+    }
+    def clamp(v: Long) = math.max(0, math.min(255, v)).toInt
+    val expected = colors.map { case (r, g, b) =>
+      val yy = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+      val cb = ((-11059 * r - 21709 * g + 32768 * b + 8421375) >> 16) - 128
+      val cr = ((32768 * r - 27439 * g - 5329 * b + 8421375) >> 16) - 128
+      (clamp(yy + ((91881L * cr + 32768) >> 16)),
+        clamp(yy + ((-22554L * cb - 46802L * cr + 32768) >> 16)),
+        clamp(yy + ((116130L * cb + 32768) >> 16)))
+    }
+    // constant chroma requirement of the 4:2:0 leg: all four colors
+    // must map to the same (cb, cr) — verify the fixture upholds it
+    val ccs = colors.map { case (r, g, b) =>
+      (((-11059 * r - 21709 * g + 32768 * b + 8421375) >> 16),
+        ((32768 * r - 27439 * g - 5329 * b + 8421375) >> 16))
+    }
+    assert(ccs.distinct.size === 1, s"fixture chroma not constant: ${ccs.toSeq}")
+    for (subsample <- Seq(false, true)) {
+      val frames = dec.decode(row(Jpeg.encodeColor(w, h, rgb, subsample)))
+      assert(frames.size === 1, s"subsample=$subsample did not decode")
+      val f = frames.head
+      for (y <- 0 until h; x <- 0 until w) {
+        val (er, eg, eb) = expected((y / 8) * 2 + (x / 8))
+        val o = (y * w + x) * 3
+        assert((f.pixels(o) & 0xff) === er, s"R at ($x,$y) subsample=$subsample")
+        assert((f.pixels(o + 1) & 0xff) === eg, s"G at ($x,$y) subsample=$subsample")
+        assert((f.pixels(o + 2) & 0xff) === eb, s"B at ($x,$y) subsample=$subsample")
+      }
+    }
+  }
+
+  test("JPEG malformed inputs are decode misses, never exceptions") {
+    val gray = Array.tabulate(16 * 16)(i => (i * 7).toByte)
+    val good = Jpeg.encodeGray(16, 16, gray)
+    assert(dec.decode(row(good)).nonEmpty)
+    // truncated entropy-coded segment
+    assert(dec.decode(row(good.dropRight(12))).isEmpty)
+    // missing EOI, stream otherwise complete (the PNG IEND rule)
+    assert(dec.decode(row(good.dropRight(2))).isEmpty)
+    // progressive SOF2 (patch the SOF0 marker): unsupported subset
+    val sofAt = {
+      var i = 2; var at = -1
+      while (at < 0) {
+        if ((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0) at = i
+        else i += 1
+      }
+      at
+    }
+    val progressive = good.clone(); progressive(sofAt + 1) = 0xc2.toByte
+    assert(dec.decode(row(progressive)).isEmpty)
+    // 16-bit quant table (precision nibble of the first DQT entry)
+    val deepQ = good.clone()
+    // DQT is the first segment after SOI: FF DB len2 then Pq/Tq
+    assert((deepQ(2) & 0xff) == 0xff && (deepQ(3) & 0xff) == 0xdb)
+    deepQ(6) = 0x10.toByte
+    assert(dec.decode(row(deepQ)).isEmpty)
+    // lying SOF dimensions (more MCUs than entropy data)
+    val wide = good.clone()
+    wide(sofAt + 7) = 0x7f.toByte // width high byte
+    assert(dec.decode(row(wide)).isEmpty)
+    // bare SOI / garbage after SOI
+    assert(dec.decode(row(Array[Byte](0xff.toByte, 0xd8.toByte))).isEmpty)
+    assert(dec.decode(row(Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3))).isEmpty)
+  }
 }

@@ -86,4 +86,66 @@ class LinearDistillSpec extends SparkTestBase {
     assert(agree * 4 >= total * 3,
       s"held-out agreement below 75%: $agree/$total")
   }
+
+  test("ridge term is H + λI exactly and stabilizes a collinear Gram") {
+    // two docs with IDENTICAL text make rank-deficient feature rows
+    // (perfect collinearity across every bucket they touch); a large-λ
+    // ridge must still converge toward the shrunken solution while
+    // keeping the recurrence the documented H+λI form
+    val dup = Seq(
+      (0L, "good good alpha"), (1L, "good good alpha"),
+      (2L, "bad beta"), (3L, "bad beta"),
+      (4L, "good bad alpha beta")).toDF("doc_id", "text")
+    val dim = 8
+    // λ = 0 vs λ > 0 must differ (the ridge actually reaches the
+    // recurrence) and both stay deterministic
+    val w0 = Corpus.linearDistillCore(dup, "doc_id", "text", teacher,
+      dim = dim, damp = 12, rounds = 64)
+    val wR = Corpus.linearDistillCore(dup, "doc_id", "text", teacher,
+      dim = dim, damp = 12, rounds = 64, ridge = 16L)
+    assert(!w0.sameElements(wR), "ridge had no effect on the recurrence")
+    // exact semantics: one round from w=0 steps w_j = b_j quot
+    // (damp · (H_jj + λ)) — verify against an independently built
+    // Gram diagonal + moment vector (brute-force over the tokens)
+    val j = pmod(conv(substring(md5(col("tok").cast("binary")), 1, 6),
+      16, 10).cast("long"), lit(dim.toLong)).cast("int")
+    val fx = dup.select(col("doc_id").as("doc"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc"), j.as("j"))
+      .groupBy(col("doc"), col("j")).agg(count(lit(1)).as("v"))
+      .unionByName(dup.select(col("doc_id").as("doc"),
+        lit(dim).cast("int").as("j"), lit(1L).as("v")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val tv = dup.select(col("doc_id"), teacher.as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lam = 16L
+    val hjj = Array.tabulate(dim + 1)(jj =>
+      fx.filter(_._2 == jj).map(x => x._3 * x._3).sum + lam)
+    val bj = Array.tabulate(dim + 1)(jj =>
+      fx.filter(_._2 == jj).map(x => x._3 * tv(x._1)).sum)
+    val expected = Array.tabulate(dim + 1)(jj =>
+      bj(jj) / (12L * math.max(hjj(jj), 1L)))
+    val oneRound = Corpus.linearDistillCore(dup, "doc_id", "text", teacher,
+      dim = dim, damp = 12, rounds = 1, ridge = lam)
+    assert(oneRound.toSeq === expected.toSeq)
+    // and the ridged trainer still learns: margins agree in sign with
+    // the teacher on the training docs themselves
+    val wArr = array(wR.toSeq.map(lit): _*)
+    val m = dup.select(col("doc_id").as("doc"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc"), j.as("j"))
+      .groupBy(col("doc"), col("j")).agg(count(lit(1)).as("v"))
+      .unionByName(dup.select(col("doc_id").as("doc"),
+        lit(dim).cast("int").as("j"), lit(1L).as("v")))
+      .groupBy(col("doc"))
+      .agg(sum(col("v") * element_at(wArr, col("j") + 1)).as("marg"))
+      .join(dup.select(col("doc_id").as("doc"), teacher.as("t")), "doc")
+      .collect()
+    m.foreach { r =>
+      val marg = r.getLong(1); val t = r.getLong(2)
+      if (t != 0)
+        assert(marg.sign === t.sign,
+          s"doc ${r.getLong(0)}: ridged margin $marg vs teacher $t")
+    }
+  }
 }

@@ -6,7 +6,8 @@ Usage: python3 tools/selfcheck.py <verify_out_dir> <sf_dir> [--json <path>]
 Reads each <name>/ parquet dir written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB against the sf parquet tables,
 and compares: row count, column names (sorted), and values (rows sorted,
-columns sorted by name, floats compared exactly and at 1e-9 tolerance).
+columns sorted by name, every cell stringified and compared EXACTLY —
+floats included; there is no tolerance path, matching the driver).
 
 Besides the per-query PASS/FAIL lines, writes a machine-readable result
 map in the round driver's exact CORRECTNESS_r{N}.json format —
