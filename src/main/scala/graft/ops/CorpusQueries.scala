@@ -173,6 +173,20 @@ object CorpusQueries {
     * stability term itself is oracle-proven, not just spec-covered. */
   val QtRidge = 16L
 
+  /** The NDJSON quarantine gate's staged malformed lines — shared
+    * verbatim by the Spark drop-file and the oracle's expected-digest
+    * list (no single quotes: they embed in SQL literals). Three
+    * failure classes: type mismatch on the BIGINT column, truncated/
+    * malformed JSON, and non-JSON text. */
+  private val JsonBadLines: Seq[String] = Seq(
+    """{"doc_id":"notanumber1","text":"text 1","lang":"xx","source":"drop","n_chars":1}""",
+    """{"doc_id":"notanumber2","text":"text 2","lang":"xx","source":"drop","n_chars":2}""",
+    """{"doc_id":3,"text":"unterminated 3""",
+    "not json at all 4",
+    """{"doc_id":5,"n_chars":"bad5"}""",
+    """{{"doc_id":6}""",
+    """{"doc_id":7""")
+
   // ---- shared SQL fragments -------------------------------------------
 
   /** ws := non-empty whitespace tokens of text (matches TextFunctions.tokens). */
@@ -1394,6 +1408,64 @@ object CorpusQueries {
            |FROM documents GROUP BY lang
            |UNION ALL
            |SELECT 'zz_quarantine', ${badLines.size},
+           |  0, md5(list_aggregate(list_sort($badList), 'string_agg', chr(10)))
+           |ORDER BY lang""".stripMargin
+      }),
+
+    // NDJSON ingest with the same corrupt-record quarantine (r12 —
+    // closes the last ingest-format asymmetry: the reference is
+    // JSON-native, fluent.py:2125-2152 roots pipelines at parsed JSON
+    // objects). The corpus round-trips through Spark's JSON writer, a
+    // staged drop-file adds deterministically malformed lines (type
+    // mismatches on the long column, truncated objects, non-JSON), and
+    // the PERMISSIVE line-delimited read routes every one of them into
+    // _corrupt_record with the raw line preserved — admitted rows
+    // re-derive the byte-pinned per-lang census, quarantined raw lines
+    // land in their own order-pinned digest row, so accept AND reject
+    // paths are both gated. Same scale shape as the CSV gate: a
+    // map-only parse, one census aggregate.
+    Q(
+      "corpus_json_ingest_quarantine",
+      (s, dir) => {
+        import org.apache.spark.sql.types.StringType
+        val base = "/tmp/graft_json_" + new java.io.File(dir).getName +
+          "_pid" + java.lang.ProcessHandle.current().pid()
+        val docs = table(s, dir, "documents")
+        docs.write.mode("overwrite").json(s"$base/good")
+        s.createDataset(JsonBadLines)(
+            org.apache.spark.sql.Encoders.STRING)
+          .coalesce(1).write.mode("overwrite").text(s"$base/bad")
+        val back = s.read
+          .schema(docs.schema.add("_corrupt_record", StringType))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"$base/good", s"$base/bad")
+          .localCheckpoint(true)
+        val admitted = back.filter(col("_corrupt_record").isNull)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")),
+              "\n\n").cast("binary")).as("packed_md5"))
+        val quarantined = back.filter(col("_corrupt_record").isNotNull)
+          .agg(count(lit(1)).as("n_docs"), lit(0L).as("n_chars"),
+            md5(array_join(array_sort(collect_list(col("_corrupt_record"))),
+              "\n").cast("binary")).as("packed_md5"))
+          .select(lit("zz_quarantine").as("lang"), col("n_docs"),
+            col("n_chars"), col("packed_md5"))
+        admitted.unionByName(quarantined).orderBy(col("lang"))
+      },
+      Some {
+        val badList = JsonBadLines.map(l => s"'$l'").mkString("[", ", ", "]")
+        s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |  md5(STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id)) AS packed_md5
+           |FROM documents GROUP BY lang
+           |UNION ALL
+           |SELECT 'zz_quarantine', ${JsonBadLines.size},
            |  0, md5(list_aggregate(list_sort($badList), 'string_agg', chr(10)))
            |ORDER BY lang""".stripMargin
       }),
@@ -2845,6 +2917,59 @@ FROM t GROUP BY shard ORDER BY shard""")
              |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
              |FROM arr a LEFT JOIN sup s ON a.digest = s.digest
              |GROUP BY 1 ORDER BY verdict""".stripMargin)),
+
+    // the three live gates COMPOSED into one ingest pipeline (r12):
+    // quality → suppression → dedup probe/register per micro-batch,
+    // duplicate verdict derived from the drained pair log so the
+    // census is slicing-independent — the oracle recomputes the
+    // one-shot composition (gopher flags → digest split → banded
+    // candidates among history ∪ admitted arrivals, larger id drops)
+    Q(
+      "stream_ingest_pipeline",
+      (s, dir) => StreamingQueries.streamIngestPipeline(s, dir),
+      Some {
+        val stops = GopherQueryStops.map(s0 => s"'$s0'")
+          .mkString("[", ", ", "]")
+        s"""WITH $toksCte, $shingleCte,
+           |$minhashCtes,
+           |gm AS (
+           |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+           |    CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sl,
+           |    CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
+           |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+           |    CAST(len(list_filter($stops,
+           |      s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS BIGINT) AS st
+           |  FROM toks WHERE doc_id >= 400),
+           |sup AS (
+           |  SELECT DISTINCT md5(text) AS digest
+           |  FROM documents WHERE doc_id % 17 = 0),
+           |v1 AS (
+           |  SELECT d.doc_id, d.source,
+           |    CASE WHEN NOT (g.n >= 30 AND g.n <= 100000 AND g.sl >= g.n * 3
+           |           AND g.sl <= g.n * 10 AND g.sym * 10 <= g.n
+           |           AND g.al * 5 >= g.n * 4 AND g.st >= 2)
+           |         THEN 'quality_rejected'
+           |         WHEN md5(d.text) IN (SELECT digest FROM sup)
+           |         THEN 'suppressed'
+           |         ELSE 'admitted_pre' END AS verdict
+           |  FROM documents d JOIN gm g USING (doc_id)
+           |  WHERE d.doc_id >= 400),
+           |adm AS (SELECT doc_id FROM v1 WHERE verdict = 'admitted_pre'),
+           |dup AS (
+           |  SELECT DISTINCT b.doc_id
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+           |  WHERE b.doc_id IN (SELECT doc_id FROM adm)
+           |    AND (a.doc_id < 400 OR a.doc_id IN (SELECT doc_id FROM adm)))
+           |SELECT
+           |  CASE WHEN verdict = 'admitted_pre' THEN
+           |    CASE WHEN doc_id IN (SELECT doc_id FROM dup)
+           |         THEN 'dup_dropped' ELSE 'admitted' END
+           |  ELSE verdict END AS verdict,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+           |FROM v1 GROUP BY 1 ORDER BY verdict""".stripMargin
+      }),
 
     // the incremental family composed END TO END, the way a daily
     // ingest runs it: history signed once (stored signature table) and
@@ -6062,6 +6187,237 @@ FROM t GROUP BY shard ORDER BY shard""")
               |       ELSE 'train' END AS split,
               |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
               |FROM deduped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // the END-TO-END RELEASE pipeline (r12): the full pretraining
+    // chain as ONE hash-gated query — normalize → C4-style line dedup
+    // → exact keep → fuzzy (minhash-verified CC) keep → gopher gate →
+    // decontaminate against the held-out benchmark slice → mixture
+    // plan → pack sequences → per-source release sheet whose doc/token
+    // counts are RE-DERIVED FROM THE PACKED PAYLOAD (re-tokenized off
+    // the packed bytes, shard digests folded in shard order), so a
+    // composition seam that loses, duplicates, or mangles a document
+    // anywhere in the chain breaks the hash. Every stage is
+    // individually green (corpus_normalize, corpus_line_dedup,
+    // dedup_exact, dedup_near_keep, corpus_gopher_rules,
+    // corpus_decontaminate, corpus_mixture_plan,
+    // corpus_pack_sequences); this row gates the SEAMS — the lesson of
+    // corpus_curation_incremental, where drift hides between stages.
+    // (The LM-score gate drops into the same seam as the gopher gate —
+    // corpus_lm_score — kept out of this composition only to bound the
+    // oracle's plan depth.) Scale shape: each stage keeps its own
+    // gated shape; the only driver work is the bounded #sources
+    // weight collect the mixture-plan gate already does.
+    Q(
+      "corpus_release_pipeline",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        val evalD = docs.filter(col("doc_id") % 10 === 0)
+        val norm = train.select(col("doc_id"), col("lang"), col("source"),
+          Corpus.normalizeText(col("text")).as("norm"))
+        val ws = TextFunctions.tokens(col("norm"))
+        val nw = org.apache.spark.sql.functions.size(ws).cast("long")
+        val lined = norm.select(col("doc_id"),
+          array_join(
+            transform(
+              sequence(lit(0L),
+                ((greatest(nw, lit(1L)) + lit(2L)) / lit(3L)).cast("long") - 1),
+              i => array_join(slice(ws, (i * 3 + 1).cast("int"), lit(3)), " ")),
+            "\n").as("lined"))
+        val cleaned = Dedup.dedupLines(lined, "doc_id", "lined", "\n", maxDf = 3)
+          .select(col("doc_id"),
+            regexp_replace(col("clean_text"), "\n", " ").as("clean"))
+          .join(norm.select(col("doc_id"), col("lang"), col("source")),
+            Seq("doc_id"))
+        // feeds fuzzy pair discovery AND the survivor joins below
+        val exact = Dedup.dropDuplicatesByPriority(cleaned, "clean",
+          Seq(col("doc_id"))).localCheckpoint(true)
+        val fuzzy = Dedup.nearDupKeep(exact, "doc_id", "clean",
+            n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+          .select(col("doc_id"))
+          .join(exact, Seq("doc_id"))
+        val goph = Corpus.gopherRules(fuzzy, "doc_id", "clean",
+            minWords = 30, maxWords = 100000, stops = GopherQueryStops)
+          .filter(col("keep")).select(col("doc_id"))
+          .join(fuzzy, Seq("doc_id"))
+        val evalNorm = evalD.select(col("doc_id"),
+          Corpus.normalizeText(col("text")).as("clean"))
+        // LONG-n-gram decontamination (the GPT-3-style 13-gram rule,
+        // scaled to this corpus's doc lengths): 3-grams over a small
+        // shared vocabulary convict 95% of the corpus by chance
+        // (measured); 8-gram hits are real benchmark copies
+        val released = goph.join(
+            Dedup.contamination(goph, evalNorm, "doc_id", "clean", n = 8)
+              .filter(col("n_contaminated") > 0).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // feeds the plan AND the pack
+        val weights = released.select(col("source")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+          .map(src => src -> ((src.drop(3).toInt + 1) * 4761))
+        val plan = Corpus.mixturePlan(released, "source", "clean", weights,
+          budgetTokens = 10000000L)
+        val shardRows = Corpus.packSequences(released, "source", "doc_id",
+            "clean", budget = 500L, sep = "\n\n")
+          .select(col("source"), col("shard"), col("n_docs"),
+            md5(col("packed").cast("binary")).as("pmd5"),
+            // the card's token count comes off the PACKED bytes, not
+            // the upstream rows — the "nothing lost in packing" proof
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.filter(
+                split(col("packed"), "\\s+"), t => t =!= lit("")))
+              .cast("long").as("rt"))
+        shardRows.groupBy(col("source")).agg(
+            count(lit(1)).as("n_shards"),
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("rt")).as("n_tokens"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("shard"), col("pmd5")))),
+                x => x.getField("pmd5")),
+              "|").cast("binary")).as("packed_md5"))
+          .join(plan.select(col("source"), col("weight_ppm"),
+            col("target_tokens"), col("repeat_milli")), Seq("source"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val stops = GopherQueryStops.map(s0 => s"'$s0'")
+          .mkString("[", ", ", "]")
+        s"""WITH RECURSIVE base AS (
+           |  SELECT doc_id, lang, source,
+           |    trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g')) AS norm
+           |  FROM documents WHERE doc_id % 10 <> 0),
+           |bt AS (
+           |  SELECT doc_id, lang, source,
+           |    list_filter(string_split(norm, ' '), x -> x != '') AS ws0
+           |  FROM base),
+           |rl_lined AS (
+           |  SELECT doc_id, lang, source, list_transform(
+           |    range(0, CAST((greatest(len(ws0), 1) + 2) // 3 AS BIGINT)),
+           |    i -> array_to_string(ws0[i*3+1:i*3+3], ' ')) AS lines
+           |  FROM bt),
+           |rl_freq AS (
+           |  SELECT line FROM (
+           |    SELECT DISTINCT doc_id, unnest(lines) AS line FROM rl_lined)
+           |  GROUP BY line HAVING COUNT(*) > 3),
+           |rl_fl AS (SELECT COALESCE(list(line), []) AS f FROM rl_freq),
+           |cleaned AS (
+           |  SELECT doc_id, lang, source,
+           |    COALESCE(array_to_string(
+           |      list_filter(lines, l -> NOT list_contains(f, l)), ' '), '') AS clean
+           |  FROM rl_lined, rl_fl),
+           |exact AS (
+           |  SELECT doc_id, lang, source, clean FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(clean)
+           |      ORDER BY doc_id) AS rn
+           |    FROM cleaned) t WHERE rn = 1),
+           |toks AS (
+           |  SELECT doc_id, clean AS text,
+           |    list_filter(string_split(clean, ' '), x -> x != '') AS ws
+           |  FROM exact),
+           |$shingleCte,
+           |$minhashCtes,
+           |rl_cands AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+           |rl_shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+           |rl_sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM rl_shx GROUP BY doc_id),
+           |rl_common AS (
+           |  SELECT c.d1, c.d2, COUNT(*) AS common
+           |  FROM rl_cands c
+           |  JOIN rl_shx s1 ON s1.doc_id = c.d1
+           |  JOIN rl_shx s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+           |  GROUP BY c.d1, c.d2),
+           |rl_pairs AS (
+           |  SELECT d1, d2 FROM rl_common
+           |  JOIN rl_sizes sa ON sa.doc_id = d1
+           |  JOIN rl_sizes sb ON sb.doc_id = d2
+           |  WHERE CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5),
+           |rl_e AS (SELECT d1 AS a, d2 AS b FROM rl_pairs
+           |         UNION SELECT d2 AS a, d1 AS b FROM rl_pairs),
+           |rl_walk(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM exact
+           |  UNION
+           |  SELECT w.src, e.b FROM rl_walk w JOIN rl_e e ON w.dst = e.a),
+           |rl_comp AS (SELECT src AS doc_id, MIN(dst) AS cluster
+           |            FROM rl_walk GROUP BY src),
+           |fuzzy AS (
+           |  SELECT t.doc_id, t.lang, t.source, t.clean
+           |  FROM exact t JOIN rl_comp c
+           |    ON c.doc_id = t.doc_id AND c.cluster = t.doc_id),
+           |gm AS (
+           |  SELECT doc_id, CAST(len(gws) AS BIGINT) AS n,
+           |    CAST(COALESCE(list_sum(list_transform(gws, w -> len(w))), 0) AS BIGINT) AS sl,
+           |    CAST(len(list_filter(gws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
+           |    CAST(len(list_filter(gws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+           |    CAST(len(list_filter($stops,
+           |      s -> list_contains(list_transform(gws, w -> lower(w)), s))) AS BIGINT) AS st
+           |  FROM (SELECT doc_id,
+           |    list_filter(string_split(clean, ' '), x -> x != '') AS gws
+           |    FROM fuzzy)),
+           |goph AS (
+           |  SELECT f.* FROM fuzzy f JOIN gm USING (doc_id)
+           |  WHERE n >= 30 AND n <= 100000 AND sl >= n * 3 AND sl <= n * 10
+           |    AND sym * 10 <= n AND al * 5 >= n * 4 AND st >= 2),
+           |ev AS (
+           |  SELECT trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g')) AS clean
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |evsh AS (
+           |  SELECT DISTINCT unnest(list_distinct(list_transform(
+           |    range(1, len(ews) - 6),
+           |    i -> array_to_string(ews[i:i+7], ' ')))) AS shingle
+           |  FROM (SELECT list_filter(string_split(clean, ' '), x -> x != '') AS ews
+           |        FROM ev) WHERE len(ews) >= 8),
+           |tsh AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, len(tws) - 6),
+           |    i -> array_to_string(tws[i:i+7], ' ')))) AS shingle
+           |  FROM (SELECT doc_id,
+           |    list_filter(string_split(clean, ' '), x -> x != '') AS tws
+           |    FROM goph) WHERE len(tws) >= 8),
+           |contam AS (
+           |  SELECT DISTINCT t.doc_id FROM tsh t JOIN evsh e ON e.shingle = t.shingle),
+           |released AS (
+           |  SELECT * FROM goph
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           |ptoks AS (
+           |  SELECT doc_id, source, clean,
+           |    CAST(len(list_filter(string_split(clean, ' '), x -> x != '')) AS BIGINT) AS nt
+           |  FROM released),
+           |rl_shard AS (
+           |  SELECT doc_id, source, clean, nt,
+           |    CAST(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500 AS BIGINT) AS shard
+           |  FROM ptoks),
+           |packs AS (
+           |  SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    md5(STRING_AGG(clean, chr(10) || chr(10) ORDER BY doc_id)) AS pmd5,
+           |    STRING_AGG(clean, chr(10) || chr(10) ORDER BY doc_id) AS packed
+           |  FROM rl_shard GROUP BY 1, 2),
+           |rp AS (
+           |  SELECT source, shard, n_docs, pmd5,
+           |    CAST(len(list_filter(regexp_split_to_array(packed, '\\s+'),
+           |      x -> x != '')) AS BIGINT) AS rt
+           |  FROM packs),
+           |agg AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shards,
+           |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           |    CAST(SUM(rt) AS BIGINT) AS n_tokens,
+           |    md5(STRING_AGG(pmd5, '|' ORDER BY shard)) AS packed_md5
+           |  FROM rp GROUP BY 1),
+           |mp AS (
+           |  SELECT source,
+           |    CAST((CAST(substr(source, 4) AS BIGINT) + 1) * 4761 AS BIGINT) AS weight_ppm
+           |  FROM (SELECT DISTINCT source FROM released))
+           |SELECT a.source, a.n_shards, a.n_docs, a.n_tokens, a.packed_md5,
+           |  m.weight_ppm,
+           |  CAST(10000000 * m.weight_ppm // 1000000 AS BIGINT) AS target_tokens,
+           |  CAST(CASE WHEN a.n_tokens = 0 THEN 0
+           |       ELSE (10000000 * m.weight_ppm // 1000000) * 1000 // a.n_tokens
+           |       END AS BIGINT) AS repeat_milli
+           |FROM agg a JOIN mp m USING (source)
+           |ORDER BY a.source""".stripMargin
+      }),
 
     // length-distribution clipping per language: drop the shortest 5% and
     // longest 5% by exact integer rank arithmetic

@@ -589,6 +589,100 @@ object StreamingQueries {
       .orderBy(col("verdict"))
   }
 
+  /** The COMPOSED live-ingest pipeline (r12): readStream → quality
+    * gate → suppression gate → live dedup gate in ONE foreachBatch
+    * loop — the shape a production crawl ingester actually runs, where
+    * each micro-batch is (1) flagged by the map-only gopher rules,
+    * (2) verdicted against the stored takedown digests, and (3) the
+    * admitted remainder probes the signature store for near-dup
+    * candidates and registers its own signatures for later arrivals.
+    * Each stage exists and is individually gated (stream_quality_gate,
+    * stream_suppression_ingest, stream_dedup_ingest); THIS gate proves
+    * the composition is slicing-independent: the duplicate verdict is
+    * derived from the DRAINED pair log (larger id of any candidate
+    * pair drops), so the final census equals the one-shot batch
+    * composition for any micro-batch split — which is what the oracle
+    * recomputes. Batch-id-keyed overwrite sinks keep replays
+    * idempotent (the streamDedupIngest convention).
+    *
+    * Returns the per-verdict census over the arrival slice:
+    * admitted / dup_dropped / quality_rejected / suppressed.
+    */
+  private[graft] def streamIngestPipeline(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val base = s"/tmp/graft_stream_ingpipe_${new java.io.File(dir).getName}" +
+      s"_pid${ProcessHandle.current().pid()}"
+    val digestPath = s"$base/digests"
+    val sigStorePath = s"$base/sigs"
+    val pairsPath = s"$base/pairs"
+    val logPath = s"$base/log"
+    Seq(digestPath, sigStorePath, pairsPath, logPath, s"$base/ckpt")
+      .foreach { p =>
+        val f = new java.io.File(p); if (f.exists()) rmTree(f)
+      }
+    // stored gate state: the takedown digest artifact and the day-0
+    // signature store (history signed once when it arrived)
+    docs.filter(col("doc_id") % 17 === 0)
+      .select(md5(col("text").cast("binary")).as("digest")).distinct()
+      .write.mode("overwrite").parquet(digestPath)
+    CorpusQueries.historySigsFixture(s, dir)
+      .write.mode("overwrite").parquet(s"$sigStorePath/part=history")
+    val fresh = docs.filter(col("doc_id") >= 400)
+    val streamDir = s"$base/in"
+    val schema = stageBatches(s, streamDir, Seq(
+      "b0" -> fresh.filter(col("doc_id") % 2 === 0),
+      "b1" -> fresh.filter(col("doc_id") % 2 =!= 0)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    withStreamShuffle(s, 4) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val flags = Corpus.gopherRules(batch, "doc_id", "text",
+              minWords = 30, maxWords = 100000,
+              stops = CorpusQueries.GopherQueryStops)
+            .select(col("doc_id"), col("keep"))
+          val store = s.read.parquet(digestPath).withColumn("__hit", lit(1))
+          val verdicted = batch.join(flags, Seq("doc_id"))
+            .withColumn("digest", md5(col("text").cast("binary")))
+            .join(store, Seq("digest"), "left")
+            .withColumn("verdict",
+              when(!col("keep"), "quality_rejected")
+                .when(col("__hit").isNotNull, "suppressed")
+                .otherwise("admitted_pre"))
+            .localCheckpoint(true)
+          val admitted = verdicted.filter(col("verdict") === "admitted_pre")
+            .select(batch.columns.map(col): _*)
+          Dedup.minhashLshIncremental(admitted, "doc_id", "text",
+              s.read.parquet(sigStorePath), n = 3, bands = 4,
+              rowsPerBand = 3)
+            .write.mode("overwrite").parquet(s"$pairsPath/part=b$id")
+          Dedup.minhashSignatureTable(admitted, "doc_id", "text",
+              n = 3, k = 12)
+            .write.mode("overwrite").parquet(s"$sigStorePath/part=b$id")
+          verdicted.select(col("doc_id"), col("source"), col("verdict"))
+            .write.mode("overwrite").parquet(s"$logPath/part=b$id")
+        }
+        .start()
+      // stop in finally: a failed drain must not leak a running query
+      try q.processAllAvailable() finally q.stop()
+    }
+    val dups = s.read.parquet(pairsPath)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("__dup", lit(1))
+    s.read.parquet(logPath)
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("verdict") === "admitted_pre",
+          when(col("__dup").isNotNull, "dup_dropped").otherwise("admitted"))
+          .otherwise(col("verdict")).as("verdict"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("verdict"))
+  }
+
   /** The deployment spelling of `stream_incremental_agg` for an
     * UNBOUNDED stream: the algebraic count/sum/min/max state is scoped
     * to (6 h window × type) so the watermark can EVICT expired window

@@ -21,7 +21,8 @@ class PlanLintSpec extends SparkTestBase {
   private val skip = Set("dsl_jdbc_roundtrip", "dsl_chunked_upsert",
     "dsl_generated_ids", "corpus_shard_export", "corpus_sorted_export",
     "corpus_compaction_apply", "corpus_orc_roundtrip",
-    "corpus_csv_ingest_quarantine", "sketch_hll_store_merge",
+    "corpus_csv_ingest_quarantine", "corpus_json_ingest_quarantine",
+    "sketch_hll_store_merge",
     "corpus_schema_evolution",
     "ann_ivf_incremental", "ann_pq_incremental",
     "ann_ivfpq_incremental", "ann_takedown_search", "q_bucketed_join")
