@@ -63,6 +63,23 @@ class BpeScaleSpec extends SparkTestBase {
     assert(m.forall(_.getLong(3) >= 1L))
   }
 
+  test("driver venue trains 32,768 merges (production tokenizer scale)") {
+    // the real-tokenizer budget (GPT-2 ran 50k, many run 32k): ~512
+    // batched rounds of the identical acceptance rule on the same
+    // synthetic corpus (capacity Σ(len−1) = 165k ≫ 32k). Driver venue:
+    // zero per-round Spark jobs — the ~4 min wall is pure merge
+    // arithmetic, linear in the budget (the per-merge affected-slice
+    // rewrite dominates; a larger candidate batch does not help).
+    val m = Corpus.bpeMerges(syntheticDocs, "doc_id", "text",
+      merges = 32768, window = 1, batchCandidates = 64)
+      .orderBy("rank").collect()
+    assert(m.length === 32768, "merge budget not reached — exhausted early")
+    assert(m.map(_.getInt(0)).toSeq === (1 to 32768))
+    val pairs = m.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length === pairs.length)
+    assert(m.forall(_.getLong(3) >= 1L))
+  }
+
   test("distributed venue replays the synthetic-corpus chain prefix") {
     val budget = 48
     val dist = Corpus.bpeMerges(syntheticDocs, "doc_id", "text",
