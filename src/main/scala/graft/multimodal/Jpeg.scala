@@ -506,9 +506,13 @@ object Jpeg {
             var bh = 0
             while (bh < c.h) {
               java.util.Arrays.fill(coef, 0L)
-              // DC: category + DPCM diff (F.2.2.1)
+              // DC: category + DPCM diff (F.2.2.1). Baseline 8-bit
+              // caps the category at 11 (|diff| <= 2047); with the
+              // 64-MP header cap that bounds |dcPred| < 2^31, so a
+              // hostile DHT defining categories 12-15 must be a miss,
+              // not an Int wrap into deterministic garbage.
               val t = dcTab(c.td).decode(in)
-              if (t > 15) miss()
+              if (t > 11) miss()
               dcPred(ci) += extend(in.receive(t), t)
               coef(0) = dcPred(ci).toLong * q(0)
               // AC: run/size pairs, ZRL, EOB (F.2.2.2)

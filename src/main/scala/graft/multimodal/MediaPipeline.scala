@@ -242,7 +242,11 @@ object MediaPipeline {
         var got = 0
         while (got < n && !inf.finished()) {
           val k = inf.inflate(out, got, n - got)
-          if (k == 0 && inf.needsInput()) return None // truncated
+          // no progress = truncated input OR an FDICT preset-dictionary
+          // stream (needsDictionary: inflate returns 0 forever without
+          // this bail — never-throw must not become never-return)
+          if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None
           got += k
         }
         if (got < n) return None

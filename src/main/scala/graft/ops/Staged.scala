@@ -27,7 +27,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Staged {
 
-  private val cache = new ConcurrentHashMap[String, AnyRef]()
+  /** Per-key memoizing cell: the map's value is the HOLDER, not the
+    * fixture, so the build runs under the holder's own monitor (lazy
+    * val), never under a ConcurrentHashMap bin lock. That keeps (a)
+    * nested staged builds legal — the stored-star fixture forces the
+    * stored-pairs holder, a different monitor, where a nested
+    * computeIfAbsent on one map would violate the CHM contract (Java
+    * 9+ "Recursive update") — and (b) single-build semantics under
+    * concurrency: the parallel lint suite hits a shared fixture from
+    * 8 threads at once, and a get-then-putIfAbsent of the VALUE would
+    * run the expensive build (staged BPE training, pair graphs) once
+    * per thread and leak each loser's eager checkpoint. Fixture
+    * dependencies are acyclic, so cross-holder forcing cannot
+    * deadlock. */
+  private final class Holder(build: () => AnyRef) {
+    lazy val value: AnyRef = build()
+  }
+
+  private val cache = new ConcurrentHashMap[String, Holder]()
 
   /** Memoized eager localCheckpoint of `build`, keyed per application. */
   def df(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
@@ -35,27 +52,20 @@ object Staged {
 
   /** Memoized arbitrary staged value (e.g. a (driver chain, DataFrame)
     * pair) — `build` is responsible for materializing any DataFrames it
-    * captures.
-    *
-    * `build` runs OUTSIDE any map lock: fixture builds may themselves
-    * consume other staged fixtures (the stored-star fixture reads the
-    * stored-pairs fixture), and a nested computeIfAbsent on the same map
-    * violates the ConcurrentHashMap contract (Java 9+ throws "Recursive
-    * update" when both keys land in one bin). get → build → putIfAbsent
-    * accepts a rare duplicate build under a concurrent race — the loser's
-    * checkpoint is orphaned, results are identical either way.
-    */
+    * captures. See [[Holder]] for the locking design. */
   def any[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
     val appId = spark.sparkContext.applicationId
     evictDead(appId)
     val k = s"$appId|$key"
     val hit = cache.get(k)
-    if (hit != null) hit.asInstanceOf[T]
-    else {
-      val built = build
-      val prev = cache.putIfAbsent(k, built)
-      (if (prev != null) prev else built).asInstanceOf[T]
-    }
+    val holder =
+      if (hit != null) hit
+      else {
+        val fresh = new Holder(() => build)
+        val prev = cache.putIfAbsent(k, fresh)
+        if (prev != null) prev else fresh
+      }
+    holder.value.asInstanceOf[T]
   }
 
   /** Spark allows one active SparkContext per JVM, so any key scoped to a
