@@ -5077,6 +5077,63 @@ FROM t GROUP BY shard ORDER BY shard""")
              |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // perceptual near-dup END-TO-END on JPEG bytes — the exact
+    // composition a crawl image pipeline runs: JPEG decode (real
+    // bitstream) → nearest-neighbor resize to the hash grid → integer
+    // dHash → exact fingerprint grouping. Constant 8×8 blocks keep the
+    // decode integer-exact, and the 32→8 nearest resample picks pixel
+    // (4x, 4y) — i.e. block (x/2, y/2) — so the oracle re-derives every
+    // gradient bit straight off the raw bytes: decode, resize, and
+    // hash are all on the gated path at once (each is also gated
+    // alone: multimodal_jpeg, the resize spec, multimodal_phash_dups).
+    Q(
+      "multimodal_jpeg_phash",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Jpeg, MediaPipeline}
+        import MediaPipeline.{ImageDecoder, MediaRow}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 16)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 16).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          val gray = new Array[Byte](32 * 32)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              gray(y * 32 + x) = px((y / 8) * 4 + (x / 8)); x += 1
+            }
+            y += 1
+          }
+          MediaRow(id, "image", Jpeg.encodeGray(32, 32, gray), "jpg",
+            32, 32, 0L)
+        }
+        val dec = new ImageDecoder
+        MediaPipeline.dHash(
+          MediaPipeline.sampleFrames(media, dec, 1)(s)
+            .map(f => dec.resize(f, 8, 8)))(s)
+          .toDF("doc_id", "fp")
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .filter(col("n_docs") >= 2)
+          .select(col("fp").as("phash"), col("n_docs"), col("min_doc"))
+          .orderBy(col("phash"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, substr(hex(encode(text)), 1, 32) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 16),
+             |b AS (SELECT doc_id, list_transform(range(0, 16),
+             |  i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT) AS px FROM h),
+             |g AS (SELECT doc_id, list_transform(range(0, 64),
+             |  p -> px[(p // 8 // 2) * 4 + ((p % 8) // 2) + 1]) AS gray FROM b),
+             |f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), bb ->
+             |  CASE WHEN gray[(bb // 7) * 8 + (bb % 7) + 1] > gray[(bb // 7) * 8 + (bb % 7) + 2]
+             |       THEN (1::BIGINT << bb) ELSE 0 END)) AS BIGINT) AS fp FROM g)
+             |SELECT fp AS phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MIN(doc_id) AS min_doc
+             |FROM f GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY phash""".stripMargin)),
+
     // int8-quantization recall report: completes the recall family —
     // the fp32-vs-int8 quality number a user consults before flipping
     // the quantized index on
