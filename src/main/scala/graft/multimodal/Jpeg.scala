@@ -411,7 +411,11 @@ object Jpeg {
                 p += 17 + n
               }
               if (p != segEnd) miss()
-            case 0xc0 => // SOF0 baseline sequential
+            case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+              // SOF1 with 8-bit samples and Huffman coding decodes
+              // byte-identically to baseline (T.81 Table B.1 — the
+              // extension only admits 12-bit, which the precision
+              // check below rejects); crawl JPEGs occasionally carry it
               if (comps != null || len < 11) miss()
               if ((b(seg) & 0xff) != 8) miss() // 8-bit samples
               height = u16(seg + 1); width = u16(seg + 3)
@@ -428,9 +432,9 @@ object Jpeg {
                 if (hs < 1 || hs > 2 || vs < 1 || vs > 2 || tqi > 3) miss()
                 Component(b(o) & 0xff, hs, vs, tqi)
               }
-            case sof if (sof >= 0xc1 && sof <= 0xcf) && sof != 0xc4 &&
+            case sof if (sof >= 0xc2 && sof <= 0xcf) && sof != 0xc4 &&
                 sof != 0xc8 && sof != 0xcc =>
-              miss() // progressive/extended/lossless/arithmetic: unsupported
+              miss() // progressive/lossless/arithmetic: unsupported
             case 0xdd => // DRI
               if (len != 4) miss()
               restartInterval = u16(seg)

@@ -272,6 +272,20 @@ class ImageDecoderSpec extends SparkTestBase {
     }
   }
 
+  test("JPEG SOF1 (extended sequential, 8-bit Huffman) decodes like baseline") {
+    val gray = Array.tabulate(16 * 16)(i => (i * 11 + (i * i) % 17).toByte)
+    val base = Jpeg.encodeGray(16, 16, gray)
+    var i = 2; var sofAt = -1
+    while (sofAt < 0) {
+      if ((base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc0) sofAt = i
+      else i += 1
+    }
+    val sof1 = base.clone(); sof1(sofAt + 1) = 0xc1.toByte
+    val a = dec.decode(row(base)); val b = dec.decode(row(sof1))
+    assert(a.size === 1 && b.size === 1, "SOF1 stream did not decode")
+    assert(a.head.pixels.toSeq === b.head.pixels.toSeq)
+  }
+
   test("JPEG malformed inputs are decode misses, never exceptions") {
     val gray = Array.tabulate(16 * 16)(i => (i * 7).toByte)
     val good = Jpeg.encodeGray(16, 16, gray)
