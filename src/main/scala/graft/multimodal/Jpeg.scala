@@ -1,16 +1,18 @@
 package graft.multimodal
 
-/** Baseline JPEG codec — ITU-T T.81 (the public 1992 spec), sequential
-  * DCT, Huffman entropy coding. Decoder subset: SOF0 baseline, 8-bit
-  * samples, 1 (gray) or 3 (YCbCr) components, sampling factors 1–2
-  * per axis (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart markers,
-  * multi-table DQT/DHT segments. Everything else — progressive
-  * (SOF2), arithmetic coding, 12-bit, hierarchical, 16-bit quant
-  * tables — is a decode MISS (None), never an exception: the same
-  * never-throw contract as the PPM/BMP/PNG/WAV/GVID parsers in
-  * [[MediaPipeline]]. This is the format crawl images actually arrive
-  * in; the perceptual-dedup family runs on real web bytes through
-  * this path.
+/** JPEG codec — ITU-T T.81 (the public 1992 spec), DCT + Huffman
+  * entropy coding. Decoder subset: SOF0 baseline / SOF1 extended
+  * sequential / SOF2 progressive (spectral selection + successive
+  * approximation, T.81 Annex G), 8-bit samples, 1 (gray) or 3
+  * (YCbCr) components, sampling factors 1–2 per axis (4:4:4 /
+  * 4:2:2 / 4:4:0 / 4:2:0), restart markers, multi-table DQT/DHT
+  * segments, inter-scan DHT/DQT/DRI redefinition. Everything else —
+  * arithmetic coding, 12-bit, hierarchical, 16-bit quant tables —
+  * is a decode MISS (None), never an exception: the same never-throw
+  * contract as the PPM/BMP/PNG/WAV/GVID parsers in
+  * [[MediaPipeline]]. Baseline + progressive together are the formats
+  * crawl images actually arrive in; the perceptual-dedup family runs
+  * on real web bytes through this path.
   *
   * The inverse DCT is the fixed-point integer Loeffler–Ligtenberg–
   * Moshytz factorization (13-bit constants, two descaled passes —
@@ -312,6 +314,11 @@ object Jpeg {
 
     def align(): Unit = nbits = 0
 
+    /** Byte offset of the next unread byte — only meaningful after
+      * [[align]]; lets the progressive marker walk resume after a
+      * scan's entropy segment. */
+    def position: Int = pos
+
     /** Consume RSTm at a byte boundary (nbits must be drained first). */
     def expectRestart(m: Int): Unit = {
       if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
@@ -359,6 +366,12 @@ object Jpeg {
     var width = 0; var height = 0
     var comps: Array[Component] = null
     var restartInterval = 0
+    // progressive (SOF2) state: per-component zigzag-order coefficient
+    // buffers accumulated across scans, IDCT'd once at EOI
+    var progressive = false
+    var coefBufs: Array[Array[Int]] = null
+    var quantLatched: Array[Array[Int]] = null // per-comp table at 1st SOS
+    var scansDecoded = 0
 
     def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
@@ -371,7 +384,10 @@ object Jpeg {
       val m = b(i + 1) & 0xff
       i += 2
       m match {
-        case 0xd9 => miss() // EOI before any scan decoded
+        case 0xd9 => // EOI: terminal for progressive, premature otherwise
+          if (!progressive || scansDecoded == 0) miss()
+          return Some(reconstructProgressive(width, height, comps,
+            coefBufs, quantLatched))
         case 0x01 => () // TEM, standalone
         case rst if rst >= 0xd0 && rst <= 0xd7 => () // stray RST, standalone
         case _ =>
@@ -380,6 +396,9 @@ object Jpeg {
           if (len < 2 || i + len > b.length) miss()
           val seg = i + 2
           val segEnd = i + len
+          // a progressive SOS advances past its entropy data, not just
+          // the marker segment; every other segment resumes at segEnd
+          var scanEnd = segEnd
           m match {
             case 0xdb => // DQT, possibly several tables
               var p = seg
@@ -411,11 +430,13 @@ object Jpeg {
                 p += 17 + n
               }
               if (p != segEnd) miss()
-            case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+            case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 / SOF2 progressive
               // SOF1 with 8-bit samples and Huffman coding decodes
               // byte-identically to baseline (T.81 Table B.1 — the
               // extension only admits 12-bit, which the precision
-              // check below rejects); crawl JPEGs occasionally carry it
+              // check below rejects); crawl JPEGs occasionally carry it.
+              // SOF2 switches to the Annex-G multi-scan path.
+              progressive = m == 0xc2
               if (comps != null || len < 11) miss()
               if ((b(seg) & 0xff) != 8) miss() // 8-bit samples
               height = u16(seg + 1); width = u16(seg + 3)
@@ -426,40 +447,85 @@ object Jpeg {
                 width.toLong * height > (1L << 26)) miss() // lying header cap
               comps = Array.tabulate(nc) { k =>
                 val o = seg + 6 + 3 * k
-                val hs = (b(o + 1) & 0xff) >> 4
-                val vs = b(o + 1) & 0x0f
+                // a single-component frame's scans are non-interleaved by
+                // definition (T.81 A.2: MCU = one data unit, raster order,
+                // dims padded to 8), so declared sampling factors do not
+                // shape the block layout — force 1x1 instead of decoding
+                // a spec-legal gray frame with h=v=2 in the wrong order
+                val hs = if (nc == 1) 1 else (b(o + 1) & 0xff) >> 4
+                val vs = if (nc == 1) 1 else b(o + 1) & 0x0f
                 val tqi = b(o + 2) & 0xff
                 if (hs < 1 || hs > 2 || vs < 1 || vs > 2 || tqi > 3) miss()
                 Component(b(o) & 0xff, hs, vs, tqi)
               }
-            case sof if (sof >= 0xc2 && sof <= 0xcf) && sof != 0xc4 &&
+              // MCU padding can exceed the raw-pixel cap (h=1 pads to a
+              // full 8*vmax-row band): bound the padded plane area the
+              // scan actually allocates, not just w*h
+              val hm = comps.map(_.h).max; val vm = comps.map(_.v).max
+              val mx = (width + 8 * hm - 1) / (8 * hm)
+              val my = (height + 8 * vm - 1) / (8 * vm)
+              if ((mx * 8L * hm) * (my * 8L * vm) > (1L << 26)) miss()
+            case sof if (sof >= 0xc3 && sof <= 0xcf) && sof != 0xc4 &&
                 sof != 0xc8 && sof != 0xcc =>
-              miss() // progressive/lossless/arithmetic: unsupported
+              miss() // lossless/arithmetic/hierarchical: unsupported
             case 0xdd => // DRI
               if (len != 4) miss()
               restartInterval = u16(seg)
             case 0xda => // SOS → entropy-coded scan
               if (comps == null || len < 8) miss()
               val ns = b(seg) & 0xff
-              if (ns != comps.length || len != 6 + 2 * ns) miss()
+              if (ns < 1 || len != 6 + 2 * ns) miss()
+              if (!progressive && ns != comps.length) miss()
+              val scanCis = new Array[Int](ns)
               var k = 0
               while (k < ns) {
                 val cs = b(seg + 1 + 2 * k) & 0xff
-                val comp = comps.find(_.id == cs).getOrElse(miss())
-                comp.td = (b(seg + 2 + 2 * k) & 0xff) >> 4
-                comp.ta = b(seg + 2 + 2 * k) & 0x0f
-                if (comp.td > 3 || comp.ta > 3) miss()
+                val ci = comps.indexWhere(_.id == cs)
+                if (ci < 0) miss()
+                scanCis(k) = ci
+                comps(ci).td = (b(seg + 2 + 2 * k) & 0xff) >> 4
+                comps(ci).ta = b(seg + 2 + 2 * k) & 0x0f
+                if (comps(ci).td > 3 || comps(ci).ta > 3) miss()
                 k += 1
               }
-              // baseline spectral selection: Ss=0, Se=63, Ah=Al=0
-              if ((b(segEnd - 3) & 0xff) != 0 || (b(segEnd - 2) & 0xff) != 63 ||
-                (b(segEnd - 1) & 0xff) != 0) miss()
-              return Some(decodeScan(b, segEnd, width, height, comps,
-                qt, dcTab, acTab, restartInterval))
+              val ss = b(segEnd - 3) & 0xff
+              val se = b(segEnd - 2) & 0xff
+              val ah = (b(segEnd - 1) & 0xff) >> 4
+              val al = b(segEnd - 1) & 0x0f
+              if (!progressive) {
+                // baseline spectral selection: Ss=0, Se=63, Ah=Al=0
+                if (ss != 0 || se != 63 || ah != 0 || al != 0) miss()
+                return Some(decodeScan(b, segEnd, width, height, comps,
+                  qt, dcTab, acTab, restartInterval))
+              }
+              // Annex-G scan-header constraints: a DC band is (0,0) and
+              // may interleave; an AC band is within 1..63 and is
+              // non-interleaved; successive approximation refines one
+              // bit at a time (Ah = Al + 1); Al <= 13 for 8-bit frames
+              if (ss == 0) { if (se != 0) miss() }
+              else if (se < ss || se > 63 || ns != 1) miss()
+              if (al > 13 || (ah != 0 && ah != al + 1)) miss()
+              if (coefBufs == null) {
+                // first scan: latch quant tables + size the buffers on
+                // the MCU-padded grid (bounded by the SOF padded cap)
+                quantLatched = comps.map { c =>
+                  if (qt(c.tq) == null) miss()
+                  qt(c.tq)
+                }
+                val hm = comps.map(_.h).max; val vm = comps.map(_.v).max
+                val mx = (width + 8 * hm - 1) / (8 * hm)
+                val my = (height + 8 * vm - 1) / (8 * vm)
+                coefBufs = comps.map(c =>
+                  new Array[Int](mx * c.h * my * c.v * 64))
+              }
+              scanEnd = decodeProgressiveScan(b, segEnd, width, height,
+                comps, scanCis, dcTab, acTab, restartInterval, ss, se, ah,
+                al, coefBufs)
+              scansDecoded += 1
             case app if (app >= 0xe0 && app <= 0xef) || app == 0xfe => () // APPn/COM
             case _ => () // other length-carrying segments: skip
           }
-          i = segEnd
+          i = scanEnd
       }
     }
     None // unreachable
@@ -485,7 +551,7 @@ object Jpeg {
       if (planeW(ci).toLong * planeH(ci) > Int.MaxValue) miss()
       new Array[Int](planeW(ci) * planeH(ci))
     }.toArray
-    val dcPred = new Array[Int](comps.length)
+    val dcPred = new Array[Long](comps.length)
     val in = new BitReader(b, start)
     val coef = new Array[Long](64)
     val block = new Array[Int](64)
@@ -499,7 +565,7 @@ object Jpeg {
           in.align()
           in.expectRestart(rstIdx)
           rstIdx = (rstIdx + 1) % 8
-          java.util.Arrays.fill(dcPred, 0)
+          java.util.Arrays.fill(dcPred, 0L)
         }
         var ci = 0
         while (ci < comps.length) {
@@ -511,14 +577,16 @@ object Jpeg {
             while (bh < c.h) {
               java.util.Arrays.fill(coef, 0L)
               // DC: category + DPCM diff (F.2.2.1). Baseline 8-bit
-              // caps the category at 11 (|diff| <= 2047); with the
-              // 64-MP header cap that bounds |dcPred| < 2^31, so a
-              // hostile DHT defining categories 12-15 must be a miss,
-              // not an Int wrap into deterministic garbage.
+              // caps the category at 11 (|diff| <= 2047); the predictor
+              // accumulates in Long so even a hostile stream pumping
+              // max-magnitude diffs every block (padded-area cap bounds
+              // blocks per component at 2^20 → |dcPred| < 2^31) cannot
+              // wrap into deterministic garbage, and a hostile DHT
+              // defining categories 12-15 is a miss outright.
               val t = dcTab(c.td).decode(in)
               if (t > 11) miss()
               dcPred(ci) += extend(in.receive(t), t)
-              coef(0) = dcPred(ci).toLong * q(0)
+              coef(0) = dcPred(ci) * q(0)
               // AC: run/size pairs, ZRL, EOB (F.2.2.2)
               var k = 1
               while (k < 64) {
@@ -560,7 +628,16 @@ object Jpeg {
     }
     in.align()
     in.expectEoi()
+    planesToRgb(w, h, comps, planes, planeW, hmax, vmax)
+  }
 
+  /** Crop the MCU-padded component planes to (w, h) packed RGB24:
+    * grayscale replication for 1 component, sample-replication
+    * upsample + 16-bit fixed-point YCbCr→RGB for 3 (T.81 has no color
+    * model; these are the JFIF/CCIR 601 constants). */
+  private def planesToRgb(w: Int, h: Int, comps: Array[Component],
+      planes: Array[Array[Int]], planeW: Array[Int], hmax: Int,
+      vmax: Int): (Int, Int, Array[Byte]) = {
     val out = new Array[Byte](w * h * 3)
     if (comps.length == 1) {
       val p = planes(0); val pw = planeW(0)
@@ -576,8 +653,6 @@ object Jpeg {
         y += 1
       }
     } else {
-      // sample replication upsample + 16-bit fixed-point YCbCr→RGB
-      // (T.81 has no color model; these are the JFIF/CCIR 601 constants)
       val c0 = comps(0); val c1 = comps(1); val c2 = comps(2)
       val p0 = planes(0); val p1 = planes(1); val p2 = planes(2)
       var y = 0
@@ -598,6 +673,258 @@ object Jpeg {
       }
     }
     (w, h, out)
+  }
+
+  // ---------------------------------------------------------------------
+  // Progressive decoder (T.81 Annex G)
+  // ---------------------------------------------------------------------
+
+  /** Decode one progressive scan's entropy segment into the zigzag-
+    * order coefficient buffers and return the byte offset of the next
+    * marker. Four scan kinds (G.1.2): DC first (interleaved over MCUs
+    * or raster for Ns=1), DC refinement (one raw bit per data unit),
+    * AC first (EOB-run coded band), AC refinement (correction bits).
+    * Restart markers reset the DC predictors AND the EOB run. */
+  private def decodeProgressiveScan(b: Array[Byte], start: Int, w: Int,
+      h: Int, comps: Array[Component], scanCis: Array[Int],
+      dcTab: Array[HuffTable], acTab: Array[HuffTable],
+      restartInterval: Int, ss: Int, se: Int, ah: Int, al: Int,
+      coefBufs: Array[Array[Int]]): Int = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val in = new BitReader(b, start)
+    val dcPred = new Array[Long](comps.length)
+    var eobrun = 0L
+    var rstIdx = 0
+    var unit = 0 // restart cadence: MCUs if interleaved, data units if not
+
+    def restartIfDue(): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        in.align()
+        in.expectRestart(rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(dcPred, 0L)
+        eobrun = 0L
+      }
+
+    // one DC data unit at zigzag slot 0 of `base`
+    def dcUnit(ci: Int, base: Int): Unit = {
+      val buf = coefBufs(ci)
+      if (ah == 0) {
+        val t = dcTab(comps(ci).td).decode(in)
+        if (t > 11) miss()
+        dcPred(ci) += extend(in.receive(t), t)
+        val v = dcPred(ci) << al
+        if (v > Int.MaxValue || v < Int.MinValue) miss()
+        buf(base) = v.toInt
+      } else {
+        // refinement: append bit Al of the DC value; two's complement
+        // OR reproduces the arithmetic-shift history exactly for
+        // negative values too ((-4 | 1) == -3)
+        if (in.readBit() != 0) buf(base) |= 1 << al
+      }
+    }
+
+    if (ss == 0) {
+      // DC band scan — interleaved like a baseline scan when Ns > 1
+      scanCis.foreach(ci => if (ah == 0 && dcTab(comps(ci).td) == null) miss())
+      if (scanCis.length > 1) {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            restartIfDue()
+            var k = 0
+            while (k < scanCis.length) {
+              val ci = scanCis(k); val c = comps(ci)
+              val bw = mcusX * c.h
+              var bv = 0
+              while (bv < c.v) {
+                var bh = 0
+                while (bh < c.h) {
+                  dcUnit(ci,
+                    ((my * c.v + bv) * bw + (mx * c.h + bh)) * 64)
+                  bh += 1
+                }
+                bv += 1
+              }
+              k += 1
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        val ci = scanCis(0); val c = comps(ci)
+        val bw = (((w * c.h + hmax - 1) / hmax) + 7) / 8
+        val bh = (((h * c.v + vmax - 1) / vmax) + 7) / 8
+        val paddedBW = mcusX * c.h
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            restartIfDue()
+            dcUnit(ci, (by * paddedBW + bx) * 64)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else {
+      // AC band scan — always non-interleaved (Ns == 1, checked by the
+      // caller); data units in raster order over the component's own
+      // (unpadded) block grid
+      val ci = scanCis(0); val c = comps(ci)
+      if (acTab(c.ta) == null) miss()
+      val ac = acTab(c.ta)
+      val buf = coefBufs(ci)
+      val bw = (((w * c.h + hmax - 1) / hmax) + 7) / 8
+      val bh = (((h * c.v + vmax - 1) / vmax) + 7) / 8
+      val paddedBW = mcusX * c.h
+      val p1 = 1 << al; val m1 = -1 << al
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          restartIfDue()
+          val base = (by * paddedBW + bx) * 64
+          if (ah == 0) {
+            // first pass over this band (G.1.2.2): run/size with EOBn
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val rs = ac.decode(in)
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1L << r) - 1
+                    if (r > 0) eobrun += in.receive(r)
+                    k = se + 1
+                  }
+                } else {
+                  k += r
+                  if (k > se) miss()
+                  buf(base + k) = extend(in.receive(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // refinement pass (G.1.2.3): newly-nonzero ±1 values plus
+            // one correction bit per already-nonzero coefficient; the
+            // (coef & p1) test is exact because scan history keeps the
+            // low Al+1 bits zero until this scan's correction lands
+            var k = ss
+            if (eobrun == 0) {
+              var atEob = false
+              while (k <= se && !atEob) {
+                val rs = ac.decode(in)
+                var r = rs >> 4; val s = rs & 15
+                var newVal = 0
+                if (s == 0) {
+                  if (r != 15) { // EOBn: current block joins the run
+                    eobrun = (1L << r)
+                    if (r > 0) eobrun += in.receive(r)
+                    atEob = true
+                  }
+                  // r == 15: ZRL — skip 16 zero-history slots below
+                } else {
+                  if (s != 1) miss() // refinement admits only ±1
+                  newVal = if (in.readBit() != 0) p1 else m1
+                }
+                if (!atEob) {
+                  var placed = false
+                  while (k <= se && !placed) {
+                    val idx = base + k
+                    if (buf(idx) != 0) {
+                      if (in.readBit() != 0 && (buf(idx) & p1) == 0)
+                        buf(idx) += (if (buf(idx) >= 0) p1 else m1)
+                    } else if (r == 0) {
+                      if (newVal != 0) buf(idx) = newVal
+                      placed = true
+                    } else r -= 1
+                    k += 1
+                  }
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // inside an EOB run only correction bits appear
+              while (k <= se) {
+                val idx = base + k
+                if (buf(idx) != 0) {
+                  if (in.readBit() != 0 && (buf(idx) & p1) == 0)
+                    buf(idx) += (if (buf(idx) >= 0) p1 else m1)
+                }
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    in.align()
+    in.position
+  }
+
+  /** After EOI: dequantize + IDCT every buffered block into sample
+    * planes, then crop/upsample/color-convert like the baseline path. */
+  private def reconstructProgressive(w: Int, h: Int,
+      comps: Array[Component], coefBufs: Array[Array[Int]],
+      quant: Array[Array[Int]]): (Int, Int, Array[Byte]) = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(ci =>
+      new Array[Int](planeW(ci) * planeH(ci))).toArray
+    val coef = new Array[Long](64)
+    val block = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci); val buf = coefBufs(ci); val q = quant(ci)
+      val bw = mcusX * c.h; val bh = mcusY * c.v
+      val plane = planes(ci); val pw = planeW(ci)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val base = (by * bw + bx) * 64
+          var k = 0
+          while (k < 64) {
+            coef(Zigzag(k)) = buf(base + k).toLong * q(k)
+            k += 1
+          }
+          idctBlock(coef, block)
+          val x0 = bx * 8; val y0 = by * 8
+          var yy = 0
+          while (yy < 8) {
+            val rowO = (y0 + yy) * pw + x0
+            var xx = 0
+            while (xx < 8) {
+              plane(rowO + xx) = block(yy * 8 + xx); xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    planesToRgb(w, h, comps, planes, planeW, hmax, vmax)
   }
 
   // ---------------------------------------------------------------------
@@ -817,6 +1144,99 @@ object Jpeg {
       my += 1
     }
     bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode 8-bit grayscale as PROGRESSIVE (SOF2) JPEG with a
+    * three-scan script that exercises every Annex-G decoder path the
+    * oracle gate needs: DC first with successive approximation
+    * (Ah=0, Al=1), DC refinement (Ah=1, Al=0, raw bits), then the
+    * whole AC band by spectral selection in one pass (Ss=1, Se=63,
+    * EOB-run coded). The DC split uses the spec's arithmetic-shift
+    * point transform, so the decoder's two's-complement OR refinement
+    * reassembles the quantized DC bit-for-bit — with [[FlatQuant]] and
+    * constant blocks the roundtrip stays integer-exact, which is what
+    * lets the `multimodal_jpeg_progressive` oracle pin pixel sums with
+    * no tolerance. `restartInterval` > 0 emits DRI + per-scan RSTn. */
+  def encodeGrayProgressive(w: Int, h: Int, gray: Array[Byte],
+      quant: Array[Int] = FlatQuant, restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, s"need positive dimensions, got ${w}x$h")
+    require(gray.length == w * h, s"need ${w * h} bytes, got ${gray.length}")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant: 64 entries in 1..255")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    segment(out, 0xdb, Array(0x00) ++ quant)
+    segment(out, 0xc2, // SOF2
+      Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+        1, 1, 0x11, 0))
+    segment(out, 0xc4, dhtPayload(0, 0, StdDcLumCounts, StdDcLumSyms))
+    segment(out, 0xc4, dhtPayload(1, 0, StdAcLumCounts, StdAcLumSyms))
+    if (restartInterval > 0)
+      segment(out, 0xdd,
+        Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+    // quantize every block once; the scans re-walk the same data
+    val plane = Array.tabulate(w * h)(i => gray(i) & 0xff)
+    val bX = (w + 7) / 8; val bY = (h + 7) / 8
+    val blocks = Array.tabulate(bY * bX) { bi =>
+      forwardBlock(
+        extractBlock(plane, w, h, (bi % bX) * 8, (bi / bX) * 8), quant)
+    }
+    // per-scan entropy segments share this restart/flush shape
+    def scanUnits(emit: (BitWriter, Int) => Unit, reset: () => Unit): Unit = {
+      val bw = new BitWriter(out)
+      var rstIdx = 0
+      var bi = 0
+      while (bi < blocks.length) {
+        if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          reset()
+        }
+        emit(bw, bi)
+        bi += 1
+      }
+      bw.flush()
+    }
+    // scan 1: DC first, Al=1 — DPCM of the point-transformed DC
+    segment(out, 0xda, Array(1, 1, 0x00, 0, 0, 0x01))
+    var dcPred = 0
+    scanUnits((bw, bi) => {
+      val v = blocks(bi)(0) >> 1
+      val diff = v - dcPred
+      dcPred = v
+      val s = bitCategory(diff)
+      bw.write(DcLum.encCode(s), DcLum.encLen(s))
+      if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }, () => dcPred = 0)
+    // scan 2: DC refinement, Ah=1 → Al=0 — one raw bit per data unit
+    segment(out, 0xda, Array(1, 1, 0x00, 0, 0, 0x10))
+    scanUnits((bw, bi) => bw.write(blocks(bi)(0) & 1, 1), () => ())
+    // scan 3: the full AC band, Ss=1..Se=63, no approximation —
+    // baseline run/size pairs; per-block EOB is the r=0 EOBn code
+    segment(out, 0xda, Array(1, 1, 0x00, 1, 63, 0x00))
+    scanUnits((bw, bi) => {
+      val zz = blocks(bi)
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run > 15) {
+            bw.write(AcLum.encCode(0xf0), AcLum.encLen(0xf0)); run -= 16
+          }
+          val sz = bitCategory(zz(k))
+          val sym = (run << 4) | sz
+          bw.write(AcLum.encCode(sym), AcLum.encLen(sym))
+          bw.write(if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k), sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) bw.write(AcLum.encCode(0x00), AcLum.encLen(0x00))
+    }, () => ())
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }

@@ -5077,6 +5077,59 @@ FROM t GROUP BY shard ORDER BY shard""")
              |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // PROGRESSIVE (SOF2) JPEG decode through the same seam (r13: the
+    // other half of real crawl images — most large web JPEGs are
+    // progressive). The encoder emits a genuine Annex-G multi-scan
+    // script: DC first with successive approximation (Al=1), a DC
+    // refinement scan (raw correction bits), then the whole AC band by
+    // spectral selection with EOB-run coding — plus DRI/RST3 restarts,
+    // so the decoder's multi-scan marker walk, coefficient-buffer
+    // accumulation across scans, two's-complement bit reassembly of
+    // the split DC, EOB-run bookkeeping, and per-scan restart resync
+    // are all on the gated path. Constant blocks keep the roundtrip
+    // integer-exact (same argument as multimodal_jpeg), so the oracle
+    // pins reconstructed pixel sums straight off the raw bytes with no
+    // tolerance. Nonzero-AC progressive streams and the JDK's own
+    // successive-approximation AC script are spec-gated in
+    // ImageDecoderSpec (cross-checked against ImageIO both ways).
+    Q(
+      "multimodal_jpeg_progressive",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Jpeg, MediaPipeline}
+        import MediaPipeline.{ImageDecoder, MediaRow}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 16)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 16).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          val gray = new Array[Byte](32 * 32)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              gray(y * 32 + x) = px((y / 8) * 4 + (x / 8)); x += 1
+            }
+            y += 1
+          }
+          MediaRow(id, "image",
+            Jpeg.encodeGrayProgressive(32, 32, gray, restartInterval = 3),
+            "jpg", 32, 32, 0L)
+        }
+        MediaPipeline.sampleFrames(media, new ImageDecoder, 1)(s)
+          .map(f => (f.id, f.width, f.height,
+            f.pixels.foldLeft(0L)((a, b) => a + (b & 0xff))))
+          .toDF("doc_id", "width", "height", "px_sum")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, substr(hex(encode(text)), 1, 32) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 16)
+             |SELECT doc_id, 32 AS width, 32 AS height,
+             |  CAST(192 * list_sum(list_transform(range(0, 16),
+             |    i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) AS BIGINT) AS px_sum
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // perceptual near-dup END-TO-END on JPEG bytes — the exact
     // composition a crawl image pipeline runs: JPEG decode (real
     // bitstream) → nearest-neighbor resize to the hash grid → integer

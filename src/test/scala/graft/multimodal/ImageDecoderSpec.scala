@@ -294,7 +294,7 @@ class ImageDecoderSpec extends SparkTestBase {
     assert(dec.decode(row(good.dropRight(12))).isEmpty)
     // missing EOI, stream otherwise complete (the PNG IEND rule)
     assert(dec.decode(row(good.dropRight(2))).isEmpty)
-    // progressive SOF2 (patch the SOF0 marker): unsupported subset
+    // lossless SOF3 (patch the SOF0 marker): unsupported subset
     val sofAt = {
       var i = 2; var at = -1
       while (at < 0) {
@@ -303,6 +303,11 @@ class ImageDecoderSpec extends SparkTestBase {
       }
       at
     }
+    val lossless = good.clone(); lossless(sofAt + 1) = 0xc3.toByte
+    assert(dec.decode(row(lossless)).isEmpty)
+    // a SOF2 marker on a BASELINE scan script is structurally broken
+    // (the baseline SOS header declares Ss=0, Se=63 — an illegal
+    // progressive band): miss, not garbage
     val progressive = good.clone(); progressive(sofAt + 1) = 0xc2.toByte
     assert(dec.decode(row(progressive)).isEmpty)
     // 16-bit quant table (precision nibble of the first DQT entry)
@@ -318,5 +323,157 @@ class ImageDecoderSpec extends SparkTestBase {
     // bare SOI / garbage after SOI
     assert(dec.decode(row(Array[Byte](0xff.toByte, 0xd8.toByte))).isEmpty)
     assert(dec.decode(row(Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3))).isEmpty)
+  }
+
+  test("progressive JPEG constant blocks roundtrip exactly, with and without restarts") {
+    // same fixture shape as the baseline exactness gate: the DC
+    // successive-approximation split (Al=1 first + refinement bit)
+    // must reassemble the quantized DC bit-for-bit, negatives included
+    val blockVals = Array(0, 255, 128, 1, 254, 17, 200, 90, 33, 66, 99,
+      240, 13, 180, 127, 129)
+    val gray = new Array[Byte](32 * 32)
+    for (y <- 0 until 32; x <- 0 until 32)
+      gray(y * 32 + x) = blockVals((y / 8) * 4 + (x / 8)).toByte
+    for (rst <- Seq(0, 3)) {
+      val frames = dec.decode(row(Jpeg.encodeGrayProgressive(32, 32, gray,
+        restartInterval = rst)))
+      assert(frames.size === 1, s"restartInterval=$rst did not decode")
+      val f = frames.head
+      assert(f.width === 32 && f.height === 32)
+      assert(grayOf(f).toSeq === gray.map(_ & 0xff).toSeq,
+        s"restartInterval=$rst mismatch")
+    }
+  }
+
+  test("progressive JPEG AC band matches the sequential decode of the same raster") {
+    // busy gradient (live ACs in every block), non-multiple-of-8 dims:
+    // the spectral-selection AC scan plus the DC split must land on
+    // exactly the same quantized coefficients as the baseline encoder,
+    // so the decoded rasters must be IDENTICAL, not just close
+    val w = 21; val h = 14
+    val gray = Array.tabulate(w * h)(i =>
+      ((i % w) * 11 + (i / w) * 29 + (i * i) % 31).toByte)
+    val seq = dec.decode(row(Jpeg.encodeGray(w, h, gray)))
+    val prog = dec.decode(row(Jpeg.encodeGrayProgressive(w, h, gray)))
+    assert(seq.size === 1 && prog.size === 1)
+    assert(prog.head.pixels.toSeq === seq.head.pixels.toSeq)
+  }
+
+  test("progressive JPEG decodes the JDK encoder's multi-scan script") {
+    // ImageIO's progressive writer emits libjpeg's simple-progression
+    // script (spectral selection AND successive approximation for the
+    // AC bands, DC refinement scan) with its own tables — the broadest
+    // independent cross-check of the Annex-G path. Grayscale isolates
+    // the scan machinery from chroma upsampling variants.
+    val w = 29; val h = 23
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 17 + (x * y) % 23) % 256)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    // belt-and-braces: confirm the writer actually emitted SOF2
+    val hasSof2 = bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+    assert(hasSof2, "ImageIO did not write a progressive stream")
+    val mine = dec.decode(row(bytes))
+    assert(mine.size === 1, "decoder missed a JDK-encoded progressive JPEG")
+    val f = mine.head
+    assert(f.width === w && f.height === h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rv = ref.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff,
+        math.abs((f.pixels((y * w + x) * 3) & 0xff) - rv))
+    }
+    assert(maxDiff <= 1, s"max per-pixel diff vs ImageIO: $maxDiff")
+  }
+
+  test("progressive JPEG decodes the JDK encoder's color multi-scan script") {
+    val w = 24; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 9 + y * 13) % 256 // R=G=B keeps chroma constant
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    val mine = dec.decode(row(bytes))
+    assert(mine.size === 1, "decoder missed a JDK-encoded color progressive JPEG")
+    val f = mine.head
+    assert(f.width === w && f.height === h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rc = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val mc = f.pixels((y * w + x) * 3 + c) & 0xff
+      maxDiff = math.max(maxDiff, math.abs(mc - rc))
+    }
+    assert(maxDiff <= 2, s"max per-pixel diff vs ImageIO: $maxDiff")
+  }
+
+  test("progressive JPEG malformed inputs are decode misses, never exceptions") {
+    val gray = Array.tabulate(16 * 16)(i => (i * 7).toByte)
+    val good = Jpeg.encodeGrayProgressive(16, 16, gray)
+    assert(dec.decode(row(good)).nonEmpty)
+    // truncated mid-scan / missing EOI
+    assert(dec.decode(row(good.dropRight(12))).isEmpty)
+    assert(dec.decode(row(good.dropRight(2))).isEmpty)
+    // EOI with zero scans decoded (header only, straight to EOI)
+    val sosAt = {
+      var i = 2; var at = -1
+      while (at < 0) {
+        if ((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda) at = i
+        else i += 1
+      }
+      at
+    }
+    val noScans = good.take(sosAt) ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+    assert(dec.decode(row(noScans)).isEmpty)
+    // illegal band: patch the first SOS to Ss=0, Se=63 (DC band must
+    // be (0,0) in a progressive frame)
+    val badBand = good.clone()
+    // SOS layout: FF DA len2 ns(1) comp(1) tables(1) Ss Se AhAl
+    badBand(sosAt + 8) = 63.toByte
+    assert(dec.decode(row(badBand)).isEmpty)
+  }
+
+  test("single-component frame with declared 2x2 sampling decodes as non-interleaved") {
+    // T.81 A.2: a one-component scan is non-interleaved regardless of
+    // the frame's declared sampling factors — the blocks are in raster
+    // order over 8-pixel-padded dims, NOT h*v-per-MCU order. Patch the
+    // SOF sampling byte of a normal gray stream from 0x11 to 0x22: the
+    // entropy data is unchanged, so the decode must be too.
+    val gray = Array.tabulate(24 * 24)(i => (i * 13 + (i * i) % 29).toByte)
+    val base = Jpeg.encodeGray(24, 24, gray)
+    var i = 2; var sofAt = -1
+    while (sofAt < 0) {
+      if ((base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc0) sofAt = i
+      else i += 1
+    }
+    // SOF payload: FF C0 len2 prec h2 w2 nc, then per-comp id, HV, Tq
+    val patched = base.clone()
+    assert((patched(sofAt + 11) & 0xff) === 0x11, "fixture layout drifted")
+    patched(sofAt + 11) = 0x22.toByte
+    val a = dec.decode(row(base)); val b = dec.decode(row(patched))
+    assert(a.size === 1 && b.size === 1,
+      "declared-2x2 single-component stream did not decode")
+    assert(b.head.pixels.toSeq === a.head.pixels.toSeq)
   }
 }
