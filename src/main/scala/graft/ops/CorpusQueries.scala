@@ -193,6 +193,73 @@ object CorpusQueries {
   private val toksCte =
     "toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)"
 
+  /** Deterministic crawl-page fixture wrapped around a document: real
+    * boilerplate shapes (title, script with a '<' in its code, style,
+    * comment, a link-dense nav bar, a heading with entities, the
+    * escaped payload, a footer mixing entities and an anchor). The
+    * Scala side and [[htmlExtractCtes]] build the IDENTICAL string. */
+  private def htmlFixture(id: Long, text: String, lang: String,
+      source: String): String =
+    s"""<html><head><title>$source</title>""" + "\n" +
+      s"""<script type="text/javascript">var doc = $id; if (doc < 9) { track("&amp;"); }</script>""" + "\n" +
+      "<style>.nav a { color: red; }</style>" + "\n" +
+      "</head><body>" + "\n" +
+      s"<!-- rendered by fixture $id -->" + "\n" +
+      s"""<div class="nav"><a href="/">Home</a> <a href="/s/$source">$source</a> | <a href="/d/$id">prev</a></div>""" + "\n" +
+      s"<h1>Document $id &#39;$lang&#39;</h1>" + "\n" +
+      s"<p>${TextExtract.escapeHtml(text)}</p>" + "\n" +
+      """<p>Footer &amp; legal &lt;terms&gt; apply. <a href="/t">Terms</a></p>""" + "\n" +
+      "</body></html>"
+
+  /** The DuckDB re-derivation of [[TextExtract.htmlToText]] over the
+    * [[htmlFixture]] pages: builds the same HTML, strips comments /
+    * script / style, then per line applies the identical link-density
+    * keep rule, tag strip, entity decode (amp last), and whitespace
+    * collapse. Ends with `kept(doc_id, ls)` — the list of clean lines. */
+  private val htmlExtractCtes: String = {
+    val esc = "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    val strip = "trim(regexp_replace(l, '<[^>]*>', '', 'g'), ' ')"
+    s"""base AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>' || source || '</title>' || chr(10) ||
+       |    '<script type="text/javascript">var doc = ' || doc_id ||
+       |      '; if (doc < 9) { track("&amp;"); }</script>' || chr(10) ||
+       |    '<style>.nav a { color: red; }</style>' || chr(10) ||
+       |    '</head><body>' || chr(10) ||
+       |    '<!-- rendered by fixture ' || doc_id || ' -->' || chr(10) ||
+       |    '<div class="nav"><a href="/">Home</a> <a href="/s/' || source ||
+       |      '">' || source || '</a> | <a href="/d/' || doc_id ||
+       |      '">prev</a></div>' || chr(10) ||
+       |    '<h1>Document ' || doc_id || ' &#39;' || lang || '&#39;</h1>' || chr(10) ||
+       |    '<p>' || $esc || '</p>' || chr(10) ||
+       |    '<p>Footer &amp; legal &lt;terms&gt; apply. <a href="/t">Terms</a></p>' || chr(10) ||
+       |    '</body></html>' AS html
+       |  FROM documents),
+       |nosc AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(html,
+       |      '(?s)<!--.*?-->', '', 'g'),
+       |      '(?is)<script[^>]*>.*?</script>', '', 'g'),
+       |      '(?is)<style[^>]*>.*?</style>', '', 'g') AS h
+       |  FROM base),
+       |kept AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(
+       |      list_filter(string_split(h, chr(10)), l ->
+       |        length($strip) > 0
+       |        AND 2 * coalesce(list_sum(list_transform(
+       |              regexp_extract_all(l, '(?is)<a[^>]*>([^<]*)</a>', 1),
+       |              a -> length(a))), 0) <= length($strip)),
+       |      l -> trim(regexp_replace(
+       |        replace(replace(replace(replace(replace(replace(
+       |          $strip,
+       |          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |          '&#39;', chr(39)), '&amp;', '&'),
+       |        '[ \t]+', ' ', 'g'), ' ')),
+       |      x -> x != '') AS ls
+       |  FROM nosc)""".stripMargin
+  }
+
   /** Kirsch-Mitzenmacher minhash signature + band CTEs (matches
     * Dedup.minhashLsh: k=12 components h_i = h1 + i·h2 from the two
     * 14-hex-char halves of one md5; bands of 3 joined with '|'). */
@@ -1468,6 +1535,86 @@ object CorpusQueries {
            |SELECT 'zz_quarantine', ${JsonBadLines.size},
            |  0, md5(list_aggregate(list_sort($badList), 'string_agg', chr(10)))
            |ORDER BY lang""".stripMargin
+      }),
+
+    // HTML → text extraction (r13 — the missing FIRST stage of the
+    // crawl chain: every other corpus query starts from a clean `text`
+    // column; a real pretraining pipeline starts from page markup).
+    // Deterministic crawl-page fixtures wrap each document in real
+    // boilerplate (script code containing a literal '<', style,
+    // comments, a link-dense nav bar, entity-bearing heading/footer);
+    // TextExtract.htmlToText strips comments/script/style, applies the
+    // jusText-style per-line link-density boilerplate rule, strips
+    // tags, decodes entities (amp last), collapses whitespace — and
+    // the oracle re-derives the ENTIRE chain in DuckDB regexp/list
+    // functions, comparing full content hashes per document. Map-only:
+    // one projection, no shuffle, scales like the codec seams.
+    Q(
+      "corpus_html_extract",
+      (s, dir) => {
+        import s.implicits._
+        val pages = table(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source")
+          .as[(Long, String, String, String)]
+          .map { case (id, text, lang, source) =>
+            (id, htmlFixture(id, text, lang, source))
+          }
+        TextExtract.extractHtml(pages)(s)
+          .select(col("doc_id"), col("n_lines"), col("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $htmlExtractCtes
+             |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+             |  CAST(length(array_to_string(ls, chr(10))) AS BIGINT) AS n_chars,
+             |  md5(array_to_string(ls, chr(10))) AS text_md5
+             |FROM kept ORDER BY doc_id""".stripMargin)),
+
+    // the COMPOSED seam: extraction output feeding the gopher quality
+    // gate — the first two stages of a real crawl pipeline in one
+    // query, so the hand-off (extracted lines → token stream) is
+    // hash-gated, not assumed. The extracted text gains the fixture's
+    // heading/footer words, so the keep verdicts differ from
+    // corpus_gopher_rules on raw text — the oracle recomputes the
+    // whole composition from page bytes to verdict.
+    Q(
+      "corpus_html_extract_gate",
+      (s, dir) => {
+        import s.implicits._
+        val pages = table(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source")
+          .as[(Long, String, String, String)]
+          .map { case (id, text, lang, source) =>
+            (id, htmlFixture(id, text, lang, source))
+          }
+        val extracted = TextExtract.extractHtml(pages)(s)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "\n", " ").as("text"))
+        Corpus.gopherRules(extracted, "doc_id", "text",
+          minWords = 30, maxWords = 100000, stops = GopherQueryStops)
+          .select("doc_id", "n_words", "keep")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stops = GopherQueryStops.map(s0 => s"'$s0'")
+          .mkString("[", ", ", "]")
+        s"""WITH $htmlExtractCtes,
+           |ex AS (SELECT doc_id,
+           |  replace(array_to_string(ls, chr(10)), chr(10), ' ') AS text
+           |  FROM kept),
+           |toks2 AS (SELECT doc_id,
+           |  list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ex),
+           |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+           |  CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sl,
+           |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+           |  CAST(len(list_filter($stops,
+           |    s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS BIGINT) AS st
+           |  FROM toks2)
+           |SELECT doc_id, n AS n_words,
+           |  (n >= 30 AND n <= 100000 AND sl >= n * 3 AND sl <= n * 10
+           |    AND sym * 10 <= n AND al * 5 >= n * 4 AND st >= 2) AS keep
+           |FROM m ORDER BY doc_id""".stripMargin
       }),
 
     // incremental manifest refresh: the digest diff marks affected
