@@ -1617,6 +1617,64 @@ object CorpusQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    // WARC container ingest (r13 — the archive format crawls actually
+    // ship in, ISO 28500): one synthesized WARC per source group —
+    // warcinfo head, one HTTP response record per document wrapping
+    // the SAME crawl-page fixture the extraction gate uses, plus four
+    // deterministically torn records (no HTTP block / wrong magic /
+    // missing Content-Length / length past EOF). The record walk
+    // frames by Content-Length, resyncs at the next WARC/1. magic
+    // after a torn record (the public-tooling recovery rule), and the
+    // census gates BOTH paths: pages flow on through HTML extraction
+    // to an order-pinned content hash, torn records land as pinned
+    // quarantine reasons. Scale shape: one archive = one task — the
+    // standard file-parallel crawl ingest; nothing driver-side.
+    Q(
+      "corpus_warc_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source")
+          .as[(Long, String, String, String)]
+        docs.groupByKey(_._4)
+          .mapGroups { (src, it) =>
+            val rows = it.toVector.sortBy(_._1)
+            val records =
+              (Warc.warcinfoRecord("graft-fixture") +:
+                rows.map { case (id, text, lang, source) =>
+                  Warc.responseRecord(s"http://corpus.test/$source/$id",
+                    id.toString, htmlFixture(id, text, lang, source))
+                }) ++ Warc.corruptRecords
+            val parsed = Warc.parse(Warc.archive(records))
+            val texts = parsed.pages.map { case (uri, html) =>
+              (uri.substring(uri.lastIndexOf('/') + 1).toLong,
+                TextExtract.htmlToText(html))
+            }.sortBy(_._1)
+            val joined = texts.map(_._2).mkString("\n\n")
+            val md5hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(joined.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            (src, texts.size.toLong, parsed.others.toLong,
+              parsed.quarantined.size.toLong,
+              parsed.quarantined.sorted.mkString("|"),
+              texts.map(_._2.length.toLong).sum, md5hex)
+          }
+          .toDF("source", "n_pages", "n_other", "n_quarantined",
+            "reasons", "n_chars", "text_md5")
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $htmlExtractCtes,
+             |ex AS (SELECT k.doc_id, d.source,
+             |  array_to_string(k.ls, chr(10)) AS text
+             |  FROM kept k JOIN documents d USING (doc_id))
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pages,
+             |  CAST(1 AS BIGINT) AS n_other,
+             |  CAST(4 AS BIGINT) AS n_quarantined,
+             |  'bad_http|bad_magic|no_length|truncated' AS reasons,
+             |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             |  md5(STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id)) AS text_md5
+             |FROM ex GROUP BY source ORDER BY source""".stripMargin)),
+
     // incremental manifest refresh: the digest diff marks affected
     // shards, ONLY those re-aggregate over the new snapshot, untouched
     // shards carry their stored manifest rows forward — and the result
