@@ -3,7 +3,7 @@ package graft.ops
 import graft.Q
 import graft.Q.table
 import graft.functions.TextFunctions
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-verifiable queries over the documents/embeddings corpus tables:
@@ -192,6 +192,240 @@ object CorpusQueries {
   /** ws := non-empty whitespace tokens of text (matches TextFunctions.tokens). */
   private val toksCte =
     "toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)"
+
+  /** The stages the release-pipeline gates share: normalize → C4-style
+    * line dedup → exact keep → minhash-verified fuzzy-CC keep → gopher
+    * gate (r12's audited chain, moved verbatim so v1 and v2 cannot
+    * drift). Returns (goph, evalNorm): the quality-kept training docs
+    * (doc_id, lang, source, clean) and the normalized held-out
+    * benchmark slice decontamination convicts against. `docs` supplies
+    * the training text (doc_id, lang, source, text — the raw corpus
+    * for v1/v2, WARC-extracted pages for the crawl gate); `evalDocs`
+    * supplies the held-out benchmark text, always the raw corpus. */
+  private def releaseGophStage(docs: DataFrame,
+      evalDocs: DataFrame): (DataFrame, DataFrame) = {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val evalD = evalDocs.filter(col("doc_id") % 10 === 0)
+    val norm = train.select(col("doc_id"), col("lang"), col("source"),
+      Corpus.normalizeText(col("text")).as("norm"))
+    val ws = TextFunctions.tokens(col("norm"))
+    val nw = org.apache.spark.sql.functions.size(ws).cast("long")
+    val lined = norm.select(col("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(0L),
+            ((greatest(nw, lit(1L)) + lit(2L)) / lit(3L)).cast("long") - 1),
+          i => array_join(slice(ws, (i * 3 + 1).cast("int"), lit(3)), " ")),
+        "\n").as("lined"))
+    val cleaned = Dedup.dedupLines(lined, "doc_id", "lined", "\n", maxDf = 3)
+      .select(col("doc_id"),
+        regexp_replace(col("clean_text"), "\n", " ").as("clean"))
+      .join(norm.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+    // feeds fuzzy pair discovery AND the survivor joins below
+    val exact = Dedup.dropDuplicatesByPriority(cleaned, "clean",
+      Seq(col("doc_id"))).localCheckpoint(true)
+    val fuzzy = Dedup.nearDupKeep(exact, "doc_id", "clean",
+        n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .select(col("doc_id"))
+      .join(exact, Seq("doc_id"))
+    val goph = Corpus.gopherRules(fuzzy, "doc_id", "clean",
+        minWords = 30, maxWords = 100000, stops = GopherQueryStops)
+      .filter(col("keep")).select(col("doc_id"))
+      .join(fuzzy, Seq("doc_id"))
+    val evalNorm = evalD.select(col("doc_id"),
+      Corpus.normalizeText(col("text")).as("clean"))
+    (goph, evalNorm)
+  }
+
+  /** The release-card tail both pipeline gates share: mixture plan +
+    * sequence packing, with the card's doc/token counts RE-DERIVED from
+    * the packed payload and shard digests folded in shard order. */
+  private def releaseCard(released: DataFrame): DataFrame = {
+    val weights = released.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+      .map(src => src -> ((src.drop(3).toInt + 1) * 4761))
+    val plan = Corpus.mixturePlan(released, "source", "clean", weights,
+      budgetTokens = 10000000L)
+    val shardRows = Corpus.packSequences(released, "source", "doc_id",
+        "clean", budget = 500L, sep = "\n\n")
+      .select(col("source"), col("shard"), col("n_docs"),
+        md5(col("packed").cast("binary")).as("pmd5"),
+        // the card's token count comes off the PACKED bytes, not
+        // the upstream rows — the "nothing lost in packing" proof
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(
+            split(col("packed"), "\\s+"), t => t =!= lit("")))
+          .cast("long").as("rt"))
+    shardRows.groupBy(col("source")).agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("rt")).as("n_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("shard"), col("pmd5")))),
+            x => x.getField("pmd5")),
+          "|").cast("binary")).as("packed_md5"))
+      .join(plan.select(col("source"), col("weight_ppm"),
+        col("target_tokens"), col("repeat_milli")), Seq("source"))
+  }
+
+  /** The v1 release-pipeline oracle through the `goph` CTE — shared
+    * verbatim by the v2 gate so the audited stage spellings cannot
+    * drift between the two compositions. The expensive shared CTEs are
+    * marked MATERIALIZED: DuckDB 1.0 inlines CTEs at every reference,
+    * and v2 references `goph` (the whole minhash + recursive-CC chain)
+    * from four LM CTEs — inlined, the oracle re-evaluates that chain
+    * per reference (measured: >17 min vs 1.9 s materialized at
+    * sf0.01). `baseFrom` names the relation supplying the training
+    * text (the raw corpus for v1/v2, the WARC-extracted pages for the
+    * crawl gate); `prefixCtes` lets that relation's own CTE chain ride
+    * in front of the shared stages. */
+  private def releaseOracleHead(baseFrom: String = "documents",
+      prefixCtes: String = ""): String = {
+    val stops = GopherQueryStops.map(s0 => s"'$s0'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE ${prefixCtes}rl_base AS (
+           |  SELECT doc_id, lang, source,
+           |    trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g')) AS norm
+           |  FROM $baseFrom WHERE doc_id % 10 <> 0),
+           |bt AS (
+           |  SELECT doc_id, lang, source,
+           |    list_filter(string_split(norm, ' '), x -> x != '') AS ws0
+           |  FROM rl_base),
+           |rl_lined AS (
+           |  SELECT doc_id, lang, source, list_transform(
+           |    range(0, CAST((greatest(len(ws0), 1) + 2) // 3 AS BIGINT)),
+           |    i -> array_to_string(ws0[i*3+1:i*3+3], ' ')) AS lines
+           |  FROM bt),
+           |rl_freq AS (
+           |  SELECT line FROM (
+           |    SELECT DISTINCT doc_id, unnest(lines) AS line FROM rl_lined)
+           |  GROUP BY line HAVING COUNT(*) > 3),
+           |rl_fl AS (SELECT COALESCE(list(line), []) AS f FROM rl_freq),
+           |cleaned AS MATERIALIZED (
+           |  SELECT doc_id, lang, source,
+           |    COALESCE(array_to_string(
+           |      list_filter(lines, l -> NOT list_contains(f, l)), ' '), '') AS clean
+           |  FROM rl_lined, rl_fl),
+           |exact AS MATERIALIZED (
+           |  SELECT doc_id, lang, source, clean FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(clean)
+           |      ORDER BY doc_id) AS rn
+           |    FROM cleaned) t WHERE rn = 1),
+           |toks AS (
+           |  SELECT doc_id, clean AS text,
+           |    list_filter(string_split(clean, ' '), x -> x != '') AS ws
+           |  FROM exact),
+           |$shingleCte,
+           |$minhashCtes,
+           |rl_cands AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+           |rl_shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+           |rl_sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM rl_shx GROUP BY doc_id),
+           |rl_common AS (
+           |  SELECT c.d1, c.d2, COUNT(*) AS common
+           |  FROM rl_cands c
+           |  JOIN rl_shx s1 ON s1.doc_id = c.d1
+           |  JOIN rl_shx s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+           |  GROUP BY c.d1, c.d2),
+           |rl_pairs AS (
+           |  SELECT d1, d2 FROM rl_common
+           |  JOIN rl_sizes sa ON sa.doc_id = d1
+           |  JOIN rl_sizes sb ON sb.doc_id = d2
+           |  WHERE CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5),
+           |rl_e AS (SELECT d1 AS a, d2 AS b FROM rl_pairs
+           |         UNION SELECT d2 AS a, d1 AS b FROM rl_pairs),
+           |rl_walk(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM exact
+           |  UNION
+           |  SELECT w.src, e.b FROM rl_walk w JOIN rl_e e ON w.dst = e.a),
+           |rl_comp AS (SELECT src AS doc_id, MIN(dst) AS cluster
+           |            FROM rl_walk GROUP BY src),
+           |fuzzy AS (
+           |  SELECT t.doc_id, t.lang, t.source, t.clean
+           |  FROM exact t JOIN rl_comp c
+           |    ON c.doc_id = t.doc_id AND c.cluster = t.doc_id),
+           |gm AS (
+           |  SELECT doc_id, CAST(len(gws) AS BIGINT) AS n,
+           |    CAST(COALESCE(list_sum(list_transform(gws, w -> len(w))), 0) AS BIGINT) AS sl,
+           |    CAST(len(list_filter(gws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
+           |    CAST(len(list_filter(gws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+           |    CAST(len(list_filter($stops,
+           |      s -> list_contains(list_transform(gws, w -> lower(w)), s))) AS BIGINT) AS st
+           |  FROM (SELECT doc_id,
+           |    list_filter(string_split(clean, ' '), x -> x != '') AS gws
+           |    FROM fuzzy)),
+           |goph AS MATERIALIZED (
+           |  SELECT f.* FROM fuzzy f JOIN gm USING (doc_id)
+           |  WHERE n >= 30 AND n <= 100000 AND sl >= n * 3 AND sl <= n * 10
+           |    AND sym * 10 <= n AND al * 5 >= n * 4 AND st >= 2)""".stripMargin
+  }
+
+  /** The decontamination → pack → release-card oracle tail; `rel`
+    * names the CTE that feeds it (goph for v1, goph2 for v2), and the
+    * extra hooks let v2 join its LM-drop census into the card. */
+  private def releaseOracleTail(rel: String, extraSelect: String = "",
+      extraJoin: String = ""): String =
+    s"""ev AS (
+           |  SELECT trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g')) AS clean
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |evsh AS (
+           |  SELECT DISTINCT unnest(list_distinct(list_transform(
+           |    range(1, len(ews) - 6),
+           |    i -> array_to_string(ews[i:i+7], ' ')))) AS shingle
+           |  FROM (SELECT list_filter(string_split(clean, ' '), x -> x != '') AS ews
+           |        FROM ev) WHERE len(ews) >= 8),
+           |tsh AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, len(tws) - 6),
+           |    i -> array_to_string(tws[i:i+7], ' ')))) AS shingle
+           |  FROM (SELECT doc_id,
+           |    list_filter(string_split(clean, ' '), x -> x != '') AS tws
+           |    FROM $rel) WHERE len(tws) >= 8),
+           |contam AS (
+           |  SELECT DISTINCT t.doc_id FROM tsh t JOIN evsh e ON e.shingle = t.shingle),
+           |released AS MATERIALIZED (
+           |  SELECT * FROM $rel
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           |ptoks AS (
+           |  SELECT doc_id, source, clean,
+           |    CAST(len(list_filter(string_split(clean, ' '), x -> x != '')) AS BIGINT) AS nt
+           |  FROM released),
+           |rl_shard AS (
+           |  SELECT doc_id, source, clean, nt,
+           |    CAST(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500 AS BIGINT) AS shard
+           |  FROM ptoks),
+           |packs AS (
+           |  SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    md5(STRING_AGG(clean, chr(10) || chr(10) ORDER BY doc_id)) AS pmd5,
+           |    STRING_AGG(clean, chr(10) || chr(10) ORDER BY doc_id) AS packed
+           |  FROM rl_shard GROUP BY 1, 2),
+           |rp AS (
+           |  SELECT source, shard, n_docs, pmd5,
+           |    CAST(len(list_filter(regexp_split_to_array(packed, '\\s+'),
+           |      x -> x != '')) AS BIGINT) AS rt
+           |  FROM packs),
+           |agg AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shards,
+           |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           |    CAST(SUM(rt) AS BIGINT) AS n_tokens,
+           |    md5(STRING_AGG(pmd5, '|' ORDER BY shard)) AS packed_md5
+           |  FROM rp GROUP BY 1),
+           |mp AS (
+           |  SELECT source,
+           |    CAST((CAST(substr(source, 4) AS BIGINT) + 1) * 4761 AS BIGINT) AS weight_ppm
+           |  FROM (SELECT DISTINCT source FROM released))
+           |SELECT a.source, a.n_shards, a.n_docs, a.n_tokens, a.packed_md5,
+           |  m.weight_ppm,
+           |  CAST(10000000 * m.weight_ppm // 1000000 AS BIGINT) AS target_tokens,
+           |  CAST(CASE WHEN a.n_tokens = 0 THEN 0
+           |       ELSE (10000000 * m.weight_ppm // 1000000) * 1000 // a.n_tokens
+           |       END AS BIGINT) AS repeat_milli$extraSelect
+           |FROM agg a JOIN mp m USING (source)$extraJoin
+           |ORDER BY a.source""".stripMargin
 
   /** Deterministic crawl-page fixture wrapped around a document: real
     * boilerplate shapes (title, script with a '<' in its code, style,
@@ -6525,38 +6759,8 @@ FROM t GROUP BY shard ORDER BY shard""")
     Q(
       "corpus_release_pipeline",
       (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val train = docs.filter(col("doc_id") % 10 =!= 0)
-        val evalD = docs.filter(col("doc_id") % 10 === 0)
-        val norm = train.select(col("doc_id"), col("lang"), col("source"),
-          Corpus.normalizeText(col("text")).as("norm"))
-        val ws = TextFunctions.tokens(col("norm"))
-        val nw = org.apache.spark.sql.functions.size(ws).cast("long")
-        val lined = norm.select(col("doc_id"),
-          array_join(
-            transform(
-              sequence(lit(0L),
-                ((greatest(nw, lit(1L)) + lit(2L)) / lit(3L)).cast("long") - 1),
-              i => array_join(slice(ws, (i * 3 + 1).cast("int"), lit(3)), " ")),
-            "\n").as("lined"))
-        val cleaned = Dedup.dedupLines(lined, "doc_id", "lined", "\n", maxDf = 3)
-          .select(col("doc_id"),
-            regexp_replace(col("clean_text"), "\n", " ").as("clean"))
-          .join(norm.select(col("doc_id"), col("lang"), col("source")),
-            Seq("doc_id"))
-        // feeds fuzzy pair discovery AND the survivor joins below
-        val exact = Dedup.dropDuplicatesByPriority(cleaned, "clean",
-          Seq(col("doc_id"))).localCheckpoint(true)
-        val fuzzy = Dedup.nearDupKeep(exact, "doc_id", "clean",
-            n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
-          .select(col("doc_id"))
-          .join(exact, Seq("doc_id"))
-        val goph = Corpus.gopherRules(fuzzy, "doc_id", "clean",
-            minWords = 30, maxWords = 100000, stops = GopherQueryStops)
-          .filter(col("keep")).select(col("doc_id"))
-          .join(fuzzy, Seq("doc_id"))
-        val evalNorm = evalD.select(col("doc_id"),
-          Corpus.normalizeText(col("text")).as("clean"))
+        val (goph, evalNorm) = releaseGophStage(
+          table(s, dir, "documents"), table(s, dir, "documents"))
         // LONG-n-gram decontamination (the GPT-3-style 13-gram rule,
         // scaled to this corpus's doc lengths): 3-grams over a small
         // shared vocabulary convict 95% of the corpus by chance
@@ -6566,172 +6770,162 @@ FROM t GROUP BY shard ORDER BY shard""")
               .filter(col("n_contaminated") > 0).select(col("doc_id")),
             Seq("doc_id"), "left_anti")
           .localCheckpoint(true) // feeds the plan AND the pack
-        val weights = released.select(col("source")).distinct()
-          .collect().map(_.getString(0)).sorted.toSeq
-          .map(src => src -> ((src.drop(3).toInt + 1) * 4761))
-        val plan = Corpus.mixturePlan(released, "source", "clean", weights,
-          budgetTokens = 10000000L)
-        val shardRows = Corpus.packSequences(released, "source", "doc_id",
-            "clean", budget = 500L, sep = "\n\n")
-          .select(col("source"), col("shard"), col("n_docs"),
-            md5(col("packed").cast("binary")).as("pmd5"),
-            // the card's token count comes off the PACKED bytes, not
-            // the upstream rows — the "nothing lost in packing" proof
-            org.apache.spark.sql.functions.size(
-              org.apache.spark.sql.functions.filter(
-                split(col("packed"), "\\s+"), t => t =!= lit("")))
-              .cast("long").as("rt"))
-        shardRows.groupBy(col("source")).agg(
-            count(lit(1)).as("n_shards"),
-            sum(col("n_docs")).as("n_docs"),
-            sum(col("rt")).as("n_tokens"),
-            md5(array_join(
-              transform(
-                array_sort(collect_list(struct(col("shard"), col("pmd5")))),
-                x => x.getField("pmd5")),
-              "|").cast("binary")).as("packed_md5"))
-          .join(plan.select(col("source"), col("weight_ppm"),
-            col("target_tokens"), col("repeat_milli")), Seq("source"))
+        releaseCard(released).orderBy(col("source"))
+      },
+      Some(s"${releaseOracleHead()},\n${releaseOracleTail("goph")}")),
+
+    // release pipeline V2 (r13): the SAME audited chain with the
+    // CCNet LM-quality stage folded in between the gopher gate and
+    // decontamination — the one stage r12 deliberately left out
+    // (bounding oracle depth; the split-stage fallback proved
+    // unnecessary). Bigram stats train on the post-gopher 'en' slice,
+    // every surviving doc gets the fixed-point mean-probability score,
+    // and each LANGUAGE drops its own tail (score below the per-lang
+    // p33 counting-percentile cut — CCNet's core rule that perplexity
+    // only compares within a language). The card re-derives counts
+    // from packed bytes exactly like v1 and adds the per-source
+    // n_lm_dropped census so the new seam's effect is itself pinned.
+    // Scale shape: lmScore's two scans + one bounded-domain percentile
+    // aggregate + a #langs-row broadcast join, on top of v1's stages.
+    Q(
+      "corpus_release_pipeline_v2",
+      (s, dir) => {
+        val (goph0, evalNorm) = releaseGophStage(
+          table(s, dir, "documents"), table(s, dir, "documents"))
+        // consumed by LM train+score, the keep join, and the census
+        val goph = goph0.localCheckpoint(true)
+        val kept = Corpus.ccnetBuckets(goph, "doc_id", "clean", "lang",
+            col("lang") === "en")
+          .filter(col("bucket") =!= "tail").select("doc_id")
+        val goph2 = kept.join(goph, Seq("doc_id"))
+        val released = goph2.join(
+            Dedup.contamination(goph2, evalNorm, "doc_id", "clean", n = 8)
+              .filter(col("n_contaminated") > 0).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // feeds the plan AND the pack
+        val lmDrop = goph.join(kept, Seq("doc_id"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_lm_dropped"))
+        releaseCard(released)
+          .join(lmDrop, Seq("source"), "left")
+          .withColumn("n_lm_dropped",
+            coalesce(col("n_lm_dropped"), lit(0L)))
           .orderBy(col("source"))
       },
       Some {
-        val stops = GopherQueryStops.map(s0 => s"'$s0'")
-          .mkString("[", ", ", "]")
-        s"""WITH RECURSIVE base AS (
-           |  SELECT doc_id, lang, source,
-           |    trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g')) AS norm
-           |  FROM documents WHERE doc_id % 10 <> 0),
-           |bt AS (
-           |  SELECT doc_id, lang, source,
-           |    list_filter(string_split(norm, ' '), x -> x != '') AS ws0
-           |  FROM base),
-           |rl_lined AS (
-           |  SELECT doc_id, lang, source, list_transform(
-           |    range(0, CAST((greatest(len(ws0), 1) + 2) // 3 AS BIGINT)),
-           |    i -> array_to_string(ws0[i*3+1:i*3+3], ' ')) AS lines
-           |  FROM bt),
-           |rl_freq AS (
-           |  SELECT line FROM (
-           |    SELECT DISTINCT doc_id, unnest(lines) AS line FROM rl_lined)
-           |  GROUP BY line HAVING COUNT(*) > 3),
-           |rl_fl AS (SELECT COALESCE(list(line), []) AS f FROM rl_freq),
-           |cleaned AS (
-           |  SELECT doc_id, lang, source,
-           |    COALESCE(array_to_string(
-           |      list_filter(lines, l -> NOT list_contains(f, l)), ' '), '') AS clean
-           |  FROM rl_lined, rl_fl),
-           |exact AS (
-           |  SELECT doc_id, lang, source, clean FROM (
-           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(clean)
-           |      ORDER BY doc_id) AS rn
-           |    FROM cleaned) t WHERE rn = 1),
-           |toks AS (
-           |  SELECT doc_id, clean AS text,
-           |    list_filter(string_split(clean, ' '), x -> x != '') AS ws
-           |  FROM exact),
-           |$shingleCte,
-           |$minhashCtes,
-           |rl_cands AS (
-           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |  FROM banded a JOIN banded b
-           |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-           |rl_shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-           |rl_sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM rl_shx GROUP BY doc_id),
-           |rl_common AS (
-           |  SELECT c.d1, c.d2, COUNT(*) AS common
-           |  FROM rl_cands c
-           |  JOIN rl_shx s1 ON s1.doc_id = c.d1
-           |  JOIN rl_shx s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
-           |  GROUP BY c.d1, c.d2),
-           |rl_pairs AS (
-           |  SELECT d1, d2 FROM rl_common
-           |  JOIN rl_sizes sa ON sa.doc_id = d1
-           |  JOIN rl_sizes sb ON sb.doc_id = d2
-           |  WHERE CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5),
-           |rl_e AS (SELECT d1 AS a, d2 AS b FROM rl_pairs
-           |         UNION SELECT d2 AS a, d1 AS b FROM rl_pairs),
-           |rl_walk(src, dst) AS (
-           |  SELECT doc_id, doc_id FROM exact
-           |  UNION
-           |  SELECT w.src, e.b FROM rl_walk w JOIN rl_e e ON w.dst = e.a),
-           |rl_comp AS (SELECT src AS doc_id, MIN(dst) AS cluster
-           |            FROM rl_walk GROUP BY src),
-           |fuzzy AS (
-           |  SELECT t.doc_id, t.lang, t.source, t.clean
-           |  FROM exact t JOIN rl_comp c
-           |    ON c.doc_id = t.doc_id AND c.cluster = t.doc_id),
-           |gm AS (
-           |  SELECT doc_id, CAST(len(gws) AS BIGINT) AS n,
-           |    CAST(COALESCE(list_sum(list_transform(gws, w -> len(w))), 0) AS BIGINT) AS sl,
-           |    CAST(len(list_filter(gws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
-           |    CAST(len(list_filter(gws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
-           |    CAST(len(list_filter($stops,
-           |      s -> list_contains(list_transform(gws, w -> lower(w)), s))) AS BIGINT) AS st
-           |  FROM (SELECT doc_id,
-           |    list_filter(string_split(clean, ' '), x -> x != '') AS gws
-           |    FROM fuzzy)),
-           |goph AS (
-           |  SELECT f.* FROM fuzzy f JOIN gm USING (doc_id)
-           |  WHERE n >= 30 AND n <= 100000 AND sl >= n * 3 AND sl <= n * 10
-           |    AND sym * 10 <= n AND al * 5 >= n * 4 AND st >= 2),
-           |ev AS (
-           |  SELECT trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g')) AS clean
-           |  FROM documents WHERE doc_id % 10 = 0),
-           |evsh AS (
-           |  SELECT DISTINCT unnest(list_distinct(list_transform(
-           |    range(1, len(ews) - 6),
-           |    i -> array_to_string(ews[i:i+7], ' ')))) AS shingle
-           |  FROM (SELECT list_filter(string_split(clean, ' '), x -> x != '') AS ews
-           |        FROM ev) WHERE len(ews) >= 8),
-           |tsh AS (
-           |  SELECT doc_id, unnest(list_distinct(list_transform(
-           |    range(1, len(tws) - 6),
-           |    i -> array_to_string(tws[i:i+7], ' ')))) AS shingle
-           |  FROM (SELECT doc_id,
-           |    list_filter(string_split(clean, ' '), x -> x != '') AS tws
-           |    FROM goph) WHERE len(tws) >= 8),
-           |contam AS (
-           |  SELECT DISTINCT t.doc_id FROM tsh t JOIN evsh e ON e.shingle = t.shingle),
-           |released AS (
-           |  SELECT * FROM goph
-           |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-           |ptoks AS (
-           |  SELECT doc_id, source, clean,
-           |    CAST(len(list_filter(string_split(clean, ' '), x -> x != '')) AS BIGINT) AS nt
-           |  FROM released),
-           |rl_shard AS (
-           |  SELECT doc_id, source, clean, nt,
-           |    CAST(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500 AS BIGINT) AS shard
-           |  FROM ptoks),
-           |packs AS (
-           |  SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |    md5(STRING_AGG(clean, chr(10) || chr(10) ORDER BY doc_id)) AS pmd5,
-           |    STRING_AGG(clean, chr(10) || chr(10) ORDER BY doc_id) AS packed
-           |  FROM rl_shard GROUP BY 1, 2),
-           |rp AS (
-           |  SELECT source, shard, n_docs, pmd5,
-           |    CAST(len(list_filter(regexp_split_to_array(packed, '\\s+'),
-           |      x -> x != '')) AS BIGINT) AS rt
-           |  FROM packs),
-           |agg AS (
-           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shards,
-           |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-           |    CAST(SUM(rt) AS BIGINT) AS n_tokens,
-           |    md5(STRING_AGG(pmd5, '|' ORDER BY shard)) AS packed_md5
-           |  FROM rp GROUP BY 1),
-           |mp AS (
-           |  SELECT source,
-           |    CAST((CAST(substr(source, 4) AS BIGINT) + 1) * 4761 AS BIGINT) AS weight_ppm
-           |  FROM (SELECT DISTINCT source FROM released))
-           |SELECT a.source, a.n_shards, a.n_docs, a.n_tokens, a.packed_md5,
-           |  m.weight_ppm,
-           |  CAST(10000000 * m.weight_ppm // 1000000 AS BIGINT) AS target_tokens,
-           |  CAST(CASE WHEN a.n_tokens = 0 THEN 0
-           |       ELSE (10000000 * m.weight_ppm // 1000000) * 1000 // a.n_tokens
-           |       END AS BIGINT) AS repeat_milli
-           |FROM agg a JOIN mp m USING (source)
-           |ORDER BY a.source""".stripMargin
+        val lmCtes =
+          s"""lmt AS (SELECT doc_id, lang,
+             |  list_filter(string_split(lower(clean), ' '), x -> x != '') AS lws
+             |  FROM goph),
+             |lmpos AS (SELECT doc_id, lang, lws, unnest(range(1, len(lws))) AS i FROM lmt),
+             |lmbg AS (SELECT doc_id, lang, lws[i] AS w1, lws[i+1] AS w2 FROM lmpos),
+             |lmbig AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c12 FROM lmbg WHERE lang = 'en' GROUP BY 1, 2),
+             |lmuni AS (SELECT w1, SUM(c12) AS c1 FROM lmbig GROUP BY 1),
+             |lmvoc AS (SELECT COUNT(DISTINCT tok) AS v FROM
+             |  (SELECT w1 AS tok FROM lmbig UNION SELECT w2 AS tok FROM lmbig)),
+             |lmcon AS (
+             |  SELECT lmbg.doc_id,
+             |    ((COALESCE(c12, 0) + 1) * ${Corpus.LmProbScale}) //
+             |      (COALESCE(c1, 0) + (SELECT v FROM lmvoc)) AS c
+             |  FROM lmbg LEFT JOIN lmbig USING (w1, w2) LEFT JOIN lmuni USING (w1)),
+             |lmagg AS (SELECT doc_id, SUM(c) AS s2, COUNT(*) AS n2 FROM lmcon GROUP BY 1),
+             |lmscored AS MATERIALIZED (
+             |  SELECT g.doc_id, g.lang, CAST(a.s2 // a.n2 AS BIGINT) AS lm_score
+             |  FROM goph g LEFT JOIN lmagg a USING (doc_id)),
+             |lmc AS (SELECT lang, lm_score, COUNT(*) AS cnt FROM lmscored
+             |  WHERE lm_score IS NOT NULL GROUP BY 1, 2),
+             |lmw AS (SELECT lang, lm_score,
+             |  SUM(cnt) OVER (PARTITION BY lang ORDER BY lm_score
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |  SUM(cnt) OVER (PARTITION BY lang) AS n FROM lmc),
+             |lmcuts AS (SELECT lang,
+             |  MIN(CASE WHEN cum >= (n*33 + 99) // 100 THEN lm_score END) AS p33
+             |  FROM lmw GROUP BY lang),
+             |lmkeep AS MATERIALIZED (
+             |  SELECT s.doc_id FROM lmscored s LEFT JOIN lmcuts c USING (lang)
+             |  WHERE s.lm_score IS NOT NULL AND s.lm_score >= c.p33),
+             |goph2 AS MATERIALIZED (SELECT g.* FROM goph g JOIN lmkeep USING (doc_id)),
+             |lmdrop AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_lm_dropped
+             |  FROM goph WHERE doc_id NOT IN (SELECT doc_id FROM lmkeep)
+             |  GROUP BY 1)""".stripMargin
+        s"${releaseOracleHead()},\n$lmCtes,\n${
+          releaseOracleTail("goph2",
+            extraSelect = ",\n  CAST(COALESCE(ld.n_lm_dropped, 0) AS BIGINT) AS n_lm_dropped",
+            extraJoin = "\nLEFT JOIN lmdrop ld USING (source)")
+        }"
+      }),
+
+    // crawl→release (r13): the full "crawl file → release sheet" story
+    // in ONE gated composition. The WARC archives corpus_warc_ingest
+    // quarantine-gates are parsed back, every accepted page runs the
+    // HTML→text extractor, and the EXTRACTED text (not the clean
+    // corpus column) feeds the audited release chain: normalize → C4
+    // line dedup → exact keep → fuzzy-CC keep → gopher gate → 8-gram
+    // decontamination against the RAW held-out slice → mixture plan →
+    // pack → card. The card adds a per-source n_pages census so the
+    // ingest→extract hand-off is pinned inside the composition, and
+    // its doc/token counts are re-derived from the packed bytes
+    // exactly like v1/v2. Extraction keeps the fixture's
+    // heading/footer boilerplate, so every downstream verdict
+    // genuinely differs from the raw-text pipelines — the oracle
+    // recomputes the whole chain from page markup. Scale shape: one
+    // archive = one task (file-parallel crawl ingest), extraction is
+    // map-only, and the chain reuses v1's audited stage shapes.
+    Q(
+      "corpus_crawl_release",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source")
+          .as[(Long, String, String, String)]
+        val pages = docs.groupByKey(_._4)
+          .flatMapGroups { (_, it) =>
+            val rows = it.toVector.sortBy(_._1)
+            val records =
+              (Warc.warcinfoRecord("graft-fixture") +:
+                rows.map { case (id, text, lang, source) =>
+                  Warc.responseRecord(s"http://corpus.test/$source/$id",
+                    id.toString, htmlFixture(id, text, lang, source))
+                }) ++ Warc.corruptRecords
+            Warc.parse(Warc.archive(records)).pages.iterator.map {
+              case (uri, html) =>
+                (uri.substring(uri.lastIndexOf('/') + 1).toLong,
+                  TextExtract.htmlToText(html))
+            }
+          }
+          .toDF("doc_id", "text")
+        val crawl = pages.join(
+            table(s, dir, "documents").select("doc_id", "lang", "source"),
+            Seq("doc_id"))
+          .select("doc_id", "lang", "source", "text")
+          .localCheckpoint(true) // feeds the census AND the chain
+        val census = crawl.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_pages"))
+        val (goph, evalNorm) =
+          releaseGophStage(crawl, table(s, dir, "documents"))
+        val released = goph.join(
+            Dedup.contamination(goph, evalNorm, "doc_id", "clean", n = 8)
+              .filter(col("n_contaminated") > 0).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // feeds the plan AND the pack
+        releaseCard(released)
+          .join(census, Seq("source"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val prefix = s"""$htmlExtractCtes,
+           |crawl_src AS MATERIALIZED (
+           |  SELECT k.doc_id, d.lang, d.source,
+           |    array_to_string(k.ls, chr(10)) AS text
+           |  FROM kept k JOIN documents d USING (doc_id)),
+           |pc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pages
+           |  FROM crawl_src GROUP BY 1),
+           |""".stripMargin
+        s"${releaseOracleHead("crawl_src", prefix)},\n${
+          releaseOracleTail("goph",
+            extraSelect = ",\n  pc.n_pages",
+            extraJoin = "\nJOIN pc USING (source)")
+        }"
       }),
 
     // length-distribution clipping per language: drop the shortest 5% and
