@@ -736,6 +736,60 @@ object MediaPipeline {
     }
   }
 
+  /** Area-average resample of packed RGB24 — what production
+    * perceptual-hash pipelines use for downscale (OpenCV INTER_AREA /
+    * PIL "box"): every target pixel is the truncated integer mean of
+    * its source box, so high-frequency content is pooled instead of
+    * point-sampled (nearest-neighbor aliases a dither pattern into
+    * noise; the box mean is stable under it). Box edges are the floor
+    * grid x·W/w — for integer ratios this is the exact pixel-area
+    * mean; for non-divisible sizes boxes tile the image with ±1-pixel
+    * width variation; for upscale the box degenerates to one source
+    * pixel (= nearest). Channel sums stay in Int (box ≤ 2^26 pixels
+    * · 255 < 2^34 — guarded in Long, summed per-channel in Long).
+    * Pure integer arithmetic end to end, so an oracle can recompute
+    * the raster exactly — cross-validated against Java2D's
+    * SCALE_AREA_AVERAGING in ResizeAreaSpec. */
+  def resizeArea(f: DecodedFrame, w: Int, h: Int): DecodedFrame = {
+    require(w > 0 && h > 0, "resize target must be positive")
+    require(w.toLong * h * 3 <= Int.MaxValue,
+      s"resize target ${w}x$h overflows a byte array")
+    require(f.pixels.length == f.width.toLong * f.height * 3,
+      s"frame ${f.id}/${f.frameIndex} claims ${f.width}x${f.height} but " +
+        s"carries ${f.pixels.length} bytes (needs packed RGB24)")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val y0 = (y.toLong * f.height / h).toInt
+      val y1 = math.max(y0 + 1, ((y + 1).toLong * f.height / h).toInt)
+      var x = 0
+      while (x < w) {
+        val x0 = (x.toLong * f.width / w).toInt
+        val x1 = math.max(x0 + 1, ((x + 1).toLong * f.width / w).toInt)
+        var r = 0L; var g = 0L; var b = 0L
+        var sy = y0
+        while (sy < y1) {
+          var sx = x0
+          while (sx < x1) {
+            val s = (sy * f.width + sx) * 3
+            r += f.pixels(s) & 0xff
+            g += f.pixels(s + 1) & 0xff
+            b += f.pixels(s + 2) & 0xff
+            sx += 1
+          }
+          sy += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        val d = (y * w + x) * 3
+        out(d) = (r / n).toByte; out(d + 1) = (g / n).toByte
+        out(d + 2) = (b / n).toByte
+        x += 1
+      }
+      y += 1
+    }
+    f.copy(width = w, height = h, pixels = out)
+  }
+
   /** Resize pass over decoded frames (stubbed compute, real plumbing). */
   def resizeAll(frames: Dataset[DecodedFrame], decoder: MediaDecoder,
       w: Int, h: Int)(implicit spark: SparkSession): Dataset[DecodedFrame] = {

@@ -5626,6 +5626,68 @@ FROM t GROUP BY shard ORDER BY shard""")
              |  MIN(doc_id) AS min_doc
              |FROM f GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY phash""".stripMargin)),
 
+    // the AREA-average resize leg of the perceptual-hash grid (r13):
+    // production dHash pipelines downscale with pixel-area pooling
+    // (OpenCV INTER_AREA), not nearest-neighbor point sampling. The
+    // fixture adds a deterministic per-pixel dither ((x%4)·7+(y%4)·13
+    // on top of each 8×8 base block) so every 4×4 resize box holds 16
+    // DISTINCT values — nearest-neighbor would hash the dither, the
+    // area mean pools it; the oracle recomputes every 16-term box sum
+    // and the 56-bit hash from the raw bytes, bit-gating the averaging
+    // arithmetic itself. PPM (lossless) so encode→decode is exact.
+    Q(
+      "multimodal_phash_area",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.MediaPipeline
+        import MediaPipeline.{ImageDecoder, MediaRow}
+        val docs = table(s, dir, "documents")
+          .filter(length(col("text").cast("binary")) >= 16)
+          .select(col("doc_id"),
+            substring(col("text").cast("binary"), 1, 16).as("px"))
+        val media = docs.as[(Long, Array[Byte])].map { case (id, px) =>
+          val rgb = new Array[Byte](32 * 32 * 3)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val v = ((px((y / 8) * 4 + x / 8) & 0xff) +
+                (x % 4) * 7 + (y % 4) * 13) % 256
+              val o = (y * 32 + x) * 3
+              rgb(o) = v.toByte; rgb(o + 1) = v.toByte; rgb(o + 2) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          MediaRow(id, "image", MediaPipeline.encodePpm(32, 32, rgb), "ppm",
+            32, 32, 0L)
+        }
+        MediaPipeline.dHash(
+          MediaPipeline.sampleFrames(media, new ImageDecoder, 1)(s)
+            .map(f => MediaPipeline.resizeArea(f, 8, 8)))(s)
+          .toDF("doc_id", "fp")
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .filter(col("n_docs") >= 2)
+          .select(col("fp").as("phash"), col("n_docs"), col("min_doc"))
+          .orderBy(col("phash"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, substr(hex(encode(text)), 1, 32) AS hx
+             |  FROM documents WHERE octet_length(encode(text)) >= 16),
+             |b AS (SELECT doc_id, list_transform(range(0, 16),
+             |  i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT) AS px FROM h),
+             |g AS (SELECT doc_id, list_transform(range(0, 64), p ->
+             |  list_sum(list_transform(range(0, 16), q ->
+             |    (px[((p // 8) // 2) * 4 + ((p % 8) // 2) + 1]
+             |      + (q % 4) * 7 + (q // 4) * 13) % 256)) // 16) AS gray FROM b),
+             |f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), bb ->
+             |  CASE WHEN gray[(bb // 7) * 8 + (bb % 7) + 1] > gray[(bb // 7) * 8 + (bb % 7) + 2]
+             |       THEN (1::BIGINT << bb) ELSE 0 END)) AS BIGINT) AS fp FROM g)
+             |SELECT fp AS phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MIN(doc_id) AS min_doc
+             |FROM f GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY phash""".stripMargin)),
+
     // int8-quantization recall report: completes the recall family —
     // the fp32-vs-int8 quality number a user consults before flipping
     // the quantized index on
