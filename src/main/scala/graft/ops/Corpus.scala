@@ -2088,6 +2088,133 @@ object Corpus {
       .drop("__n", "__sl", "__sym", "__al", "__st")
   }
 
+  /** Gopher's REPETITION-removal rules (Rae et al. 2021, Table A1) —
+    * the other half of the quality suite next to [[gopherRules]]:
+    * machine-generated and boilerplate-heavy pages repeat themselves,
+    * so documents are dropped when too much of their text is (a)
+    * duplicate LINES, (b) the single dominant n-gram (n=2..4), or (c)
+    * n-grams that occur more than once (n=5..10). All fractions are
+    * integer cross-multiplications against the paper's thresholds —
+    * zero floats on any engine; the audit columns report floored
+    * per-mille values.
+    *
+    * Precise quantities (each over non-whitespace characters, the
+    * token-length sum, so separator policy cannot skew ratios):
+    *   - dup_line_pm / dup_line_char_pm: occurrences (and their chars)
+    *     of lines appearing ≥2 times, over total lines (chars). Lines
+    *     split on `lineSep`; run the operator again with the paragraph
+    *     separator for the paragraph variants.
+    *   - top{2,3,4}_pm: the maximum over n-grams OCCURRING ≥2 TIMES of
+    *     count·chars — the char mass of the dominant repeated n-gram.
+    *     (The paper says "fraction of characters contained in the most
+    *     frequent n-gram"; taking the max of the product resolves
+    *     count-ties deterministically and equals the paper's number
+    *     whenever the most frequent n-gram is unique, and the ≥2 floor
+    *     keeps a short document whose n-grams are all distinct from
+    *     being charged for "repetition" that never happened.)
+    *   - dup{5..10}_pm: chars of token POSITIONS covered by at least
+    *     one n-gram occurring ≥2 times — the overlap-aware union, so
+    *     repeated overlapping windows never double-count a character.
+    *
+    * Scale shape: one windows explode covering ALL n in 2..10 (rows ≈
+    * 9·tokens), one partial-aggregated count per (doc, n, gram), a
+    * semi-join back for the convicted windows, and a distinct over
+    * (doc, n, position) — every shuffle is keyed by doc-local keys,
+    * nothing driver-side, no per-doc quadratic loop (a 100k-token doc
+    * costs 900k window rows, not 10^10 comparisons).
+    *
+    * @return one row per doc: idCol, the per-mille audit columns, and
+    *         `keep` (true = passes every repetition gate)
+    */
+  def repetitionRules(docs: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n"): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val topCaps = Map(2 -> 20, 3 -> 18, 4 -> 16) // pct of chars
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val dupCaps = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    // whitespace-regex split (not TextFunctions.tokens' single-space
+    // split): the n-gram stream must cross the very line breaks the
+    // line rules split on
+    val ws = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val base = docs.select(col(idCol), ws.as("__ws"),
+      filter(transform(split(col(textCol),
+          java.util.regex.Pattern.quote(lineSep)),
+        l => trim(l)), l => l =!= "").as("__ls"))
+      .withColumn("__totch",
+        aggregate(col("__ws"), lit(0L), (acc, w) => acc + length(w)))
+    // line rules: one count per (doc, line), folded per doc
+    val lineAgg = base.select(col(idCol), explode(col("__ls")).as("__l"))
+      .groupBy(col(idCol), col("__l")).agg(count(lit(1)).as("__c"))
+      // lines are charged by their NON-whitespace chars so the ratio
+      // against __totch (a token-length sum) can never exceed 1
+      .withColumn("__llen",
+        length(regexp_replace(col("__l"), "\\s+", "")).cast("long"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("__nl"),
+        sum(when(col("__c") >= 2, col("__c")).otherwise(0L)).as("__dl"),
+        sum(when(col("__c") >= 2, col("__c") * col("__llen"))
+          .otherwise(0L)).as("__dch"))
+    // ONE windows table for every n: (doc, n, start, gram)
+    val windows = base
+      .select(col(idCol), col("__totch"), col("__ws"),
+        explode(array((topNs ++ dupNs).map(lit): _*)).as("__n"))
+      .filter(size(col("__ws")) >= col("__n"))
+      .select(col(idCol), col("__n"), posexplode(
+        transform(sequence(lit(0), size(col("__ws")) - col("__n")),
+          i => array_join(slice(col("__ws"), i + 1, col("__n")), " "))))
+      .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__g")
+    val counts = windows.groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    // dominant REPEATED n-gram char mass (chars = gram length minus
+    // the n-1 joiners; count-1 grams charge nothing — see scaladoc)
+    val topAgg = counts.filter(col("__n").isin(topNs.map(Int.box): _*) &&
+        col("__c") >= 2)
+      .groupBy(col(idCol)).pivot("__n", topNs)
+      .agg(max(col("__c") * (length(col("__g")) - (col("__n") - 1))))
+      .select(col(idCol) +: topNs.map(n => col(n.toString).as(s"__top$n")): _*)
+    // positions covered by any ≥2-count n-gram, unioned before charging
+    val tokLens = base.select(col(idCol), posexplode(col("__ws")))
+      .select(col(idCol), col("pos").as("__p"),
+        length(col("col")).cast("long").as("__len"))
+    val dupAgg = windows
+      .join(counts.filter(col("__c") >= 2 &&
+          col("__n").isin(dupNs.map(Int.box): _*))
+          .select(col(idCol), col("__n"), col("__g")),
+        Seq(idCol, "__n", "__g"))
+      .select(col(idCol), col("__n"),
+        explode(sequence(col("__i"), col("__i") + col("__n") - 1)).as("__p"))
+      .distinct()
+      .join(tokLens, Seq(idCol, "__p"))
+      .groupBy(col(idCol)).pivot("__n", dupNs).agg(sum(col("__len")))
+      .select(col(idCol) +: dupNs.map(n => col(n.toString).as(s"__dup$n")): _*)
+    val flat = base.select(col(idCol), col("__totch"))
+      .join(lineAgg, Seq(idCol), "left")
+      .join(topAgg, Seq(idCol), "left")
+      .join(dupAgg, Seq(idCol), "left")
+    val den = greatest(col("__totch"), lit(1L))
+    val nl = greatest(coalesce(col("__nl"), lit(0L)), lit(1L))
+    def z(c: String) = coalesce(col(c), lit(0L))
+    val okLine = z("__dl") * 100 <= nl * 30 && z("__dch") * 100 <= den * 20
+    val okTop = topNs.map(n => z(s"__top$n") * 100 <= den * topCaps(n))
+      .reduce(_ && _)
+    val okDup = dupNs.map(n => z(s"__dup$n") * 100 <= den * dupCaps(n))
+      .reduce(_ && _)
+    val outCols: Seq[Column] =
+      Seq(col(idCol),
+        expr("coalesce(__dl, 0) * 1000 DIV greatest(coalesce(__nl, 0), 1)")
+          .as("dup_line_pm"),
+        expr("coalesce(__dch, 0) * 1000 DIV greatest(__totch, 1)")
+          .as("dup_line_char_pm")) ++
+        topNs.map(n =>
+          expr(s"coalesce(__top$n, 0) * 1000 DIV greatest(__totch, 1)")
+            .as(s"top${n}_pm")) ++
+        dupNs.map(n =>
+          expr(s"coalesce(__dup$n, 0) * 1000 DIV greatest(__totch, 1)")
+            .as(s"dup${n}_pm")) ++
+        Seq((okLine && okTop && okDup).as("keep"))
+    flat.select(outCols: _*)
+  }
+
   /** CCNet-style head/middle/tail quality bucketing (Wenzek et al. 2019,
     * arXiv:1911.00359 §4.4): score every document with [[lmScore]]
     * (bigram stats trained on the trusted `refFilter` slice), then split

@@ -2297,6 +2297,126 @@ object CorpusQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    // Gopher's REPETITION rules (Rae et al. 2021, Table A1) — the
+    // other half of the quality suite: duplicate-line fractions, the
+    // dominant 2/3/4-gram's char mass, and the overlap-aware union of
+    // characters inside 5..10-grams occurring twice — all integer
+    // cross-multiplied. The fixture re-lines each doc (4-token lines)
+    // and PLANTS repetition: every 3rd doc repeats its first line,
+    // every 4th appends its first six tokens twice back to back — so
+    // both the line gate and the n-gram gates genuinely split the
+    // corpus, and the oracle recomputes every count, max, and coverage
+    // union from the same fixture bytes.
+    Q(
+      "corpus_repetition_rules",
+      (s, dir) => {
+        val ws = TextFunctions.tokens(col("text"))
+        val nw = org.apache.spark.sql.functions.size(ws).cast("long")
+        val lined = array_join(
+          transform(
+            sequence(lit(0L),
+              ((greatest(nw, lit(1L)) + lit(3L)) / lit(4L)).cast("long") - 1),
+            i => array_join(slice(ws, (i * 4 + 1).cast("int"), lit(4)), " ")),
+          "\n")
+        val firstLine = array_join(slice(ws, 1, 4), " ")
+        val six = array_join(slice(ws, 1, 6), " ")
+        val fixture = concat(lined,
+          when(col("doc_id") % 3 === 0, concat(lit("\n"), firstLine))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("\n"), six, lit(" "), six)).otherwise(lit("")))
+        Corpus.repetitionRules(
+          table(s, dir, "documents")
+            .select(col("doc_id"), fixture.as("text")),
+          "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+             |  FROM documents),
+             |fx AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(
+             |      range(0, CAST((greatest(len(ws), 1) + 3) // 4 AS BIGINT)),
+             |      i -> array_to_string(ws[i*4+1:i*4+4], ' ')), chr(10))
+             |    || CASE WHEN doc_id % 3 = 0
+             |            THEN chr(10) || array_to_string(ws[1:4], ' ') ELSE '' END
+             |    || CASE WHEN doc_id % 4 = 0
+             |            THEN chr(10) || array_to_string(ws[1:6], ' ') || ' '
+             |              || array_to_string(ws[1:6], ' ') ELSE '' END AS text
+             |  FROM toks0),
+             |t2 AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws,
+             |    list_filter(list_transform(string_split(text, chr(10)),
+             |      l -> trim(l, ' ')), l -> l != '') AS ls
+             |  FROM fx),
+             |tc AS (SELECT doc_id,
+             |  CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS totch
+             |  FROM t2),
+             |lc AS (SELECT doc_id, l, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(ls) AS l FROM t2) GROUP BY 1, 2),
+             |la AS (SELECT doc_id, SUM(c) AS nl,
+             |  SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dl,
+             |  SUM(CASE WHEN c >= 2
+             |      THEN c * len(regexp_replace(l, '\s+', '', 'g')) ELSE 0 END) AS dch
+             |  FROM lc GROUP BY 1),
+             |wk AS MATERIALIZED (
+             |  SELECT doc_id, n, i, array_to_string(ws[i+1:i+n], ' ') AS g
+             |  FROM (SELECT doc_id, n, ws,
+             |          unnest(range(0, greatest(len(ws) - n + 1, 0))) AS i
+             |        FROM t2, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns)),
+             |wc AS MATERIALIZED (
+             |  SELECT doc_id, n, g, COUNT(*) AS c FROM wk GROUP BY 1, 2, 3),
+             |topa AS (SELECT doc_id,
+             |  MAX(CASE WHEN n = 2 AND c >= 2 THEN c * (len(g) - 1) END) AS top2,
+             |  MAX(CASE WHEN n = 3 AND c >= 2 THEN c * (len(g) - 2) END) AS top3,
+             |  MAX(CASE WHEN n = 4 AND c >= 2 THEN c * (len(g) - 3) END) AS top4
+             |  FROM wc GROUP BY 1),
+             |dk AS (SELECT doc_id, n, g FROM wc WHERE c >= 2 AND n >= 5),
+             |cov AS (SELECT DISTINCT doc_id, n, p FROM (
+             |  SELECT w.doc_id, w.n, unnest(range(w.i, w.i + w.n)) AS p
+             |  FROM wk w JOIN dk USING (doc_id, n, g))),
+             |tll AS MATERIALIZED (
+             |  SELECT doc_id, p, CAST(len(ws[p+1]) AS BIGINT) AS wlen
+             |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS p FROM t2)),
+             |da AS (SELECT c2.doc_id,
+             |  SUM(CASE WHEN c2.n = 5 THEN t.wlen END) AS dup5,
+             |  SUM(CASE WHEN c2.n = 6 THEN t.wlen END) AS dup6,
+             |  SUM(CASE WHEN c2.n = 7 THEN t.wlen END) AS dup7,
+             |  SUM(CASE WHEN c2.n = 8 THEN t.wlen END) AS dup8,
+             |  SUM(CASE WHEN c2.n = 9 THEN t.wlen END) AS dup9,
+             |  SUM(CASE WHEN c2.n = 10 THEN t.wlen END) AS dup10
+             |  FROM cov c2 JOIN tll t USING (doc_id, p) GROUP BY 1)
+             |SELECT tc.doc_id,
+             |  CAST(COALESCE(dl, 0) * 1000 // greatest(COALESCE(nl, 0), 1) AS BIGINT) AS dup_line_pm,
+             |  CAST(COALESCE(dch, 0) * 1000 // greatest(totch, 1) AS BIGINT) AS dup_line_char_pm,
+             |  CAST(COALESCE(top2, 0) * 1000 // greatest(totch, 1) AS BIGINT) AS top2_pm,
+             |  CAST(COALESCE(top3, 0) * 1000 // greatest(totch, 1) AS BIGINT) AS top3_pm,
+             |  CAST(COALESCE(top4, 0) * 1000 // greatest(totch, 1) AS BIGINT) AS top4_pm,
+             |  CAST(COALESCE(dup5, 0) * 1000 // greatest(totch, 1) AS BIGINT) AS dup5_pm,
+             |  CAST(COALESCE(dup6, 0) * 1000 // greatest(totch, 1) AS BIGINT) AS dup6_pm,
+             |  CAST(COALESCE(dup7, 0) * 1000 // greatest(totch, 1) AS BIGINT) AS dup7_pm,
+             |  CAST(COALESCE(dup8, 0) * 1000 // greatest(totch, 1) AS BIGINT) AS dup8_pm,
+             |  CAST(COALESCE(dup9, 0) * 1000 // greatest(totch, 1) AS BIGINT) AS dup9_pm,
+             |  CAST(COALESCE(dup10, 0) * 1000 // greatest(totch, 1) AS BIGINT) AS dup10_pm,
+             |  (COALESCE(dl, 0) * 100 <= greatest(COALESCE(nl, 0), 1) * 30
+             |   AND COALESCE(dch, 0) * 100 <= greatest(totch, 1) * 20
+             |   AND COALESCE(top2, 0) * 100 <= greatest(totch, 1) * 20
+             |   AND COALESCE(top3, 0) * 100 <= greatest(totch, 1) * 18
+             |   AND COALESCE(top4, 0) * 100 <= greatest(totch, 1) * 16
+             |   AND COALESCE(dup5, 0) * 100 <= greatest(totch, 1) * 15
+             |   AND COALESCE(dup6, 0) * 100 <= greatest(totch, 1) * 14
+             |   AND COALESCE(dup7, 0) * 100 <= greatest(totch, 1) * 13
+             |   AND COALESCE(dup8, 0) * 100 <= greatest(totch, 1) * 12
+             |   AND COALESCE(dup9, 0) * 100 <= greatest(totch, 1) * 11
+             |   AND COALESCE(dup10, 0) * 100 <= greatest(totch, 1) * 10) AS keep
+             |FROM tc
+             |LEFT JOIN la USING (doc_id)
+             |LEFT JOIN topa USING (doc_id)
+             |LEFT JOIN da USING (doc_id)
+             |ORDER BY tc.doc_id""".stripMargin)),
+
     // the curation FUNNEL report over the same rule set: every document
     // attributed to the FIRST rule it fails in declared order (a doc
     // failing three rules is charged once, where the pipeline actually
