@@ -1314,6 +1314,68 @@ object Corpus {
         regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           PhonePattern, "<PHONE>"))
 
+  /** URL canonicalization — the comparison form every crawl pipeline
+    * computes before URL-level dedup (RefinedWeb §3.1 / CCNet both
+    * dedup by URL before touching content): lowercase scheme and host,
+    * strip the scheme's DEFAULT port only (:443 for https, :80 for
+    * http — an explicit :8080 is a different origin and survives),
+    * strip one leading `www.`, drop query and fragment, collapse
+    * trailing slashes (empty path → `/`), keep path case (paths are
+    * case-sensitive; hosts are not). `domain` is the last two host
+    * labels — the registered domain under generic TLDs (a public-
+    * suffix list would refine co.uk-style hosts; documented
+    * approximation). Pure per-row regex expressions — map-only.
+    *
+    * Appends: `scheme`, `host`, `domain`, `canon_url`.
+    */
+  def urlCanonicalize(df: DataFrame, urlCol: String): DataFrame = {
+    val scheme = lower(regexp_extract(col(urlCol),
+      "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostport = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
+    val rawPath = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
+    val noDefPort = when(scheme === "https",
+        regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noDefPort, "^www\\.", "")
+    // not rtrim(col, "/"): the two-arg TRIM signature is deprecated in
+    // Spark 4 and warns on every plan
+    val trimmed = regexp_replace(rawPath, "/+$", "")
+    val cleanPath = when(trimmed === "", lit("/")).otherwise(trimmed)
+    df.withColumn("scheme", scheme)
+      .withColumn("host", host)
+      .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("canon_url",
+        concat(col("scheme"), lit("://"), col("host"), cleanPath))
+  }
+
+  /** The crawl front door: canonicalize URLs, refuse blocklisted
+    * registered domains, and keep ONE page per canonical URL (lowest id
+    * wins) — RefinedWeb's stage-0 gates before any byte of content is
+    * parsed, which is what makes them the cheapest filters in the whole
+    * pipeline. One broadcast-sized blocklist membership test and one
+    * partial-aggregated min per canonical URL; no content is shuffled.
+    *
+    * @return one row per page: idCol, `domain`, `canon_url`, `reason`
+    *         (`blocked_domain` > `duplicate_url` > `ok`), `keep`
+    */
+  def urlGate(df: DataFrame, idCol: String, urlCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    val canon = urlCanonicalize(df, urlCol)
+    val keeper = canon.groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("__keeper"))
+    val reason = when(col("domain").isin(blockedDomains: _*),
+        lit("blocked_domain"))
+      .when(col(idCol) > col("__keeper"), lit("duplicate_url"))
+      .otherwise(lit("ok"))
+    canon.join(keeper, Seq("canon_url"))
+      .withColumn("reason", reason)
+      .withColumn("keep", col("reason") === "ok")
+      .drop("__keeper")
+  }
+
   /** Per-document repetition stats (Gopher-style quality signal): total
     * words, distinct words, the count of the most repeated word, and the
     * duplicate-word fraction. Computed entirely INSIDE the row with

@@ -1909,6 +1909,71 @@ object CorpusQueries {
              |  md5(STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id)) AS text_md5
              |FROM ex GROUP BY source ORDER BY source""".stripMargin)),
 
+    // the crawl FRONT DOOR (RefinedWeb stage 0): canonicalize URLs
+    // (scheme/host case, default ports, www., query+fragment, trailing
+    // slashes), refuse blocklisted registered domains, keep one page
+    // per canonical URL — the filters that run before any content byte
+    // is parsed. The fixture plants every canonicalization hazard
+    // (mixed case, :443, ///, ?utm, #frag) and collides distinct raw
+    // URLs onto shared canonical forms; the oracle re-derives the
+    // whole chain with the same RE2-safe regexes.
+    Q(
+      "corpus_url_gate",
+      (s, dir) => {
+        val url = concat(
+          lit("https://WWW.Media"), (col("doc_id") % 3).cast("string"),
+          lit(".Example"), (col("doc_id") % 5).cast("string"), lit(".COM"),
+          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/Doc/"), expr("doc_id DIV 50").cast("string"),
+          when(col("doc_id") % 6 === 0, lit("///")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("?utm=x")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+        Corpus.urlGate(
+          table(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          "doc_id", "url", blockedDomains = Seq("example2.com"))
+          .select("doc_id", "domain", "canon_url", "reason", "keep")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://WWW.Media' || (doc_id % 3) || '.Example' || (doc_id % 5) || '.COM'
+             |    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+             |    || '/Doc/' || (doc_id // 50)
+             |    || CASE WHEN doc_id % 6 = 0 THEN '///' ELSE '' END
+             |    || CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+             |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS hostport,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path
+             |  FROM u),
+             |h AS (
+             |  SELECT doc_id, scheme,
+             |    regexp_replace(
+             |      CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             |           WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             |           ELSE hostport END, '^www\.', '') AS host,
+             |    CASE WHEN rtrim(path, '/') = '' THEN '/'
+             |         ELSE rtrim(path, '/') END AS cpath
+             |  FROM c),
+             |x AS (
+             |  SELECT doc_id, host,
+             |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+             |    scheme || '://' || host || cpath AS canon_url
+             |  FROM h),
+             |k AS (SELECT canon_url, MIN(doc_id) AS keeper FROM x GROUP BY 1),
+             |v AS (
+             |  SELECT x.doc_id, x.domain, x.canon_url,
+             |    CASE WHEN x.domain = 'example2.com' THEN 'blocked_domain'
+             |         WHEN x.doc_id > k.keeper THEN 'duplicate_url'
+             |         ELSE 'ok' END AS reason
+             |  FROM x JOIN k USING (canon_url))
+             |SELECT doc_id, domain, canon_url, reason,
+             |  (reason = 'ok') AS keep
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
     // incremental manifest refresh: the digest diff marks affected
     // shards, ONLY those re-aggregate over the new snapshot, untouched
     // shards carry their stored manifest rows forward — and the result
