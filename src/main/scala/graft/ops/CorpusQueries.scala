@@ -432,7 +432,7 @@ object CorpusQueries {
     * comment, a link-dense nav bar, a heading with entities, the
     * escaped payload, a footer mixing entities and an anchor). The
     * Scala side and [[htmlExtractCtes]] build the IDENTICAL string. */
-  private def htmlFixture(id: Long, text: String, lang: String,
+  private[ops] def htmlFixture(id: Long, text: String, lang: String,
       source: String): String =
     s"""<html><head><title>$source</title>""" + "\n" +
       s"""<script type="text/javascript">var doc = $id; if (doc < 9) { track("&amp;"); }</script>""" + "\n" +
@@ -1880,9 +1880,9 @@ object CorpusQueries {
                     id.toString, htmlFixture(id, text, lang, source))
                 }) ++ Warc.corruptRecords
             val parsed = Warc.parse(Warc.archive(records))
-            val texts = parsed.pages.map { case (uri, html) =>
-              (uri.substring(uri.lastIndexOf('/') + 1).toLong,
-                TextExtract.htmlToText(html))
+            val texts = parsed.pages.map { pg =>
+              (pg.uri.substring(pg.uri.lastIndexOf('/') + 1).toLong,
+                TextExtract.htmlToText(pg.body))
             }.sortBy(_._1)
             val joined = texts.map(_._2).mkString("\n\n")
             val md5hex = java.security.MessageDigest.getInstance("MD5")
@@ -3593,6 +3593,81 @@ FROM t GROUP BY shard ORDER BY shard""")
            |  CAST(COUNT(*) AS BIGINT) AS n_docs,
            |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
            |FROM v1 GROUP BY 1 ORDER BY verdict""".stripMargin
+      }),
+
+    // the crawl FRONT-END as a live ingest (r13): WARC archives stream
+    // in (one per micro-batch file), each batch runs record walk →
+    // HTML→text extraction → URL canonicalization in one pass, and the
+    // drained page log yields the funnel census — blocklist >
+    // canonical-URL dup > gopher quality > admitted, plus the torn-
+    // record row. Verdicts derive from the drained log (the keeper of
+    // a canonical URL is the min doc_id over ALL batches), so the
+    // census is slicing-independent and the oracle recomputes the
+    // one-shot composition from page markup and raw URL strings.
+    Q(
+      "stream_crawl_ingest",
+      (s, dir) => StreamingQueries.streamCrawlIngest(s, dir),
+      Some {
+        val stops = GopherQueryStops.map(s0 => s"'$s0'")
+          .mkString("[", ", ", "]")
+        s"""WITH $htmlExtractCtes,
+           |ex AS (SELECT doc_id,
+           |  replace(array_to_string(ls, chr(10)), chr(10), ' ') AS text
+           |  FROM kept),
+           |toks2 AS (SELECT doc_id,
+           |  list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ex),
+           |gm AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+           |  CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sl,
+           |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS sym,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS al,
+           |  CAST(len(list_filter($stops,
+           |    s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS BIGINT) AS st
+           |  FROM toks2),
+           |u AS (SELECT doc_id,
+           |  'https://WWW.Media' || (doc_id % 3) || '.Example' || (doc_id % 5) || '.COM'
+           |  || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+           |  || '/Doc/' || (doc_id % 20)
+           |  || CASE WHEN doc_id % 6 = 0 THEN '///' ELSE '' END
+           |  || CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '' END
+           |  || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+           |  FROM documents),
+           |cu AS (SELECT doc_id,
+           |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+           |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hostport,
+           |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path
+           |  FROM u),
+           |ch AS (SELECT doc_id, scheme,
+           |  regexp_replace(
+           |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+           |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+           |         ELSE hostport END, '^www\\.', '') AS host,
+           |  CASE WHEN rtrim(path, '/') = '' THEN '/'
+           |       ELSE rtrim(path, '/') END AS cpath
+           |  FROM cu),
+           |cx AS (SELECT doc_id,
+           |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+           |  scheme || '://' || host || cpath AS canon_url
+           |  FROM ch),
+           |ck AS (SELECT canon_url, MIN(doc_id) AS keeper FROM cx GROUP BY 1),
+           |cv AS (SELECT cx.doc_id, d.source,
+           |  CASE WHEN cx.domain = 'example2.com' THEN 'url_blocked'
+           |       WHEN cx.doc_id > ck.keeper THEN 'url_duplicate'
+           |       WHEN NOT (g.n >= 30 AND g.n <= 100000 AND g.sl >= g.n * 3
+           |             AND g.sl <= g.n * 10 AND g.sym * 10 <= g.n
+           |             AND g.al * 5 >= g.n * 4 AND g.st >= 2)
+           |       THEN 'quality_rejected'
+           |       ELSE 'admitted' END AS verdict
+           |  FROM cx JOIN ck USING (canon_url)
+           |  JOIN documents d USING (doc_id) JOIN gm g USING (doc_id))
+           |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_pages,
+           |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+           |FROM cv GROUP BY 1
+           |UNION ALL
+           |SELECT 'torn_record',
+           |  CAST(4 * COUNT(DISTINCT source) AS BIGINT),
+           |  CAST(COUNT(DISTINCT source) AS BIGINT)
+           |FROM documents
+           |ORDER BY verdict""".stripMargin
       }),
 
     // the incremental family composed END TO END, the way a daily
@@ -7134,10 +7209,9 @@ FROM t GROUP BY shard ORDER BY shard""")
                   Warc.responseRecord(s"http://corpus.test/$source/$id",
                     id.toString, htmlFixture(id, text, lang, source))
                 }) ++ Warc.corruptRecords
-            Warc.parse(Warc.archive(records)).pages.iterator.map {
-              case (uri, html) =>
-                (uri.substring(uri.lastIndexOf('/') + 1).toLong,
-                  TextExtract.htmlToText(html))
+            Warc.parse(Warc.archive(records)).pages.iterator.map { pg =>
+              (pg.uri.substring(pg.uri.lastIndexOf('/') + 1).toLong,
+                TextExtract.htmlToText(pg.body))
             }
           }
           .toDF("doc_id", "text")

@@ -683,6 +683,119 @@ object StreamingQueries {
       .orderBy(col("verdict"))
   }
 
+  /** The Scala-side spelling of `stream_crawl_ingest`'s URL fixture —
+    * every canonicalization hazard (case, :443, ///, ?utm, #frag) and a
+    * %20 path so canonical URLs genuinely collide across documents. */
+  private def crawlUrl(id: Long): String =
+    s"https://WWW.Media${id % 3}.Example${id % 5}.COM" +
+      (if (id % 4 == 0) ":443" else "") +
+      s"/Doc/${id % 20}" +
+      (if (id % 6 == 0) "///" else "") +
+      (if (id % 2 == 0) "?utm=x" else "") +
+      (if (id % 5 == 0) "#sec" else "")
+
+  /** The crawl front-end as a LIVE ingest: WARC archives arrive as an
+    * unbounded stream (one archive per row, as a crawl fetcher delivers
+    * them) and every micro-batch runs record walk → HTML→text extraction
+    * → URL canonicalization in ONE pass, logging per-page rows plus the
+    * torn-record census. Verdicts (blocklist > canonical-URL dup >
+    * quality > admitted) are derived from the DRAINED log, so the
+    * census is slicing-independent and must equal the one-shot batch
+    * oracle no matter how the stream partitions the archives. State is
+    * parquet-logged per batch id (replay-idempotent); nothing resident
+    * grows with the crawl. */
+  private[graft] def streamCrawlIngest(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val base = s"/tmp/graft_stream_crawl_${new java.io.File(dir).getName}" +
+      s"_pid${ProcessHandle.current().pid()}"
+    val logPath = s"$base/log"
+    val tornPath = s"$base/torn"
+    Seq(logPath, tornPath, s"$base/ckpt").foreach { p =>
+      val f = new java.io.File(p); if (f.exists()) rmTree(f)
+    }
+    // one synthesized archive per source — the fetcher's delivery unit
+    val archives = docs
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)]
+      .groupByKey(_._4)
+      .mapGroups { (src, it) =>
+        val rows = it.toVector.sortBy(_._1)
+        val records =
+          (Warc.warcinfoRecord("graft-fixture") +:
+            rows.map { case (id, text, lang, source) =>
+              Warc.responseRecord(crawlUrl(id), id.toString,
+                CorpusQueries.htmlFixture(id, text, lang, source))
+            }) ++ Warc.corruptRecords
+        (src, Warc.archive(records))
+      }
+      .toDF("source", "bytes")
+    val streamDir = s"$base/in"
+    val schema = stageBatches(s, streamDir, Seq(
+      "b0" -> archives.filter(
+        expr("CAST(substr(source, 4) AS LONG) % 2 = 0")),
+      "b1" -> archives.filter(
+        expr("CAST(substr(source, 4) AS LONG) % 2 = 1"))))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    withStreamShuffle(s, 4) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // ONE record walk per archive: page rows and the torn census
+          // ride the same flatMap (doc_id = -1 marks the census row)
+          val walked = batch.as[(String, Array[Byte])]
+            .flatMap { case (src, bytes) =>
+              val parsed = Warc.parse(bytes)
+              parsed.pages.iterator.map { pg =>
+                val pid = pg.recordId
+                  .stripPrefix("<urn:graft:").stripSuffix(">").toLong
+                (pid, src, pg.uri, TextExtract.htmlToText(pg.body))
+              } ++ Iterator(
+                (-1L, src, "", parsed.quarantined.size.toString))
+            }
+            .toDF("doc_id", "source", "url", "text")
+            .localCheckpoint(true) // walked once, consumed twice
+          val pages = walked.filter(col("doc_id") >= 0)
+          val flags = Corpus.gopherRules(
+              pages.withColumn("text",
+                regexp_replace(col("text"), "\n", " ")),
+              "doc_id", "text", minWords = 30, maxWords = 100000,
+              stops = CorpusQueries.GopherQueryStops)
+            .select(col("doc_id"), col("keep").as("qkeep"))
+          Corpus.urlCanonicalize(pages, "url")
+            .join(flags, Seq("doc_id"))
+            .withColumn("blocked", col("domain") === "example2.com")
+            .select("doc_id", "source", "canon_url", "blocked", "qkeep")
+            .write.mode("overwrite").parquet(s"$logPath/part=b$id")
+          walked.filter(col("doc_id") < 0)
+            .select(col("source"), col("text").cast("long").as("n_torn"))
+            .write.mode("overwrite").parquet(s"$tornPath/part=b$id")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val log = s.read.parquet(logPath)
+    val keeper = log.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("__keeper"))
+    val pageCensus = log.join(keeper, Seq("canon_url"))
+      .select(col("source"),
+        when(col("blocked"), "url_blocked")
+          .when(col("doc_id") > col("__keeper"), "url_duplicate")
+          .when(!col("qkeep"), "quality_rejected")
+          .otherwise("admitted").as("verdict"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("source")).as("n_sources"))
+    val torn = s.read.parquet(tornPath)
+      .agg(sum(col("n_torn")).as("n_pages"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(lit("torn_record").as("verdict"), col("n_pages"),
+        col("n_sources"))
+    pageCensus.unionByName(torn).orderBy(col("verdict"))
+  }
+
   /** The deployment spelling of `stream_incremental_agg` for an
     * UNBOUNDED stream: the algebraic count/sum/min/max state is scoped
     * to (6 h window × type) so the watermark can EVICT expired window

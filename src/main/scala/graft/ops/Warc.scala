@@ -25,11 +25,15 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Warc {
 
-  /** One well-formed parse result: `pages` are (target URI, HTTP body)
-    * for response records in file order, `others` counts well-formed
-    * non-response records (warcinfo, request, …), `quarantined` holds
-    * one reason per torn record. */
-  final case class Parsed(pages: Vector[(String, String)], others: Int,
+  /** One accepted response record: the raw `WARC-Record-ID` header
+    * value (empty when absent), the target URI, and the HTTP body. */
+  final case class Page(recordId: String, uri: String, body: String)
+
+  /** One well-formed parse result: `pages` are the response records in
+    * file order, `others` counts well-formed non-response records
+    * (warcinfo, request, …), `quarantined` holds one reason per torn
+    * record. */
+  final case class Parsed(pages: Vector[Page], others: Int,
       quarantined: Vector[String])
 
   private val Crlf = "\r\n"
@@ -81,7 +85,7 @@ object Warc {
   /** Walk one archive byte-for-byte. Total function: any bytes in, a
     * census of pages + others + quarantine reasons out. */
   def parse(b: Array[Byte]): Parsed = {
-    val pages = Vector.newBuilder[(String, String)]
+    val pages = Vector.newBuilder[Page]
     val quarantined = Vector.newBuilder[String]
     var others = 0
     var i = 0
@@ -131,7 +135,8 @@ object Warc {
                 else {
                   val body = new String(b, httpEnd + 4,
                     (p0 + n - (httpEnd + 4)).toInt, "UTF-8")
-                  pages += ((headers.getOrElse("warc-target-uri", ""), body))
+                  pages += Page(headers.getOrElse("warc-record-id", ""),
+                    headers.getOrElse("warc-target-uri", ""), body)
                 }
               } else others += 1
           }

@@ -12,15 +12,16 @@ class WarcSpec extends AnyFunSuite {
     val p = Warc.parse(Warc.archive(recs))
     assert(p.others === 1)
     assert(p.quarantined === Vector())
-    assert(p.pages === Vector(("http://x/1", "<p>one</p>\ntwo"),
-      ("http://x/2", "")))
+    assert(p.pages === Vector(
+      Warc.Page("<urn:graft:1>", "http://x/1", "<p>one</p>\ntwo"),
+      Warc.Page("<urn:graft:2>", "http://x/2", "")))
   }
 
   test("torn records quarantine with reasons and the walk resyncs") {
     val recs = Seq(Warc.responseRecord("http://x/1", "1", "ok")) ++
       Warc.corruptRecords
     val p = Warc.parse(Warc.archive(recs))
-    assert(p.pages.map(_._1) === Vector("http://x/1"))
+    assert(p.pages.map(_.uri) === Vector("http://x/1"))
     assert(p.quarantined ===
       Vector("bad_http", "bad_magic", "no_length", "truncated"))
   }
@@ -31,7 +32,7 @@ class WarcSpec extends AnyFunSuite {
       Warc.responseRecord("http://x/9", "9", "body"))
     val p = Warc.parse(Warc.archive(recs))
     assert(p.quarantined === Vector("bad_magic"))
-    assert(p.pages === Vector(("http://x/9", "body")))
+    assert(p.pages === Vector(Warc.Page("<urn:graft:9>", "http://x/9", "body")))
   }
 
   test("hostile bytes never throw") {
