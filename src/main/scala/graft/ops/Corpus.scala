@@ -2185,11 +2185,18 @@ object Corpus {
     * nothing driver-side, no per-doc quadratic loop (a 100k-token doc
     * costs 900k window rows, not 10^10 comparisons).
     *
+    * `capScaleMilli` scales every threshold (1000 = the paper's
+    * web-crawl operating point): real pipelines expose these caps as
+    * corpus-dependent knobs, and a corpus that already passed line
+    * dedup sits well below the paper's caps — the in-chain release
+    * stage runs tightened so the gate has a binding operating point.
+    *
     * @return one row per doc: idCol, the per-mille audit columns, and
     *         `keep` (true = passes every repetition gate)
     */
   def repetitionRules(docs: DataFrame, idCol: String, textCol: String,
-      lineSep: String = "\n"): DataFrame = {
+      lineSep: String = "\n", capScaleMilli: Int = 1000): DataFrame = {
+    require(capScaleMilli > 0, s"capScaleMilli must be > 0, got $capScaleMilli")
     val topNs = Seq(2, 3, 4)
     val topCaps = Map(2 -> 20, 3 -> 18, 4 -> 16) // pct of chars
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
@@ -2256,10 +2263,13 @@ object Corpus {
     val den = greatest(col("__totch"), lit(1L))
     val nl = greatest(coalesce(col("__nl"), lit(0L)), lit(1L))
     def z(c: String) = coalesce(col(c), lit(0L))
-    val okLine = z("__dl") * 100 <= nl * 30 && z("__dch") * 100 <= den * 20
-    val okTop = topNs.map(n => z(s"__top$n") * 100 <= den * topCaps(n))
+    // frac <= cap% * scale/1000, cross-multiplied (all operands >= 0)
+    val k = capScaleMilli.toLong
+    val okLine = z("__dl") * 100000L <= nl * 30 * k &&
+      z("__dch") * 100000L <= den * 20 * k
+    val okTop = topNs.map(n => z(s"__top$n") * 100000L <= den * topCaps(n) * k)
       .reduce(_ && _)
-    val okDup = dupNs.map(n => z(s"__dup$n") * 100 <= den * dupCaps(n))
+    val okDup = dupNs.map(n => z(s"__dup$n") * 100000L <= den * dupCaps(n) * k)
       .reduce(_ && _)
     val outCols: Seq[Column] =
       Seq(col(idCol),

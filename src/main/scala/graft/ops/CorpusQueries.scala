@@ -427,6 +427,109 @@ object CorpusQueries {
            |FROM agg a JOIN mp m USING (source)$extraJoin
            |ORDER BY a.source""".stripMargin
 
+  /** The CCNet LM-quality CTE chain the v2/v3 release gates share,
+    * ending in `goph2` (the LM-kept slice of `src`) and `lmdrop` (the
+    * per-source drop census). `src` names the CTE carrying the docs to
+    * train on and gate (doc_id, lang, source, clean). */
+  private def releaseLmCtes(src: String): String =
+    s"""lmt AS (SELECT doc_id, lang,
+       |  list_filter(string_split(lower(clean), ' '), x -> x != '') AS lws
+       |  FROM $src),
+       |lmpos AS (SELECT doc_id, lang, lws, unnest(range(1, len(lws))) AS i FROM lmt),
+       |lmbg AS (SELECT doc_id, lang, lws[i] AS w1, lws[i+1] AS w2 FROM lmpos),
+       |lmbig AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c12 FROM lmbg WHERE lang = 'en' GROUP BY 1, 2),
+       |lmuni AS (SELECT w1, SUM(c12) AS c1 FROM lmbig GROUP BY 1),
+       |lmvoc AS (SELECT COUNT(DISTINCT tok) AS v FROM
+       |  (SELECT w1 AS tok FROM lmbig UNION SELECT w2 AS tok FROM lmbig)),
+       |lmcon AS (
+       |  SELECT lmbg.doc_id,
+       |    ((COALESCE(c12, 0) + 1) * ${Corpus.LmProbScale}) //
+       |      (COALESCE(c1, 0) + (SELECT v FROM lmvoc)) AS c
+       |  FROM lmbg LEFT JOIN lmbig USING (w1, w2) LEFT JOIN lmuni USING (w1)),
+       |lmagg AS (SELECT doc_id, SUM(c) AS s2, COUNT(*) AS n2 FROM lmcon GROUP BY 1),
+       |lmscored AS MATERIALIZED (
+       |  SELECT g.doc_id, g.lang, CAST(a.s2 // a.n2 AS BIGINT) AS lm_score
+       |  FROM $src g LEFT JOIN lmagg a USING (doc_id)),
+       |lmc AS (SELECT lang, lm_score, COUNT(*) AS cnt FROM lmscored
+       |  WHERE lm_score IS NOT NULL GROUP BY 1, 2),
+       |lmw AS (SELECT lang, lm_score,
+       |  SUM(cnt) OVER (PARTITION BY lang ORDER BY lm_score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |  SUM(cnt) OVER (PARTITION BY lang) AS n FROM lmc),
+       |lmcuts AS (SELECT lang,
+       |  MIN(CASE WHEN cum >= (n*33 + 99) // 100 THEN lm_score END) AS p33
+       |  FROM lmw GROUP BY lang),
+       |lmkeep AS MATERIALIZED (
+       |  SELECT s.doc_id FROM lmscored s LEFT JOIN lmcuts c USING (lang)
+       |  WHERE s.lm_score IS NOT NULL AND s.lm_score >= c.p33),
+       |goph2 AS MATERIALIZED (SELECT g.* FROM $src g JOIN lmkeep USING (doc_id)),
+       |lmdrop AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_lm_dropped
+       |  FROM $src WHERE doc_id NOT IN (SELECT doc_id FROM lmkeep)
+       |  GROUP BY 1)""".stripMargin
+
+  /** The Gopher n-gram REPETITION CTE chain for the v3 release gate:
+    * [[Corpus.repetitionRules]] re-derived over `goph`'s clean text,
+    * ending in `goph_r` (the repetition-kept slice) and `repdrop` (the
+    * per-source drop census). The line-duplication rules are constant-
+    * true here — `clean` is single-line by construction (the C4 stage
+    * re-joined it with spaces), a lone line cannot repeat — so only
+    * the nine n-gram rules are spelled; the operator computes the line
+    * stats too and reaches the identical verdict. */
+  private def releaseRepCtes(capScaleMilli: Int): String =
+    s"""rp_t AS MATERIALIZED (SELECT doc_id, source,
+       |  list_filter(string_split(clean, ' '), x -> x != '') AS ws
+       |  FROM goph),
+       |rp_tc AS (SELECT doc_id,
+       |  CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS totch
+       |  FROM rp_t),
+       |rp_wk AS MATERIALIZED (
+       |  SELECT doc_id, n, i, array_to_string(ws[i+1:i+n], ' ') AS g
+       |  FROM (SELECT doc_id, n, ws,
+       |          unnest(range(0, greatest(len(ws) - n + 1, 0))) AS i
+       |        FROM rp_t, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) rpns)),
+       |rp_wc AS MATERIALIZED (
+       |  SELECT doc_id, n, g, COUNT(*) AS c FROM rp_wk GROUP BY 1, 2, 3),
+       |rp_topa AS (SELECT doc_id,
+       |  MAX(CASE WHEN n = 2 AND c >= 2 THEN c * (len(g) - 1) END) AS top2,
+       |  MAX(CASE WHEN n = 3 AND c >= 2 THEN c * (len(g) - 2) END) AS top3,
+       |  MAX(CASE WHEN n = 4 AND c >= 2 THEN c * (len(g) - 3) END) AS top4
+       |  FROM rp_wc GROUP BY 1),
+       |rp_dk AS (SELECT doc_id, n, g FROM rp_wc WHERE c >= 2 AND n >= 5),
+       |rp_cov AS (SELECT DISTINCT doc_id, n, p FROM (
+       |  SELECT w.doc_id, w.n, unnest(range(w.i, w.i + w.n)) AS p
+       |  FROM rp_wk w JOIN rp_dk USING (doc_id, n, g))),
+       |rp_tll AS MATERIALIZED (
+       |  SELECT doc_id, p, CAST(len(ws[p+1]) AS BIGINT) AS wlen
+       |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS p FROM rp_t)),
+       |rp_da AS (SELECT c2.doc_id,
+       |  SUM(CASE WHEN c2.n = 5 THEN t.wlen END) AS dup5,
+       |  SUM(CASE WHEN c2.n = 6 THEN t.wlen END) AS dup6,
+       |  SUM(CASE WHEN c2.n = 7 THEN t.wlen END) AS dup7,
+       |  SUM(CASE WHEN c2.n = 8 THEN t.wlen END) AS dup8,
+       |  SUM(CASE WHEN c2.n = 9 THEN t.wlen END) AS dup9,
+       |  SUM(CASE WHEN c2.n = 10 THEN t.wlen END) AS dup10
+       |  FROM rp_cov c2 JOIN rp_tll t USING (doc_id, p) GROUP BY 1),
+       |rp_keep AS MATERIALIZED (
+       |  SELECT t.doc_id FROM rp_tc t
+       |  LEFT JOIN rp_topa USING (doc_id)
+       |  LEFT JOIN rp_da USING (doc_id)
+       |  WHERE COALESCE(top2, 0) * 100000 <= greatest(totch, 1) * 20 * $capScaleMilli
+       |    AND COALESCE(top3, 0) * 100000 <= greatest(totch, 1) * 18 * $capScaleMilli
+       |    AND COALESCE(top4, 0) * 100000 <= greatest(totch, 1) * 16 * $capScaleMilli
+       |    AND COALESCE(dup5, 0) * 100000 <= greatest(totch, 1) * 15 * $capScaleMilli
+       |    AND COALESCE(dup6, 0) * 100000 <= greatest(totch, 1) * 14 * $capScaleMilli
+       |    AND COALESCE(dup7, 0) * 100000 <= greatest(totch, 1) * 13 * $capScaleMilli
+       |    AND COALESCE(dup8, 0) * 100000 <= greatest(totch, 1) * 12 * $capScaleMilli
+       |    AND COALESCE(dup9, 0) * 100000 <= greatest(totch, 1) * 11 * $capScaleMilli
+       |    AND COALESCE(dup10, 0) * 100000 <= greatest(totch, 1) * 10 * $capScaleMilli),
+       |goph_r AS MATERIALIZED (
+       |  SELECT g.* FROM goph g JOIN rp_keep USING (doc_id)),
+       |repdrop AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rep_dropped
+       |  FROM goph WHERE doc_id NOT IN (SELECT doc_id FROM rp_keep)
+       |  GROUP BY 1)""".stripMargin
+
   /** Deterministic crawl-page fixture wrapped around a document: real
     * boilerplate shapes (title, script with a '<' in its code, style,
     * comment, a link-dense nav bar, a heading with entities, the
@@ -7133,49 +7236,62 @@ FROM t GROUP BY shard ORDER BY shard""")
             coalesce(col("n_lm_dropped"), lit(0L)))
           .orderBy(col("source"))
       },
-      Some {
-        val lmCtes =
-          s"""lmt AS (SELECT doc_id, lang,
-             |  list_filter(string_split(lower(clean), ' '), x -> x != '') AS lws
-             |  FROM goph),
-             |lmpos AS (SELECT doc_id, lang, lws, unnest(range(1, len(lws))) AS i FROM lmt),
-             |lmbg AS (SELECT doc_id, lang, lws[i] AS w1, lws[i+1] AS w2 FROM lmpos),
-             |lmbig AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c12 FROM lmbg WHERE lang = 'en' GROUP BY 1, 2),
-             |lmuni AS (SELECT w1, SUM(c12) AS c1 FROM lmbig GROUP BY 1),
-             |lmvoc AS (SELECT COUNT(DISTINCT tok) AS v FROM
-             |  (SELECT w1 AS tok FROM lmbig UNION SELECT w2 AS tok FROM lmbig)),
-             |lmcon AS (
-             |  SELECT lmbg.doc_id,
-             |    ((COALESCE(c12, 0) + 1) * ${Corpus.LmProbScale}) //
-             |      (COALESCE(c1, 0) + (SELECT v FROM lmvoc)) AS c
-             |  FROM lmbg LEFT JOIN lmbig USING (w1, w2) LEFT JOIN lmuni USING (w1)),
-             |lmagg AS (SELECT doc_id, SUM(c) AS s2, COUNT(*) AS n2 FROM lmcon GROUP BY 1),
-             |lmscored AS MATERIALIZED (
-             |  SELECT g.doc_id, g.lang, CAST(a.s2 // a.n2 AS BIGINT) AS lm_score
-             |  FROM goph g LEFT JOIN lmagg a USING (doc_id)),
-             |lmc AS (SELECT lang, lm_score, COUNT(*) AS cnt FROM lmscored
-             |  WHERE lm_score IS NOT NULL GROUP BY 1, 2),
-             |lmw AS (SELECT lang, lm_score,
-             |  SUM(cnt) OVER (PARTITION BY lang ORDER BY lm_score
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             |  SUM(cnt) OVER (PARTITION BY lang) AS n FROM lmc),
-             |lmcuts AS (SELECT lang,
-             |  MIN(CASE WHEN cum >= (n*33 + 99) // 100 THEN lm_score END) AS p33
-             |  FROM lmw GROUP BY lang),
-             |lmkeep AS MATERIALIZED (
-             |  SELECT s.doc_id FROM lmscored s LEFT JOIN lmcuts c USING (lang)
-             |  WHERE s.lm_score IS NOT NULL AND s.lm_score >= c.p33),
-             |goph2 AS MATERIALIZED (SELECT g.* FROM goph g JOIN lmkeep USING (doc_id)),
-             |lmdrop AS (
-             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_lm_dropped
-             |  FROM goph WHERE doc_id NOT IN (SELECT doc_id FROM lmkeep)
-             |  GROUP BY 1)""".stripMargin
-        s"${releaseOracleHead()},\n$lmCtes,\n${
-          releaseOracleTail("goph2",
-            extraSelect = ",\n  CAST(COALESCE(ld.n_lm_dropped, 0) AS BIGINT) AS n_lm_dropped",
-            extraJoin = "\nLEFT JOIN lmdrop ld USING (source)")
-        }"
-      }),
+      Some(s"${releaseOracleHead()},\n${releaseLmCtes("goph")},\n${
+        releaseOracleTail("goph2",
+          extraSelect = ",\n  CAST(COALESCE(ld.n_lm_dropped, 0) AS BIGINT) AS n_lm_dropped",
+          extraJoin = "\nLEFT JOIN lmdrop ld USING (source)")
+      }")),
+
+    // release pipeline V3 (r13): v2 with the Gopher REPETITION stage
+    // between the gopher quality gate and the LM gate — the modern
+    // (FineWeb-shaped) ordering where cheap structural repetition
+    // filters run before the model-based one, and the LM trains only
+    // on text that survived them. Both drop censuses ride the card
+    // (n_rep_dropped, n_lm_dropped) so each seam's effect is pinned
+    // per source; counts still re-derive from the packed bytes.
+    // Scale shape: v2's stages + repetitionRules' one windows explode
+    // (~9x tokens) with partial-aggregated counts.
+    Q(
+      "corpus_release_pipeline_v3",
+      (s, dir) => {
+        val (goph0, evalNorm) = releaseGophStage(
+          table(s, dir, "documents"), table(s, dir, "documents"))
+        // consumed by the repetition gate, both censuses, and the keep
+        val goph = goph0.localCheckpoint(true)
+        val repKeep = Corpus.repetitionRules(goph, "doc_id", "clean",
+            capScaleMilli = 600)
+          .filter(col("keep")).select("doc_id")
+        val gophR = repKeep.join(goph, Seq("doc_id")).localCheckpoint(true)
+        val kept = Corpus.ccnetBuckets(gophR, "doc_id", "clean", "lang",
+            col("lang") === "en")
+          .filter(col("bucket") =!= "tail").select("doc_id")
+        val goph2 = kept.join(gophR, Seq("doc_id"))
+        val released = goph2.join(
+            Dedup.contamination(goph2, evalNorm, "doc_id", "clean", n = 8)
+              .filter(col("n_contaminated") > 0).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // feeds the plan AND the pack
+        val repDrop = goph.join(repKeep, Seq("doc_id"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_rep_dropped"))
+        val lmDrop = gophR.join(kept, Seq("doc_id"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_lm_dropped"))
+        releaseCard(released)
+          .join(repDrop, Seq("source"), "left")
+          .join(lmDrop, Seq("source"), "left")
+          .withColumn("n_rep_dropped",
+            coalesce(col("n_rep_dropped"), lit(0L)))
+          .withColumn("n_lm_dropped",
+            coalesce(col("n_lm_dropped"), lit(0L)))
+          .orderBy(col("source"))
+      },
+      Some(s"${releaseOracleHead()},\n${releaseRepCtes(600)},\n${
+        releaseLmCtes("goph_r")},\n${
+        releaseOracleTail("goph2",
+          extraSelect = ",\n  CAST(COALESCE(rd.n_rep_dropped, 0) AS BIGINT) AS n_rep_dropped" +
+            ",\n  CAST(COALESCE(ld.n_lm_dropped, 0) AS BIGINT) AS n_lm_dropped",
+          extraJoin = "\nLEFT JOIN repdrop rd USING (source)" +
+            "\nLEFT JOIN lmdrop ld USING (source)")
+      }")),
 
     // crawl→release (r13): the full "crawl file → release sheet" story
     // in ONE gated composition. The WARC archives corpus_warc_ingest
