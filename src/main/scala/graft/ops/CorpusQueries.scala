@@ -2465,6 +2465,7 @@ object CorpusQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+
     // Gopher's REPETITION rules (Rae et al. 2021, Table A1) — the
     // other half of the quality suite: duplicate-line fractions, the
     // dominant 2/3/4-gram's char mass, and the overlap-aware union of
@@ -2495,7 +2496,10 @@ object CorpusQueries {
             concat(lit("\n"), six, lit(" "), six)).otherwise(lit("")))
         Corpus.repetitionRules(
           table(s, dir, "documents")
-            .select(col("doc_id"), fixture.as("text")),
+            .select(col("doc_id"), fixture.as("text"))
+            // the planted-repetition fixture is interpreted HOF work;
+            // materialize it once instead of once per rule family
+            .localCheckpoint(true),
           "doc_id", "text")
           .orderBy(col("doc_id"))
       },
