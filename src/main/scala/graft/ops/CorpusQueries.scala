@@ -427,6 +427,44 @@ object CorpusQueries {
            |FROM agg a JOIN mp m USING (source)$extraJoin
            |ORDER BY a.source""".stripMargin
 
+  /** The SQL spelling of [[StreamingQueries.crawlUrl]] — shared by the
+    * stream-ingest and crawl-release-v2 oracles so the two gates pin
+    * the identical URL fixture. */
+  private val crawlUrlSql: String =
+    // every continuation line ends with || — a leading || would be
+    // half-eaten by the EMBEDDING string's stripMargin (whitespace
+    // then '|' reads as a margin)
+    """'https://WWW.Media' || (doc_id % 3) || '.Example' || (doc_id % 5) || '.COM' ||
+      |CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+      |'/Doc/' || (doc_id % 20) ||
+      |CASE WHEN doc_id % 6 = 0 THEN '///' ELSE '' END ||
+      |CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '' END ||
+      |CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END""".stripMargin
+
+  /** URL canonicalization CTEs over `u(doc_id, url)` ending in
+    * `cx(doc_id, domain, canon_url)` and `ck(canon_url, keeper)` —
+    * the oracle spelling of [[Corpus.urlCanonicalize]] + the keeper
+    * rule, shared by the stream-ingest and crawl-release-v2 gates. */
+  private val crawlUrlCanonCtes: String =
+    s"""cu AS (SELECT doc_id,
+       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+       |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hostport,
+       |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path
+       |  FROM u),
+       |ch AS (SELECT doc_id, scheme,
+       |  regexp_replace(
+       |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |         ELSE hostport END, '^www\\.', '') AS host,
+       |  CASE WHEN rtrim(path, '/') = '' THEN '/'
+       |       ELSE rtrim(path, '/') END AS cpath
+       |  FROM cu),
+       |cx AS (SELECT doc_id,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+       |  scheme || '://' || host || cpath AS canon_url
+       |  FROM ch),
+       |ck AS (SELECT canon_url, MIN(doc_id) AS keeper FROM cx GROUP BY 1)""".stripMargin
+
   /** The CCNet LM-quality CTE chain the v2/v3 release gates share,
     * ending in `goph2` (the LM-kept slice of `src`) and `lmdrop` (the
     * per-source drop census). `src` names the CTE carrying the docs to
@@ -3730,32 +3768,9 @@ FROM t GROUP BY shard ORDER BY shard""")
            |  CAST(len(list_filter($stops,
            |    s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS BIGINT) AS st
            |  FROM toks2),
-           |u AS (SELECT doc_id,
-           |  'https://WWW.Media' || (doc_id % 3) || '.Example' || (doc_id % 5) || '.COM'
-           |  || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
-           |  || '/Doc/' || (doc_id % 20)
-           |  || CASE WHEN doc_id % 6 = 0 THEN '///' ELSE '' END
-           |  || CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '' END
-           |  || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+           |u AS (SELECT doc_id, $crawlUrlSql AS url
            |  FROM documents),
-           |cu AS (SELECT doc_id,
-           |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
-           |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hostport,
-           |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path
-           |  FROM u),
-           |ch AS (SELECT doc_id, scheme,
-           |  regexp_replace(
-           |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
-           |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
-           |         ELSE hostport END, '^www\\.', '') AS host,
-           |  CASE WHEN rtrim(path, '/') = '' THEN '/'
-           |       ELSE rtrim(path, '/') END AS cpath
-           |  FROM cu),
-           |cx AS (SELECT doc_id,
-           |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
-           |  scheme || '://' || host || cpath AS canon_url
-           |  FROM ch),
-           |ck AS (SELECT canon_url, MIN(doc_id) AS keeper FROM cx GROUP BY 1),
+           |$crawlUrlCanonCtes,
            |cv AS (SELECT cx.doc_id, d.source,
            |  CASE WHEN cx.domain = 'example2.com' THEN 'url_blocked'
            |       WHEN cx.doc_id > ck.keeper THEN 'url_duplicate'
@@ -7366,6 +7381,117 @@ FROM t GROUP BY shard ORDER BY shard""")
           releaseOracleTail("goph",
             extraSelect = ",\n  pc.n_pages",
             extraJoin = "\nJOIN pc USING (source)")
+        }"
+      }),
+
+    // the CAPSTONE composition (r13): every stage of the modern
+    // pretraining pipeline in ONE gated chain — WARC record walk →
+    // HTML→text extraction → URL front door (canonicalize, blocklist,
+    // URL dedup) → normalize → C4 line dedup → exact keep → fuzzy-CC
+    // keep → gopher gate → repetition gate → LM gate → 8-gram
+    // decontamination → mixture plan → pack → card. Three per-source
+    // drop censuses (URL, repetition, LM) ride the card next to the
+    // packed-bytes-re-derived counts, so every seam added this round
+    // is pinned inside the full composition, and the URL fixture is
+    // the SAME spelling the streaming front-end gates
+    // (`stream_crawl_ingest`) — the batch and live front doors cannot
+    // drift. Scale shape: file-parallel archive walk + map-only
+    // extraction/canonicalization + the audited release stages; the
+    // only driver work remains the bounded #sources weight collect.
+    Q(
+      "corpus_crawl_release_v2",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source")
+          .as[(Long, String, String, String)]
+        val pages = docs.groupByKey(_._4)
+          .flatMapGroups { (_, it) =>
+            val rows = it.toVector.sortBy(_._1)
+            val records =
+              (Warc.warcinfoRecord("graft-fixture") +:
+                rows.map { case (id, text, lang, source) =>
+                  Warc.responseRecord(StreamingQueries.crawlUrl(id),
+                    id.toString, htmlFixture(id, text, lang, source))
+                }) ++ Warc.corruptRecords
+            Warc.parse(Warc.archive(records)).pages.iterator.map { pg =>
+              (pg.recordId.stripPrefix("<urn:graft:")
+                .stripSuffix(">").toLong,
+                pg.uri, TextExtract.htmlToText(pg.body))
+            }
+          }
+          .toDF("doc_id", "url", "text")
+        val gated = Corpus.urlGate(pages, "doc_id", "url",
+            blockedDomains = Seq("example2.com"))
+          .localCheckpoint(true) // feeds the census AND the keep
+        val meta = table(s, dir, "documents")
+          .select("doc_id", "lang", "source")
+        val urlDrop = gated.filter(!col("keep")).join(meta, Seq("doc_id"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_url_dropped"))
+        val crawl = gated.filter(col("keep"))
+          .select("doc_id", "text").join(meta, Seq("doc_id"))
+          .select("doc_id", "lang", "source", "text")
+        val (goph0, evalNorm) =
+          releaseGophStage(crawl, table(s, dir, "documents"))
+        val goph = goph0.localCheckpoint(true)
+        val repKeep = Corpus.repetitionRules(goph, "doc_id", "clean",
+            capScaleMilli = 600)
+          .filter(col("keep")).select("doc_id")
+        val gophR = repKeep.join(goph, Seq("doc_id")).localCheckpoint(true)
+        val kept = Corpus.ccnetBuckets(gophR, "doc_id", "clean", "lang",
+            col("lang") === "en")
+          .filter(col("bucket") =!= "tail").select("doc_id")
+        val goph2 = kept.join(gophR, Seq("doc_id"))
+        val released = goph2.join(
+            Dedup.contamination(goph2, evalNorm, "doc_id", "clean", n = 8)
+              .filter(col("n_contaminated") > 0).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // feeds the plan AND the pack
+        val repDrop = goph.join(repKeep, Seq("doc_id"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_rep_dropped"))
+        val lmDrop = gophR.join(kept, Seq("doc_id"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_lm_dropped"))
+        releaseCard(released)
+          .join(urlDrop, Seq("source"), "left")
+          .join(repDrop, Seq("source"), "left")
+          .join(lmDrop, Seq("source"), "left")
+          .withColumn("n_url_dropped",
+            coalesce(col("n_url_dropped"), lit(0L)))
+          .withColumn("n_rep_dropped",
+            coalesce(col("n_rep_dropped"), lit(0L)))
+          .withColumn("n_lm_dropped",
+            coalesce(col("n_lm_dropped"), lit(0L)))
+          .orderBy(col("source"))
+      },
+      Some {
+        val prefix = s"""$htmlExtractCtes,
+           |crawl_src AS MATERIALIZED (
+           |  SELECT k.doc_id, d.lang, d.source,
+           |    array_to_string(k.ls, chr(10)) AS text
+           |  FROM kept k JOIN documents d USING (doc_id)),
+           |u AS (SELECT doc_id, $crawlUrlSql AS url
+           |  FROM crawl_src),
+           |$crawlUrlCanonCtes,
+           |ukeep AS MATERIALIZED (
+           |  SELECT cx.doc_id FROM cx JOIN ck USING (canon_url)
+           |  WHERE cx.domain <> 'example2.com' AND cx.doc_id = ck.keeper),
+           |crawl_kept AS MATERIALIZED (
+           |  SELECT c.* FROM crawl_src c JOIN ukeep USING (doc_id)),
+           |udrop AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_url_dropped
+           |  FROM crawl_src WHERE doc_id NOT IN (SELECT doc_id FROM ukeep)
+           |  GROUP BY 1),
+           |""".stripMargin
+        s"${releaseOracleHead("crawl_kept", prefix)},\n${
+          releaseRepCtes(600)},\n${releaseLmCtes("goph_r")},\n${
+          releaseOracleTail("goph2",
+            extraSelect =
+              ",\n  CAST(COALESCE(ud.n_url_dropped, 0) AS BIGINT) AS n_url_dropped" +
+              ",\n  CAST(COALESCE(rd.n_rep_dropped, 0) AS BIGINT) AS n_rep_dropped" +
+              ",\n  CAST(COALESCE(ld.n_lm_dropped, 0) AS BIGINT) AS n_lm_dropped",
+            extraJoin = "\nLEFT JOIN udrop ud USING (source)" +
+              "\nLEFT JOIN repdrop rd USING (source)" +
+              "\nLEFT JOIN lmdrop ld USING (source)")
         }"
       }),
 

@@ -686,7 +686,7 @@ object StreamingQueries {
   /** The Scala-side spelling of `stream_crawl_ingest`'s URL fixture —
     * every canonicalization hazard (case, :443, ///, ?utm, #frag) and a
     * %20 path so canonical URLs genuinely collide across documents. */
-  private def crawlUrl(id: Long): String =
+  private[ops] def crawlUrl(id: Long): String =
     s"https://WWW.Media${id % 3}.Example${id % 5}.COM" +
       (if (id % 4 == 0) ":443" else "") +
       s"/Doc/${id % 20}" +
