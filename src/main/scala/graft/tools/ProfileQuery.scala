@@ -1,0 +1,88 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Optimization-round profiler: runs the named queries through the bench's
+  * noop sink (after one warm pass) with a stage listener attached, then
+  * prints every stage of the timed iteration sorted by task-time — the
+  * "which stage is the money going to" view the Spark UI gives, in text.
+  * Columns: stage wall (submit→complete), summed executor run time, task
+  * count, input bytes, shuffle read/write bytes, and the stage name (first
+  * line of the call site / codegen span).
+  *
+  * Usage: runMain graft.tools.ProfileQuery <sfDir> <q1[,q2...]> [cpus]
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val cpus = if (args.length > 2) args(2) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.checkpointLocation",
+        (if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt-"
+         else sys.props("java.io.tmpdir") + "/graft-ckpt-") +
+          java.util.UUID.randomUUID().toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    final case class St(id: Int, name: String, wallMs: Long, runMs: Long,
+        tasks: Int, inB: Long, srB: Long, swB: Long, spillB: Long)
+    val stages = ArrayBuffer.empty[St]
+    var record = false
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        if (record) {
+          val si = e.stageInfo
+          val m = si.taskMetrics
+          stages.synchronized {
+            stages += St(si.stageId,
+              si.name.linesIterator.next(),
+              (for {a <- si.completionTime; b <- si.submissionTime}
+                yield a - b).getOrElse(-1L),
+              m.executorRunTime, si.numTasks,
+              m.inputMetrics.bytesRead,
+              m.shuffleReadMetrics.totalBytesRead,
+              m.shuffleWriteMetrics.bytesWritten,
+              m.memoryBytesSpilled)
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    names.foreach { name =>
+      // warm (codegen/JIT), untimed and unrecorded
+      exec(name)
+      stages.clear()
+      record = true
+      val t0 = System.nanoTime()
+      exec(name)
+      val wall = (System.nanoTime() - t0) / 1e9
+      record = false
+      Thread.sleep(300) // let the listener bus drain
+      println(f"==== $name: $wall%.3f s, ${stages.size} stages ====")
+      println(f"${"stage"}%5s ${"wall_ms"}%8s ${"task_ms"}%8s ${"tasks"}%5s " +
+        f"${"input"}%10s ${"shufR"}%10s ${"shufW"}%10s ${"spill"}%9s  name")
+      stages.sortBy(-_.runMs).foreach { s0 =>
+        println(f"${s0.id}%5d ${s0.wallMs}%8d ${s0.runMs}%8d ${s0.tasks}%5d " +
+          f"${s0.inB}%10d ${s0.srB}%10d ${s0.swB}%10d ${s0.spillB}%9d  ${s0.name.take(90)}")
+      }
+      val totalTask = stages.map(_.runMs).sum
+      println(f"[profile] $name wall=$wall%.3f s stages=${stages.size} " +
+        f"sum_task_ms=$totalTask sum_stage_wall_ms=${stages.map(_.wallMs).sum}")
+    }
+    spark.stop()
+  }
+}
