@@ -2180,13 +2180,14 @@ object Corpus {
     *
     * Scale shape: one windows explode covering ALL n in 2..10 (rows ≈
     * 9·tokens, fixed-width — grams travel as xxhash64 of the token
-    * slice, never as strings), one partial-aggregated count per
-    * (doc, n, gram-hash) whose aggregate also carries the start
-    * positions (so convicted windows need no second windows-sized
-    * shuffle), and a distinct over (doc, n, position) — every shuffle
-    * is keyed by doc-local keys, nothing driver-side, no per-doc
-    * quadratic loop (a 100k-token doc costs 900k window rows, not
-    * 10^10 comparisons).
+    * hashes, never as strings), riding the single doc-keyed window
+    * exchange so every (doc, n, gram-hash) count and per-doc pivot
+    * downstream is EXCHANGE-FREE; the rare convicted (≥2-count) keys
+    * join back to the narrow window rows to recover start positions,
+    * then a distinct over (doc, n, position) — every shuffle is keyed
+    * by doc-local keys, nothing driver-side, no per-doc quadratic
+    * loop (a 100k-token doc costs 900k window rows, not 10^10
+    * comparisons).
     *
     * `capScaleMilli` scales every threshold (1000 = the paper's
     * web-crawl operating point): real pipelines expose these caps as
@@ -2227,35 +2228,57 @@ object Corpus {
         sum(when(col("__c") >= 2, col("__c") * col("__llen"))
           .otherwise(0L)).as("__dch"))
     // ONE windows table for every n: (doc, n, start, gram-HASH, chars).
-    // Built codegen-only: tokens posexplode once, each position picks
-    // up its next 9 tokens via lead() over the per-doc window (one
-    // doc-keyed shuffle + sort), and all 9 gram hashes materialize as
-    // an inline struct array — no higher-order functions (transform/
-    // slice/aggregate are INTERPRETED per element; measured 3.3 s of
-    // the sf0.1 wall before this spelling, sub-second after). Grams
-    // travel as xxhash64 of the space-joined window (tokens cannot
-    // contain the separator — they come from a whitespace split), and
-    // the char mass (= token-length sum, consumed only by the
-    // top-2/3/4 rules) rides along. A lead() past the document's end
-    // is null, marking the window invalid. A 64-bit in-doc hash
-    // collision would merge two grams of one document (~500²/2⁶⁵ per
-    // doc — negligible, and the oracle would catch it).
+    // Built codegen-only: tokens posexplode once, each TOKEN is hashed
+    // (xxhash64) and measured (length) BEFORE the per-doc window, so
+    // the doc-keyed shuffle + the 9 lead() frames carry two longs per
+    // position instead of token strings, and each gram hash is
+    // xxhash64 over n LONG columns instead of re-concatenating (and
+    // re-hashing) up to 10 strings per position — r13: this halves the
+    // windows stage's task time and its shuffle bytes. No higher-order
+    // functions anywhere (transform/slice/aggregate are INTERPRETED
+    // per element; measured 3.3 s of the sf0.1 wall before the lead()
+    // spelling, sub-second after). Gram identity = the hash tuple of
+    // its tokens — the same equality (mod 64-bit collisions) as
+    // hashing the space-joined string, with the same in-doc collision
+    // odds (~500²/2⁶⁵ per doc — negligible, and the oracle would catch
+    // it). The char mass (= token-length sum, consumed only by the
+    // top-2/3/4 rules) is the sum of the lead lengths. A lead() past
+    // the document's end is null, marking the window invalid.
     val allNs = topNs ++ dupNs
     val maxN = allNs.max
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-    val leadCols = (1 until maxN).map(k =>
-      lead(col("__t"), k).over(wDoc).as(s"__t$k"))
+    val leadH = (1 until maxN).map(k =>
+      lead(col("__th"), k).over(wDoc).as(s"__h$k"))
+    val leadL = (1 until topNs.max).map(k =>
+      lead(col("__tl"), k).over(wDoc).as(s"__l$k"))
     val ctx = base.select(col(idCol), posexplode(col("__ws")))
-      .select(col(idCol), col("pos").as("__p"), col("col").as("__t"))
-      .select(col(idCol) +: col("__p") +: col("__t") +: leadCols: _*)
+      .select(col(idCol), col("pos").as("__p"),
+        xxhash64(col("col")).as("__th"),
+        length(col("col")).cast("long").as("__tl"))
+      .select(col(idCol) +: col("__p") +: col("__th") +: col("__tl") +:
+        (leadH ++ leadL): _*)
     val gramStructs = allNs.map { n =>
-      val toks = col("__t") +: (1 until n).map(k => col(s"__t$k"))
+      val hs = col("__th") +: (1 until n).map(k => col(s"__h$k"))
       struct(lit(n).as("n"),
-        when(col(s"__t${n - 1}").isNotNull,
-          xxhash64(concat_ws(" ", toks: _*))).as("h"),
-        (if (n <= topNs.max) length(concat_ws("", toks: _*)).cast("long")
+        when(col(s"__h${n - 1}").isNotNull, xxhash64(hs: _*)).as("h"),
+        (if (n <= topNs.max)
+          (col("__tl") +: (1 until n).map(k => col(s"__l$k"))).reduce(_ + _)
          else lit(0L)).as("clen"))
     }
+    // Deliberately NOT materialized or re-exchanged: windows rides the
+    // ctx window exchange, so it is HashPartitioning(doc) and every
+    // downstream groupBy/join whose keys start with the doc id (the
+    // gram counts, the conviction join, the per-doc pivots) is
+    // EXCHANGE-FREE on top of it. Its three consumers therefore
+    // re-run the (cheap, long-only) window + explode + hash subtree —
+    // measured at sf0.1 as the right trade against both alternatives:
+    // a localCheckpoint erases the partitioning and forced a
+    // full-width shuffle of the mostly-count-1 gram universe (14x the
+    // shuffle bytes, 1.6x the task time), and an explicit repartition
+    // is either optimized out (same-key) or split into three
+    // DIFFERENT exchanges by filter pushdown (57 MB shuffled, 2.2x
+    // the task time). Zero windows-sized shuffles is what holds at
+    // 100 TB.
     val windows = ctx
       .select(col(idCol), col("__p").as("__i"),
         explode(array(gramStructs: _*)).as("__w"))
