@@ -3119,29 +3119,58 @@ object Relational {
              |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
              |       AND CAST(round(l_quantity * 10) AS BIGINT) BETWEEN 200 AND 300)""".stripMargin)),
 
-    // ---- exact median absolute deviation per return flag: two
-    //      TwoPass rank passes (median = the ceil(n/2)-th value, then
-    //      the same rank over |x − median| deci-units) — the robust
-    //      spread statistic with zero single-partition windows and no
-    //      sampling error, unlike approx_percentile
+    // ---- exact median absolute deviation per return flag, by
+    //      COUNTING (the percentilesByCounting construction): the
+    //      median is the smallest value whose cumulative count reaches
+    //      rank (n+1) DIV 2 — identical to the ceil(n/2)-th value of
+    //      the tie-broken rank order, since only the VALUE at the rank
+    //      is reported. Each pass is one partial-aggregated
+    //      groupBy(flag, value) + a window over the DISTINCT deci-unit
+    //      values per flag — the deci-price domain is bounded by the
+    //      price range (~1.05M cells) no matter the corpus size, the
+    //      safe window class — instead of range-repartitioning every
+    //      row twice (r13; the TwoPass spelling shuffled all rows per
+    //      pass + an eager checkpoint each: measured 4.0 s -> 1.5 s at
+    //      sf0.1, and at scale the shuffle shrinks from |rows| to
+    //      |distinct values| per pass, guide §2.3 "aggregate before
+    //      you shuffle")
     Q(
       "q_mad",
       (s, dir) => {
         val li = table(s, dir, "lineitem")
           .select(col("l_returnflag").as("flag"),
-            expr("CAST(FLOOR(l_extendedprice * 10.0) AS BIGINT)").as("v"),
-            col("l_orderkey"), col("l_linenumber"))
-        def medianOf(df: DataFrame, valueCol: String,
-            out: String): DataFrame =
-          TwoPass.rank(df, Seq("flag"),
-              Seq(col(valueCol), col("l_orderkey"), col("l_linenumber")),
-              "__rk", Some("__n"))
-            .filter(col("__rk") === expr("(__n + 1) DIV 2"))
+            expr("CAST(FLOOR(l_extendedprice * 10.0) AS BIGINT)").as("v"))
+        // weighted median over a (flag, value, count) table
+        def medianOfCounts(cnt: DataFrame, valueCol: String,
+            out: String): DataFrame = {
+          val w = Window.partitionBy(col("flag")).orderBy(col(valueCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wAll = Window.partitionBy(col("flag"))
+          cnt
+            .withColumn("__cum", sum(col("__c")).over(w))
+            .withColumn("__n", sum(col("__c")).over(wAll))
+            .withColumn("__rk", expr("(__n + 1) DIV 2"))
+            .filter(col("__cum") >= col("__rk") &&
+              col("__cum") - col("__c") < col("__rk"))
             .select(col("flag"), col(valueCol).as(out))
-        val med = medianOf(li, "v", "median_deci").localCheckpoint(true)
-        val dev = li.join(med, "flag")
-          .withColumn("ad", abs(col("v") - col("median_deci")))
-        medianOf(dev, "ad", "mad_deci")
+        }
+        // ONE row-level pass: everything downstream (both medians)
+        // re-aggregates the bounded (flag, deci-value, count) table —
+        // the second pass weights |v − median| by the pass-1 counts
+        // instead of re-scanning lineitem (the raw-rows exchange is
+        // exchange-reused between the two consumers)
+        // med IS checkpointed (3 rows): left lazy, its window chain
+        // re-runs inside BOTH consumers (measured 25% slower than the
+        // checkpoint's one extra counts map pass)
+        val counts = li.groupBy(col("flag"), col("v"))
+          .agg(count(lit(1)).as("__c"))
+        val med = medianOfCounts(counts, "v", "median_deci")
+          .localCheckpoint(true)
+        val devCounts = counts.join(med, "flag")
+          .groupBy(col("flag"),
+            abs(col("v") - col("median_deci")).as("ad"))
+          .agg(sum(col("__c")).as("__c"))
+        medianOfCounts(devCounts, "ad", "mad_deci")
           .join(med, "flag")
           .select(col("flag"), col("median_deci"), col("mad_deci"))
           .orderBy(col("flag"))
