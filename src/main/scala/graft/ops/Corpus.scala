@@ -197,8 +197,7 @@ object Corpus {
       .select(col(sourceCol), col("__val"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("__b",
-        conv(substring(md5(col("tok").cast("binary")), 1, 6), 16, 10)
-          .cast("long") % buckets)
+        graft.functions.Md5PrefixLong.md5_prefix_long(col("tok"), 6) % buckets)
       .groupBy(col(sourceCol), col("__b"))
       .agg(count(when(!col("__val"), 1)).as("a"),
         count(when(col("__val"), 1)).as("b"))
@@ -304,8 +303,8 @@ object Corpus {
     * other, caught only at gate time).
     * 14 hex chars < 2^56: non-negative in a long, so `%` == pmod. */
   private[graft] def shardOf(idCol: Column, nShards: Int): Column =
-    (conv(substring(md5(idCol.cast("string").cast("binary")), 1, 14), 16, 10)
-      .cast("long") % nShards).cast("int")
+    (graft.functions.Md5PrefixLong.md5_prefix_long(idCol.cast("string"), 14)
+      % nShards).cast("int")
 
   def shardManifest(df: DataFrame, idCol: String, textCol: String,
       nShards: Int): DataFrame = {
@@ -715,7 +714,7 @@ object Corpus {
       .filter(col("w") >= minCount)
       .localCheckpoint(true) // feeds both edge directions + the vocab
     def wid(c: Column): Column =
-      conv(substring(md5(c.cast("binary")), 1, 14), 16, 10).cast("long")
+      graft.functions.Md5PrefixLong.md5_prefix_long(c, 14)
     val e = canon.select(wid(col("a")).as("src"), wid(col("b")).as("dst"),
         col("w"))
       .unionByName(canon.select(wid(col("b")).as("src"),
@@ -846,10 +845,8 @@ object Corpus {
     */
   private[graft] def hashedFeatures(df: DataFrame, idCol: String,
       textCol: String, dim: Int): DataFrame = {
-    val h = conv(substring(md5(col("tok").cast("binary")), 1, 12), 16, 10)
-      .cast("long")
-    val sb = conv(substring(md5(col("tok").cast("binary")), 13, 1), 16, 10)
-      .cast("long")
+    val h = graft.functions.Md5PrefixLong.md5_prefix_long(col("tok"), 12)
+    val sb = graft.functions.Md5PrefixLong.md5_slice_long(col("tok"), 13, 1)
     df.select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("doc"), (h % dim).cast("int").as("j"),
@@ -891,8 +888,8 @@ object Corpus {
     * (doc, j) count; ≤ docs × (dim+1) rows out. */
   private def scorerFeatures(df: DataFrame, idCol: String,
       textCol: String, dim: Int): DataFrame = {
-    val j = pmod(conv(substring(md5(col("tok").cast("binary")), 1, 6),
-      16, 10).cast("long"), lit(dim.toLong)).cast("int")
+    val j = pmod(graft.functions.Md5PrefixLong.md5_prefix_long(col("tok"), 6),
+      lit(dim.toLong)).cast("int")
     df.select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("doc"), j.as("j"))
@@ -1116,8 +1113,7 @@ object Corpus {
     val pri = df.select(col(idCol).cast("long").as("doc"),
         (TextFunctions.tokenCount(col(textCol)).cast("long") + 1).as("w"))
       .withColumn("q",
-        conv(substring(md5(col("doc").cast("string").cast("binary")), 1, 12),
-          16, 10).cast("long"))
+        graft.functions.Md5PrefixLong.md5_prefix_long(col("doc").cast("string"), 12))
       .withColumn("q", expr("q DIV w"))
     pri
       .agg(graft.functions.TopKByScore.top_k_by_score(
@@ -1518,8 +1514,7 @@ object Corpus {
       .select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .select(col("doc"),
-        conv(substring(md5(col("sh").cast("binary")), 1, 14), 16, 10)
-          .cast("long").as("tok"))
+        graft.functions.Md5PrefixLong.md5_prefix_long(col("sh"), 14).as("tok"))
       .distinct()
   }
 
@@ -1626,9 +1621,8 @@ object Corpus {
       // corpus size
       val cand = (if (picked.isEmpty) docIds
         else docIds.filter(!col("doc").isin(picked.map(_._1): _*)))
-        .orderBy(conv(substring(md5(
-            concat(col("doc").cast("string"), lit(s":$t"))
-              .cast("binary")), 1, 14), 16, 10).cast("long"),
+        .orderBy(graft.functions.Md5PrefixLong.md5_prefix_long(
+            concat(col("doc").cast("string"), lit(s":$t")), 14),
           col("doc"))
         .limit(sampleSize)
       val pool = feats.join(broadcast(cand), Seq("doc"), "left_semi")
@@ -1750,8 +1744,8 @@ object Corpus {
       .withColumn("score",
         col("__tf") * expr(s"${LexicalWeightScale} DIV __df"))
       .withColumn("__id",
-        conv(substring(md5(concat_ws("|", col(groupCol), col("term"))
-          .cast("binary")), 1, 14), 16, 10).cast("long"))
+        graft.functions.Md5PrefixLong.md5_prefix_long(
+          concat_ws("|", col(groupCol), col("term")), 14))
       .localCheckpoint(true)
     // scores are exact integers < 2^53, so the double heap is exact
     val top = scored.groupBy(col(groupCol))
@@ -1885,8 +1879,8 @@ object Corpus {
       when(size(col("__ws")) > 0,
         lit(bias) + aggregate(
           transform(col("__ws"), t => element_at(w,
-            (pmod(conv(substring(md5(t.cast("binary")), 1, 6), 16, 10)
-              .cast("long"), lit(dim.toLong)) + 1).cast("int"))),
+            (pmod(graft.functions.Md5PrefixLong.md5_prefix_long(t, 6),
+              lit(dim.toLong)) + 1).cast("int"))),
           lit(0.0), (acc, x) => acc + x) / size(col("__ws")).cast("double"))
         .otherwise(lit(bias)).as("score"))
   }
@@ -2435,8 +2429,7 @@ object Corpus {
       // md5-derived bucket (8 hex chars < 2^32: no sign issues), the
       // same engine-portable hash family as Dedup.minhashH1
       .withColumn("__b",
-        conv(substring(md5(col("__w").cast("binary")), 1, 8), 16, 10)
-          .cast("long") % buckets)
+        graft.functions.Md5PrefixLong.md5_prefix_long(col("__w"), 8) % buckets)
     val bucketCounts = toks.groupBy(col("__b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))

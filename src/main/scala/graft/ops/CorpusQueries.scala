@@ -7643,8 +7643,7 @@ FROM t GROUP BY shard ORDER BY shard""")
           .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
           .withColumn("__id",
-            conv(substring(md5(col("tok").cast("binary")), 1, 14), 16, 10)
-              .cast("long"))
+            graft.functions.Md5PrefixLong.md5_prefix_long(col("tok"), 14))
         counts
           .agg(graft.functions.TopKByScore.top_k_by_score(
               col("cnt").cast("double"), col("__id"), 20).as("top"),
@@ -7699,8 +7698,8 @@ FROM t GROUP BY shard ORDER BY shard""")
           .groupBy(col("lang"), col("tok"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("__id",
-            conv(substring(md5(concat_ws("|", col("lang"), col("tok"))
-              .cast("binary")), 1, 14), 16, 10).cast("long"))
+            graft.functions.Md5PrefixLong.md5_prefix_long(
+              concat_ws("|", col("lang"), col("tok")), 14))
           .localCheckpoint(true)
         Corpus.capPerGroup(counts, "lang", "__id", col("cnt"), k = 10)
           .select(col("lang"), col("tok"), col("cnt"))
@@ -7965,8 +7964,7 @@ FROM t GROUP BY shard ORDER BY shard""")
     coalesce(
       aggregate(
         transform(TextFunctions.tokens(col("text")), t =>
-          pmod(conv(substring(md5(t.cast("binary")), 1, 6), 16, 10)
-            .cast("long"), lit(64L)) % 7 - 3),
+          pmod(graft.functions.Md5PrefixLong.md5_prefix_long(t, 6), lit(64L)) % 7 - 3),
         lit(0L), (acc, x) => acc + x),
       lit(0L)) * 1000
 

@@ -245,8 +245,8 @@ object Dedup {
         explode(array(tokens(col(textCol)))).as("__ws"))
       .select(col("doc"),
         sort_array(transform(shinglesFromTokens(col("__ws"), n),
-          s => conv(substring(md5(s.cast("binary")), 1, 14), 16, 10)
-            .cast("long"))).as("arr"))
+          s => graft.functions.Md5PrefixLong.md5_prefix_long(s, 14)))
+          .as("arr"))
       .localCheckpoint(true)
     // n travels on every index row — no sizes join anywhere downstream
     val idx = base.select(col("doc"), size(col("arr")).cast("long").as("n"),
@@ -345,8 +345,8 @@ object Dedup {
     import org.apache.spark.sql.types.DecimalType
     val sh = shingleRows(df, idCol, textCol, n)
       .select(col("doc"),
-        conv(substring(md5(col("shingle").cast("binary")), 1, 14), 16, 10)
-          .cast("long").as("tok"))
+        graft.functions.Md5PrefixLong
+          .md5_prefix_long(col("shingle"), 14).as("tok"))
     // bounded driver scalar (the kmeans pattern): one count to pin N
     // for the idf weights. N counts docs that PRODUCED a shingle — the
     // same population the oracle's COUNT(DISTINCT doc) sees — so a doc
@@ -448,8 +448,8 @@ object Dedup {
         posexplode(tokens(col(textCol))).as(Seq("p0", "tok")))
       .select(col("doc"), (col("p0") + 1).as("i"), col("tok"))
     val b = pos.withColumn("bd",
-      when(conv(substring(md5(col("tok").cast("binary")), 1, 14), 16, 10)
-        .cast("long") % divisor === 0, 1L).otherwise(0L))
+      when(graft.functions.Md5PrefixLong.md5_prefix_long(col("tok"), 14)
+        % divisor === 0, 1L).otherwise(0L))
     // boundary token ends its chunk: chunk id = boundaries strictly before
     val w = Window.partitionBy(col("doc")).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -965,9 +965,9 @@ object Dedup {
     * family as k independent hashes (Kirsch & Mitzenmacher 2006).
     */
   private[ops] def minhashH1(shingle: Column): Column =
-    conv(substring(md5(shingle.cast("binary")), 1, 14), 16, 10).cast("long")
+    graft.functions.Md5PrefixLong.md5_prefix_long(shingle, 14)
   private[ops] def minhashH2(shingle: Column): Column =
-    conv(substring(md5(shingle.cast("binary")), 15, 14), 16, 10).cast("long")
+    graft.functions.Md5PrefixLong.md5_slice_long(shingle, 15, 14)
 
   /** Largest k for which h1 + (k-1)·h2 cannot overflow a signed 64-bit
     * long (h1, h2 < 2^56 ⇒ sum < 2^56·(k+1); 2^63/2^56 = 128). */
@@ -1161,8 +1161,8 @@ object Dedup {
       .filter(size(col("__ws")) >= k)
       .select(col("doc"), posexplode(gramExpr).as(Seq("p0", "gram")))
       .select(col("doc"), (col("p0") + 1).as("pos"),
-        conv(substring(md5(col("gram").cast("binary")), 1, 9), 16, 10)
-          .cast("long").as("h"))
+        graft.functions.Md5PrefixLong
+          .md5_prefix_long(col("gram"), 9).as("h"))
       .withColumn("v",
         col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
     val byDoc = Window.partitionBy(col("doc"))
