@@ -94,15 +94,31 @@ object StreamingQueries {
     if (outPath.exists()) rmTree(outPath)
     outPath.mkdirs()
     val t0 = System.currentTimeMillis() - 600000L
-    slices.zipWithIndex.foreach { case ((name, df), i) =>
-      stageSlice(outPath, name, i, df, t0 + i * 60000L)
+    // the slice writes are independent single-file jobs — submit them
+    // from driver threads so they overlap (guide §2.6: actions are only
+    // sequential because the driver calls them sequentially); staging is
+    // on every streaming query's critical path 15 times per bench pass.
+    // Failures propagate: the first throwable rethrows after join.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = slices.zipWithIndex.map { case ((name, df), i) =>
+      val t = new Thread(() =>
+        try stageSlice(outPath, name, i, df, t0 + i * 60000L)
+        catch { case e: Throwable => errs.add(e) })
+      t.setName(s"graft-stage-$name")
+      t.start()
+      t
     }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
     s.read.parquet(s"$out/batch0_${slices.head._1}.parquet").schema
   }
 
   private def buildLateArrivalDir(s: SparkSession, dir: String,
       cutoff: String, out: String): StructType = {
-    val ev = Relational.events(s, dir)
+    // one eager materialization of the (small) events projection: the
+    // three slice writes below otherwise each re-scan the parquet and
+    // redo the nanos-timestamp conversion
+    val ev = Relational.events(s, dir).localCheckpoint(true)
     val onTime = ev.filter(col("ts") >= lit(cutoff).cast("timestamp"))
     stageBatches(s, out, Seq(
       "ontime_a" -> onTime.filter(col("event_id") % 2 === 0),
