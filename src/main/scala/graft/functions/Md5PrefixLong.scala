@@ -50,14 +50,17 @@ object Md5PrefixHashing {
   * a radix parse per value; this is one digest into a thread-cached
   * MessageDigest plus a nibble fold, inside whole-stage codegen.
   *
-  * `hexDigits` ≤ 15 keeps the value inside a positive long (60 bits);
-  * every engine call site uses 6–14.
+  * `hexDigits` ≤ 15 keeps the value inside a positive long (60 bits) and
+  * matches `conv` exactly; `hexDigits` = 16 yields the full 64-bit slice
+  * as a SIGNED long bit pattern — identical to the engine's
+  * `shiftleft(conv(hi8), 32) | conv(lo8)` two-word assembly, which is the
+  * form `conv` alone cannot produce (a 16-digit conv overflows the cast).
   */
 case class Md5PrefixLong(child: Expression, startHex: Int, hexDigits: Int)
     extends UnaryExpression {
 
-  require(hexDigits >= 1 && hexDigits <= 15,
-    s"hexDigits must be in [1, 15], got $hexDigits")
+  require(hexDigits >= 1 && hexDigits <= 16,
+    s"hexDigits must be in [1, 16], got $hexDigits")
   require(startHex >= 1 && startHex + hexDigits <= 33,
     s"hex slice [$startHex, ${startHex + hexDigits}) outside the 32-char digest")
 

@@ -133,8 +133,8 @@ object Corpus {
     val meta = df.sparkSession.createDataFrame(
       counts.toSeq.map { case (s, n) => (s, n, weights(s).toLong) })
       .toDF(sourceCol, "__n", "__w")
-    val bucket = conv(substring(
-      md5(col(idCol).cast("string").cast("binary")), 1, 6), 16, 10).cast("long")
+    val bucket = graft.functions.Md5PrefixLong
+      .md5_prefix_long(col(idCol).cast("string"), 6)
     df.join(broadcast(meta), sourceCol)
       .filter(bucket * lit(wSum) * col("__n") <
         lit(1L << 24) * lit(feasibleTotal) * col("__w"))
@@ -411,9 +411,9 @@ object Corpus {
     val idStr = col(idCol).cast("string")
     val packed = array_max(transform(
       sequence(lit(0), lit(nShards - 1)),
-      s => conv(substring(
-        md5(concat(idStr, lit(":"), s.cast("string")).cast("binary")),
-        1, 14), 16, 10).cast("long") * 64L + s.cast("long")))
+      s => graft.functions.Md5PrefixLong.md5_prefix_long(
+        concat(idStr, lit(":"), s.cast("string")), 14) * 64L +
+        s.cast("long")))
     df.withColumn("shard", (packed % 64L).cast("int"))
   }
 
@@ -608,9 +608,8 @@ object Corpus {
       .select(col("source").as("__src"), col("repeat_milli"))
     // same 24-bit md5-prefix hash as sampleToMixture: keep iff
     // h * 1000 < 2^24 * (repeat_milli % 1000)
-    val h = conv(substring(
-      md5(col(idCol).cast("string").cast("binary")), 1, 6), 16, 10)
-      .cast("long")
+    val h = graft.functions.Md5PrefixLong
+      .md5_prefix_long(col(idCol).cast("string"), 6)
     df.join(broadcast(plan), col(sourceCol) === col("__src"))
       .withColumn("__n", expr("repeat_milli DIV 1000") +
         when(h * lit(1000L) < lit(1L << 24) * (col("repeat_milli") % 1000),

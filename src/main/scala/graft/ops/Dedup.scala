@@ -1530,12 +1530,8 @@ object Dedup {
   /** 64-bit token hash: md5 hex chars 1-8 are the high word, 9-16 the low
     * word; `hi << 32 | lo` stays pure bit assembly (no additive overflow
     * under ANSI). */
-  private def tokenVal64(t: Column): Column = {
-    val h = md5(t.cast("binary"))
-    val hi = conv(substring(h, 1, 8), 16, 10).cast("long")
-    val lo = conv(substring(h, 9, 8), 16, 10).cast("long")
-    shiftleft(hi, 32).bitwiseOR(lo)
-  }
+  private def tokenVal64(t: Column): Column =
+    graft.functions.Md5PrefixLong.md5_slice_long(t, 1, 16)
 
   /** Bit j of a signed 64-bit value (sign-safe — no arithmetic shift). */
   private def bitTest(v: Column, j: Int): Column =

@@ -49,9 +49,8 @@ object Sketches {
     Seq("bucket", "rho").foreach(c => require(!items.columns.contains(c),
       s"hllProject: input already has a '$c' column; rename it — " +
         "hllProject appends its own 'bucket' and 'rho'"))
-    val h = conv(substring(
-      md5(col(itemCol).cast("string").cast("binary")), 1, 12), 16, 10)
-      .cast("long")
+    val h = graft.functions.Md5PrefixLong
+      .md5_prefix_long(col(itemCol).cast("string"), 12)
     val r = h % lit(1L << 38)
     // rho = leading zeros of the 38-bit remainder + 1; bin() has no
     // leading zeros in either engine, so length(bin(r)) = floor(log2)+1

@@ -279,7 +279,16 @@ class PlanLintSpec extends SparkTestBase {
   // or above 1/64 ≈ 1.6% and pass untouched.
   private val NdvCap = 24
   private val windowNdvAllow = Map.empty[String, String]
-  private val aggWindowAllow = Map.empty[String, String]
+  // Bounded-DOMAIN aggregates (not merely bounded-per-key): the window
+  // input's row count per partition key is capped by a fixed value
+  // domain at ANY corpus size, so the per-key sort can never grow with
+  // the data — the percentilesByCounting contract class.
+  private val aggWindowAllow = Map(
+    "q_mad" -> ("the window input is the (flag, deci-price) count table; " +
+      "rows per flag are bounded by the TPC-H price domain (~1.05M " +
+      "deci-cells) no matter the corpus size — r13 respelled the medians " +
+      "as counting aggregates (guide §2.3) and the cumulative-count " +
+      "window runs over distinct values, never raw rows"))
 
   import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr}
   import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan => CatalystPlan}

@@ -41,6 +41,18 @@ class Md5PrefixLongSpec extends SparkTestBase {
     }
   }
 
+  test("16 digits = the signed two-word assembly (hi << 32 | lo)") {
+    val df = samples.toDF("s")
+    val rows = df.select(
+        Md5PrefixLong.md5_slice_long(col("s"), 1, 16).as("native"),
+        shiftleft(conv(substring(md5(col("s").cast("binary")), 1, 8), 16, 10)
+            .cast("long"), 32)
+          .bitwiseOR(conv(substring(md5(col("s").cast("binary")), 9, 8), 16, 10)
+            .cast("long")).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("binary input hashes the raw bytes, null stays null") {
     val df = Seq(Array[Byte](0, 1, 2, -1), Array[Byte]()).toDF("b")
     val rows = df.select(
