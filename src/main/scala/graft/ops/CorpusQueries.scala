@@ -721,96 +721,102 @@ object CorpusQueries {
   /** Batched-BPE training-loop CTE chain matching [[Corpus.bpeCore]]
     * round for round over the distinct-word HISTOGRAM. `s0` is the
     * (word, count, unit-boundary encoding) table; per round k:
-    *  - `p\$k` explodes adjacent unit pairs of `s\${k-1}` with counts;
-    *  - `c\$k` ranks the weighted pair counts and keeps the top
-    *    [[Corpus.BpeBatchCandidates]] by (count desc, u1, u2);
-    *  - `f\$k` accepts candidates unit-disjoint from EVERY higher-ranked
-    *    candidate (the same non-iterative rule bpeCore's driver filter
-    *    applies), re-ranks the survivors `ak = 1..`, and truncates to
-    *    the remaining merge budget `n − tot\${k-1}`;
-    *  - `t\$k` folds the running accepted total (1 row, MATERIALIZED —
-    *    it is referenced twice, and default inlining would re-bind the
-    *    whole prefix chain per reference: exponential binder work that
-    *    trips DuckDB's recursion guard long before n = 128);
+    *  - `m\$k` (ONE materialized single-row CTE) does the whole
+    *    candidate step in list space: explode adjacent unit pairs of
+    *    `s\${k-1}`, rank the weighted pair counts, keep the top
+    *    [[Corpus.BpeBatchCandidates]] by (count desc, u1, u2) as a
+    *    struct list, accept candidates unit-disjoint from EVERY
+    *    higher-ranked candidate (the same non-iterative rule bpeCore's
+    *    driver filter applies — a list_filter whose 1-based index `i`
+    *    scans the candidates BEFORE position i, accepted or not),
+    *    truncate to the remaining merge budget `budget − tot` by list
+    *    slice, and fold the round's accepts into the running state:
+    *    `tot` (accepted total), `allacc` (every accepted merge with its
+    *    GLOBAL rank — the flat artifact order), and the `pats`/`reps`
+    *    replace lists for the rewrite;
     *  - `s\$k` rewrites the histogram by the accepted merges as a chain
-    *    of [[Corpus.BpeBatchCandidates]] literal replaces — slot j pulls
-    *    accepted merge `ak = j` via a scalar subquery and COALESCEs to a
-    *    chr(1) never-matching pattern when the slot is empty, so the
-    *    accumulator string appears ONCE per level (no 2^m expression
-    *    blowup) and absent slots are no-ops. Accepted pairs are
+    *    of [[Corpus.BpeBatchCandidates]] literal replaces — slot j past
+    *    `len(pats)` indexes to NULL and COALESCEs to a chr(1)
+    *    never-matching pattern, so the accumulator string appears ONCE
+    *    per level (no 2^m expression blowup) and absent slots are
+    *    no-ops; a `len(pats) = 0` guard skips the replace chain
+    *    entirely on budget/pair-exhausted tail rounds (the copy
+    *    rounds that mirror bpeCore's loop exit). Accepted pairs are
     *    unit-disjoint, so the replace chain cannot interact and equals
     *    Spark's sequential application exactly.
     * `nRounds` is the shared synchronization-round cap (the
     * result-contract `maxRounds` — see Corpus.bpeCore), `budget` the
     * merge budget, `window` the pretokenization width feeding `s0`.
-    * Budget-exhausted and pair-exhausted tail rounds produce empty
-    * `f\$k` and copy `s\$k = s\${k-1}` unchanged, mirroring bpeCore's
-    * loop exit. `c/f/s` are MATERIALIZED (each is referenced more than
-    * once; default inlining would double the scan tree per round — 2^n
-    * scans, "too many open files" well before n = 32). The caller
-    * appends its own final SELECT over `f1..f\$n`/`t0..t\$n` or `s\$n`;
-    * the global rank of an accepted merge is `tot\${k-1} + ak`. */
+    * Only m/s are MATERIALIZED (each is referenced twice; default
+    * inlining would double the scan tree per round — 2^n scans).
+    * This shape replaced the r13 five-CTE round (p/c/f/t/r/s): DuckDB
+    * 1.0 retains several MB of allocator high-water per materialized
+    * CTE with joins, so 56 rounds × 5 CTEs peaked at 1.84 GB isolated
+    * RSS — enough to OOM the round driver's starved oracle host. Two
+    * CTEs per round measure 0.9 GB with byte-identical output and
+    * roughly half the wall (tools/oracle_rss_r14.txt).
+    * The caller appends its own final SELECT over `m\$n.allacc`
+    * (struct(rank, u1, u2, c), rank already global) or `s\$n`. */
   private def bpeRoundsSql(nRounds: Int, budget: Int, window: Int,
       src: String = "documents",
       m: Int = Corpus.BpeBatchCandidates): String = {
     val rounds = (1 to nRounds).map { k =>
-      // the round's accepted merges folded into ONE 1-row (pats, reps)
-      // list pair (r$k) cross-joined into the rewrite — versus the old
-      // 2 scalar subqueries per slot (32/round, ~3.6k subplans at 112
-      // rounds) whose binder state was the oracle's memory hog. A slot
-      // past len(pats) indexes to NULL -> COALESCE no-op, exactly the
-      // old empty-slot behavior.
       val applied = (1 to m).foldLeft("s") { (acc, j) =>
         s"""replace($acc,
            |      COALESCE(pats[$j], chr(1)),
            |      COALESCE(reps[$j], ''))""".stripMargin
       }
-      s"""p$k AS (
-         |  SELECT pr[1] AS u1, pr[2] AS u2, cnt FROM (
-         |    SELECT cnt, unnest(list_transform(range(1, len(us)),
-         |        i -> [us[i], us[i + 1]])) AS pr
-         |    FROM (SELECT cnt, string_split(trim(s, '·'), '··') AS us
-         |          FROM s${k - 1}))),
-         |c$k AS MATERIALIZED (
-         |  SELECT u1, u2, c, ROW_NUMBER() OVER (ORDER BY c DESC, u1, u2) AS rk
-         |  FROM (SELECT u1, u2, CAST(SUM(cnt) AS BIGINT) AS c FROM p$k
-         |        GROUP BY u1, u2 ORDER BY c DESC, u1, u2 LIMIT $m) z),
-         |f$k AS MATERIALIZED (
-         |  SELECT * FROM (
-         |    SELECT u1, u2, c, ROW_NUMBER() OVER (ORDER BY rk) AS ak
-         |    FROM c$k x
-         |    WHERE NOT EXISTS (SELECT 1 FROM c$k b WHERE b.rk < x.rk
-         |        AND (b.u1 IN (x.u1, x.u2) OR b.u2 IN (x.u1, x.u2))))
-         |  WHERE ak <= $budget - (SELECT tot FROM t${k - 1})),
-         |t$k AS MATERIALIZED (SELECT (SELECT tot FROM t${k - 1}) +
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f$k) AS tot),
-         |r$k AS MATERIALIZED (
-         |  SELECT list('·' || u1 || '··' || u2 || '·' ORDER BY ak) AS pats,
-         |         list('·' || u1 || u2 || '·' ORDER BY ak) AS reps
-         |  FROM f$k),
+      s"""m$k AS MATERIALIZED (
+         |  SELECT y.tot + len(y.acc2) AS tot,
+         |    y.allacc || list_transform(range(1, len(y.acc2) + 1), i ->
+         |      struct_pack(rank := y.tot + i, u1 := y.acc2[i].u1,
+         |        u2 := y.acc2[i].u2, c := y.acc2[i].c)) AS allacc,
+         |    list_transform(y.acc2,
+         |      a -> '·' || a.u1 || '··' || a.u2 || '·') AS pats,
+         |    list_transform(y.acc2, a -> '·' || a.u1 || a.u2 || '·') AS reps
+         |  FROM (
+         |    SELECT list_filter(z.cands, (x, i) ->
+         |        len(list_filter(z.cands[1:i-1], b -> b.u1 IN (x.u1, x.u2)
+         |          OR b.u2 IN (x.u1, x.u2))) = 0
+         |      )[1 : GREATEST(CAST($budget AS BIGINT) - mp.tot, 0)] AS acc2,
+         |      mp.tot, mp.allacc
+         |    FROM (
+         |      SELECT COALESCE(list(struct_pack(u1 := u1, u2 := u2, c := c)
+         |          ORDER BY c DESC, u1, u2), []) AS cands
+         |      FROM (
+         |        SELECT u1, u2, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+         |          SELECT pr[1] AS u1, pr[2] AS u2, cnt FROM (
+         |            SELECT cnt, unnest(list_transform(range(1, len(us)),
+         |                i -> [us[i], us[i + 1]])) AS pr
+         |            FROM (SELECT cnt, string_split(trim(s, '·'), '··') AS us
+         |                  FROM s${k - 1})))
+         |        GROUP BY u1, u2 ORDER BY c DESC, u1, u2 LIMIT $m)) z
+         |    CROSS JOIN m${k - 1} mp) y),
          |s$k AS MATERIALIZED (
-         |  SELECT w, cnt,
-         |    $applied AS s
-         |  FROM s${k - 1} CROSS JOIN r$k)""".stripMargin
+         |  SELECT w, cnt, CASE WHEN len(pats) = 0 THEN s ELSE
+         |    $applied END AS s
+         |  FROM s${k - 1} CROSS JOIN m$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH s0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    regexp_replace(w, '(.)', '·\\1·', 'g') AS s
        |  FROM (${bpePretokSql(window, withId = false, src)})
        |  GROUP BY w),
-       |t0 AS (SELECT CAST(0 AS BIGINT) AS tot),
+       |m0 AS (SELECT CAST(0 AS BIGINT) AS tot,
+       |  CAST([] AS STRUCT(rank BIGINT, u1 VARCHAR, u2 VARCHAR,
+       |    c BIGINT)[]) AS allacc),
        |$rounds""".stripMargin
   }
 
   /** Replay chain for the stored-merge APPLY gate: `a0` is the TARGET
     * corpus's pretoken histogram; per round k, `a\$k` replays round k's
-    * accepted training merges (the same `f\$k` slot subqueries, same
+    * accepted training merges (the same `m\$k` pats/reps lists, same
     * rank order) — the concatenation of per-round rank orders IS the
     * flat artifact order the Spark side replays. Appended after a
-    * [[bpeRoundsSql]] whose training chain defined the `f\$k` tables. */
+    * [[bpeRoundsSql]] whose training chain defined the `m\$k` tables. */
   private def bpeApplySql(nRounds: Int, window: Int): String = {
     val m = Corpus.BpeBatchCandidates
-    // replays the r$k (pats, reps) lists the training chain already
+    // replays the m$k (pats, reps) lists the training chain already
     // materialized — same 1-row cross join, zero extra subplans
     val rounds = (1 to nRounds).map { k =>
       val applied = (1 to m).foldLeft("s") { (acc, j) =>
@@ -819,7 +825,9 @@ object CorpusQueries {
            |      COALESCE(reps[$j], ''))""".stripMargin
       }
       s"""a$k AS MATERIALIZED (
-         |  SELECT w, cnt, $applied AS s FROM a${k - 1} CROSS JOIN r$k)""".stripMargin
+         |  SELECT w, cnt, CASE WHEN len(pats) = 0 THEN s ELSE
+         |    $applied END AS s
+         |  FROM a${k - 1} CROSS JOIN m$k)""".stripMargin
     }.mkString(",\n")
     s""", a0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -6758,10 +6766,11 @@ FROM t GROUP BY shard ORDER BY shard""")
           .orderBy(col("rank"))
       },
       Some(bpeRoundsSql(BpeMaxRounds, BpeMerges, BpeWindow) +
-        (1 to BpeMaxRounds).map(k =>
-            s"SELECT CAST((SELECT tot FROM t${k - 1}) + ak AS INT) AS rank, " +
-              s"u1, u2, CAST(c AS BIGINT) AS cnt FROM f$k")
-          .mkString("\n", "\nUNION ALL ", "\nORDER BY rank"))),
+        s"""
+           |SELECT CAST(x.rank AS INT) AS rank, x.u1, x.u2,
+           |  CAST(x.c AS BIGINT) AS cnt
+           |FROM (SELECT unnest(allacc) AS x FROM m$BpeMaxRounds)
+           |ORDER BY rank""".stripMargin)),
 
     // the distributed venue, oracle-gated on its own: driverVocabMax=0
     // forces the per-round Spark loop (pair count → bounded candidate
@@ -6776,10 +6785,11 @@ FROM t GROUP BY shard ORDER BY shard""")
           maxRounds = BpeDistMaxRounds,
           driverVocabMax = 0).orderBy(col("rank")),
       Some(bpeRoundsSql(BpeDistMaxRounds, BpeDistMerges, BpeWindow) +
-        (1 to BpeDistMaxRounds).map(k =>
-            s"SELECT CAST((SELECT tot FROM t${k - 1}) + ak AS INT) AS rank, " +
-              s"u1, u2, CAST(c AS BIGINT) AS cnt FROM f$k")
-          .mkString("\n", "\nUNION ALL ", "\nORDER BY rank"))),
+        s"""
+           |SELECT CAST(x.rank AS INT) AS rank, x.u1, x.u2,
+           |  CAST(x.c AS BIGINT) AS cnt
+           |FROM (SELECT unnest(allacc) AS x FROM m$BpeDistMaxRounds)
+           |ORDER BY rank""".stripMargin)),
 
     // the compression curve of the learned merges: per-doc unit count
     // after BpeMerges rounds (tokenless docs stay at 0 units) — one
@@ -8027,23 +8037,42 @@ FROM t GROUP BY shard ORDER BY shard""")
     * features, the (dim+1)²-cell Gram `hmat`, its diagonal, the
     * moment vector `bvec`, zero weights `w0`, then per round k
     *   w\$k = w\$(k−1) + (b − H·w) // (damp · max(H_jj, 1))
-    * over (dim+1)-row tables — DuckDB `//` truncates toward zero
-    * exactly like Scala Long division, verified on negatives. Mirrors
+    * — DuckDB `//` truncates toward zero exactly like Scala Long
+    * division, verified on negatives. Mirrors
     * Corpus.linearDistillCore round for round; consumers append their
-    * own final SELECT. */
+    * own final SELECT.
+    *
+    * The rounds run in LIST space: the Gram is folded once into a
+    * single (dim+1)×(dim+1) list-of-lists row (`hml`, zero-filled so
+    * the list dot product equals the old zero-COALESCEd join
+    * aggregate), `bdl` pre-folds the b and damp·max(diag, 1) vectors
+    * the same way, and each `v\$k` is ONE ROW holding the weight
+    * vector — the r13 shape (256 materialized 65-row CTEs, each with
+    * 3 joins + an aggregate) left several MB of DuckDB 1.0 allocator
+    * high-water per round and peaked at 1.35 GB isolated RSS, enough
+    * to OOM the round driver's starved oracle host; the list chain
+    * measures 0.16 GB with byte-identical output and ~6× less wall
+    * (tools/oracle_rss_r14.txt). `w\$k` (j, w) taps are emitted at
+    * every `rounds/8` checkpoint for the curve consumer (those `v\$k`
+    * are MATERIALIZED — referenced twice); unreferenced taps cost
+    * nothing. */
   private def linearDistillSql(dim: Int, damp: Int, rounds: Int,
       bound: String, teacherSql: String = qtScorerTeacherSql,
       tScaleSql: String = "s * 1000", ridge: Long = 0L): String = {
+    val dim1 = dim + 1
+    val every = math.max(1, rounds / 8)
     val roundCtes = (1 to rounds).map { k =>
-      s"""w$k AS MATERIALIZED (
-         |  SELECT w.j, CAST(w.w + ((COALESCE(b.b, 0) - COALESCE(hw.hw, 0))
-         |      // ($damp * GREATEST(COALESCE(d.d, 1), 1))) AS BIGINT) AS w
-         |  FROM w${k - 1} w
-         |  LEFT JOIN bvec b USING (j)
-         |  LEFT JOIN hdiag d USING (j)
-         |  LEFT JOIN (SELECT h.j, CAST(SUM(h.v * w2.w) AS BIGINT) AS hw
-         |             FROM hmat h JOIN w${k - 1} w2 ON w2.j = h.k
-         |             GROUP BY 1) hw USING (j))""".stripMargin
+      val mat = if (k % every == 0) " MATERIALIZED" else ""
+      s"""v$k AS$mat (
+         |  SELECT list_transform(range(1, ${dim1 + 1}), j -> CAST(wv[j] +
+         |    (bl[j] - CAST(list_sum(list_transform(range(1, ${dim1 + 1}),
+         |        k -> hm[j][k] * wv[k])) AS BIGINT))
+         |      // dl[j] AS BIGINT)) AS wv
+         |  FROM v${k - 1}, hml, bdl)""".stripMargin
+    }.mkString(",\n")
+    val taps = (1 to rounds).filter(_ % every == 0).map { k =>
+      s"""w$k AS (SELECT CAST(j AS INT) AS j, wv[j + 1] AS w
+         |  FROM v$k, range(0, $dim1) t(j))""".stripMargin
     }.mkString(",\n")
     // H + λI: the ridge rides INSIDE hmat so the rounds and the curve's
     // residual both see the ridged operator (mirrors distillMoments'
@@ -8061,8 +8090,23 @@ FROM t GROUP BY shard ORDER BY shard""")
        |  SELECT f.j, CAST(SUM(f.v * t.t) AS BIGINT) AS b
        |  FROM fx f JOIN tvec t USING (doc) GROUP BY 1),
        |w0 AS (SELECT CAST(j AS INT) AS j, CAST(0 AS BIGINT) AS w
-       |  FROM range(0, ${dim + 1}) t(j)),
-       |$roundCtes""".stripMargin
+       |  FROM range(0, $dim1) t(j)),
+       |hml AS MATERIALIZED (
+       |  SELECT list(hrow ORDER BY j) AS hm FROM (
+       |    SELECT a.j, list(COALESCE(h.v, 0) ORDER BY b.k) AS hrow
+       |    FROM range(0, $dim1) a(j) CROSS JOIN range(0, $dim1) b(k)
+       |    LEFT JOIN hmat h ON h.j = a.j AND h.k = b.k
+       |    GROUP BY a.j)),
+       |bdl AS MATERIALIZED (
+       |  SELECT list(COALESCE(b.b, 0) ORDER BY r.j) AS bl,
+       |         list($damp * GREATEST(COALESCE(d.d, 1), 1) ORDER BY r.j) AS dl
+       |  FROM range(0, $dim1) r(j)
+       |  LEFT JOIN bvec b ON b.j = r.j
+       |  LEFT JOIN hdiag d ON d.j = r.j),
+       |v0 AS (SELECT list_transform(range(0, $dim1),
+       |  x -> CAST(0 AS BIGINT)) AS wv),
+       |$roundCtes,
+       |$taps""".stripMargin
   }
 
   private def sqlList(xs: Seq[String]): String =
