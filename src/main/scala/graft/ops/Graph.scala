@@ -11,6 +11,35 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Scale-adaptive parallelism bound for CHECKPOINTED iteration state
+    * (guide §2.2 "fewer, larger partitions"): coalesce the materialized
+    * frame so each downstream map task sees at least `rowsPerPart` rows
+    * instead of inheriting the global shuffle-partition count. The
+    * fixed-point loops iterate over kilobyte-to-megabyte state; at
+    * `local[32]` every per-round scan/partial-aggregate otherwise runs
+    * 20-40 near-empty tasks whose per-task setup + allocator contention
+    * dominate (measured on graph_reach_hll: 54.9 s summed task time at
+    * 32 cores vs 4.9 s for the identical plan at 8 — an 11x inflation;
+    * plans/r14). The bound derives from the state's OWN row count —
+    * a count() over already-checkpointed blocks, one cheap job — so a
+    * 100 TB frontier keeps full parallelism while a kilobyte one stops
+    * paying for it; nothing here reads the core count.
+    * `coalesce` on a materialized RDD is a narrow dependency: no
+    * exchange is added and row order inside surviving partitions is
+    * preserved (it only concatenates), so results are bit-identical. */
+  private def boundStateParallelism(df: DataFrame,
+      rowsPerPart: Long = 250000L): DataFrame = {
+    val parts = df.rdd.getNumPartitions
+    // AQE usually already coalesced the materializing exchange down to a
+    // handful of partitions; skip the sizing job when there is nothing
+    // left to win (4 partitions of tiny state cost ~nothing per round)
+    if (parts <= 4) return df
+    val rows = df.count()
+    val target = math.max(1L, math.min(parts.toLong,
+      (rows + rowsPerPart - 1) / rowsPerPart)).toInt
+    if (target < parts) df.coalesce(target) else df
+  }
+
   /** PageRank in exact integer ppm arithmetic — engine-reproducible
     * (no floats, so iteration order and summation order cannot change a
     * bit) and therefore verifiable against a SQL oracle that unrolls the
@@ -55,7 +84,8 @@ object Graph {
       col("dst").cast("long").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
     // static per-round join input, materialized once
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
+    val eDeg = boundStateParallelism(
+      e.join(deg, "src").localCheckpoint(true), 100000L)
     val nodes = deg.select(col("src").as("node"))
     val base = 1000000L - dampingPpm
     var r = nodes.withColumn("pr_ppm", lit(1000000L))
@@ -71,7 +101,8 @@ object Graph {
         .select(col("node"),
           (lit(base) +
             expr(s"${dampingPpm}L * coalesce(__in, 0L) DIV 1000000")).as("pr_ppm"))
-      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters)
+        r = boundStateParallelism(r.localCheckpoint(true))
     }
     r
   }
@@ -104,7 +135,8 @@ object Graph {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("__ow"))
-    val eW = e.join(outW, "src").localCheckpoint(true)
+    val eW = boundStateParallelism(
+      e.join(outW, "src").localCheckpoint(true), 100000L)
     val nodes = outW.select(col("src").as("node"))
     val base = 1000000L - dampingPpm
     var r = nodes.withColumn("pr_ppm", lit(1000000L))
@@ -117,7 +149,8 @@ object Graph {
         .select(col("node"),
           (lit(base) +
             expr(s"${dampingPpm}L * coalesce(__in, 0L) DIV 1000000")).as("pr_ppm"))
-      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters)
+        r = boundStateParallelism(r.localCheckpoint(true))
     }
     r
   }
@@ -156,7 +189,8 @@ object Graph {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
+    val eDeg = boundStateParallelism(
+      e.join(deg, "src").localCheckpoint(true), 100000L)
     val seedSet = seeds.select(col("node").cast("long").as("node")).distinct()
     // static node universe with the seed flag riding along — one join,
     // checkpointed, reused every round
@@ -164,6 +198,7 @@ object Graph {
       .join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
       .localCheckpoint(true)
+      .transform(boundStateParallelism(_))
     val base = 1000000L - dampingPpm
     var r = nodes.select(col("node"), (col("__s") * 1000000L).as("pr_ppm"))
     for (i <- 1 to iters) {
@@ -176,7 +211,8 @@ object Graph {
           (col("__s") * lit(base) +
             expr(s"${dampingPpm}L * coalesce(__in, 0L) DIV 1000000"))
             .as("pr_ppm"))
-      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters)
+        r = boundStateParallelism(r.localCheckpoint(true))
     }
     r.select(col("node"), col("pr_ppm").as("ppr_ppm"))
   }
@@ -212,10 +248,11 @@ object Graph {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val eDeg = boundStateParallelism(
+      e.join(deg, "src").localCheckpoint(true), 100000L)
+    val nodes = boundStateParallelism(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true))
     val dangIds = nodes
       .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
       .localCheckpoint(true)
@@ -234,7 +271,8 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr(s"${dampingPpm}L * (coalesce(__in, 0L) " +
             s"+ __dm DIV ${n}L) DIV 1000000")).as("pr_ppm"))
-      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters)
+        r = boundStateParallelism(r.localCheckpoint(true))
     }
     r
   }
@@ -286,11 +324,12 @@ object Graph {
     */
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val e = boundStateParallelism(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).localCheckpoint(true), 100000L)
+    val nodes = boundStateParallelism(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true))
     var h = nodes.withColumn("hub_ppm", lit(1000000L))
     var a: DataFrame = null
     for (_ <- 1 to iters) {
@@ -298,17 +337,17 @@ object Graph {
       // score join), so it is materialized every round — the
       // distanceDistribution convention; #nodes-bounded rows, and the
       // materialization also keeps plan depth constant per round
-      val araw = e.join(h, e("src") === h("node"))
+      val araw = boundStateParallelism(e.join(h, e("src") === h("node"))
         .groupBy(col("dst")).agg(sum(col("hub_ppm")).as("__s"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       val amax = araw.agg(max(col("__s")).as("__m"))
       a = nodes.join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(amax))
         .select(col("node"),
           expr("coalesce(__s, 0L) * 1000000L DIV __m").as("auth_ppm"))
-      val hraw = e.join(a, e("dst") === a("node"))
+      val hraw = boundStateParallelism(e.join(a, e("dst") === a("node"))
         .groupBy(col("src")).agg(sum(col("auth_ppm")).as("__s"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       val hmax = hraw.agg(max(col("__s")).as("__m"))
       h = nodes.join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
         .crossJoin(broadcast(hmax))
@@ -345,8 +384,9 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = 3,
       checkpointEvery: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val e = boundStateParallelism(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).localCheckpoint(true), 100000L)
     val nodes = e.select(col("src").as("node")).distinct()
     var lab = nodes.withColumn("label", col("node"))
     for (i <- 1 to iters) {
@@ -356,7 +396,8 @@ object Graph {
         .agg(min_by(col("label"),
           struct((-col("__c")).as("__nc"), col("label"))).as("label"))
         .withColumnRenamed("dst", "node")
-      if (i % checkpointEvery == 0 && i < iters) lab = lab.localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters)
+        lab = boundStateParallelism(lab.localCheckpoint(true))
     }
     lab
   }
@@ -394,21 +435,23 @@ object Graph {
   def neighborhoodReach(edges: DataFrame, rounds: Int,
       checkpointEvery: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val e = boundStateParallelism(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).localCheckpoint(true), 100000L)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     // singleton sketch {v}: one register per node, from the same
     // md5-derived bits as every other HLL in the engine
-    var regs = Sketches.hllSketch(
+    var regs = boundStateParallelism(Sketches.hllSketch(
       nodes.withColumn("item", col("node")), "node", "item")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     for (r <- 1 to rounds) {
       val in = e.join(regs, e("src") === regs("node"))
         .select(col("dst").as("node"), col("bucket"), col("m"))
       regs = regs.unionByName(in)
         .groupBy(col("node"), col("bucket")).agg(max(col("m")).as("m"))
-      if (r % checkpointEvery == 0 && r < rounds) regs = regs.localCheckpoint(true)
+      if (r % checkpointEvery == 0 && r < rounds)
+        regs = boundStateParallelism(regs.localCheckpoint(true))
     }
     Sketches.hllEstimate(regs, "node")
   }
@@ -440,19 +483,20 @@ object Graph {
     */
   def distanceDistribution(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val e = boundStateParallelism(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).localCheckpoint(true), 100000L)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-    var regs = Sketches.hllSketch(
+    var regs = boundStateParallelism(Sketches.hllSketch(
       nodes.withColumn("item", col("node")), "node", "item")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val snaps = (1 to rounds).map { r =>
       val in = e.join(regs, e("src") === regs("node"))
         .select(col("dst").as("node"), col("bucket"), col("m"))
-      regs = regs.unionByName(in)
+      regs = boundStateParallelism(regs.unionByName(in)
         .groupBy(col("node"), col("bucket")).agg(max(col("m")).as("m"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       Sketches.hllEstimate(regs, "node")
         .agg(sum(col("est_ndv")).as("pairs_est"))
         .select(lit(r).cast("int").as("round"), col("pairs_est"))
@@ -481,8 +525,9 @@ object Graph {
   def neighborhoodExact(edges: DataFrame, rounds: Int,
       checkpointEvery: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val e = boundStateParallelism(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).localCheckpoint(true), 100000L)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var ball = nodes.select(col("node"), col("node").as("item"))
@@ -491,7 +536,8 @@ object Graph {
         e.join(ball, e("src") === ball("node"))
           .select(col("dst").as("node"), col("item")))
         .distinct()
-      if (r % checkpointEvery == 0 && r < rounds) ball = ball.localCheckpoint(true)
+      if (r % checkpointEvery == 0 && r < rounds)
+        ball = boundStateParallelism(ball.localCheckpoint(true))
     }
     ball.groupBy(col("node")).agg(count(lit(1)).as("exact_ball"))
   }
@@ -532,13 +578,15 @@ object Graph {
     def degrees(p: DataFrame): DataFrame =
       p.select(col("a").as("n")).unionByName(p.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    var p = pairs0.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b")).localCheckpoint(true)
+    var p = boundStateParallelism(
+      pairs0.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b")).localCheckpoint(true), 100000L)
     for (r <- 1 to rounds) {
       val keep = degrees(p).filter(col("d") >= k).select(col("n"))
       p = p.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-      if (r % checkpointEvery == 0 && r < rounds) p = p.localCheckpoint(true)
+      if (r % checkpointEvery == 0 && r < rounds)
+        p = boundStateParallelism(p.localCheckpoint(true))
     }
     degrees(p).select(col("n").as("node"), col("d").as("deg"))
   }
@@ -582,11 +630,13 @@ object Graph {
           .sorted_intersect_count(col("__na"), col("__nb")))
         .select(col("a"), col("b"), col("support"))
     }
-    var p = pairs0.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b")).localCheckpoint(true)
+    var p = boundStateParallelism(
+      pairs0.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b")).localCheckpoint(true), 100000L)
     for (_ <- 1 to rounds) {
-      p = support(p).filter(col("support") >= (k - 2).toLong)
-        .select(col("a"), col("b")).localCheckpoint(true)
+      p = boundStateParallelism(
+        support(p).filter(col("support") >= (k - 2).toLong)
+          .select(col("a"), col("b")).localCheckpoint(true))
     }
     support(p)
   }
@@ -806,6 +856,9 @@ object Graph {
   def bfsLevels(edges: DataFrame, seeds: DataFrame, rounds: Int,
       checkpointEvery: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // NOT parallelism-bounded: the bipartite edge relation is
+    // lineitem-scale and its per-round frontier joins are real work —
+    // coalescing it measured +0.6-1.3 s wall (plans/r14)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint(true)
     var settled = seeds.select(col("node").cast("long").as("node"))
@@ -820,8 +873,8 @@ object Graph {
       settled = settled
         .unionByName(next.withColumn("dist", lit(r.toLong)))
       if (r % checkpointEvery == 0 && r < rounds) {
-        settled = settled.localCheckpoint(true)
-        frontier = frontier.localCheckpoint(true)
+        settled = boundStateParallelism(settled.localCheckpoint(true))
+        frontier = boundStateParallelism(frontier.localCheckpoint(true))
       }
     }
     settled
@@ -861,6 +914,8 @@ object Graph {
   def ssspWeighted(edges: DataFrame, seeds: DataFrame, rounds: Int,
       checkpointEvery: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // NOT parallelism-bounded: see bfsLevels — coalescing the
+    // lineitem-scale edge relation serializes the per-round relaxation
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .localCheckpoint(true)
@@ -880,8 +935,8 @@ object Graph {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       frontier = improved
       if (r % checkpointEvery == 0 && r < rounds) {
-        dist = dist.localCheckpoint(true)
-        frontier = frontier.localCheckpoint(true)
+        dist = boundStateParallelism(dist.localCheckpoint(true))
+        frontier = boundStateParallelism(frontier.localCheckpoint(true))
       }
     }
     dist

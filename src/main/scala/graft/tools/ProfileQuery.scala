@@ -63,31 +63,38 @@ object ProfileQuery {
         .write.format("noop").mode("overwrite").save()
 
     // min-of-N timed iterations (bench methodology — the host has
-    // bursty CPU steal); the stage table is from the LAST iteration
+    // bursty CPU steal); the stage table is SNAPSHOTTED from the
+    // iteration that produced the min wall, after draining the listener
+    // bus each iteration, so wall and table describe the same run
     val iters = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ITERS", "1").toInt
     names.foreach { name =>
       // warm (codegen/JIT), untimed and unrecorded
       exec(name)
       var wall = Double.MaxValue
+      var best = Vector.empty[St]
       (1 to iters).foreach { _ =>
-        stages.clear()
+        stages.synchronized(stages.clear())
         record = true
         val t0 = System.nanoTime()
         exec(name)
-        wall = math.min(wall, (System.nanoTime() - t0) / 1e9)
+        val w = (System.nanoTime() - t0) / 1e9
         record = false
+        Thread.sleep(300) // let the listener bus drain before snapshotting
+        if (w < wall) {
+          wall = w
+          best = stages.synchronized(stages.toVector)
+        }
       }
-      Thread.sleep(300) // let the listener bus drain
-      println(f"==== $name: $wall%.3f s, ${stages.size} stages ====")
+      println(f"==== $name: $wall%.3f s, ${best.size} stages ====")
       println(f"${"stage"}%5s ${"wall_ms"}%8s ${"task_ms"}%8s ${"tasks"}%5s " +
         f"${"input"}%10s ${"shufR"}%10s ${"shufW"}%10s ${"spill"}%9s  name")
-      stages.sortBy(-_.runMs).foreach { s0 =>
+      best.sortBy(-_.runMs).foreach { s0 =>
         println(f"${s0.id}%5d ${s0.wallMs}%8d ${s0.runMs}%8d ${s0.tasks}%5d " +
           f"${s0.inB}%10d ${s0.srB}%10d ${s0.swB}%10d ${s0.spillB}%9d  ${s0.name.take(90)}")
       }
-      val totalTask = stages.map(_.runMs).sum
-      println(f"[profile] $name wall=$wall%.3f s stages=${stages.size} " +
-        f"sum_task_ms=$totalTask sum_stage_wall_ms=${stages.map(_.wallMs).sum}")
+      val totalTask = best.map(_.runMs).sum
+      println(f"[profile] $name wall=$wall%.3f s stages=${best.size} " +
+        f"sum_task_ms=$totalTask sum_stage_wall_ms=${best.map(_.wallMs).sum}")
     }
     spark.stop()
   }
