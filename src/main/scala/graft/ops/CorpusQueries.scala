@@ -225,10 +225,17 @@ object CorpusQueries {
     // feeds fuzzy pair discovery AND the survivor joins below
     val exact = Dedup.dropDuplicatesByPriority(cleaned, "clean",
       Seq(col("doc_id"))).localCheckpoint(true)
+    // materialized: the minhash-verified fuzzy-CC pass feeds BOTH the
+    // gopher gate and the survivor join below — exchange reuse does not
+    // span the consumers' separate jobs, so without the cut the whole
+    // nearDupKeep chain (shingle minhash + banding + verification)
+    // re-executes per consumer (r14 profile: two identical ~0.9 s
+    // single-task stage pairs in every release pipeline)
     val fuzzy = Dedup.nearDupKeep(exact, "doc_id", "clean",
         n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
       .select(col("doc_id"))
       .join(exact, Seq("doc_id"))
+      .localCheckpoint(true)
     val goph = Corpus.gopherRules(fuzzy, "doc_id", "clean",
         minWords = 30, maxWords = 100000, stops = GopherQueryStops)
       .filter(col("keep")).select(col("doc_id"))
@@ -7213,8 +7220,12 @@ FROM t GROUP BY shard ORDER BY shard""")
     Q(
       "corpus_release_pipeline",
       (s, dir) => {
-        val (goph, evalNorm) = releaseGophStage(
+        val (goph0, evalNorm) = releaseGophStage(
           table(s, dir, "documents"), table(s, dir, "documents"))
+        // consumed by the contamination pass AND the keep anti-join —
+        // without the cut the whole gopher chain re-executes per
+        // consumer inside the released checkpoint's job (r14 profile)
+        val goph = goph0.localCheckpoint(true)
         // LONG-n-gram decontamination (the GPT-3-style 13-gram rule,
         // scaled to this corpus's doc lengths): 3-grams over a small
         // shared vocabulary convict 95% of the corpus by chance
@@ -7248,9 +7259,14 @@ FROM t GROUP BY shard ORDER BY shard""")
           table(s, dir, "documents"), table(s, dir, "documents"))
         // consumed by LM train+score, the keep join, and the census
         val goph = goph0.localCheckpoint(true)
+        // id-list materialized: kept feeds the keep join AND the census
+        // anti-join, and the census runs in the FINAL job — without the
+        // cut the whole ccnetBuckets LM train+score chain re-executes
+        // there (r14 profile: the v2/v3 seam redundancy)
         val kept = Corpus.ccnetBuckets(goph, "doc_id", "clean", "lang",
             col("lang") === "en")
           .filter(col("bucket") =!= "tail").select("doc_id")
+          .localCheckpoint(true)
         val goph2 = kept.join(goph, Seq("doc_id"))
         val released = goph2.join(
             Dedup.contamination(goph2, evalNorm, "doc_id", "clean", n = 8)
@@ -7287,13 +7303,20 @@ FROM t GROUP BY shard ORDER BY shard""")
           table(s, dir, "documents"), table(s, dir, "documents"))
         // consumed by the repetition gate, both censuses, and the keep
         val goph = goph0.localCheckpoint(true)
+        // id-lists materialized: repKeep feeds gophR AND the repetition
+        // census, kept feeds the keep join AND the LM census, and both
+        // censuses run in the FINAL job — without the cuts the whole
+        // repetitionRules / ccnetBuckets chains re-execute there
+        // (r14 profile: 4 identical ~0.9 s window stages per run)
         val repKeep = Corpus.repetitionRules(goph, "doc_id", "clean",
             capScaleMilli = 600)
           .filter(col("keep")).select("doc_id")
+          .localCheckpoint(true)
         val gophR = repKeep.join(goph, Seq("doc_id")).localCheckpoint(true)
         val kept = Corpus.ccnetBuckets(gophR, "doc_id", "clean", "lang",
             col("lang") === "en")
           .filter(col("bucket") =!= "tail").select("doc_id")
+          .localCheckpoint(true)
         val goph2 = kept.join(gophR, Seq("doc_id"))
         val released = goph2.join(
             Dedup.contamination(goph2, evalNorm, "doc_id", "clean", n = 8)
@@ -7367,8 +7390,10 @@ FROM t GROUP BY shard ORDER BY shard""")
           .localCheckpoint(true) // feeds the census AND the chain
         val census = crawl.groupBy(col("source"))
           .agg(count(lit(1)).as("n_pages"))
-        val (goph, evalNorm) =
+        val (goph0, evalNorm) =
           releaseGophStage(crawl, table(s, dir, "documents"))
+        // consumed by the contamination pass AND the keep anti-join
+        val goph = goph0.localCheckpoint(true)
         val released = goph.join(
             Dedup.contamination(goph, evalNorm, "doc_id", "clean", n = 8)
               .filter(col("n_contaminated") > 0).select(col("doc_id")),
@@ -7444,13 +7469,18 @@ FROM t GROUP BY shard ORDER BY shard""")
         val (goph0, evalNorm) =
           releaseGophStage(crawl, table(s, dir, "documents"))
         val goph = goph0.localCheckpoint(true)
+        // id-lists materialized — the v3 seam-redundancy fix (see
+        // corpus_release_pipeline_v3): both censuses run in the final
+        // job and would otherwise re-execute the whole chains
         val repKeep = Corpus.repetitionRules(goph, "doc_id", "clean",
             capScaleMilli = 600)
           .filter(col("keep")).select("doc_id")
+          .localCheckpoint(true)
         val gophR = repKeep.join(goph, Seq("doc_id")).localCheckpoint(true)
         val kept = Corpus.ccnetBuckets(gophR, "doc_id", "clean", "lang",
             col("lang") === "en")
           .filter(col("bucket") =!= "tail").select("doc_id")
+          .localCheckpoint(true)
         val goph2 = kept.join(gophR, Seq("doc_id"))
         val released = goph2.join(
             Dedup.contamination(goph2, evalNorm, "doc_id", "clean", n = 8)
