@@ -400,7 +400,7 @@ object Similarity {
     def cbLit(j: Int): Column = array(cbRows.map(cw =>
       array(cw.slice(j * sub, (j + 1) * sub).map(lit(_)): _*)): _*)
     def subdist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+      graft.functions.SqDistLong.sq_dist_long(a, b)
     // distances from row's j-th subvector to every codeword of subspace j
     def dists(j: Int): Column =
       transform(cbLit(j), c => subdist(slice(col("__qv"), j * sub + 1, sub), c))
@@ -477,7 +477,7 @@ object Similarity {
     def cbLit(j: Int): Column = array(cbRows.map(cw =>
       array(cw.slice(j * sub, (j + 1) * sub).map(lit(_)): _*)): _*)
     def subdist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+      graft.functions.SqDistLong.sq_dist_long(a, b)
     def dists(j: Int): Column =
       transform(cbLit(j), c => subdist(slice(col("__qv"), j * sub + 1, sub), c))
     df.select(col(idCol).cast("long").as("vec_id"),
@@ -554,7 +554,7 @@ object Similarity {
       .select(col("rv")).collect().map(_.getSeq[Long](0))
     require(cb.nonEmpty, "ivfpqEncode: empty codebook")
     def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+      graft.functions.SqDistLong.sq_dist_long(a, b)
     val centArr = array(coarse.map { case (_, cq) =>
       array(cq.map(lit(_)): _*) }: _*)
     val cidArr = array(coarse.map(c => lit(c._1)): _*)
@@ -652,7 +652,7 @@ object Similarity {
     def cbLit(j: Int): Column = array(cbRows.map(cw =>
       array(cw.slice(j * sub, (j + 1) * sub).map(lit(_)): _*)): _*)
     def sqdist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+      graft.functions.SqDistLong.sq_dist_long(a, b)
     // nP nearest cells of __qv as array<struct<d,cid,cv>> — array_sort's
     // natural struct order (d, then cid) IS the tie-break contract
     def probes(nP: Int): Column = slice(array_sort(
@@ -726,7 +726,7 @@ object Similarity {
     val nv = corpus.select(col(idCol).as("n_id"),
       quantize(col(vecCol)).as("__nv"))
     def sqdist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+      graft.functions.SqDistLong.sq_dist_long(a, b)
     // candidate set is |Q|·nCand by construction — broadcast it into
     // the corpus scan so the exact re-read is one map-side hash join
     nv.join(broadcast(cand), Seq("n_id"))
