@@ -134,7 +134,7 @@ object Dedup {
       .select(col("shingle"))
     val sh = sh0.join(stop, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
-    val common = sh.as("a").join(sh.as("b"),
+    val common = sh.as("a").join(sh.hint("shuffle_hash").as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .agg(count(lit(1)).as("common"))
@@ -174,7 +174,7 @@ object Dedup {
       .select(col("shingle"))
     val sh = sh0.join(stop, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    sh.as("a").join(sh.as("b"),
+    sh.as("a").join(sh.hint("shuffle_hash").as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") =!= col("b.doc"))
       .groupBy(col("a.doc").as("d_in"), col("b.doc").as("d_out"))
       .agg(count(lit(1)).as("common"))
@@ -261,7 +261,7 @@ object Dedup {
       .filter(col("__r") <=
         col("n") - expr(s"CAST((n * ${thresholdPpm}L + 999999) DIV 1000000 AS BIGINT)") + 1)
       .select(col("doc"), col("tok"), col("n"), col("__r"))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val cand = prefix.as("a").join(prefix.hint("shuffle_hash").as("b"),
         col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc") &&
           // size filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
           col("a.n") * lit(1000000L) >= lit(thresholdPpm) * col("b.n") &&
